@@ -1,0 +1,405 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, Tables}
+
+/** Named query + its DuckDB-oracle SQL (None => driver does rows-only check). */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Relational operator pack over the TPC-H-ish testdata tables.
+  *
+  * Query surface re-expressed Spark-first from the reference's demo SQL
+  * (scan/project/filter/aggregate/sort/limit — /root/reference/README.md:74-99,
+  * rbac-demo/comprehensive_rbac_demo.py:116-152) plus the join/window/set-op
+  * surface the driver's correctness gate exercises.
+  *
+  * Scale notes (100 TB design intent):
+  *  - dimension tables (region/nation/supplier/customer at low SF) are
+  *    broadcast explicitly; fact-fact joins shuffle on join keys and rely on
+  *    AQE for skew/size re-planning.
+  *  - all money aggregations go through [[graft.core.Exact]] so results are
+  *    order-independent => reproducible across partitionings and engines.
+  *  - every query ends in a total deterministic ORDER BY (unique tie-break
+  *    key) so outputs are stable under any degree of parallelism.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+  private def dts(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  import Exact.{dec, sumd}
+
+  /** Exact revenue term: price * (1 - discount) in decimal arithmetic. */
+  private def revenue(price: Column, discount: Column): Column =
+    dec(price) * (lit(java.math.BigDecimal.ONE).cast(Exact.D) - dec(discount))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
+
+  val q01_pricing_summary = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          Exact.money(sum(revenue(col("l_extendedprice"), col("l_discount"))))
+            .as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val q02_topk_scan = Q(
+    "q02_topk_scan",
+    (s, dir) => {
+      // Projection + filter + ORDER BY ... LIMIT: Spark plans this as
+      // TakeOrderedAndProject (per-partition top-k, no global sort).
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), dts(col("l_shipdate")).as("ship_date"))
+        .orderBy(
+          col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 100"""))
+
+  val q03_top_orders = Q(
+    "q03_top_orders",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1999-06-30").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1999-06-30").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      // customer is the small side => broadcast; orders⋈lineitem shuffles on
+      // the order key (both sides large at scale).
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), dts(col("o_orderdate")).as("order_date"))
+        .agg(Exact.money(sum(revenue(col("l_extendedprice"), col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(CAST(SUM($revenueSql) AS DECIMAL(30,4)) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1999-06-30'
+        AND l_shipdate  > TIMESTAMP '1999-06-30'
+      GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  val q04_exists_semi = Q(
+    "q04_exists_semi",
+    (s, dir) => {
+      // EXISTS as a left-semi join: orders with a lineitem shipped after the
+      // order date, counted by priority. Semi-join avoids materializing the
+      // (much larger) lineitem side past the probe.
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord
+        .join(li,
+          ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  val q05_nation_revenue = Q(
+    "q05_nation_revenue",
+    (s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      // region/nation/supplier are tiny at any SF (25 nations, fixed supplier
+      // card per nation) => broadcast all three; the only shuffles left are
+      // the two fact joins (orders⋈lineitem, ⋈customer).
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(sup),
+          li("l_suppkey") === sup("s_suppkey") &&
+            cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Exact.money(sum(revenue(col("l_extendedprice"), col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name, CAST(CAST(SUM($revenueSql) AS DECIMAL(30,4)) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate <  TIMESTAMP '2000-01-01'
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  val q06_selective_agg = Q(
+    "q06_selective_agg",
+    (s, dir) => {
+      // Global aggregate with range predicates: all three filters reach the
+      // parquet scan as PushedFilters; single-group partial+final agg.
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(
+          Exact.money(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1999-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""))
+
+  val q07_window_topn = Q(
+    "q07_window_topn",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Top-3 orders per customer: single shuffle on the partition key, then
+      // an in-partition sort — no global sort until the final (small) output.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        FROM orders)
+      WHERE rk <= 3
+      ORDER BY o_custkey, rk"""))
+
+  val q08_distinct = Q(
+    "q08_distinct",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      t(s, dir, "orders").select("o_custkey", "o_orderpriority")
+        .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+    },
+    Some("""
+      SELECT DISTINCT c_mktsegment, o_orderpriority
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY c_mktsegment, o_orderpriority"""))
+
+  val q09_union_all = Q(
+    "q09_union_all",
+    (s, dir) => {
+      // UNION ALL of two heterogeneous sources normalized to one schema
+      // (the reference's "normalize fields across APIs" view,
+      // reference README.md:262), then aggregated.
+      val a = t(s, dir, "orders").select(
+        lit("orders").as("src"), col("o_orderkey").as("id"),
+        dec(col("o_totalprice")).as("amount"))
+      val b = t(s, dir, "lineitem").select(
+        lit("lineitem").as("src"), col("l_orderkey").as("id"),
+        dec(col("l_extendedprice")).as("amount"))
+      a.union(b)
+        .groupBy(col("src"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.money(sum(col("amount"))).as("total_amount"))
+        .orderBy(col("src"))
+    },
+    Some("""
+      SELECT src, COUNT(*) AS n, CAST(CAST(SUM(amount) AS DECIMAL(30,4)) AS DOUBLE) AS total_amount
+      FROM (
+        SELECT 'orders' AS src, o_orderkey AS id,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS amount FROM orders
+        UNION ALL
+        SELECT 'lineitem' AS src, l_orderkey AS id,
+               CAST(l_extendedprice AS DECIMAL(18,6)) AS amount FROM lineitem)
+      GROUP BY src
+      ORDER BY src"""))
+
+  val q10_anti_join = Q(
+    "q10_anti_join",
+    (s, dir) => {
+      // NOT EXISTS as a left-anti join; output is a count per segment so the
+      // result is small and deterministic even when no customer qualifies.
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers_without_orders"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  val q11_having = Q(
+    "q11_having",
+    (s, dir) => {
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+      t(s, dir, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sumd(col("s_acctbal")).as("total_acctbal"),
+          count(lit(1)).as("n_suppliers"))
+        .filter(col("total_acctbal") > 0.0)
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal,
+             COUNT(*) AS n_suppliers
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      HAVING CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) > 0.0
+      ORDER BY n_name"""))
+
+  val q12_case_agg = Q(
+    "q12_case_agg",
+    (s, dir) => {
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem").select("l_orderkey", "l_returnflag")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val q14_scalar_subquery = Q(
+    "q14_scalar_subquery",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      // Scalar "subquery" as a broadcast of a 1-row aggregate: exact mean so
+      // the threshold is bit-identical to the oracle's.
+      val avgPrice = part.agg(
+        (sum(dec(col("p_retailprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      part.crossJoin(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part
+      WHERE p_retailprice > (
+        SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        FROM part)
+      ORDER BY p_partkey"""))
+
+  val q16_rollup = Q(
+    "q16_rollup",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      t(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy(col("segment"), col("priority"))
+    },
+    Some("""
+      SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+      ORDER BY segment, priority"""))
+
+  val all: Seq[Q] = Seq(
+    q01_pricing_summary, q02_topk_scan, q03_top_orders, q04_exists_semi,
+    q05_nation_revenue, q06_selective_agg, q07_window_topn, q08_distinct,
+    q09_union_all, q10_anti_join, q11_having, q12_case_agg,
+    q14_scalar_subquery, q16_rollup)
+}
