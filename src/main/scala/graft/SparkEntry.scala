@@ -1,13 +1,13 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Q, Relational}
+import graft.queries.{Events, Q, Relational, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Every implemented operator, one [[Q]] each (SURVEY.md §2 inventory). */
   def allQueries: Seq[Q] =
-    Relational.all
+    Relational.all ++ Events.all ++ Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

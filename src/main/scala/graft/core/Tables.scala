@@ -17,7 +17,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "events" =>
+        // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        // rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy
+        // conf) and convert to a microsecond TimestampType with integer
+        // division — `/ 1000` in double would lose precision at 1e18 ns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

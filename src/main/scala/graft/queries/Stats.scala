@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, Tables}
+
+/** Statistical aggregates with engine-independent arithmetic.
+  *
+  * Variance/stddev are computed from exact decimal power sums (sum x,
+  * sum x^2) followed by identical scalar double math on both engines —
+  * Spark's built-in `stddev` streams Welford-style updates whose result
+  * depends on partition order, which can't hash-match a serial oracle.
+  */
+object Stats {
+  import Exact.dec
+
+  val q19_count_distinct = Q(
+    "q19_count_distinct",
+    (s, dir) => {
+      // Exact distinct counts (expand + two-phase agg) alongside a global
+      // approx_count_distinct used at 100 TB scale for cheap cardinality.
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val q20_stats_moments = Q(
+    "q20_stats_moments",
+    (s, dir) => {
+      val x = dec(col("c_acctbal"))
+      Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          Exact.money(sum(x * x)).as("sx2"))
+        .select(
+          col("c_mktsegment"),
+          col("n"),
+          (col("sx") / col("n")).as("mean_acctbal"),
+          sqrt(
+            (col("sx2") - col("sx") * col("sx") / col("n")) /
+              (col("n") - lit(1)))
+            .as("std_acctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, n,
+             sx / n AS mean_acctbal,
+             sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_acctbal
+      FROM (
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(30,4)) AS DOUBLE) AS sx2
+        FROM customer
+        GROUP BY c_mktsegment)
+      ORDER BY c_mktsegment"""))
+
+  val q21_min_max_top = Q(
+    "q21_min_max_top",
+    (s, dir) => {
+      // Min/max/first-by-order: order statistics that are exact regardless
+      // of parallelism (no floating accumulation).
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderdate")).cast("date").cast("string").as("first_date"),
+          max(col("o_orderdate")).cast("date").cast("string").as("last_date"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price,
+             strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+             strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(q19_count_distinct, q20_stats_moments, q21_min_max_top)
+}
