@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Deduplication operators for training-data pipelines over `documents`.
+  *
+  * Scale design: every variant reduces each document to a small digest
+  * (md5 / minhash signature) FIRST, so shuffles move digests rather than
+  * document bodies; candidate generation is hash-bucket joins (LSH bands),
+  * never an O(n^2) cross join. Hashes are md5-based so results are
+  * engine-independent (murmur/xxhash seeds differ across engines).
+  */
+object Dedup {
+  private val toksExpr = "regexp_extract_all(text, '[a-z0-9]+', 0)"
+
+  /** Distinct word-3-gram shingles of a document. */
+  private val shinglesExpr = s"""
+    CASE WHEN size(toks) >= 3 THEN
+      array_distinct(transform(sequence(0, size(toks) - 3),
+        i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))
+    ELSE array_distinct(slice(toks, 1, 0)) END"""
+
+  private val shinglesSqlDuck = """
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(len(toks) - 2),
+        i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+    ELSE [] END"""
+
+  private def withShingles(s: SparkSession, dir: String): DataFrame =
+    // The corpus parquet is a single row group => one input split; without
+    // an explicit repartition all the (interpreted, CPU-bound) shingle and
+    // hash work would run on one core. One narrow shuffle of the raw text
+    // buys full parallelism for everything downstream.
+    Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("sh", expr(shinglesExpr))
+
+  val d01_exact_dedup = Q(
+    "d01_exact_dedup",
+    (s, dir) => {
+      // Exact dedup: hash-groupBy on the md5 digest. Only (digest, id,
+      // n_chars) shuffles; the canonical representative is min(doc_id).
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(
+          count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("canonical_id"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("fp"))
+    },
+    Some("""
+      SELECT md5(text) AS fp, COUNT(*) AS n_copies,
+             MIN(doc_id) AS canonical_id,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY fp"""))
+
+  val d02_ngram_jaccard = Q(
+    "d02_ngram_jaccard",
+    (s, dir) => {
+      // Word-3-gram Jaccard between consecutive doc_ids (a bounded, fully
+      // deterministic candidate set; unbounded candidate generation is
+      // d04's LSH job). Set sizes only — order-insensitive.
+      val a = withShingles(s, dir).select(
+        col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      val b = withShingles(s, dir).select(
+        col("doc_id").as("b_id"), col("sh").as("sh_b"))
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(
+          col("a_id"), col("b_id"),
+          expr("size(sh_a)").cast("long").as("n_a"),
+          expr("size(sh_b)").cast("long").as("n_b"),
+          expr("size(array_intersect(sh_a, sh_b))").cast("long")
+            .as("n_common"))
+        .withColumn("jaccard",
+          when(col("n_a") + col("n_b") - col("n_common") > 0,
+            col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")))
+            .otherwise(0.0))
+        .orderBy(col("a_id"))
+    },
+    Some(s"""
+      SELECT a_id, b_id, n_a, n_b, n_common,
+             CASE WHEN n_a + n_b - n_common > 0
+                  THEN CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+                  ELSE 0.0 END AS jaccard
+      FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(a.sh) AS BIGINT) AS n_a,
+               CAST(len(b.sh) AS BIGINT) AS n_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common
+        FROM (SELECT doc_id, $shinglesSqlDuck AS sh
+              FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents)) a
+        JOIN (SELECT doc_id, $shinglesSqlDuck AS sh
+              FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents)) b
+          ON b.doc_id = a.doc_id + 1)
+      ORDER BY a_id"""))
+
+  /** MinHash signatures: 16 min-hashes over distinct word-3-gram shingles.
+    * Shared by d03 (signatures) and d04 (LSH banding).
+    *
+    * Computed entirely inside one codegen'd projection (nested array
+    * lambdas), NOT explode+groupBy: per-document work needs no shuffle at
+    * all, so signature generation scales as a pure map over the corpus.
+    * (The explode+groupBy formulation planned 2 shuffles + sort aggregates
+    * and ran ~30x slower at sf0.1.)
+    *
+    * Each shingle is hashed ONCE (md5, the engine-portable hash); the 16
+    * permutations are the standard affine family h1 + j*h2 mod p over two
+    * 60-bit halves of the digest — 16x less hashing than md5-per-seed, and
+    * pure integer arithmetic that any engine reproduces exactly. */
+  private[queries] def signatures(s: SparkSession, dir: String): DataFrame = {
+    // The cache() is a required optimizer barrier, not an optional speedup:
+    // higher-order array expressions are interpreted (no codegen, no CSE),
+    // and CollapseProject happily inlines the producing tree into every
+    // consumer reference — without the barrier the shingle+md5 tree is
+    // re-evaluated per signature slot (16x) and per self-join side.
+    // The cached table is tiny: (doc_id, 16 longs) per document.
+    // Single fold over the shingles with a 16-slot min accumulator: the
+    // per-shingle hash tree is evaluated exactly once per row even after
+    // CollapseProject inlining (a transform-per-seed formulation evaluates
+    // the full inlined tree once PER SEED — measured 16x slower).
+    //
+    // The <3-token guard is part of the projection (NULL sig) and the
+    // filter runs on the CACHED column — a `filter(size(sh) > 0)` before
+    // the projection gets predicate-pushed below the repartition exchange,
+    // which re-evaluates the whole shingle tree single-threaded on the
+    // scan side (measured: the entire 10s runtime).
+    withShingles(s, dir)
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3 THEN aggregate(
+             transform(sh, x -> named_struct(
+               'a', pmod(CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT), 1000000007),
+               'b', pmod(CAST(conv(substr(md5(x), 17, 15), 16, 10) AS BIGINT), 1000000007))),
+             transform(sequence(0, 15), j -> CAST(1000000007 AS BIGINT)),
+             (acc, x) -> zip_with(acc, sequence(0, 15),
+               (m, j) -> least(m, pmod(x.a + j * x.b, 1000000007))))
+           ELSE NULL END""")
+        .as("sig"))
+      .cache()
+      .filter(col("sig").isNotNull)
+  }
+
+  private val signaturesSqlDuck = s"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+    shs AS (
+      SELECT doc_id, $shinglesSqlDuck AS sh FROM tok),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 1000000007) AS h1,
+             list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 17, 15)) AS BIGINT) % 1000000007) AS h2
+      FROM shs WHERE len(sh) > 0),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(16), j -> list_min(list_transform(
+               range(len(h1)), i -> (h1[i+1] + j * h2[i+1]) % 1000000007))) AS sig
+      FROM hashed)"""
+
+  val d03_minhash_sig = Q(
+    "d03_minhash_sig",
+    (s, dir) =>
+      signatures(s, dir)
+        .select(col("doc_id"),
+          concat_ws(",", expr("transform(sig, x -> CAST(x AS STRING))"))
+            .as("sig_str"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      $signaturesSqlDuck
+      SELECT doc_id,
+             array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig_str
+      FROM sig
+      ORDER BY doc_id"""))
+
+  val d04_lsh_pairs = Q(
+    "d04_lsh_pairs",
+    (s, dir) => {
+      // LSH banding: 4 bands x 4 rows. Candidate pairs = docs sharing any
+      // band hash — an equi-join on (band, hash), never a cross join.
+      // Signatures ride along through the join (16 x 32 bytes/doc), so no
+      // extra lookup joins are needed for the similarity estimate.
+      val bands = signatures(s, dir).select(
+        col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band,
+             md5(concat_ws(',', CAST(sig[b*4] AS STRING), CAST(sig[b*4+1] AS STRING),
+                           CAST(sig[b*4+2] AS STRING), CAST(sig[b*4+3] AS STRING))) AS bh))"""))
+          .as("x"))
+        .select(col("doc_id"), col("sig"), col("x.band"), col("x.bh"))
+      bands.as("l")
+        .join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(
+          col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+          col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+        .dropDuplicates("a_id", "b_id")
+        .select(
+          col("a_id"), col("b_id"),
+          (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+            .cast("double") / 16.0).as("est_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      $signaturesSqlDuck,
+      band AS (
+        SELECT doc_id, b,
+               md5(CAST(sig[b*4 + 1] AS VARCHAR) || ',' || CAST(sig[b*4 + 2] AS VARCHAR)
+                   || ',' || CAST(sig[b*4 + 3] AS VARCHAR) || ',' || CAST(sig[b*4 + 4] AS VARCHAR)) AS bh
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM band l JOIN band r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
+      SELECT a_id, b_id,
+             CAST(list_sum(list_transform(range(16),
+               i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+      FROM pairs
+      JOIN sig sa ON sa.doc_id = a_id
+      JOIN sig sb ON sb.doc_id = b_id
+      ORDER BY a_id, b_id"""))
+
+  val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
+    d04_lsh_pairs)
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, as a real ANN pipeline would ship them:
+  *  - s01: brute-force cosine top-k — the exact baseline. The (tiny) query
+  *    set broadcasts; candidates stream through one scan. O(Q*N) work but
+  *    embarrassingly parallel and shuffle-free until the final top-k.
+  *  - s02: sign-random-projection LSH — deterministic md5-derived
+  *    hyperplanes bucket every vector into one of 2^8 cells; search only
+  *    probes the query's cell. At 100 TB the bucket id becomes a partition
+  *    key so a probe touches one partition instead of the corpus.
+  *
+  * Dot products fold over the array in element order (Catalyst `aggregate`)
+  * after per-element cast to double, so they are bit-reproducible; final
+  * similarities are rounded to 6 decimals to absorb any engine-side
+  * summation-strategy difference.
+  */
+object Similarity {
+  /** Element-order dot product of two float arrays, in double. */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) ->
+        CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE),
+        (acc, v) -> acc + v)"""
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", expr(
+      s"sqrt(${dotExpr("embedding", "embedding")})"))
+
+  private def dotSqlDuck(a: String, b: String): String =
+    s"""list_sum(list_transform(range(64),
+        i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"""
+
+  val s01_cosine_topk = Q(
+    "s01_cosine_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = withNorm(Tables(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+      val cands = emb.select(
+        col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      cands.join(broadcast(queries), col("c_id") =!= col("q_id"))
+        .withColumn("cos_sim",
+          when(col("q_norm") > 0 && col("c_norm") > 0,
+            round(expr(dotExpr("q_emb", "c_emb")) /
+              (col("q_norm") * col("c_norm")), 6))
+            .otherwise(0.0))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("q_id", "c_id", "cos_sim", "rank")
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""
+      WITH nv AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(range(64),
+                 i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS norm
+        FROM embeddings),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               CASE WHEN q.norm > 0 AND c.norm > 0
+                 THEN round(list_sum(list_transform(range(64),
+                   i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
+                   / (q.norm * c.norm), 6)
+                 ELSE 0.0 END AS cos_sim
+        FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      ranked AS (
+        SELECT q_id, c_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, c_id) AS INT) AS rank
+        FROM pairs)
+      SELECT q_id, c_id, cos_sim, rank FROM ranked
+      WHERE rank <= 10
+      ORDER BY q_id, rank"""))
+
+  /** Deterministic md5-derived hyperplanes: w[p][d] in [-1, 1]. */
+  private def planes(s: SparkSession): DataFrame = {
+    val pd = s.range(8).toDF("p")
+      .crossJoin(s.range(64).toDF("d"))
+      .withColumn("w",
+        (expr("CAST(conv(substr(md5(concat(p, '_', d)), 1, 8), 16, 10) AS BIGINT)")
+          % 2001 - 1000).cast("double") / 1000.0)
+    pd.groupBy(col("p"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, w))), x -> x.w)")
+        .as("warr"))
+  }
+
+  private val planesSqlDuck = """
+    planes AS (
+      SELECT p, list(w ORDER BY d) AS warr
+      FROM (
+        SELECT p, d,
+               CAST(CAST(concat('0x', substr(md5(concat(p, '_', d)), 1, 8)) AS BIGINT)
+                    % 2001 - 1000 AS DOUBLE) / 1000.0 AS w
+        FROM (SELECT unnest(range(8)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS d))
+      GROUP BY p)"""
+
+  val s02_ann_lsh = Q(
+    "s02_ann_lsh",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = withNorm(Tables(s, dir, "embeddings"))
+      // bucket = 8 sign bits of plane dot products (planes broadcast).
+      val bucketed = emb.crossJoin(broadcast(planes(s)))
+        .withColumn("bit",
+          when(expr(dotExpr("warr", "embedding")) >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
+        .groupBy(col("vec_id"), col("embedding"), col("norm"))
+        .agg(sum(col("bit")).as("bucket"))
+      val queries = bucketed.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      bucketed.select(
+        col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"), col("bucket"))
+        .join(broadcast(queries), Seq("bucket"))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("cos_sim",
+          when(col("q_norm") > 0 && col("c_norm") > 0,
+            round(expr(dotExpr("q_emb", "c_emb")) /
+              (col("q_norm") * col("c_norm")), 6))
+            .otherwise(0.0))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "bucket", "cos_sim", "rank")
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $planesSqlDuck,
+      nv AS (
+        SELECT vec_id, embedding,
+               sqrt(${dotSqlDuck("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      bucketed AS (
+        SELECT vec_id, embedding, norm,
+               CAST(SUM(CASE WHEN ${dotSqlDuck("warr", "embedding")} >= 0
+                 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM nv CROSS JOIN planes
+        GROUP BY vec_id, embedding, norm),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket AS bucket,
+               CASE WHEN q.norm > 0 AND c.norm > 0
+                 THEN round(${dotSqlDuck("q.embedding", "c.embedding")}
+                   / (q.norm * c.norm), 6)
+                 ELSE 0.0 END AS cos_sim
+        FROM bucketed q JOIN bucketed c
+          ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      ranked AS (
+        SELECT q_id, c_id, bucket, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, c_id) AS INT) AS rank
+        FROM pairs)
+      SELECT q_id, c_id, bucket, cos_sim, rank FROM ranked
+      WHERE rank <= 5
+      ORDER BY q_id, rank"""))
+
+  val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh)
+}

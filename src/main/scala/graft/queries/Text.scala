@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Text-analysis operators for training-data pipelines over `documents`.
+  *
+  * All heuristics are expressed as codegen'd Catalyst built-ins (regexp /
+  * higher-order array functions) — no UDFs — so they whole-stage-compile
+  * and scale linearly with a single pass over the corpus. Token model:
+  * `[a-z0-9]+` runs (corpus is lowercase synthetic words).
+  */
+object Text {
+  /** Tokenize into lowercase word runs (shared by several operators). */
+  private val toksExpr = "regexp_extract_all(text, '[a-z0-9]+', 0)"
+
+  val t01_token_stats = Q(
+    "t01_token_stats",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"), col("n_chars"),
+          expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long")
+            .as("n_tokens"),
+          expr("length(regexp_replace(text, '\\\\s+', ''))").cast("long")
+            .as("n_nonspace"))
+        .withColumn("avg_token_len",
+          when(col("n_tokens") > 0,
+            col("n_nonspace").cast("double") / col("n_tokens")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, n_chars,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+             CASE WHEN length(regexp_extract_all(text, '\S+')) > 0
+                  THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                       / length(regexp_extract_all(text, '\S+'))
+             END AS avg_token_len
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val t02_quality_score = Q(
+    "t02_quality_score",
+    (s, dir) => {
+      // Quality heuristic: length saturation + lexical diversity +
+      // stopword-rate penalty; all integer-derived double math so it is
+      // bit-reproducible under any parallelism.
+      Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tok", expr("size(toks)").cast("long"))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, t -> t IN ('the','a','of','and','to','in','is')))")
+          .cast("long"))
+        .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
+        .withColumn("quality",
+          when(col("n_tok") > 0,
+            lit(0.4) * least(lit(1.0), col("n_tok").cast("double") / 100.0)
+              + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tok"))
+              + lit(0.3) * (col("n_uniq").cast("double") / col("n_tok")))
+            .otherwise(0.0))
+        .select("doc_id", "n_tok", "n_stop", "n_uniq", "quality")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, n_tok, n_stop, n_uniq,
+             CASE WHEN n_tok > 0
+                  THEN 0.4 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+                     + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+                     + 0.3 * (CAST(n_uniq AS DOUBLE) / n_tok)
+                  ELSE 0.0 END AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(length(toks) AS BIGINT) AS n_tok,
+               CAST(length(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+               CAST(length(list_distinct(toks)) AS BIGINT) AS n_uniq
+        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+              FROM documents))
+      ORDER BY doc_id"""))
+
+  val t03_lang_guess = Q(
+    "t03_lang_guess",
+    (s, dir) => {
+      // n-gram-free language ID: count language-marker stopword hits and
+      // take the argmax with a fixed tie-break order (en,de,es,fr,zh).
+      val markers = Seq(
+        "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+        "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+        "es" -> Seq("el", "la", "los", "que", "es", "un"),
+        "fr" -> Seq("le", "les", "des", "est", "une", "et"),
+        "zh" -> Seq("de", "shi", "le", "zai", "he"))
+      def hits(words: Seq[String]) =
+        expr(s"size(filter(toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")})))")
+      var df = Tables(s, dir, "documents").withColumn("toks", expr(toksExpr))
+      for ((l, ws) <- markers) df = df.withColumn(s"h_$l", hits(ws))
+      df.withColumn("lang_guess",
+        when(col("h_en") >= col("h_de") && col("h_en") >= col("h_es") &&
+          col("h_en") >= col("h_fr") && col("h_en") >= col("h_zh"), "en")
+          .when(col("h_de") >= col("h_es") && col("h_de") >= col("h_fr") &&
+            col("h_de") >= col("h_zh"), "de")
+          .when(col("h_es") >= col("h_fr") && col("h_es") >= col("h_zh"), "es")
+          .when(col("h_fr") >= col("h_zh"), "fr")
+          .otherwise("zh"))
+        .select(
+          col("doc_id"), col("lang"), col("lang_guess"),
+          when(col("lang") === col("lang_guess"), 1L).otherwise(0L)
+            .as("is_match"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, lang_guess,
+             CAST(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END AS BIGINT) AS is_match
+      FROM (
+        SELECT doc_id, lang,
+          CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+               WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+               WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+               WHEN h_fr >= h_zh THEN 'fr'
+               ELSE 'zh' END AS lang_guess
+        FROM (
+          SELECT doc_id, lang,
+            length(list_filter(toks, t -> t IN ('the','and','of','to','in','is','a'))) AS h_en,
+            length(list_filter(toks, t -> t IN ('der','die','und','das','ist','ein'))) AS h_de,
+            length(list_filter(toks, t -> t IN ('el','la','los','que','es','un'))) AS h_es,
+            length(list_filter(toks, t -> t IN ('le','les','des','est','une','et'))) AS h_fr,
+            length(list_filter(toks, t -> t IN ('de','shi','le','zai','he'))) AS h_zh
+          FROM (SELECT doc_id, lang, regexp_extract_all(text, '[a-z0-9]+') AS toks
+                FROM documents)))
+      ORDER BY doc_id"""))
+
+  val t04_fingerprint = Q(
+    "t04_fingerprint",
+    (s, dir) => {
+      // Document fingerprint: md5 of the whitespace-normalized token stream.
+      // The 32-char digest (not the document) is what shuffles for the
+      // duplicate-group count — at 100 TB that's the difference between
+      // shuffling terabytes and gigabytes.
+      val w = Window.partitionBy(col("fp"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(expr(s"concat_ws(' ', $toksExpr)")).as("fp"))
+        .withColumn("n_same_fp", count(lit(1)).over(w))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same_fp
+      FROM (SELECT doc_id,
+                   md5(array_to_string(regexp_extract_all(text, '[a-z0-9]+'), ' ')) AS fp
+            FROM documents)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
+    t04_fingerprint)
+}
