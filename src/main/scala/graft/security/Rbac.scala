@@ -1,0 +1,51 @@
+package graft.security
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Role-based row/column security producing different results for the
+  * same query — the Lake Formation plane of the reference
+  * (rbac-demo/README.md:119-149, stack.py:209-320).
+  *
+  * Enforcement is view-based, which reproduces both observable behaviors
+  * exactly at analysis time:
+  *  - row security filters silently (core sees only endpoint='api-a');
+  *  - column security fails loudly (referencing `items` via the core view
+  *    throws AnalysisException, matching "query fails" semantics of
+  *    comprehensive_rbac_demo.py:191-200).
+  * Catalyst pushes the view's filter into the scan, so the row filter also
+  * prunes partitions on `source` — governance costs nothing at scale.
+  */
+object Rbac {
+  final case class Role(
+      name: String,
+      rowFilter: Option[String],
+      allowedColumns: Option[Seq[String]])
+
+  /** The reference's two demo roles (rbac-demo/README.md:126-149). */
+  val core: Role = Role("core", Some("endpoint = 'api-a'"),
+    Some(Seq("endpoint", "date", "page", "fetched_at", "source", "ingestion_date")))
+  val pii: Role = Role("pii", None, None)
+
+  def viewName(table: String, role: Role): String =
+    s"${table.replace('.', '_')}_${role.name}"
+
+  /** Create one secured view per role over `table`. */
+  def createRoleViews(
+      spark: SparkSession, table: String, roles: Seq[Role] = Seq(core, pii)): Unit =
+    roles.foreach { r =>
+      val cols = r.allowedColumns.map(_.map(c => s"`$c`").mkString(", "))
+        .getOrElse("*")
+      val where = r.rowFilter.map(f => s" WHERE $f").getOrElse("")
+      spark.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW ${viewName(table, r)}
+            AS SELECT $cols FROM $table$where""")
+    }
+
+  /** Run a query as a role: occurrences of the base table name resolve to
+    * the role's secured view (the Athena+LF entry point, E1 in SURVEY §3).
+    * Unauthorized column references fail during analysis, identical to the
+    * reference's failed-query behavior. */
+  def runAs(
+      spark: SparkSession, role: Role, table: String, sql: String): DataFrame =
+    spark.sql(sql.replace(table, viewName(table, role)))
+}
