@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video as opaque `binary`
+  * columns + typed metadata, with decode/feature-extraction running as
+  * partition-wise batch functions.
+  *
+  * The Spark-side contract here is real and tested — schema, partitioning,
+  * batch shape, deterministic outputs. The codec itself is STUBBED
+  * (`FakeCodec`): this container ships no image/audio libraries, so decode
+  * derives geometry from the byte stream deterministically. Swapping in a
+  * real codec changes exactly one function.
+  */
+object Decode {
+  /** Typed metadata produced by "decoding" a payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** STUB codec: a real implementation would parse image headers /
+    * decode frames here. The fake derives all fields from the bytes so
+    * tests are deterministic and the plumbing is exercised end-to-end. */
+  object FakeCodec {
+    def sniffFormat(bytes: Array[Byte]): String =
+      if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+      else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+      else "bin"
+
+    def decode(bytes: Array[Byte]): Row = Row(
+      sniffFormat(bytes),
+      if (bytes.isEmpty) 0 else bytes.length % 640,
+      if (bytes.isEmpty) 0 else (bytes(0) & 0xFF) % 480,
+      bytes.length.toLong)
+
+    /** Byte-histogram feature vector (16 buckets, L1-normalized) — a real
+      * computation over the binary payload, codec-free. */
+    def features(bytes: Array[Byte]): Array[Double] = {
+      val h = new Array[Double](16)
+      bytes.foreach(b => h((b & 0xFF) / 16) += 1.0)
+      val n = bytes.length.max(1).toDouble
+      h.map(_ / n)
+    }
+  }
+
+  /** Attach decoded metadata + features to a DataFrame with a binary
+    * column. Partition-wise (mapPartitions): the decode amortizes any
+    * per-batch setup (a real codec's native context) across the rows of a
+    * partition, the shape that matters at 100 TB. */
+  def decodeBinary(df: DataFrame, binaryCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("media_meta", metaSchema),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      // per-partition setup would init the native codec once, here
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty)
+        Row.fromSeq(r.toSeq ++ Seq(
+          FakeCodec.decode(bytes),
+          FakeCodec.features(bytes).toSeq))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling stub for video payloads: every `stride`-th byte chunk
+    * stands in for a frame; real codecs replace `sliceFrames`. */
+  def sampleFrames(
+      df: DataFrame, binaryCol: String, frameSize: Int, stride: Int): DataFrame =
+    df.select(
+      col("*"),
+      expr(
+        s"""transform(
+              sequence(0, CAST(greatest(0, octet_length($binaryCol) - $frameSize) AS INT), ${frameSize * stride}),
+              off -> substring($binaryCol, off + 1, $frameSize))""")
+        .as("frames"))
+}

@@ -225,6 +225,100 @@ object Dedup {
       JOIN sig sb ON sb.doc_id = b_id
       ORDER BY a_id, b_id"""))
 
+  val d05_simhash = Q(
+    "d05_simhash",
+    (s, dir) => {
+      // 32-bit SimHash over distinct tokens: per-bit +/-1 votes from a
+      // 32-bit md5-derived token hash, folded once over the token set
+      // (same single-pass shape as the minhash fold). High-16-bit band
+      // count demonstrates the LSH-bucket use of the fingerprint.
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(toks) > 0 THEN
+               aggregate(
+                 zip_with(
+                   aggregate(
+                     transform(array_distinct(toks),
+                       t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
+                     transform(sequence(0, 31), j -> CAST(0 AS BIGINT)),
+                     (acc, h) -> zip_with(acc, sequence(0, 31),
+                       (a, j) -> a + IF(shiftright(h, j) % 2 = 1,
+                         CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))),
+                   sequence(0, 31),
+                   (a, j) -> IF(a >= 0, shiftleft(CAST(1 AS BIGINT), j),
+                     CAST(0 AS BIGINT))),
+                 CAST(0 AS BIGINT), (s0, v) -> s0 + v)
+             ELSE NULL END""").as("simhash"))
+        .filter(col("simhash").isNotNull)
+        .withColumn("n_band",
+          count(lit(1)).over(
+            Window.partitionBy(expr("shiftright(simhash, 16)"))))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, simhash,
+             COUNT(*) OVER (PARTITION BY simhash >> 16) AS n_band
+      FROM (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(32), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+        FROM (
+          SELECT doc_id,
+                 list_transform(list_distinct(toks),
+                   t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+          FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+                FROM documents)
+          WHERE len(toks) > 0))
+      ORDER BY doc_id"""))
+
+  val d06_embed_neardup = Q(
+    "d06_embed_neardup",
+    (s, dir) => {
+      // Embedding-cosine near-duplicate pairs, label-blocked: candidates
+      // come from an equi-join on the cluster label (at 100 TB the label is
+      // a coarse-quantizer/IVF cell id and doubles as the partition key),
+      // never an all-pairs cross join. Dot products use the codegen'd
+      // native expression.
+      import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+      val nv = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          vec_norm(col("embedding")).as("norm"))
+      nv.as("a").join(nv.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.label").as("label"),
+          when(col("a.norm") > 0 && col("b.norm") > 0,
+            round(vec_dot(col("a.embedding"), col("b.embedding")) /
+              (col("a.norm") * col("b.norm")), 6))
+            .otherwise(0.0).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH nv AS (
+        SELECT vec_id, label, embedding,
+               sqrt(${Similarity.dotSqlDuck("embedding", "embedding")}) AS norm
+        FROM embeddings)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+             CASE WHEN a.norm > 0 AND b.norm > 0
+               THEN round(${Similarity.dotSqlDuck("a.embedding", "b.embedding")}
+                 / (a.norm * b.norm), 6)
+               ELSE 0.0 END AS cos_sim
+      FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE CASE WHEN a.norm > 0 AND b.norm > 0
+              THEN round(${Similarity.dotSqlDuck("a.embedding", "b.embedding")}
+                / (a.norm * b.norm), 6)
+              ELSE 0.0 END >= 0.35
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
-    d04_lsh_pairs)
+    d04_lsh_pairs, d05_simhash, d06_embed_neardup)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -21,17 +22,10 @@ import graft.core.Tables
   * summation-strategy difference.
   */
 object Similarity {
-  /** Element-order dot product of two float arrays, in double. */
-  private def dotExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) ->
-        CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE),
-        (acc, v) -> acc + v)"""
-
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", expr(
-      s"sqrt(${dotExpr("embedding", "embedding")})"))
+    df.withColumn("norm", vec_norm(col("embedding")))
 
-  private def dotSqlDuck(a: String, b: String): String =
+  private[queries] def dotSqlDuck(a: String, b: String): String =
     s"""list_sum(list_transform(range(64),
         i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"""
 
@@ -51,7 +45,7 @@ object Similarity {
       cands.join(broadcast(queries), col("c_id") =!= col("q_id"))
         .withColumn("cos_sim",
           when(col("q_norm") > 0 && col("c_norm") > 0,
-            round(expr(dotExpr("q_emb", "c_emb")) /
+            round(vec_dot(col("q_emb"), col("c_emb")) /
               (col("q_norm") * col("c_norm")), 6))
             .otherwise(0.0))
         .withColumn("rank", row_number().over(w))
@@ -113,7 +107,7 @@ object Similarity {
       // bucket = 8 sign bits of plane dot products (planes broadcast).
       val bucketed = emb.crossJoin(broadcast(planes(s)))
         .withColumn("bit",
-          when(expr(dotExpr("warr", "embedding")) >= 0,
+          when(vec_dot(col("warr"), col("embedding")) >= 0,
             expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
         .groupBy(col("vec_id"), col("embedding"), col("norm"))
         .agg(sum(col("bit")).as("bucket"))
@@ -129,7 +123,7 @@ object Similarity {
         .filter(col("c_id") =!= col("q_id"))
         .withColumn("cos_sim",
           when(col("q_norm") > 0 && col("c_norm") > 0,
-            round(expr(dotExpr("q_emb", "c_emb")) /
+            round(vec_dot(col("q_emb"), col("c_emb")) /
               (col("q_norm") * col("c_norm")), 6))
             .otherwise(0.0))
         .withColumn("rank", row_number().over(w))

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming face of the engine.
+  *
+  * The reference has no true streaming engine — its "stream" is cron
+  * micro-batches through SQS (stack.py:99-103, SURVEY §1). Here the same
+  * analytics run incrementally: file-source -> watermark -> windowed aggs,
+  * and custom session state via mapGroupsWithState. `Trigger.AvailableNow`
+  * gives exactly the cron-batch semantics (drain what exists, stop), while
+  * the identical plan runs continuously on a cluster.
+  */
+object EventStreams {
+  /** Schema for streaming reads of the events table. ts arrives as
+    * parquet TIMESTAMP(NANOS) which Spark reads only as raw longs
+    * (see graft.core.Tables). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling counts per event type with a 1-hour watermark —
+    * the streaming twin of queries.Events.q13. Late data beyond the
+    * watermark is dropped; state is bounded by (watermark horizon x
+    * #types), so this runs forever at any input rate. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class SessionState(lastTe: Long, sessions: Long, events: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization (30-min gap), the streaming twin of q15.
+    * State per user is three longs — constant-size regardless of history,
+    * the shape that survives unbounded streams. */
+  def sessionize(events: DataFrame): Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("te"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, te, _) =>
+            val newSession = st.lastTe == Long.MinValue || te - st.lastTe > 1800
+            st = SessionState(te,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          UserSessions(userId, st.sessions, st.events)
+      }
+  }
+
+  /** Drain-all helper: run a streaming query to completion on existing
+    * files (the cron-batch analog) into an in-memory table. */
+  def drainToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming results must equal their batch twins on the same input —
+  * the invariant that makes AvailableNow micro-batching a drop-in for
+  * the reference's cron ingestion. */
+class EventStreamsSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** File-source streams read directories (files "arrive" in them). */
+  private lazy val streamDir: String = {
+    val dir = tmpDir("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(dir, "events-000.parquet"))
+    dir
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    assert(stream.isStreaming)
+    // Complete mode: Append would hold back windows newer than the final
+    // watermark (they'd emit on the NEXT batch that never comes in a
+    // drain-all run), so the full-result comparison needs Complete.
+    EventStreams.drainToMemory(
+      EventStreams.hourlyCounts(stream), "hourly_out", OutputMode.Complete())
+
+    val got = spark.table("hourly_out")
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    val exp = Tables(spark, sfDir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    // watermark drops nothing here (single drained batch), so exact match
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("stateful sessionization equals the batch window query") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    EventStreams.drainToMemory(
+      EventStreams.sessionize(stream).toDF(), "sessions_out", OutputMode.Update())
+
+    val got = spark.table("sessions_out")
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val exp = graft.queries.Events.q15_sessionize.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    assert(got.toSeq == exp.toSeq)
+  }
+}
