@@ -77,17 +77,23 @@ object Similarity {
       WHERE rank <= 10
       ORDER BY q_id, rank"""))
 
-  /** Deterministic md5-derived hyperplanes: w[p][d] in [-1, 1]. */
-  private def planes(s: SparkSession): DataFrame = {
-    val pd = s.range(8).toDF("p")
+  /** Deterministic md5-derived hyperplanes: w[p][d] in [-1, 1].
+    * Computed once by Spark expressions (identical formula to the oracle)
+    * and returned as driver-side constants: 8 x 64 doubles that fold into
+    * the bucket projection as literals — no crossJoin, no shuffle. */
+  private def planeArrays(s: SparkSession): Seq[(Int, Seq[Double])] =
+    s.range(8).toDF("p")
       .crossJoin(s.range(64).toDF("d"))
       .withColumn("w",
         (expr("CAST(conv(substr(md5(concat(p, '_', d)), 1, 8), 16, 10) AS BIGINT)")
           % 2001 - 1000).cast("double") / 1000.0)
-    pd.groupBy(col("p"))
+      .groupBy(col("p"))
       .agg(expr("transform(sort_array(collect_list(struct(d, w))), x -> x.w)")
         .as("warr"))
-  }
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
 
   private val planesSqlDuck = """
     planes AS (
@@ -104,13 +110,17 @@ object Similarity {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = withNorm(Tables(s, dir, "embeddings"))
-      // bucket = 8 sign bits of plane dot products (planes broadcast).
-      val bucketed = emb.crossJoin(broadcast(planes(s)))
-        .withColumn("bit",
-          when(vec_dot(col("warr"), col("embedding")) >= 0,
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
-        .groupBy(col("vec_id"), col("embedding"), col("norm"))
-        .agg(sum(col("bit")).as("bucket"))
+      // bucket = 8 sign bits of plane dot products, computed in ONE
+      // codegen'd projection over literal plane vectors — a pure map over
+      // the corpus (the crossJoin+groupBy formulation shuffled on an
+      // array-typed key).
+      val bucketExpr = planeArrays(s).map { case (p, ws) =>
+        when(vec_dot(array(ws.map(lit): _*), col("embedding")) >= 0,
+          lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      val bucketed = emb.select(
+        col("vec_id"), col("embedding"), col("norm"),
+        bucketExpr.as("bucket"))
       val queries = bucketed.filter(col("vec_id") < 5).select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))
