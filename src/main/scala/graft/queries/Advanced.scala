@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Exact, Tables}
+
+/** Additional relational breadth: outer joins, set operations, the full
+  * window-function family, string functions, and (rows-only) sketch
+  * approximations. */
+object Advanced {
+  import Exact.dec
+
+  val q22_outer_join = Q(
+    "q22_outer_join",
+    (s, dir) => {
+      // TPC-H Q13 pattern: customer order-count distribution including
+      // zero-order customers — the left outer join keeps them, the
+      // count(o_orderkey) counts only matches.
+      val cust = Tables(s, dir, "customer").select("c_custkey")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""))
+
+  val q23_set_ops = Q(
+    "q23_set_ops",
+    (s, dir) => {
+      // INTERSECT / EXCEPT over key sets: customers with orders in both
+      // halves of the date range vs only the first half.
+      val ord = Tables(s, dir, "orders")
+      val early = ord.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val late = ord.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val both = early.intersect(late).agg(count(lit(1)).as("n")).select(
+        lit("both_halves").as("cohort"), col("n"))
+      val onlyEarly = early.except(late).agg(count(lit(1)).as("n")).select(
+        lit("early_only").as("cohort"), col("n"))
+      both.union(onlyEarly).orderBy(col("cohort"))
+    },
+    Some("""
+      SELECT 'both_halves' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+      UNION ALL
+      SELECT 'early_only' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+      ORDER BY cohort"""))
+
+  val q24_window_suite = Q(
+    "q24_window_suite",
+    (s, dir) => {
+      // The window family in one pass over a single shuffle: ranking,
+      // offsets, running and moving frames. All inputs exact => every
+      // engine agrees bit-for-bit.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val price = dec(col("o_totalprice"))
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          rank().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("int").as("price_rank"),
+          dense_rank().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderpriority"))).cast("int").as("prio_rank"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_total"),
+          (sum(price).over(w.rowsBetween(-2, 0)).cast("double") /
+            count(lit(1)).over(w.rowsBetween(-2, 0)))
+            .as("moving_avg3"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank,
+             CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderpriority) AS INT) AS prio_rank,
+             LAG(o_orderkey, 1) OVER w AS prev_order,
+             LEAD(o_orderkey, 1) OVER w AS next_order,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+               OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+             CAST(NTILE(4) OVER w AS INT) AS quartile
+      FROM orders
+      WHERE o_custkey < 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  val t05_string_suite = Q(
+    "t05_string_suite",
+    (s, dir) => {
+      // String function family over customer names (deterministic,
+      // locale-free operations only).
+      Tables(s, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+          levenshtein(col("c_name"), col("c_mktsegment")).cast("long")
+            .as("lev_dist"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey,
+             upper(c_name) AS uname,
+             CAST(length(c_name) AS BIGINT) AS name_len,
+             substr(c_name, 1, 8) AS prefix,
+             lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+             regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+             concat_ws('|', c_mktsegment, c_name) AS tagged,
+             CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev_dist
+      FROM customer
+      WHERE c_custkey < 100
+      ORDER BY c_custkey"""))
+
+  val q25_approx_sketches = Q(
+    "q25_approx_sketches",
+    (s, dir) => {
+      // Sketch-based approximations (HLL++, KLL-style quantiles): the
+      // 100 TB path for cardinality/percentiles. Estimates are
+      // engine-specific by construction => rows-only verification
+      // (no oracleSql), with exact error-band assertions in ScalaTest.
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q22_outer_join, q23_set_ops, q24_window_suite,
+    t05_string_suite, q25_approx_sketches)
+}
