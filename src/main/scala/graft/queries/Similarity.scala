@@ -171,5 +171,96 @@ object Similarity {
       WHERE rank <= 5
       ORDER BY q_id, rank"""))
 
-  val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh)
+  val s03_ivf_ann = Q(
+    "s03_ivf_ann",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      // IVF: the label column is the coarse-quantizer cell id. Centroids
+      // are exact-decimal elementwise means (order-independent, so the
+      // same on any engine/partitioning); a query probes its 2 nearest
+      // cells and searches only those — at 100 TB the cell id is the
+      // partition key and a probe touches 2 partitions, not the corpus.
+      val cent = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cvec"))
+        .withColumn("cnorm", vec_norm(col("cvec")))
+      val emb = withNorm(Tables(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+      val wCell = Window.partitionBy(col("q_id"))
+        .orderBy(col("cell_sim").desc, col("label"))
+      val probed = queries.crossJoin(broadcast(cent))
+        .withColumn("cell_sim",
+          when(col("q_norm") > 0 && col("cnorm") > 0,
+            round(vec_dot(col("q_emb"), col("cvec")) /
+              (col("q_norm") * col("cnorm")), 6)).otherwise(0.0))
+        .withColumn("cell_rank", row_number().over(wCell))
+        .filter(col("cell_rank") <= 2)
+        .select(col("q_id"), col("q_emb"), col("q_norm"), col("label"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm"), col("label"))
+        .join(broadcast(probed), Seq("label"))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("cos_sim",
+          when(col("q_norm") > 0 && col("c_norm") > 0,
+            round(vec_dot(col("q_emb"), col("c_emb")) /
+              (col("q_norm") * col("c_norm")), 6)).otherwise(0.0))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "label", "cos_sim", "rank")
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(e AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS e, unnest(range(64)) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      centroid AS (
+        SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
+      cnorm AS (
+        SELECT label, cvec, sqrt(${dotSqlDuck("cvec", "cvec")}) AS cn
+        FROM centroid),
+      nv AS (
+        SELECT vec_id, label, embedding,
+               sqrt(${dotSqlDuck("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      probed AS (
+        SELECT q_id, label FROM (
+          SELECT q.vec_id AS q_id, c.label,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   CASE WHEN q.norm > 0 AND c.cn > 0
+                     THEN round(${dotSqlDuck("q.embedding", "c.cvec")} / (q.norm * c.cn), 6)
+                     ELSE 0.0 END DESC, c.label) AS cell_rank
+          FROM nv q CROSS JOIN cnorm c
+          WHERE q.vec_id < 5)
+        WHERE cell_rank <= 2),
+      pairs AS (
+        SELECT p.q_id, c.vec_id AS c_id, c.label,
+               CASE WHEN q.norm > 0 AND c.norm > 0
+                 THEN round(${dotSqlDuck("q.embedding", "c.embedding")} / (q.norm * c.norm), 6)
+                 ELSE 0.0 END AS cos_sim
+        FROM probed p
+        JOIN nv c ON c.label = p.label AND c.vec_id <> p.q_id
+        JOIN nv q ON q.vec_id = p.q_id),
+      ranked AS (
+        SELECT q_id, c_id, label, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, c_id) AS INT) AS rank
+        FROM pairs)
+      SELECT q_id, c_id, label, cos_sim, rank FROM ranked
+      WHERE rank <= 5
+      ORDER BY q_id, rank"""))
+
+  val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann)
 }
