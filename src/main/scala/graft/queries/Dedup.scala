@@ -121,27 +121,16 @@ object Dedup {
     // consumer reference — without the barrier the shingle+md5 tree is
     // re-evaluated per signature slot (16x) and per self-join side.
     // The cached table is tiny: (doc_id, 16 longs) per document.
-    // Single fold over the shingles with a 16-slot min accumulator: the
-    // per-shingle hash tree is evaluated exactly once per row even after
-    // CollapseProject inlining (a transform-per-seed formulation evaluates
-    // the full inlined tree once PER SEED — measured 16x slower).
-    //
-    // The <3-token guard is part of the projection (NULL sig) and the
-    // filter runs on the CACHED column — a `filter(size(sh) > 0)` before
-    // the projection gets predicate-pushed below the repartition exchange,
-    // which re-evaluates the whole shingle tree single-threaded on the
-    // scan side (measured: the entire 10s runtime).
+    // Native expression (graft.functions.MinHashSignature): one JVM pass
+    // over the digest bytes per shingle, identical values to the portable
+    // md5 SQL formula the oracle runs. NULL sig marks <3-token documents;
+    // the filter runs on the CACHED column — filtering before the
+    // projection gets predicate-pushed below the repartition exchange and
+    // re-evaluates the shingle tree single-threaded on the one-split scan
+    // side (measured: dominated the runtime).
+    import graft.functions.HashFunctions.minhash_sig
     withShingles(s, dir)
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(toks) >= 3 THEN aggregate(
-             transform(sh, x -> named_struct(
-               'a', pmod(CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT), 1000000007),
-               'b', pmod(CAST(conv(substr(md5(x), 17, 15), 16, 10) AS BIGINT), 1000000007))),
-             transform(sequence(0, 15), j -> CAST(1000000007 AS BIGINT)),
-             (acc, x) -> zip_with(acc, sequence(0, 15),
-               (m, j) -> least(m, pmod(x.a + j * x.b, 1000000007))))
-           ELSE NULL END""")
-        .as("sig"))
+      .select(col("doc_id"), minhash_sig(col("sh")).as("sig"))
       .cache()
       .filter(col("sig").isNotNull)
   }
@@ -233,25 +222,12 @@ object Dedup {
       // (same single-pass shape as the minhash fold). High-16-bit band
       // count demonstrates the LSH-bucket use of the fingerprint.
       import org.apache.spark.sql.expressions.Window
+      import graft.functions.HashFunctions.simhash32
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"), expr(
-          """CASE WHEN size(toks) > 0 THEN
-               aggregate(
-                 zip_with(
-                   aggregate(
-                     transform(array_distinct(toks),
-                       t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
-                     transform(sequence(0, 31), j -> CAST(0 AS BIGINT)),
-                     (acc, h) -> zip_with(acc, sequence(0, 31),
-                       (a, j) -> a + IF(shiftright(h, j) % 2 = 1,
-                         CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))),
-                   sequence(0, 31),
-                   (a, j) -> IF(a >= 0, shiftleft(CAST(1 AS BIGINT), j),
-                     CAST(0 AS BIGINT))),
-                 CAST(0 AS BIGINT), (s0, v) -> s0 + v)
-             ELSE NULL END""").as("simhash"))
+        .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
+        .cache()
         .filter(col("simhash").isNotNull)
         .withColumn("n_band",
           count(lit(1)).over(
