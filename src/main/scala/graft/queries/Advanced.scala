@@ -164,6 +164,40 @@ object Advanced {
     },
     None)
 
+  val q26_asof_join = Q(
+    "q26_asof_join",
+    (s, dir) => {
+      // Point-in-time correctness: each purchase joined to the user's most
+      // recent signup at-or-before it. Spark lacks ASOF JOIN; the
+      // union+carry composition (graft.operators.AsOf) does it in one
+      // shuffle. Time key is epoch MICROS (strict order) so ties cannot
+      // depend on input order; oracle is DuckDB's native ASOF LEFT JOIN.
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("te"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("te").as("p_te"))
+      val signups = ev.filter(col("event_type") === "signup").select(
+        col("user_id"), col("event_id").as("signup_id"),
+        col("te").as("s_te"))
+      graft.operators.AsOf
+        .join(purchases, signups, Seq("user_id"), "p_te", "s_te")
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS te
+                 FROM events),
+      p AS (SELECT user_id, event_id AS purchase_id, te AS p_te
+            FROM e WHERE event_type = 'purchase'),
+      s AS (SELECT user_id, event_id AS signup_id, te AS s_te
+            FROM e WHERE event_type = 'signup')
+      SELECT p.user_id, p.purchase_id, p.p_te,
+             s.signup_id AS asof_signup_id, s.s_te AS asof_s_te
+      FROM p ASOF LEFT JOIN s
+        ON p.user_id = s.user_id AND p.p_te >= s.s_te
+      ORDER BY purchase_id"""))
+
   val all: Seq[Q] = Seq(q22_outer_join, q23_set_ops, q24_window_suite,
-    t05_string_suite, q25_approx_sketches)
+    t05_string_suite, q25_approx_sketches, q26_asof_join)
 }
