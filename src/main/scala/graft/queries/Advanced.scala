@@ -198,6 +198,65 @@ object Advanced {
         ON p.user_id = s.user_id AND p.p_te >= s.s_te
       ORDER BY purchase_id"""))
 
+  val q27_range_join = Q(
+    "q27_range_join",
+    (s, dir) => {
+      // Band join via bucketing (graft.operators.RangeJoin): for every
+      // error event, count the same user's clicks within +/-1 hour. The
+      // naive |t1-t2|<=tol join is a nested-loop cross product; bucketing
+      // makes it an equi-join with 3x fan-out.
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("te"))
+      val errors = ev.filter(col("event_type") === "error").select(
+        col("user_id"), col("event_id").as("error_id"), col("te").as("e_te"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"), col("te").as("c_te"))
+      graft.operators.RangeJoin
+        .bucketed(errors, clicks, Seq("user_id"), "e_te", "c_te", 3600L)
+        .groupBy(col("error_id"))
+        .agg(count(lit(1)).as("n_nearby_clicks"))
+        .orderBy(col("error_id"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events)
+      SELECT err.event_id AS error_id, COUNT(*) AS n_nearby_clicks
+      FROM (SELECT * FROM e WHERE event_type = 'error') err
+      JOIN (SELECT * FROM e WHERE event_type = 'click') clk
+        ON err.user_id = clk.user_id
+       AND abs(err.te - clk.te) <= 3600
+      GROUP BY err.event_id
+      ORDER BY error_id"""))
+
+  val q28_argmin_group = Q(
+    "q28_argmin_group",
+    (s, dir) => {
+      // TPC-H Q2 pattern: the row(s) achieving a per-group extreme —
+      // aggregate to (group, min), then join back on the pair. Two
+      // shuffles on the same key; no window materialization of the whole
+      // table when only extreme rows survive.
+      val sup = Tables(s, dir, "supplier")
+      val mins = sup.groupBy(col("s_nationkey").as("nk"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      sup.join(broadcast(mins),
+          col("s_nationkey") === col("nk") && col("s_acctbal") === col("min_bal"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"))
+        .orderBy(col("n_name"), col("s_suppkey"))
+    },
+    Some("""
+      SELECT n_name, s_suppkey, s_name, s_acctbal
+      FROM supplier
+      JOIN (SELECT s_nationkey AS nk, MIN(s_acctbal) AS min_bal
+            FROM supplier GROUP BY s_nationkey) m
+        ON s_nationkey = nk AND s_acctbal = min_bal
+      JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY n_name, s_suppkey"""))
+
   val all: Seq[Q] = Seq(q22_outer_join, q23_set_ops, q24_window_suite,
-    t05_string_suite, q25_approx_sketches, q26_asof_join)
+    t05_string_suite, q25_approx_sketches, q26_asof_join, q27_range_join,
+    q28_argmin_group)
 }

@@ -43,5 +43,38 @@ object Multimodal {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(mm01_binary_meta)
+  val mm02_feature_extract = Q(
+    "mm02_feature_extract",
+    (s, dir) => {
+      // The real multimodal execution path: binary payloads through the
+      // partition-wise decoder (graft.multimodal.Decode.decodeBinary,
+      // mapPartitions + explicit row encoder), emitting the 16-bucket
+      // byte-histogram feature vector. The oracle recomputes the same
+      // histogram in pure SQL — possible because the corpus is ASCII, so
+      // this checks the mapPartitions plumbing value-for-value.
+      val payloads = graft.core.Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val decoded = graft.multimodal.Decode.decodeBinary(payloads, "payload")
+      decoded.select(
+        col("doc_id") +:
+          col("media_meta.n_bytes").as("n_bytes") +:
+          (0 until 16).map(i =>
+            round(col("features").getItem(i), 6).as(f"f$i%02d")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val cols = (0 until 16).map(j =>
+        f"""round(CAST(length(list_filter(chars, c -> ascii(c) // 16 = $j)) AS DOUBLE)
+            / greatest(strlen, 1), 6) AS f$j%02d""").mkString(",\n             ")
+      s"""
+      SELECT doc_id, CAST(strlen AS BIGINT) AS n_bytes,
+             $cols
+      FROM (SELECT doc_id, strlen(text) AS strlen,
+                   string_split(text, '') AS chars
+            FROM documents)
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(mm01_binary_meta, mm02_feature_extract)
 }

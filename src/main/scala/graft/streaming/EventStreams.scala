@@ -80,6 +80,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact-dedup (the streaming twin of dedup d01): drop
+    * re-deliveries of the same event id within the watermark horizon.
+    * State is one entry per id inside the horizon — bounded, unlike an
+    * unwatermarked distinct. This is the idempotency guarantee of the
+    * ingestion plane (worker.py:214-221) expressed over a stream. */
+  def dedupEvents(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drain-all helper: run a streaming query to completion on existing
     * files (the cron-batch analog) into an in-memory table. */
   def drainToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

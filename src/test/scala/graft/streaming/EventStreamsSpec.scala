@@ -45,6 +45,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("streaming dedup drops re-delivered events") {
+    // deliver the same file twice => every event is duplicated once
+    val dupDir = tmpDir("events-dup")
+    for (i <- 0 to 1)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        java.nio.file.Paths.get(dupDir, s"delivery-$i.parquet"))
+    val stream = EventStreams.readEvents(spark, dupDir)
+    EventStreams.drainToMemory(
+      EventStreams.dedupEvents(stream).groupBy("event_id")
+        .count(), "dedup_out", OutputMode.Complete())
+    val counts = spark.table("dedup_out")
+    assert(counts.count() == 1000) // all distinct ids survive
+    assert(counts.filter(org.apache.spark.sql.functions.col("count") > 1)
+      .count() == 0) // no duplicate made it through
+  }
+
   test("stateful sessionization equals the batch window query") {
     val stream = EventStreams.readEvents(spark, streamDir)
     EventStreams.drainToMemory(
