@@ -150,6 +150,127 @@ object Text {
             FROM documents)
       ORDER BY doc_id"""))
 
+  val t06_ngram_langid = Q(
+    "t06_ngram_langid",
+    (s, dir) => {
+      // Character-n-gram language ID, the corpus-statistical variant of
+      // t03: each language's profile is its top-10 char bigrams (by corpus
+      // frequency, deterministic tie-break on the bigram); a document is
+      // scored by how many of its distinct bigrams hit each profile and
+      // takes the argmax (tie order en,de,es,fr,zh). Profiles are built
+      // from the corpus itself — one grouped count + top-k per lang, the
+      // shape that scales to any corpus size.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("bgs", expr(
+          """CASE WHEN length(text) >= 2 THEN
+               array_distinct(transform(sequence(0, length(text) - 2),
+                 i -> substring(text, i + 1, 2)))
+             ELSE array() END"""))
+      val wTop = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("bg"))
+      val profiles = docs
+        .select(col("lang"), explode(col("bgs")).as("bg"))
+        .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10)
+        .groupBy(col("lang"))
+        .agg(collect_set(col("bg")).as("profile"))
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      var scored = docs.select(col("doc_id"), col("lang"), col("bgs"))
+      for (l <- langs)
+        scored = scored.join(
+          broadcast(profiles.filter(col("lang") === l)
+            .select(col("profile").as(s"prof_$l"))))
+          .withColumn(s"h_$l",
+            expr(s"size(array_intersect(bgs, prof_$l))"))
+      scored
+        .withColumn("lang_guess",
+          when(col("h_en") >= col("h_de") && col("h_en") >= col("h_es") &&
+            col("h_en") >= col("h_fr") && col("h_en") >= col("h_zh"), "en")
+            .when(col("h_de") >= col("h_es") && col("h_de") >= col("h_fr") &&
+              col("h_de") >= col("h_zh"), "de")
+            .when(col("h_es") >= col("h_fr") && col("h_es") >= col("h_zh"), "es")
+            .when(col("h_fr") >= col("h_zh"), "fr")
+            .otherwise("zh"))
+        .select(col("doc_id"), col("lang"), col("lang_guess"),
+          col("h_en").cast("long").as("h_en"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH bg AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(text) >= 2 THEN
+                 list_distinct(list_transform(range(length(text) - 1),
+                   i -> substr(text, i + 1, 2)))
+               ELSE [] END AS bgs
+        FROM documents),
+      cnts AS (
+        SELECT lang, unnest(bgs) AS b FROM bg),
+      grouped AS (
+        SELECT lang, b, COUNT(*) AS cnt FROM cnts GROUP BY lang, b),
+      top AS (
+        SELECT lang, b FROM (
+          SELECT lang, b,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, b) AS rk
+          FROM grouped)
+        WHERE rk <= 10),
+      prof AS (
+        SELECT lang, list(b) AS profile FROM top GROUP BY lang),
+      scored AS (
+        SELECT d.doc_id, d.lang,
+               length(list_intersect(d.bgs, en.profile)) AS h_en,
+               length(list_intersect(d.bgs, de.profile)) AS h_de,
+               length(list_intersect(d.bgs, es.profile)) AS h_es,
+               length(list_intersect(d.bgs, fr.profile)) AS h_fr,
+               length(list_intersect(d.bgs, zh.profile)) AS h_zh
+        FROM bg d,
+             (SELECT profile FROM prof WHERE lang = 'en') en,
+             (SELECT profile FROM prof WHERE lang = 'de') de,
+             (SELECT profile FROM prof WHERE lang = 'es') es,
+             (SELECT profile FROM prof WHERE lang = 'fr') fr,
+             (SELECT profile FROM prof WHERE lang = 'zh') zh)
+      SELECT doc_id, lang,
+             CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                  WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                  WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                  WHEN h_fr >= h_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_guess,
+             CAST(h_en AS BIGINT) AS h_en
+      FROM scored
+      ORDER BY doc_id"""))
+
+  val t07_bpe_tokens = Q(
+    "t07_bpe_tokens",
+    (s, dir) => {
+      // BPE-style pre-tokenization count: the GPT-2-ish split of
+      // space-prefixed word pieces, digit runs, and punctuation runs
+      // (kept to syntax both regex engines treat identically).
+      val pat = " ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+"
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          expr(s"size(regexp_extract_all(text, '$pat', 0))").cast("long")
+            .as("n_bpe_tokens"),
+          col("n_chars"))
+        .withColumn("compression_ratio",
+          when(col("n_bpe_tokens") > 0,
+            col("n_chars").cast("double") / col("n_bpe_tokens")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+             n_chars,
+             CASE WHEN length(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+')) > 0
+                  THEN CAST(n_chars AS DOUBLE)
+                       / length(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+'))
+             END AS compression_ratio
+      FROM documents
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
-    t04_fingerprint)
+    t04_fingerprint, t06_ngram_langid, t07_bpe_tokens)
 }
