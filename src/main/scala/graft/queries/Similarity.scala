@@ -262,5 +262,71 @@ object Similarity {
       WHERE rank <= 5
       ORDER BY q_id, rank"""))
 
-  val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann)
+  val s04_kmeans_step = Q(
+    "s04_kmeans_step",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      // One Lloyd iteration over the label seeding: exact-decimal
+      // centroids per current label, then every vector re-assigned to its
+      // nearest centroid (max cosine, tie-break on label). The output
+      // reports cluster movement — the convergence signal an iterative
+      // clustering job tracks. Per iteration: one grouped aggregate +
+      // one broadcast of k centroids; no O(n^2) anything.
+      val cent = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cvec"))
+        .select(col("label").as("clabel"), col("cvec"),
+          vec_norm(col("cvec")).as("cn"))
+      val emb = withNorm(Tables(s, dir, "embeddings"))
+      val wBest = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("clabel"))
+      emb.crossJoin(broadcast(cent))
+        .withColumn("sim",
+          when(col("norm") > 0 && col("cn") > 0,
+            round(vec_dot(col("embedding"), col("cvec")) /
+              (col("norm") * col("cn")), 6)).otherwise(0.0))
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .groupBy(col("label"), col("clabel"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("label"), col("clabel"))
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(e AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS e, unnest(range(64)) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      centroid AS (
+        SELECT label AS clabel, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
+      cn AS (
+        SELECT clabel, cvec, sqrt(${dotSqlDuck("cvec", "cvec")}) AS cn
+        FROM centroid),
+      nv AS (
+        SELECT vec_id, label, embedding,
+               sqrt(${dotSqlDuck("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, label, clabel FROM (
+          SELECT v.vec_id, v.label, c.clabel,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                   CASE WHEN v.norm > 0 AND c.cn > 0
+                     THEN round(${dotSqlDuck("v.embedding", "c.cvec")} / (v.norm * c.cn), 6)
+                     ELSE 0.0 END DESC, c.clabel) AS rk
+          FROM nv v CROSS JOIN cn c)
+        WHERE rk = 1)
+      SELECT label, clabel, COUNT(*) AS n_vectors
+      FROM assigned
+      GROUP BY label, clabel
+      ORDER BY label, clabel"""))
+
+  val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
+    s04_kmeans_step)
 }

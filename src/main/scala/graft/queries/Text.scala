@@ -170,6 +170,8 @@ object Text {
              ELSE array() END"""))
       val wTop = Window.partitionBy(col("lang"))
         .orderBy(col("cnt").desc, col("bg"))
+      // cached: referenced once per language below — without the barrier
+      // each join re-runs the grouped count + top-k pipeline
       val profiles = docs
         .select(col("lang"), explode(col("bgs")).as("bg"))
         .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
@@ -177,6 +179,7 @@ object Text {
         .filter(col("rk") <= 10)
         .groupBy(col("lang"))
         .agg(collect_set(col("bg")).as("profile"))
+        .cache()
       val langs = Seq("en", "de", "es", "fr", "zh")
       var scored = docs.select(col("doc_id"), col("lang"), col("bgs"))
       for (l <- langs)
