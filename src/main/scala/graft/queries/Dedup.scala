@@ -295,6 +295,50 @@ object Dedup {
               ELSE 0.0 END >= 0.35
       ORDER BY a_id, b_id"""))
 
+  val d07_source_minhash = Q(
+    "d07_source_minhash",
+    (s, dir) => {
+      // Corpus-level dedup signal: ONE MinHash signature per source via
+      // the typed MinHashUnionAgg (elementwise-min union — associative
+      // and commutative, so partial buffers merge in any order), then
+      // pairwise cross-source similarity estimates. 20 sources => 190
+      // pairs regardless of corpus size; the per-doc work is the cached
+      // signature table.
+      import s.implicits._
+      val docSrc = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val bySource = signatures(s, dir)
+        .join(docSrc, "doc_id")
+        .select(col("source"), col("sig"))
+        .as[(String, Array[Long])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.MinHashUnionAgg.toColumn.name("usig"))
+        .toDF("source", "usig")
+      bySource.as("a")
+        .join(bySource.as("b"), col("a.source") < col("b.source"))
+        .select(
+          col("a.source").as("src_a"), col("b.source").as("src_b"),
+          (expr("aggregate(zip_with(a.usig, b.usig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+            .cast("double") / 16.0).as("est_sim"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(s"""
+      $signaturesSqlDuck,
+      pos_min AS (
+        SELECT d.source, i, MIN(v) AS mn
+        FROM (SELECT doc_id, unnest(sig) AS v, unnest(range(16)) AS i
+              FROM sig) x
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source, i),
+      usig AS (
+        SELECT source, list(mn ORDER BY i) AS usig FROM pos_min GROUP BY source)
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(list_sum(list_transform(range(16),
+               i -> CASE WHEN a.usig[i+1] = b.usig[i+1] THEN 1 ELSE 0 END))
+               AS DOUBLE) / 16.0 AS est_sim
+      FROM usig a JOIN usig b ON a.source < b.source
+      ORDER BY src_a, src_b"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
-    d04_lsh_pairs, d05_simhash, d06_embed_neardup)
+    d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash)
 }
