@@ -274,6 +274,39 @@ object Text {
       FROM documents
       ORDER BY doc_id"""))
 
+  val t08_rolling_hash = Q(
+    "t08_rolling_hash",
+    (s, dir) => {
+      // Rabin-Karp-style rolling fingerprint over the token stream:
+      // fold (acc*256 + tokenHash) mod p. Order-sensitive (unlike t04's
+      // content digest) — equal only for identical token sequences, the
+      // property prefix/suffix dedup pipelines exploit. Portable because
+      // tokenHash is the md5-hex-slice formula and the fold starts at 0
+      // ((0*256+h)%p = h matches DuckDB's first-element-init reduce).
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(toks) > 0 THEN aggregate(
+               transform(toks, t ->
+                 pmod(CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT), 1000000007)),
+               CAST(0 AS BIGINT),
+               (acc, h) -> pmod(acc * 256 + h, 1000000007))
+             ELSE NULL END""").as("rhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0 THEN
+               list_reduce(
+                 list_transform(toks, t ->
+                   CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1000000007),
+                 (acc, h) -> (acc * 256 + h) % 1000000007)
+             ELSE NULL END AS rhash
+      FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+            FROM documents)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
-    t04_fingerprint, t06_ngram_langid, t07_bpe_tokens)
+    t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash)
 }

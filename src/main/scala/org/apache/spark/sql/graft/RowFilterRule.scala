@@ -1,0 +1,51 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Lake-Formation-style row security as a Catalyst rule (SURVEY §4's
+  * optional `RowFilterRule`): when the session conf declares a restricted
+  * role, every scan of the protected table is wrapped in a Filter — the
+  * query text never changes, enforcement happens in the plan, and the
+  * injected predicate participates in pushdown/partition pruning like any
+  * user filter.
+  *
+  * Registered at runtime via `spark.experimental.extraOptimizations` (or
+  * through SparkSessionExtensions at build time). Lives in the bridge
+  * namespace because LogicalRelation and rule plumbing are sql-internal —
+  * the standard seam for Catalyst extensions.
+  *
+  * Conf keys:
+  *   graft.rbac.role   — role name; filtering applies when "core"
+  *   graft.rbac.table  — protected table name
+  *   graft.rbac.filter.column / .value — the row predicate (default
+  *   endpoint='api-a', the reference's data-cells filter,
+  *   rbac-demo/README.md:126)
+  */
+case class RowFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  private val applied = TreeNodeTag[Boolean]("graft.rbac.applied")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val conf = spark.conf
+    val role = conf.get("graft.rbac.role", "")
+    val table = conf.get("graft.rbac.table", "")
+    if (role != "core" || table.isEmpty) return plan
+    val column = conf.get("graft.rbac.filter.column", "endpoint")
+    val value = conf.get("graft.rbac.filter.value", "api-a")
+    plan.transformUp {
+      case rel: LogicalRelation
+          if rel.catalogTable.exists(_.identifier.table == table) &&
+            !rel.getTagValue(applied).contains(true) =>
+        rel.output.find(_.name == column) match {
+          case Some(attr) =>
+            rel.setTagValue(applied, true)
+            Filter(EqualTo(attr, Literal(value)), rel)
+          case None => rel
+        }
+    }
+  }
+}
