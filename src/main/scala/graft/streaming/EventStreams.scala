@@ -90,6 +90,28 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within the last `withinHours` hours. Watermarks on both
+    * sides + the time bound let Spark expire join state — without them a
+    * stream-stream join buffers forever. Works identically on batch
+    * frames (the test's oracle). */
+  def purchasesAfterSignup(
+      events: DataFrame, withinHours: Int = 24): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"),
+        col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+      expr(s"""p_user = s_user AND p_ts >= s_ts
+               AND p_ts <= s_ts + INTERVAL $withinHours HOURS"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("signup_id"))
+  }
+
   /** Drain-all helper: run a streaming query to completion on existing
     * files (the cron-batch analog) into an in-memory table. */
   def drainToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -62,6 +62,23 @@ class EventStreamsSpec extends SparkSpec {
       .count() == 0) // no duplicate made it through
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    EventStreams.drainToMemory(
+      EventStreams.purchasesAfterSignup(stream), "ssjoin_out",
+      OutputMode.Append())
+    val got = spark.table("ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+
+    val batch = Tables(spark, sfDir, "events")
+    val exp = EventStreams.purchasesAfterSignup(
+        batch.withColumn("ts", col("ts"))) // same logic, batch frame
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == exp.toSeq && exp.nonEmpty)
+  }
+
   test("stateful sessionization equals the batch window query") {
     val stream = EventStreams.readEvents(spark, streamDir)
     EventStreams.drainToMemory(
