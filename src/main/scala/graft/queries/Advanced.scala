@@ -256,7 +256,95 @@ object Advanced {
       JOIN nation ON s_nationkey = n_nationkey
       ORDER BY n_name, s_suppkey"""))
 
+  val q33_null_logic = Q(
+    "q33_null_logic",
+    (s, dir) => {
+      // Null-handling family over an outer join's null-extended side:
+      // coalesce / nullif / greatest / least / null-counting semantics.
+      val cust = Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val recent = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(Exact.money(sum(dec(col("o_totalprice")))).as("recent_total"))
+      cust.join(recent, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("recent_total")).as("n_active"),
+          sum(when(col("recent_total").isNull, 1L).otherwise(0L))
+            .as("n_inactive"),
+          Exact.money(sum(dec(coalesce(col("recent_total"), lit(0.0)))))
+            .as("total_coalesced"),
+          max(greatest(col("c_acctbal"), coalesce(col("recent_total"), lit(0.0))))
+            .as("max_either"),
+          min(least(col("c_acctbal"), coalesce(col("recent_total"), lit(0.0))))
+            .as("min_either"),
+          sum(when(nullif(col("c_mktsegment"), lit("BUILDING")).isNull, 1L)
+            .otherwise(0L)).as("n_building"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             COUNT(recent_total) AS n_active,
+             CAST(SUM(CASE WHEN recent_total IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+             CAST(CAST(SUM(CAST(COALESCE(recent_total, 0.0) AS DECIMAL(18,6))) AS DECIMAL(30,4)) AS DOUBLE) AS total_coalesced,
+             MAX(GREATEST(c_acctbal, COALESCE(recent_total, 0.0))) AS max_either,
+             MIN(LEAST(c_acctbal, COALESCE(recent_total, 0.0))) AS min_either,
+             CAST(SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+      FROM customer
+      LEFT OUTER JOIN (
+        SELECT o_custkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(30,4)) AS DOUBLE) AS recent_total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY o_custkey) r
+        ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  val q34_datetime = Q(
+    "q34_datetime",
+    (s, dir) => {
+      // Date/time family on portable arithmetic: day-of-week via epoch
+      // days (engine dayofweek() origins differ), month/quarter/year
+      // extraction, day difference, date shifting.
+      val ord = Tables(s, dir, "orders").filter(col("o_orderkey") < 200)
+      ord.select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        // 0=Monday, portable: 1970-01-01 was a Thursday
+        pmod(floor(unix_timestamp(col("o_orderdate")) / 86400L) + 3, lit(7))
+          .cast("long").as("dow_monday0"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_2002"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+          .as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_end"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(day(o_orderdate) AS BIGINT) AS dom,
+             CAST((CAST(floor(floor(epoch(o_orderdate)) / 86400) AS BIGINT) + 3) % 7 AS BIGINT) AS dow_monday0,
+             CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+             strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+      FROM orders
+      WHERE o_orderkey < 200
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(q22_outer_join, q23_set_ops, q24_window_suite,
     t05_string_suite, q25_approx_sketches, q26_asof_join, q27_range_join,
-    q28_argmin_group)
+    q28_argmin_group, q33_null_logic, q34_datetime)
 }
