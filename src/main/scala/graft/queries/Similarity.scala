@@ -327,6 +327,47 @@ object Similarity {
       GROUP BY label, clabel
       ORDER BY label, clabel"""))
 
+  val t09_array_ops = Q(
+    "t09_array_ops",
+    (s, dir) => {
+      // Array algebra family over the embedding column: slice/sort/
+      // reverse/flatten/element access, reduced to scalar doubles
+      // (rounded) so outputs compare exactly across engines.
+      Tables(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          expr("size(embedding)").cast("long").as("n_dims"),
+          round(expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6)
+            .as("min_v"),
+          round(expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6)
+            .as("max_v"),
+          round(expr(
+            "element_at(array_sort(transform(embedding, x -> CAST(x AS DOUBLE))), 32)"), 6)
+            .as("p50_low"),
+          round(vec_dot(col("embedding"), expr("reverse(embedding)")), 6)
+            .as("rev_dot"),
+          round(expr(
+            """aggregate(slice(transform(embedding, x -> CAST(x AS DOUBLE)), 1, 4),
+               CAST(0 AS DOUBLE), (a, x) -> a + x)"""), 6).as("first4_sum"),
+          expr(
+            "size(flatten(array(slice(embedding, 1, 2), slice(embedding, 3, 2))))")
+            .cast("long").as("flat_n"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS n_dims,
+             round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS min_v,
+             round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS max_v,
+             round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[32], 6) AS p50_low,
+             round(list_sum(list_transform(range(64),
+               i -> CAST(embedding[i+1] AS DOUBLE) * CAST(list_reverse(embedding)[i+1] AS DOUBLE))), 6) AS rev_dot,
+             round(list_sum(list_transform(range(4),
+               i -> CAST(embedding[i+1] AS DOUBLE))), 6) AS first4_sum,
+             CAST(len(flatten([embedding[1:2], embedding[3:4]])) AS BIGINT) AS flat_n
+      FROM embeddings
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
-    s04_kmeans_step)
+    s04_kmeans_step, t09_array_ops)
 }
