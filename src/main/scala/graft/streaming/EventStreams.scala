@@ -112,6 +112,23 @@ object EventStreams {
         col("signup_id"))
   }
 
+  /** Incremental raw-zone processing: a file-source stream over the
+    * ingestion layout (gzipped JSON pages under
+    * raw/source=X/ingestion_date=D/). New pages are picked up per
+    * micro-batch — the streaming twin of the reference's 10-minute
+    * crawler + 5-minute ingestion cron (stack.py:99-103,188). Partition
+    * columns come from the directory layout exactly as in batch reads. */
+  def readRawZone(spark: SparkSession, rawRoot: String): DataFrame = {
+    val schema = graft.ingest.RawSchema.payload
+      .add("source", StringType)
+      .add("ingestion_date", StringType)
+    spark.readStream
+      .schema(schema)
+      .option("compression", "gzip")
+      .option("basePath", rawRoot)
+      .json(s"$rawRoot/*/*")
+  }
+
   /** Drain-all helper: run a streaming query to completion on existing
     * files (the cron-batch analog) into an in-memory table. */
   def drainToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -79,6 +79,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq && exp.nonEmpty)
   }
 
+  test("raw zone streams incrementally as new pages arrive") {
+    import graft.ingest._
+    val root = tmpDir("raw-stream")
+    val cfg = IngestConfig()
+    RawWriter.write(spark, Planner.plan(spark, cfg, "2026-02-01"),
+      MockFetcher(), root, tmpDir("q"))
+
+    val counts = EventStreams.readRawZone(spark, root)
+      .groupBy(org.apache.spark.sql.functions.col("source"))
+      .count()
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("raw_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("raw_stream_out").collect()
+        .map(_.getLong(1)).sum == 40)
+
+      // second ingestion date arrives: the stream picks it up
+      RawWriter.write(spark, Planner.plan(spark, cfg, "2026-02-02"),
+        MockFetcher(), root, tmpDir("q"))
+      q.processAllAvailable()
+      val after = spark.table("raw_stream_out").collect()
+      assert(after.map(_.getLong(1)).sum == 80)
+      assert(after.length == 4 && after.forall(_.getLong(1) == 20))
+    } finally q.stop()
+  }
+
   test("stateful sessionization equals the batch window query") {
     val stream = EventStreams.readEvents(spark, streamDir)
     EventStreams.drainToMemory(

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Side-by-side throughput: graft (Spark, steady-state) vs DuckDB running
+the oracle SQL on the same parquet, same machine.
+
+Usage: python3 tools/bench_compare.py [sfdir] > BENCH_NOTES.md
+Requires a prior `sbt compile` and /tmp/graft_verify/oracle_sql.json
+(produced by tools/check.py or graft.Verify).
+"""
+import json, subprocess, sys, glob, os, time
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+ADD_OPENS = []
+for p in ["java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar"]:
+    ADD_OPENS += ["--add-opens", p + "=ALL-UNNAMED"]
+
+def spark_bench():
+    cp = "/root/repo/target/scala-2.13/classes:" + ":".join(
+        glob.glob("/opt/spark/jars/*.jar"))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    r = subprocess.run(
+        ["java"] + ADD_OPENS + ["-Xmx16g", "-Dspark.ui.enabled=false",
+         "-Dspark.sql.session.timeZone=UTC", "-cp", cp, "graft.Bench"],
+        capture_output=True, text=True, env=env)
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+def duckdb_bench(oracle):
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    times = {}
+    for name, sql in oracle.items():
+        con.execute(sql).fetchall()  # warm
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        times[name] = time.time() - t0
+    return times
+
+def main():
+    oracle = json.load(open("/tmp/graft_verify/oracle_sql.json"))
+    sb = spark_bench()
+    db = duckdb_bench(oracle)
+    print(f"# Bench notes — graft vs DuckDB oracle at {SF}")
+    print()
+    print("Both warm (steady state), same machine, same parquet inputs.")
+    print("DuckDB has no entry for rows-only queries.")
+    print()
+    print("| query | spark s | duckdb s | ratio (spark/duckdb) |")
+    print("|---|---|---|---|")
+    total_s = total_d = 0.0
+    for name in sorted(sb["queries"]):
+        s = sb["queries"][name]
+        d = db.get(name)
+        total_s += s
+        if d is None:
+            print(f"| {name} | {s:.2f} | — | — |")
+        else:
+            total_d += d
+            print(f"| {name} | {s:.2f} | {d:.2f} | {s / max(d, 1e-9):.1f}x |")
+    print(f"| **total** | **{total_s:.1f}** | **{total_d:.1f}** | "
+          f"**{total_s / max(total_d, 1e-9):.1f}x** |")
+
+main()
