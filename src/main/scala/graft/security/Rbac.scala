@@ -19,12 +19,19 @@ object Rbac {
   final case class Role(
       name: String,
       rowFilter: Option[String],
-      allowedColumns: Option[Seq[String]])
+      allowedColumns: Option[Seq[String]],
+      maskedColumns: Seq[String] = Nil)
 
   /** The reference's two demo roles (rbac-demo/README.md:126-149). */
   val core: Role = Role("core", Some("endpoint = 'api-a'"),
     Some(Seq("endpoint", "date", "page", "fetched_at", "source", "ingestion_date")))
   val pii: Role = Role("pii", None, None)
+
+  /** A masking role: sees every row, but sensitive columns are replaced
+    * by their digest — the LF "mask" alternative to hard denial (queries
+    * referencing the column succeed but see no cleartext). */
+  val masked: Role = Role("masked", None, None,
+    maskedColumns = Seq("fetched_at"))
 
   def viewName(table: String, role: Role): String =
     s"${table.replace('.', '_')}_${role.name}"
@@ -33,8 +40,12 @@ object Rbac {
   def createRoleViews(
       spark: SparkSession, table: String, roles: Seq[Role] = Seq(core, pii)): Unit =
     roles.foreach { r =>
-      val cols = r.allowedColumns.map(_.map(c => s"`$c`").mkString(", "))
-        .getOrElse("*")
+      val allCols = r.allowedColumns
+        .getOrElse(spark.table(table).columns.toSeq)
+      val cols = allCols.map {
+        case c if r.maskedColumns.contains(c) => s"md5(CAST(`$c` AS STRING)) AS `$c`"
+        case c => s"`$c`"
+      }.mkString(", ")
       val where = r.rowFilter.map(f => s" WHERE $f").getOrElse("")
       spark.sql(
         s"""CREATE OR REPLACE TEMPORARY VIEW ${viewName(table, r)}

@@ -115,6 +115,17 @@ class IngestSpec extends SparkSpec {
       Rbac.runAs(spark, Rbac.core, "raw_rbac", itemsQ).collect()
     }
     assert(Rbac.runAs(spark, Rbac.pii, "raw_rbac", itemsQ).collect().length == 3)
+
+    // masking role: all rows visible, sensitive column digested not denied
+    Rbac.createRoleViews(spark, "raw_rbac", Seq(Rbac.masked))
+    val maskedRows = Rbac.runAs(spark, Rbac.masked, "raw_rbac",
+      "SELECT fetched_at FROM raw_rbac").collect()
+    assert(maskedRows.length == 80)
+    assert(maskedRows.forall(_.getString(0).matches("[0-9a-f]{32}")))
+
+    // catalog DDL surface (SURVEY Q13): the crawled table is listed
+    assert(spark.sql("SHOW TABLES").collect()
+      .exists(_.getString(1) == "raw_rbac"))
   }
 
   test("curated promotion explodes items to parquet") {
@@ -152,6 +163,13 @@ class IngestSpec extends SparkSpec {
 
     val report2 = Crawler.crawl(spark, root, "raw_evolve")
     assert(report2.addedColumns == Seq("new_col"))
+    assert(spark.table("raw_evolve").columns.contains("new_col"))
+
+    // the column disappears from the data: DEPRECATE policy keeps it in
+    // the table but reports it (stack.py:180-193 semantics)
+    assert(extra.delete())
+    val report3 = Crawler.crawl(spark, root, "raw_evolve")
+    assert(report3.deprecatedColumns == Seq("new_col"))
     assert(spark.table("raw_evolve").columns.contains("new_col"))
   }
 }
