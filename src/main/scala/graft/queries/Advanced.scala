@@ -344,7 +344,32 @@ object Advanced {
       WHERE o_orderkey < 200
       ORDER BY o_orderkey"""))
 
+  val q36_native_topk = Q(
+    "q36_native_topk",
+    (s, dir) => {
+      // The custom TopKPerKey operator (logical node + strategy + exec
+      // with map-side partial top-k) on the q07 semantics: top-3 orders
+      // per customer. Shuffles at most 3 rows per (customer, input
+      // partition) instead of every order — the oracle is the standard
+      // window formulation.
+      org.apache.spark.sql.graft.TopKPerKey(
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        keys = Seq(col("o_custkey")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders)
+      WHERE rk <= 3
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
+
   val all: Seq[Q] = Seq(q22_outer_join, q23_set_ops, q24_window_suite,
     t05_string_suite, q25_approx_sketches, q26_asof_join, q27_range_join,
-    q28_argmin_group, q33_null_logic, q34_datetime)
+    q28_argmin_group, q33_null_logic, q34_datetime, q36_native_topk)
 }
