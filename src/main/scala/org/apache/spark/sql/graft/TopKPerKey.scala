@@ -13,13 +13,14 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 /** Per-key top-k as a first-class operator: logical node + strategy +
   * physical exec with MAP-SIDE PARTIAL REDUCTION.
   *
-  * Spark's idiom for "top k rows per key" is
-  * `row_number().over(partitionBy(key).orderBy(o)) <= k`, which shuffles
-  * EVERY row to its key's partition and sorts the whole partition. But
-  * top-k is algebraic (partial top-k's merge), so — exactly like partial
-  * aggregation — each input partition can reduce to k rows per key
-  * before the exchange. At 100 TB with bounded k and key cardinality,
-  * shuffle volume drops from O(rows) to O(keys x k x partitions).
+  * Top-k is algebraic (partial top-k's merge), so — exactly like partial
+  * aggregation — each input partition reduces to k rows per key before
+  * the exchange: shuffle volume is O(keys x k x partitions), not O(rows).
+  * Note: since 3.5 Spark's InferWindowGroupLimit achieves the same
+  * reduction for `row_number().over(...) <= k` filters (measured equal
+  * shuffle volume in TopKPerKeySpec); this operator makes the mechanism
+  * explicit, exposes it as a direct API without the window/filter idiom,
+  * and replaces the per-partition full sort with bounded heaps.
   *
   * Plan shape: TopKPerKeyExec(final) <- Exchange <- TopKPerKeyExec(partial).
   * The final exec declares ClusteredDistribution so EnsureRequirements

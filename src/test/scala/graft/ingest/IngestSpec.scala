@@ -128,6 +128,28 @@ class IngestSpec extends SparkSpec {
       .exists(_.getString(1) == "raw_rbac"))
   }
 
+  test("corrupt gzip page surfaces as _corrupt_record, not a failed read") {
+    val root = tmpDir("raw")
+    RawWriter.write(spark, Planner.plan(spark, cfg, date1), MockFetcher(),
+      root, tmpDir("quarantine"))
+    // a truncated/garbage gz file lands in the raw zone (FIXTURES A3)
+    val bad = new java.io.File(
+      s"$root/source=api-a/ingestion_date=$date1/page=000098.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(bad))
+    out.write("{not valid json at all".getBytes("UTF-8"))
+    out.close()
+
+    val schema = RawSchema.payload
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(root).cache()
+    assert(df.filter(df("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(df("_corrupt_record").isNull).count() == 40)
+  }
+
   test("curated promotion explodes items to parquet") {
     val root = tmpDir("raw")
     RawWriter.write(spark, Planner.plan(spark, cfg, date1), MockFetcher(),

@@ -43,6 +43,30 @@ class TopKPerKeySpec extends SparkSpec {
     assert(plan.indexOf("Exchange") < plan.indexOf(", 2, true"), plan)
   }
 
+  test("partial phase reduces shuffle records vs the window idiom") {
+    val orders = Tables(spark, "/root/testdata/sf0.01", "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val (_, windowShuffle) = graft.tools.ShuffleMeter.measure(spark) {
+      orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).count()
+    }
+    val (_, nativeShuffle) = graft.tools.ShuffleMeter.measure(spark) {
+      TopKPerKey(orders, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3).count()
+    }
+    // Spark 3.5+ inserts WindowGroupLimit below the exchange for
+    // row_number<=k filters, so the window idiom ALSO shuffles ~k rows
+    // per (key, partition) — our explicit operator must match that
+    // reduced volume (both far below the 15000 input rows).
+    assert(nativeShuffle.recordsWritten <= windowShuffle.recordsWritten,
+      s"native=$nativeShuffle window=$windowShuffle")
+    val inputRows = orders.count()
+    assert(nativeShuffle.recordsWritten < inputRows / 2,
+      s"partial phase failed to reduce: $nativeShuffle vs $inputRows rows")
+  }
+
   test("k larger than group size returns whole groups; k=1 returns argmax") {
     val ev = Tables(spark, sfDir, "events")
       .select("user_id", "event_id", "value")
