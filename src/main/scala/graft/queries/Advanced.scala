@@ -369,7 +369,40 @@ object Advanced {
       WHERE rk <= 3
       ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
 
+  val q37_disjunctive_join = Q(
+    "q37_disjunctive_join",
+    (s, dir) => {
+      // TPC-H Q19 pattern: OR-of-ANDs predicate spanning both join sides.
+      // The join key still drives an equi-join; only the residual
+      // disjunction is evaluated post-probe (never a nested loop).
+      val part = Tables(s, dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice")
+      val li = Tables(s, dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "BRAND#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "BRAND#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_retailprice") > 1800.0 && col("l_quantity") >= 40))
+        .agg(
+          Exact.money(sum(Relational.revenue(col("l_extendedprice"), col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      SELECT CAST(CAST(SUM(${Relational.revenueSql}) AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'BRAND#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'BRAND#2' AND p_size BETWEEN 10 AND 30
+             AND l_quantity BETWEEN 10 AND 30)
+         OR (p_retailprice > 1800.0 AND l_quantity >= 40)"""))
+
   val all: Seq[Q] = Seq(q22_outer_join, q23_set_ops, q24_window_suite,
     t05_string_suite, q25_approx_sketches, q26_asof_join, q27_range_join,
-    q28_argmin_group, q33_null_logic, q34_datetime, q36_native_topk)
+    q28_argmin_group, q33_null_logic, q34_datetime, q36_native_topk,
+    q37_disjunctive_join)
 }

@@ -34,10 +34,10 @@ object Relational {
   import Exact.{dec, sumd}
 
   /** Exact revenue term: price * (1 - discount) in decimal arithmetic. */
-  private def revenue(price: Column, discount: Column): Column =
+  private[queries] def revenue(price: Column, discount: Column): Column =
     dec(price) * (lit(java.math.BigDecimal.ONE).cast(Exact.D) - dec(discount))
 
-  private val revenueSql =
+  private[queries] val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
 
   val q01_pricing_summary = Q(
