@@ -76,5 +76,37 @@ object Multimodal {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(mm01_binary_meta, mm02_feature_extract)
+  val mm03_frame_sample = Q(
+    "mm03_frame_sample",
+    (s, dir) => {
+      // Frame sampling over binary payloads (the video-decode plumbing,
+      // graft.multimodal.Decode.sampleFrames): 16-byte "frames" every 32
+      // bytes; per-doc frame count, first-frame digest, sampled volume.
+      val payloads = graft.core.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.multimodal.Decode
+        .sampleFrames(payloads, "payload", frameSize = 16, stride = 2)
+        .select(
+          col("doc_id"),
+          expr("size(frames)").cast("long").as("n_frames"),
+          md5(expr("element_at(frames, 1)")).as("first_frame_md5"),
+          expr("aggregate(transform(frames, f -> octet_length(f)), 0, (a, x) -> a + x)")
+            .cast("long").as("sampled_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(frames) AS BIGINT) AS n_frames,
+             md5(frames[1]) AS first_frame_md5,
+             CAST(list_sum(list_transform(frames, f -> strlen(f))) AS BIGINT) AS sampled_bytes
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(0, greatest(0, strlen(text) - 16) + 1, 32),
+                 o -> substr(text, o + 1, 16)) AS frames
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(mm01_binary_meta, mm02_feature_extract,
+    mm03_frame_sample)
 }
