@@ -401,8 +401,75 @@ object Advanced {
              AND l_quantity BETWEEN 10 AND 30)
          OR (p_retailprice > 1800.0 AND l_quantity >= 40)"""))
 
+  val q38_returned_revenue = Q(
+    "q38_returned_revenue",
+    (s, dir) => {
+      // TPC-H Q10 pattern: per-customer revenue lost to returned items,
+      // top 20. Fact join shuffles on the order key; customer+nation
+      // dimensions broadcast onto the aggregated (small) result.
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(Exact.money(sum(Relational.revenue(
+          col("l_extendedprice"), col("l_discount")))).as("lost_revenue"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, n_name,
+             CAST(CAST(SUM(${Relational.revenueSql}) AS DECIMAL(30,4)) AS DOUBLE) AS lost_revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY lost_revenue DESC, c_custkey
+      LIMIT 20"""))
+
+  val q39_large_volume_orders = Q(
+    "q39_large_volume_orders",
+    (s, dir) => {
+      // TPC-H Q18 pattern: orders whose total quantity exceeds a
+      // threshold — grouped HAVING produces the key set, a semi join
+      // filters the fact table against it.
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === big("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             o_totalprice, total_qty
+      FROM orders
+      JOIN (SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150.0) b
+        ON o_orderkey = b.l_orderkey
+      ORDER BY total_qty DESC, o_orderkey
+      LIMIT 50"""))
+
   val all: Seq[Q] = Seq(q22_outer_join, q23_set_ops, q24_window_suite,
     t05_string_suite, q25_approx_sketches, q26_asof_join, q27_range_join,
     q28_argmin_group, q33_null_logic, q34_datetime, q36_native_topk,
-    q37_disjunctive_join)
+    q37_disjunctive_join, q38_returned_revenue, q39_large_volume_orders)
 }
