@@ -307,6 +307,46 @@ object Text {
             FROM documents)
       ORDER BY doc_id"""))
 
+  val t10_hash_split = Q(
+    "t10_hash_split",
+    (s, dir) => {
+      // Reproducible sampling / train-valid-test assignment: the split is
+      // a pure function of the stable key's md5 (not of partitioning, row
+      // order, or engine RNG), so every run and every engine assigns each
+      // document identically — the property training pipelines need for
+      // leak-free splits. 80/10/10 via hash bucket.
+      Tables(s, dir, "documents")
+        .withColumn("bucket",
+          expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    },
+    Some("""
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM (
+        SELECT doc_id, n_chars,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, n_chars,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          FROM documents))
+      GROUP BY split
+      ORDER BY split"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
-    t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash)
+    t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
+    t10_hash_split)
 }
