@@ -91,5 +91,31 @@ object Stats {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(q19_count_distinct, q20_stats_moments, q21_min_max_top)
+  val q41_cube = Q(
+    "q41_cube",
+    (s, dir) => {
+      // Full CUBE (all grouping-set combinations), complementing q16's
+      // ROLLUP: one Expand + aggregate, no per-combination rescans.
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(Exact.dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+             COALESCE(l_linestatus, 'ALL') AS lstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rflag, lstatus"""))
+
+  val all: Seq[Q] = Seq(q19_count_distinct, q20_stats_moments, q21_min_max_top,
+    q41_cube)
 }

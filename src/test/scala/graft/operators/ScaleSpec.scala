@@ -22,7 +22,13 @@ class ScaleSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle:\n$plan")
-      assert(joined.count() == 6000L) // every lineitem matches its order
+      // measured, not just plan-shape: zero shuffle records move (collect,
+      // not count — count()'s partial aggregation adds its own exchange)
+      val (rows, shuffle) = graft.tools.ShuffleMeter.measure(spark) {
+        joined.collect().length
+      }
+      assert(rows == 6000) // every lineitem matches its order
+      assert(shuffle.recordsWritten == 0L, s"expected no shuffle: $shuffle")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
