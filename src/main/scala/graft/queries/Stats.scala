@@ -116,6 +116,32 @@ object Stats {
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY rflag, lstatus"""))
 
+  val q42_relational_division = Q(
+    "q42_relational_division",
+    (s, dir) => {
+      // Relational division ("for all"): customers who placed orders in
+      // EVERY quarter of 1999 — the universal quantifier expressed as
+      // count-distinct-equals-cardinality, one aggregate pass instead of
+      // four self-joins.
+      Tables(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1999)
+        .groupBy(col("o_custkey"))
+        .agg(
+          countDistinct(quarter(col("o_orderdate"))).as("n_quarters"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("n_quarters") === 4)
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey,
+             COUNT(DISTINCT quarter(o_orderdate)) AS n_quarters,
+             COUNT(*) AS n_orders
+      FROM orders
+      WHERE year(o_orderdate) = 1999
+      GROUP BY o_custkey
+      HAVING COUNT(DISTINCT quarter(o_orderdate)) = 4
+      ORDER BY o_custkey"""))
+
   val all: Seq[Q] = Seq(q19_count_distinct, q20_stats_moments, q21_min_max_top,
-    q41_cube)
+    q41_cube, q42_relational_division)
 }
