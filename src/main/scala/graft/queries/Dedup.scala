@@ -253,30 +253,69 @@ object Dedup {
           WHERE len(toks) > 0))
       ORDER BY doc_id"""))
 
+  /** Default block-size cap for label-blocked near-dup joins: labels at
+    * or under the cap pair within the label exactly as before; larger
+    * (degenerate) labels sub-split so no single block goes quadratic. */
+  val neardupMaxBlock = 1024
+
+  /** Assign each row a sub-block id inside its label block. Labels with
+    * population <= maxBlock keep sub = 0 (byte-identical results to the
+    * plain label join). An oversized label — the degenerate "unknown"
+    * bucket that would otherwise go quadratic at 100 TB — is split on
+    * `ceil(log2(n / maxBlock))` low bits of the SRP bucket (capped at 8),
+    * a similarity-PRESERVING split: near-identical vectors share SRP bits
+    * with high probability and exact duplicates always collide, so recall
+    * on true near-dups survives while the per-task pair count drops from
+    * O(n^2) to O(n^2 / 2^bits). The per-label histogram is a tiny
+    * aggregate broadcast back onto the corpus. */
+  private[queries] def withSubBlock(nv: DataFrame, maxBlock: Int): DataFrame = {
+    val sizes = nv.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_block"))
+      .withColumn("nbits",
+        least(lit(8), greatest(lit(0),
+          ceil(log2(col("n_block").cast("double") / maxBlock)))).cast("int"))
+      .select(col("label"), col("nbits"))
+    nv.join(broadcast(sizes), "label")
+      .withColumn("sub",
+        when(col("nbits") === 0, lit(0L)).otherwise(
+          Similarity.srpBucket(col("embedding"))
+            .bitwiseAND(expr("CAST(shiftleft(1, nbits) - 1 AS BIGINT)"))))
+      .drop("nbits")
+  }
+
+  /** Label-blocked cosine near-dup pairs over (vec_id, label, embedding),
+    * with the oversized-block guard of [[withSubBlock]]. */
+  private[queries] def embedNearDupPairs(
+      nv0: DataFrame, maxBlock: Int = neardupMaxBlock): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    val nv = withSubBlock(
+      nv0.withColumn("norm", vec_norm(col("embedding"))), maxBlock)
+    nv.as("a").join(nv.as("b"),
+        col("a.label") === col("b.label") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"),
+        when(col("a.norm") > 0 && col("b.norm") > 0,
+          round(vec_dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.norm") * col("b.norm")), 6))
+          .otherwise(0.0).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val d06_embed_neardup = Q(
     "d06_embed_neardup",
     (s, dir) => {
       // Embedding-cosine near-duplicate pairs, label-blocked: candidates
       // come from an equi-join on the cluster label (at 100 TB the label is
       // a coarse-quantizer/IVF cell id and doubles as the partition key),
-      // never an all-pairs cross join. Dot products use the codegen'd
-      // native expression.
-      import graft.functions.VectorFunctions.{vec_dot, vec_norm}
-      val nv = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"),
-          vec_norm(col("embedding")).as("norm"))
-      nv.as("a").join(nv.as("b"),
-          col("a.label") === col("b.label") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(
-          col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.label").as("label"),
-          when(col("a.norm") > 0 && col("b.norm") > 0,
-            round(vec_dot(col("a.embedding"), col("b.embedding")) /
-              (col("a.norm") * col("b.norm")), 6))
-            .otherwise(0.0).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.35)
-        .orderBy(col("a_id"), col("b_id"))
+      // never an all-pairs cross join — and a degenerate label sub-splits
+      // on SRP bits (withSubBlock) so no block goes quadratic. Dot
+      // products use the codegen'd native expression.
+      embedNearDupPairs(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding")))
     },
     Some(s"""
       WITH nv AS (

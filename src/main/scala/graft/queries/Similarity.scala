@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.VectorFunctions.{vec_dot, vec_norm}
@@ -77,23 +77,32 @@ object Similarity {
       WHERE rank <= 10
       ORDER BY q_id, rank"""))
 
-  /** Deterministic md5-derived hyperplanes: w[p][d] in [-1, 1].
-    * Computed once by Spark expressions (identical formula to the oracle)
-    * and returned as driver-side constants: 8 x 64 doubles that fold into
-    * the bucket projection as literals — no crossJoin, no shuffle. */
-  private def planeArrays(s: SparkSession): Seq[(Int, Seq[Double])] =
-    s.range(8).toDF("p")
-      .crossJoin(s.range(64).toDF("d"))
-      .withColumn("w",
-        (expr("CAST(conv(substr(md5(concat(p, '_', d)), 1, 8), 16, 10) AS BIGINT)")
-          % 2001 - 1000).cast("double") / 1000.0)
-      .groupBy(col("p"))
-      .agg(expr("transform(sort_array(collect_list(struct(d, w))), x -> x.w)")
-        .as("warr"))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-      .sortBy(_._1)
-      .toSeq
+  /** Deterministic md5-derived hyperplanes: w[p][d] in [-1, 1] — the
+    * exact formula the oracle computes in SQL (md5 hex of "p_d", first 8
+    * hex digits as an integer, affine-mapped into [-1, 1]). 512 constants
+    * need no Spark job: computed once in plain Scala on the driver and
+    * folded into the bucket projection as literals — no crossJoin, no
+    * shuffle, no collect. */
+  private[queries] lazy val planes: Seq[(Int, Seq[Double])] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(p: Int, d: Int): Double = {
+      val hex = md.digest(s"${p}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0
+    }
+    (0 until 8).map(p => p -> (0 until 64).map(d => w(p, d)).toSeq)
+  }
+
+  /** Sign-random-projection bucket (8 bits => 256 cells) of an embedding:
+    * one codegen'd projection over literal plane vectors. Shared by s02's
+    * ANN probe and the dedup block-size cap (similar vectors share SRP
+    * bits with high probability, so a sub-split on them keeps near-dup
+    * candidates co-bucketed; identical vectors always collide). */
+  private[queries] def srpBucket(emb: Column): Column =
+    planes.map { case (p, ws) =>
+      when(vec_dot(array(ws.map(lit): _*), emb) >= 0,
+        lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
 
   private val planesSqlDuck = """
     planes AS (
@@ -114,13 +123,9 @@ object Similarity {
       // codegen'd projection over literal plane vectors — a pure map over
       // the corpus (the crossJoin+groupBy formulation shuffled on an
       // array-typed key).
-      val bucketExpr = planeArrays(s).map { case (p, ws) =>
-        when(vec_dot(array(ws.map(lit): _*), col("embedding")) >= 0,
-          lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _)
       val bucketed = emb.select(
         col("vec_id"), col("embedding"), col("norm"),
-        bucketExpr.as("bucket"))
+        srpBucket(col("embedding")).as("bucket"))
       val queries = bucketed.filter(col("vec_id") < 5).select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))

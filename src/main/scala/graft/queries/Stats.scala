@@ -123,8 +123,15 @@ object Stats {
       // EVERY quarter of 1999 — the universal quantifier expressed as
       // count-distinct-equals-cardinality, one aggregate pass instead of
       // four self-joins.
+      //
+      // The year predicate is a half-open range, not year(...)=1999:
+      // year() over a column is not a pushable parquet predicate, while
+      // the range reaches the scan as PushedFilters and prunes row
+      // groups on o_orderdate min/max — at 100 TB that is a pruned scan
+      // vs a full one (plan-shape pinned in QueriesSmokeSpec).
       Tables(s, dir, "orders")
-        .filter(year(col("o_orderdate")) === 1999)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
         .groupBy(col("o_custkey"))
         .agg(
           countDistinct(quarter(col("o_orderdate"))).as("n_quarters"),

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+
+/** Correlated-subquery pack: the TPC-H shapes (Q2/Q11/Q17/Q20/Q21/Q22)
+  * that exercise Catalyst's subquery machinery — scalar-subquery rewrite,
+  * `DecorrelateInnerQuery`, and LeftSemi/LeftAnti joins derived from
+  * EXISTS / NOT EXISTS / IN with aggregates in the inner query.
+  *
+  * These are deliberately written as SQL text, not DataFrame calls: the
+  * operator being shipped IS the decorrelation. Catalyst rewrites each
+  * correlated scalar subquery into an aggregate + equi-join on the
+  * correlation key (so at 100 TB the inner aggregate is one shuffled
+  * pass over the fact table, never a per-outer-row re-execution), and
+  * EXISTS/NOT EXISTS become semi/anti hash joins. The same text runs on
+  * the DuckDB oracle — every query here is dialect-neutral on purpose.
+  *
+  * Determinism: money sums go through the DECIMAL(18,6)→DECIMAL(30,4)→
+  * DOUBLE ladder; `l_quantity` is integer-valued so its double sums/avgs
+  * are exact in any order; every query ends in a total ORDER BY.
+  */
+object Subqueries {
+  private def onViews(tables: String*)(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      tables.foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sql)
+    }
+
+  private def dual(name: String, tables: Seq[String], sql: String): Q =
+    Q(name, onViews(tables: _*)(sql), Some(sql))
+
+  private val revenueSql = Relational.revenueSql
+
+  /** TPC-H Q2 shape: correlated scalar MIN — for each small part, the
+    * supplier(s) selling it at the part's minimum price. Decorrelates to
+    * a per-part min aggregate joined back on the part key. */
+  val q43_min_cost_supplier: Q = dual(
+    "q43_min_cost_supplier",
+    Seq("part", "supplier", "lineitem"),
+    """
+      SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+                      l_extendedprice AS min_price
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_size <= 5
+        AND l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+      ORDER BY p_partkey, s_suppkey""")
+
+  /** TPC-H Q11 shape: grouped value vs a global-scalar threshold — parts
+    * whose revenue exceeds a fixed fraction of total revenue. The
+    * uncorrelated scalar is one global aggregate, broadcast into the
+    * filter over the grouped result. */
+  val q44_value_share: Q = dual(
+    "q44_value_share",
+    Seq("lineitem"),
+    s"""
+      WITH rev AS (
+        SELECT l_partkey,
+               CAST(CAST(SUM($revenueSql) AS DECIMAL(30,4)) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY l_partkey)
+      SELECT l_partkey, revenue
+      FROM rev
+      WHERE revenue > (
+        SELECT CAST(0.0008 AS DOUBLE) *
+               CAST(CAST(SUM($revenueSql) AS DECIMAL(30,4)) AS DOUBLE)
+        FROM lineitem)
+      ORDER BY revenue DESC, l_partkey""")
+
+  /** TPC-H Q17 shape: correlated AVG — small-quantity lineitems per
+    * brand, "small" defined relative to the part's own average quantity.
+    * Decorrelates to a per-part avg joined on l_partkey (quantities are
+    * integer-valued doubles, so the avg is order-independent). */
+  val q45_small_qty_brand: Q = dual(
+    "q45_small_qty_brand",
+    Seq("part", "lineitem"),
+    """
+      SELECT p_brand,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(30,4)) AS DOUBLE) AS total_price,
+             COUNT(*) AS n_small
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand
+      ORDER BY p_brand""")
+
+  /** TPC-H Q20 shape: IN over a grouped subquery whose HAVING compares
+    * against a correlated scalar — suppliers holding > 15% of any large
+    * part's total shipped quantity. Two nested subqueries: an
+    * uncorrelated IN (semi join) and a correlated aggregate-vs-aggregate
+    * threshold. */
+  val q46_part_share_suppliers: Q = dual(
+    "q46_part_share_suppliers",
+    Seq("part", "supplier", "lineitem"),
+    """
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT li.l_suppkey
+        FROM lineitem li
+        WHERE li.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+        GROUP BY li.l_suppkey, li.l_partkey
+        HAVING SUM(li.l_quantity) > 0.15 * (
+          SELECT SUM(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = li.l_partkey))
+      ORDER BY s_suppkey""")
+
+  /** TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact — suppliers
+    * who were the ONLY late shipper on a finished multi-supplier order
+    * (late = shipped > 90 days after the order date). Both subqueries
+    * decorrelate to semi/anti joins on l_orderkey. */
+  val q47_waiting_suppliers: Q = dual(
+    "q47_waiting_suppliers",
+    Seq("supplier", "lineitem", "orders"),
+    """
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1
+          FROM lineitem l3
+          JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name""")
+
+  /** TPC-H Q22 shape: scalar avg threshold + NOT EXISTS anti join —
+    * above-average-balance customers with no recent orders, grouped by a
+    * country-code analog (nation key bucket). */
+  val q48_idle_rich_custs: Q = dual(
+    "q48_idle_rich_custs",
+    Seq("customer", "orders"),
+    """
+      SELECT cntry, COUNT(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      FROM (
+        SELECT CAST(c_nationkey % 5 AS INT) AS cntry, c_acctbal, c_custkey
+        FROM customer
+        WHERE c_nationkey % 5 IN (0, 1, 2, 3)
+          AND c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            FROM customer c2
+            WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-07-01'))
+      GROUP BY cntry
+      ORDER BY cntry""")
+
+  val all: Seq[Q] = Seq(q43_min_cost_supplier, q44_value_share,
+    q45_small_qty_brand, q46_part_share_suppliers, q47_waiting_suppliers,
+    q48_idle_rich_custs)
+}

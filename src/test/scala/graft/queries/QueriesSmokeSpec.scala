@@ -42,6 +42,27 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q42 year filter reaches the parquet scan as a pushed range") {
+    val plan = Stats.q42_relational_division.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"),
+      s"o_orderdate range not in PushedFilters:\n$plan")
+  }
+
+  test("correlated subqueries decorrelate to joins (no per-row re-execution)") {
+    Seq(Subqueries.q43_min_cost_supplier, Subqueries.q45_small_qty_brand,
+      Subqueries.q46_part_share_suppliers).foreach { q =>
+      val plan = q.run(spark, sfDir).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("scalar-subquery"),
+        s"${q.name} still contains an un-decorrelated scalar subquery:\n$plan")
+    }
+    val q47 = Subqueries.q47_waiting_suppliers.run(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(q47.contains("LeftSemi") && q47.contains("LeftAnti"),
+      s"q47 EXISTS/NOT EXISTS did not plan as semi/anti joins:\n$q47")
+  }
+
   graft.SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, sfDir)
