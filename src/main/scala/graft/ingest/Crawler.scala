@@ -17,6 +17,35 @@ object Crawler {
       deprecatedColumns: Seq[String],
       partitions: Long)
 
+  /** Table property under which deprecated columns are persisted, so the
+    * DEPRECATE_IN_DATABASE outcome (stack.py:186) survives the session
+    * instead of living only in one crawl's return value. */
+  val DeprecatedProp = "graft.deprecated.columns"
+
+  /** Deprecated columns recorded in the table's catalog metadata. */
+  def deprecatedColumns(spark: SparkSession, table: String): Seq[String] =
+    tableProps(spark, table).get(DeprecatedProp)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  private[graft] def tableProps(
+      spark: SparkSession, table: String): Map[String, String] =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties
+
+  /** Merge properties into the table's catalog metadata (via the catalog
+    * API, not SQL text — values need no literal escaping). */
+  private[graft] def setTableProps(
+      spark: SparkSession,
+      table: String,
+      props: Map[String, String],
+      remove: Seq[String] = Nil): Unit = {
+    val cat = spark.sessionState.catalog
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(id)
+    cat.alterTable(meta.copy(properties = meta.properties -- remove ++ props))
+  }
+
   def crawl(
       spark: SparkSession,
       rawRoot: String,
@@ -53,6 +82,17 @@ object Crawler {
       }
     }
     spark.sql(s"MSCK REPAIR TABLE $table")
+    // DEPRECATE_IN_DATABASE: the set of currently-deprecated columns is
+    // part of the table's durable metadata, not just this crawl's report;
+    // a column that reappears in the data is live again.
+    val currentCols = payloadCols.map(_.name).toSet
+    val allDeprecated = (deprecatedColumns(spark, table) ++ deprecated)
+      .distinct.filterNot(currentCols)
+    if (allDeprecated.nonEmpty)
+      setTableProps(spark, table,
+        Map(DeprecatedProp -> allDeprecated.mkString(",")))
+    else if (tableProps(spark, table).contains(DeprecatedProp))
+      setTableProps(spark, table, Map.empty, remove = Seq(DeprecatedProp))
     val partitions = spark.sql(s"SHOW PARTITIONS $table").count()
     CrawlReport(table, added, deprecated, partitions)
   }

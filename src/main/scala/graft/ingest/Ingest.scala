@@ -103,7 +103,7 @@ object RawWriter {
                 w0
               }
               qw.write(
-                s"""{"endpoint":"${w.endpoint}","ingestion_date":"${w.ingestionDate}","page":${w.page},"error":"${e.getMessage.replace("\"", "'")}"}\n""")
+                s"""{"endpoint":"${Json.esc(w.endpoint)}","ingestion_date":"${Json.esc(w.ingestionDate)}","page":${w.page},"error":"${Json.esc(e.getMessage)}"}\n""")
           }
         }
         quarantine.foreach(_.close())
@@ -111,18 +111,27 @@ object RawWriter {
     IngestStats(ingested.value, skipped.value, failed.value)
   }
 
-  /** Hadoop Configuration is not serializable; ship it as Kryo-friendly
-    * bytes the executor side rehydrates. In local mode this is pro forma,
-    * on a cluster it is required. */
-  private final class SerializableConf(@transient private var conf: Configuration)
+  /** Hadoop Configuration is not `Serializable`; ship its key/value
+    * content through Hadoop's own `Writable` protocol (the same scheme as
+    * Spark's internal SerializableConfiguration). In local mode this is
+    * pro forma; on a cluster it is required — driver-side settings
+    * (object-store credentials, fs impls, spark.hadoop.* overrides) must
+    * reach the executors, not be silently replaced by defaults. */
+  private[ingest] final class SerializableConf(
+      @transient private var conf: Configuration)
       extends Serializable {
     def value: Configuration = {
-      if (conf == null) conf = new Configuration()
+      if (conf == null) conf = new Configuration(false)
       conf
     }
-    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject()
-    private def readObject(in: java.io.ObjectInputStream): Unit =
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
       in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
   }
 }

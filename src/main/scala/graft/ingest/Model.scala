@@ -12,6 +12,18 @@ import org.apache.spark.sql.types._
   */
 final case class WorkItem(endpoint: String, ingestionDate: String, page: Int)
 
+/** Minimal JSON string escaping shared by every hand-built JSON line
+  * (page documents and quarantine records): backslash, quote, and control
+  * characters — exactly the set that can break a JSONL consumer. */
+object Json {
+  def esc(s: String): String = Option(s).getOrElse("").flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+}
+
 final case class PageItem(id: String, value: Long)
 
 final case class PageDoc(
@@ -24,12 +36,7 @@ final case class PageDoc(
   /** Compact JSON (no spaces), fixed key order — byte-compatible with the
     * reference's json.dumps(separators=(',',':')) (worker.py:30-51). */
   def toJson: String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    import Json.esc
     val itemsJson = items
       .map(i => s"""{"id":"${esc(i.id)}","value":${i.value}}""")
       .mkString("[", ",", "]")

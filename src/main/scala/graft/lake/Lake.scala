@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,19 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
   /** Write partitioned parquet with per-partition file-count control and
-    * optional clustering columns. */
+    * optional clustering columns.
+    *
+    * Repartitioning on the partition key alone sends every row of one
+    * partition value to a single task (1 file per directory regardless of
+    * the knob); when `filesPerPartition > 1` a deterministic row-hash salt
+    * joins the shuffle key so each directory is written by up to
+    * `filesPerPartition` tasks. */
   def writePartitioned(
       df: DataFrame,
       root: String,
       partitionBy: Seq[String],
       filesPerPartition: Int = 1,
       clusterBy: Seq[String] = Nil): Unit = {
-    // repartition on the partition key => each output dir is written by
-    // `filesPerPartition` tasks, not by every task (the small-file bomb)
-    val keyed = df.repartition(
-      filesPerPartition * df.sparkSession.sessionState.conf.numShufflePartitions
-        .min(64),
-      partitionBy.map(col): _*)
+    val keyed = repartitionForLayout(df, partitionBy, filesPerPartition,
+      df.sparkSession.sessionState.conf.numShufflePartitions.min(64) *
+        filesPerPartition)
     val clustered =
       if (clusterBy.nonEmpty)
         keyed.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
@@ -40,23 +43,78 @@ object Lake {
       .parquet(root)
   }
 
+  private def repartitionForLayout(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      filesPerPartition: Int,
+      numPartitions: Int): DataFrame = {
+    val keyCols = partitionBy.map(col)
+    if (filesPerPartition <= 1)
+      df.repartition(numPartitions, keyCols: _*)
+    else
+      df.withColumn("_graft_salt",
+          pmod(hash(df.columns.map(col).toSeq: _*), lit(filesPerPartition)))
+        .repartition(numPartitions, (keyCols :+ col("_graft_salt")): _*)
+        .drop("_graft_salt")
+  }
+
   /** Rewrite a partitioned dataset to `targetFiles` files per partition
-    * (compaction). Returns (filesBefore, filesAfter). */
+    * (compaction). Returns (filesBefore, filesAfter).
+    *
+    * The swap is crash-safe: the new layout is fully written to a temp
+    * directory, the live directory is renamed aside, the temp renamed in,
+    * and only then is the old data deleted. A crash at any point leaves a
+    * complete copy of the data on disk — either live or under `.old`,
+    * recoverable via [[recover]] — unlike delete-then-rename, which has a
+    * window where the dataset exists nowhere. */
   def compact(
       spark: SparkSession,
       root: String,
       partitionBy: Seq[String],
-      targetFiles: Int = 1): (Long, Long) = {
+      targetFiles: Int = 1,
+      crashAfterSwapOut: Boolean = false): (Long, Long) = {
     val before = countDataFiles(spark, root)
     val df = spark.read.parquet(root)
     val tmp = root.stripSuffix("/") + ".compacting"
-    df.repartition(targetFiles, partitionBy.map(col): _*)
+    repartitionForLayout(df, partitionBy, targetFiles,
+      targetFiles * partitionValues(spark, root, partitionBy).max(1))
       .write.mode("overwrite").partitionBy(partitionBy: _*).parquet(tmp)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(root), true)
-    fs.rename(new Path(tmp), new Path(root))
+    val rootP = new Path(root)
+    val oldP = new Path(root.stripSuffix("/") + ".old")
+    val tmpP = new Path(tmp)
+    fs.delete(oldP, true) // leftover from an earlier crashed compaction
+    if (!fs.rename(rootP, oldP))
+      throw new java.io.IOException(s"compact: cannot move $rootP aside")
+    if (crashAfterSwapOut) // test seam: simulated crash inside the window
+      throw new java.io.IOException("simulated crash between swap phases")
+    if (!fs.rename(tmpP, rootP)) {
+      fs.rename(oldP, rootP) // roll back: old data becomes live again
+      throw new java.io.IOException(s"compact: cannot move $tmpP into place")
+    }
+    fs.delete(oldP, true)
     (before, countDataFiles(spark, root))
   }
+
+  /** Recover from a compaction crashed mid-swap: if the live directory is
+    * missing but the `.old` copy exists, rename it back. Returns true when
+    * a recovery was performed. */
+  def recover(spark: SparkSession, root: String): Boolean = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new Path(root)
+    val oldP = new Path(root.stripSuffix("/") + ".old")
+    if (!fs.exists(rootP) && fs.exists(oldP)) fs.rename(oldP, rootP)
+    else false
+  }
+
+  private def partitionValues(
+      spark: SparkSession, root: String, partitionBy: Seq[String]): Int =
+    if (partitionBy.isEmpty) 1
+    else {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(root)).count(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+    }
 
   def countDataFiles(spark: SparkSession, root: String): Long = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

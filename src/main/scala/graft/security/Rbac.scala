@@ -52,11 +52,75 @@ object Rbac {
             AS SELECT $cols FROM $table$where""")
     }
 
-  /** Run a query as a role: occurrences of the base table name resolve to
-    * the role's secured view (the Athena+LF entry point, E1 in SURVEY §3).
+  /** Run a query as a role: references to the base table resolve to the
+    * role's secured view (the Athena+LF entry point, E1 in SURVEY §3).
     * Unauthorized column references fail during analysis, identical to the
-    * reference's failed-query behavior. */
+    * reference's failed-query behavior.
+    *
+    * Substitution happens on the parsed plan's `UnresolvedRelation` nodes
+    * (see [[org.apache.spark.sql.graft.SqlRewrite]]) — case-insensitive,
+    * qualification-aware, and immune to the table name appearing inside
+    * string literals, as a substring of other identifiers, or shadowed by
+    * a CTE. */
   def runAs(
       spark: SparkSession, role: Role, table: String, sql: String): DataFrame =
-    spark.sql(sql.replace(table, viewName(table, role)))
+    org.apache.spark.sql.graft.SqlRewrite
+      .substituteTable(spark, sql, table, viewName(table, role))
+
+  /** Grant administration: the `grant / revoke / list` surface of the
+    * reference's permission setup (rbac-demo/setup_rbac_permissions.sh:
+    * 100-147, which grants per-role column lists and row filters through
+    * `lakeformation grant-permissions`).
+    *
+    * Grants live in the protected table's catalog metadata (one table
+    * property per role), so they are durable table state — a new session
+    * reading the same catalog sees the same grants — rather than static
+    * code. `grant` also (re)creates the role's secured view, `revoke`
+    * drops it.
+    */
+  object Grants {
+    private val Prefix = "graft.rbac.grant."
+    // Field/list separators chosen from the C0 range so any printable SQL
+    // fragment (filters contain '=', ';', quotes) round-trips unharmed.
+    private val FS = "\u0001"
+    private val LS = "\u0002"
+
+    private def encode(r: Role): String = Seq(
+      r.allowedColumns.map(_.mkString(LS)).getOrElse("*"),
+      r.maskedColumns.mkString(LS),
+      r.rowFilter.getOrElse("")).mkString(FS)
+
+    private def decode(name: String, s: String): Role = {
+      val parts = s.split(FS, -1)
+      Role(
+        name,
+        rowFilter = Option(parts(2)).filter(_.nonEmpty),
+        allowedColumns =
+          if (parts(0) == "*") None
+          else Some(parts(0).split(LS, -1).toSeq.filter(_.nonEmpty)),
+        maskedColumns = parts(1).split(LS, -1).toSeq.filter(_.nonEmpty))
+    }
+
+    def grant(spark: SparkSession, table: String, role: Role): Unit = {
+      graft.ingest.Crawler.setTableProps(
+        spark, table, Map(Prefix + role.name -> encode(role)))
+      createRoleViews(spark, table, Seq(role))
+    }
+
+    def revoke(spark: SparkSession, table: String, roleName: String): Unit = {
+      graft.ingest.Crawler.setTableProps(
+        spark, table, Map.empty, remove = Seq(Prefix + roleName))
+      spark.sql(s"DROP VIEW IF EXISTS ${viewName(table, Role(roleName, None, None))}")
+    }
+
+    /** All roles granted on `table`, rebuilt from catalog metadata. */
+    def list(spark: SparkSession, table: String): Seq[Role] =
+      graft.ingest.Crawler.tableProps(spark, table).toSeq
+        .collect { case (k, v) if k.startsWith(Prefix) =>
+          decode(k.stripPrefix(Prefix), v)
+        }.sortBy(_.name)
+
+    def roleFor(spark: SparkSession, table: String, name: String): Option[Role] =
+      list(spark, table).find(_.name == name)
+  }
 }

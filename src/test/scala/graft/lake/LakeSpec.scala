@@ -39,4 +39,44 @@ class LakeSpec extends SparkSpec {
     // per-partition file count == targetFiles
     assert(a == 3) // one per return flag
   }
+
+  test("compaction crash window loses no data (two-rename swap)") {
+    val root = tmpDir("lake") + "/crash"
+    Tables(spark, sfDir, "lineitem")
+      .withColumn("flag", col("l_returnflag"))
+      .repartition(8)
+      .write.partitionBy("flag").parquet(root)
+    val rows = spark.read.parquet(root).count()
+
+    // crash injected between "rename live aside" and "rename new in":
+    // the delete-then-rename scheme the round-2 verdict flagged would
+    // leave NOTHING on disk here
+    intercept[java.io.IOException] {
+      Lake.compact(spark, root, Seq("flag"), targetFiles = 1,
+        crashAfterSwapOut = true)
+    }
+    assert(Lake.recover(spark, root), "expected .old copy to be restorable")
+    assert(spark.read.parquet(root).count() == rows)
+
+    // and a subsequent compaction completes normally
+    val (_, after) = Lake.compact(spark, root, Seq("flag"), targetFiles = 1)
+    assert(after == 3 && spark.read.parquet(root).count() == rows)
+  }
+
+  test("filesPerPartition > 1 actually yields multiple files per directory") {
+    val root = tmpDir("lake") + "/multi"
+    Lake.writePartitioned(
+      Tables(spark, sfDir, "lineitem").withColumn("flag", col("l_returnflag")),
+      root, partitionBy = Seq("flag"), filesPerPartition = 4)
+    val perDir = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("flag="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    // the salt spreads each partition's rows over up to 4 writers — the
+    // old key-only repartition always produced exactly 1 file per dir
+    assert(perDir.nonEmpty && perDir.forall(n => n > 1 && n <= 4),
+      s"expected 2..4 files per dir, got ${perDir.mkString(",")}")
+    // round-trip intact
+    assert(spark.read.parquet(root).count() ==
+      Tables(spark, sfDir, "lineitem").count())
+  }
 }
