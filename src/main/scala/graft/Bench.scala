@@ -2,12 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR,
-  * one JSON line on stdout. */
+/** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  *
+  * Measurement protocol (round-2 verdict item 2): one untimed warmup run
+  * per query (pays Janino whole-stage-codegen compilation, file-index and
+  * shuffle-service warmup), then `SPARK_GRAFT_BENCH_RUNS` (default 3)
+  * timed runs, reporting the per-query MEDIAN — a single cold pass showed
+  * phantom 2-6x swings on untouched queries from JVM warmup and machine
+  * load.
+  *
+  * Output: a human-readable full-precision detail line first, then ONE
+  * compact JSON line LAST. The compact line keeps itself small (values
+  * rounded to 2 decimals, trailing zeros trimmed, sf as basename) so the
+  * whole object fits inside the driver's bounded stdout tail even with a
+  * build-tool epilogue after it — that is what makes the artifact
+  * machine-parseable rather than a truncated fragment.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,27 +33,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/session warmup (class loading, codegen infrastructure, file
-    // index): generic work that touches every table once, so measured
-    // query times reflect steady state rather than first-query start-up.
+    // index): generic work that touches every table once.
     graft.core.Tables.names.foreach { t =>
       graft.core.Tables(spark, sfDir, t).count()
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    // Per-query steady state: the first execution of a plan pays one-time
-    // Janino whole-stage-codegen compilation (seconds for multi-join
-    // plans); production queries run compiled. One untimed warm run, then
-    // the timed run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2) // median
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sf = new java.io.File(sfDir).getName
+
+    // number formatting for the compact line: 2dp, trailing zeros trimmed
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+        .stripSuffix(".")
+      else s
+    }
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"queries":$detail,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // the contract line — keep LAST and compact
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}""")
     spark.stop()
   }
 }

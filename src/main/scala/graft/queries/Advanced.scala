@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{Exact, Tables}
@@ -146,23 +147,45 @@ object Advanced {
       WHERE c_custkey < 100
       ORDER BY c_custkey"""))
 
-  val q25_approx_sketches = Q(
-    "q25_approx_sketches",
+  /** Sketch-based approximations (HLL++, KLL-style quantiles): the 100 TB
+    * path for cardinality/percentiles. Estimates are engine-specific by
+    * construction, so this variant is NOT oracle-gated; its error bands
+    * are asserted against the exact twin [[q25_distinct_median]] in
+    * `SketchAccuracySpec` ("hll/percentile sketches track exact twin"). */
+  def approxSketches(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q25_distinct_median = Q(
+    "q25_distinct_median",
     (s, dir) => {
-      // Sketch-based approximations (HLL++, KLL-style quantiles): the
-      // 100 TB path for cardinality/percentiles. Estimates are
-      // engine-specific by construction => rows-only verification
-      // (no oracleSql), with exact error-band assertions in ScalaTest.
+      // Exact twin of the sketch pack: per-group exact distinct count and
+      // exact interpolated median. Both engines compute the median over
+      // doubles (2-dp money values are exact in binary at this magnitude;
+      // the interpolated midpoint is rounded to 4dp to pin the last bit).
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median_price"),
+          count_distinct(col("l_partkey")).as("n_parts"),
+          round(percentile(col("l_extendedprice").cast("double"), lit(0.5)), 4)
+            .as("median_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS median_price,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   val q26_asof_join = Q(
     "q26_asof_join",
@@ -469,7 +492,7 @@ object Advanced {
       LIMIT 50"""))
 
   val all: Seq[Q] = Seq(q22_outer_join, q23_set_ops, q24_window_suite,
-    t05_string_suite, q25_approx_sketches, q26_asof_join, q27_range_join,
+    t05_string_suite, q25_distinct_median, q26_asof_join, q27_range_join,
     q28_argmin_group, q33_null_logic, q34_datetime, q36_native_topk,
     q37_disjunctive_join, q38_returned_revenue, q39_large_volume_orders)
 }

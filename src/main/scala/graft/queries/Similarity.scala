@@ -176,6 +176,52 @@ object Similarity {
       WHERE rank <= 5
       ORDER BY q_id, rank"""))
 
+  /** Oracle for the IVF probe semantics (2-probe, top-5, deterministic
+    * tie-breaks) — shared by s03 (inline centroids) and s05 (persisted
+    * index): same math, different physical layout. */
+  private lazy val ivfOracle: String = s"""
+      WITH cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(e AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS e, unnest(range(64)) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      centroid AS (
+        SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
+      cnorm AS (
+        SELECT label, cvec, sqrt(${dotSqlDuck("cvec", "cvec")}) AS cn
+        FROM centroid),
+      nv AS (
+        SELECT vec_id, label, embedding,
+               sqrt(${dotSqlDuck("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      probed AS (
+        SELECT q_id, label FROM (
+          SELECT q.vec_id AS q_id, c.label,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   CASE WHEN q.norm > 0 AND c.cn > 0
+                     THEN round(${dotSqlDuck("q.embedding", "c.cvec")} / (q.norm * c.cn), 6)
+                     ELSE 0.0 END DESC, c.label) AS cell_rank
+          FROM nv q CROSS JOIN cnorm c
+          WHERE q.vec_id < 5)
+        WHERE cell_rank <= 2),
+      pairs AS (
+        SELECT p.q_id, c.vec_id AS c_id, c.label,
+               CASE WHEN q.norm > 0 AND c.norm > 0
+                 THEN round(${dotSqlDuck("q.embedding", "c.embedding")} / (q.norm * c.norm), 6)
+                 ELSE 0.0 END AS cos_sim
+        FROM probed p
+        JOIN nv c ON c.label = p.label AND c.vec_id <> p.q_id
+        JOIN nv q ON q.vec_id = p.q_id),
+      ranked AS (
+        SELECT q_id, c_id, label, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, c_id) AS INT) AS rank
+        FROM pairs)
+      SELECT q_id, c_id, label, cos_sim, rank FROM ranked
+      WHERE rank <= 5
+      ORDER BY q_id, rank"""
+
   val s03_ivf_ann = Q(
     "s03_ivf_ann",
     (s, dir) => {
@@ -224,48 +270,26 @@ object Similarity {
         .select("q_id", "c_id", "label", "cos_sim", "rank")
         .orderBy(col("q_id"), col("rank"))
     },
-    Some(s"""
-      WITH cent AS (
-        SELECT label, i,
-               CAST(SUM(CAST(e AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
-        FROM (SELECT label, unnest(embedding) AS e, unnest(range(64)) AS i
-              FROM embeddings)
-        GROUP BY label, i),
-      centroid AS (
-        SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
-      cnorm AS (
-        SELECT label, cvec, sqrt(${dotSqlDuck("cvec", "cvec")}) AS cn
-        FROM centroid),
-      nv AS (
-        SELECT vec_id, label, embedding,
-               sqrt(${dotSqlDuck("embedding", "embedding")}) AS norm
-        FROM embeddings),
-      probed AS (
-        SELECT q_id, label FROM (
-          SELECT q.vec_id AS q_id, c.label,
-                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                   CASE WHEN q.norm > 0 AND c.cn > 0
-                     THEN round(${dotSqlDuck("q.embedding", "c.cvec")} / (q.norm * c.cn), 6)
-                     ELSE 0.0 END DESC, c.label) AS cell_rank
-          FROM nv q CROSS JOIN cnorm c
-          WHERE q.vec_id < 5)
-        WHERE cell_rank <= 2),
-      pairs AS (
-        SELECT p.q_id, c.vec_id AS c_id, c.label,
-               CASE WHEN q.norm > 0 AND c.norm > 0
-                 THEN round(${dotSqlDuck("q.embedding", "c.embedding")} / (q.norm * c.norm), 6)
-                 ELSE 0.0 END AS cos_sim
-        FROM probed p
-        JOIN nv c ON c.label = p.label AND c.vec_id <> p.q_id
-        JOIN nv q ON q.vec_id = p.q_id),
-      ranked AS (
-        SELECT q_id, c_id, label, cos_sim,
-               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-                 ORDER BY cos_sim DESC, c_id) AS INT) AS rank
-        FROM pairs)
-      SELECT q_id, c_id, label, cos_sim, rank FROM ranked
-      WHERE rank <= 5
-      ORDER BY q_id, rank"""))
+    Some(ivfOracle))
+
+  val s05_ann_index = Q(
+    "s05_ann_index",
+    (s, dir) => {
+      // Same IVF probe as s03, but against the PERSISTED index
+      // (graft.operators.AnnIndex): centroids are read, not recomputed,
+      // and the vectors scan prunes to the probed cells' partitions —
+      // the 100 TB shape where an ANN lookup touches nProbe/k of the
+      // corpus. Identical output contract to s03, so the same oracle.
+      val root = graft.operators.AnnIndex.defaultRoot(dir)
+      graft.operators.AnnIndex.buildIfMissing(s, dir, root)
+      val emb = withNorm(Tables(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+      graft.operators.AnnIndex.probe(s, root, queries, nProbe = 2, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(ivfOracle))
 
   val s04_kmeans_step = Q(
     "s04_kmeans_step",
@@ -374,5 +398,5 @@ object Similarity {
       ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
-    s04_kmeans_step, t09_array_ops)
+    s04_kmeans_step, s05_ann_index, t09_array_ops)
 }

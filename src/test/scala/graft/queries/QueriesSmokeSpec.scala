@@ -11,10 +11,10 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
-  /** Sketch queries are approximate by construction — engine-specific
-    * estimates can't hash-match an oracle; their accuracy is asserted
-    * against exact results below instead. */
-  private val rowsOnlyByDesign = Set("q25_approx_sketches")
+  /** Every registered query is oracle-gated (the approx-sketch variant is
+    * a library function, error-band-tested below, not a registered query —
+    * engine-specific estimates can't hash-match an oracle). */
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every query has an oracle or documented rows-only status") {
     val q = graft.SparkEntry.queries.keySet
@@ -25,7 +25,7 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("approx sketches land within error bands of exact answers") {
-    val approx = Advanced.q25_approx_sketches.run(spark, sfDir)
+    val approx = Advanced.approxSketches(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
     val exact = graft.core.Tables(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")

@@ -52,4 +52,5 @@ class SketchAccuracySpec extends SparkSpec {
     assert(byId(0) < byId(10))
     assert(byId(10) == 1.0) // identical shingle sets => identical sigs
   }
+
 }
