@@ -51,9 +51,10 @@ object Bench {
     val total = results.map(_._2).sum
     val sf = new java.io.File(sfDir).getName
 
-    // number formatting for the compact line: 2dp, trailing zeros trimmed
+    // number formatting for the compact line: 2dp, trailing zeros trimmed.
+    // Locale.ROOT — a comma-decimal default locale would break the JSON.
     def fmt(v: Double): String = {
-      val s = f"$v%.2f"
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
         .stripSuffix(".")
       else s
@@ -64,7 +65,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // the contract line — keep LAST and compact
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}""")
+    val contract =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    println(contract)
+    // ... and to a file, so the artifact stays machine-parseable even if
+    // a build tool truncates or prefixes stdout.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (contract + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

@@ -51,11 +51,19 @@ object Lake {
     val keyCols = partitionBy.map(col)
     if (filesPerPartition <= 1)
       df.repartition(numPartitions, keyCols: _*)
-    else
-      df.withColumn("_graft_salt",
+    else {
+      // The salt column must not collide with a real column: withColumn
+      // would silently overwrite it and the drop below would corrupt the
+      // dataset. Pick the first free name.
+      val salt = Iterator.from(0).map {
+        case 0 => "_graft_salt"
+        case i => s"_graft_salt_$i"
+      }.find(n => !df.columns.contains(n)).get
+      df.withColumn(salt,
           pmod(hash(df.columns.map(col).toSeq: _*), lit(filesPerPartition)))
-        .repartition(numPartitions, (keyCols :+ col("_graft_salt")): _*)
-        .drop("_graft_salt")
+        .repartition(numPartitions, (keyCols :+ col(salt)): _*)
+        .drop(salt)
+    }
   }
 
   /** Rewrite a partitioned dataset to `targetFiles` files per partition

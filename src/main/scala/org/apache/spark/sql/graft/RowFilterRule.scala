@@ -19,6 +19,25 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * namespace because LogicalRelation and rule plumbing are sql-internal —
   * the standard seam for Catalyst extensions.
   *
+  * ==Trust model — this rule is a plan-injection DEMO, not the
+  * enforcement boundary==
+  *
+  * It covers exactly V1 `LogicalRelation` scans that carry a catalog
+  * table. Paths that BYPASS it, by design:
+  *  - DSv2 (`DataSourceV2Relation`) and Hive (`HiveTableRelation`) scans;
+  *  - direct path reads of the underlying files
+  *    (`spark.read.parquet(rawPrefix)`) — no catalogTable, no match
+  *    (pinned by a spec case);
+  *  - temp views defined over such reads;
+  *  - `graft.rbac.role` is an ORDINARY session conf the caller can flip —
+  *    there is no privilege separation inside a single Spark session.
+  * The sound enforcement path is the role-scoped views plus
+  * [[SqlRewrite.substituteTable]] (`Rbac.runAs`), where the caller never
+  * controls the substitution; in a real deployment the storage ACL (not
+  * the engine) is what makes direct path reads impossible. This mirrors
+  * the reference, where Lake Formation enforces at the catalog/storage
+  * seam rather than inside the query engine.
+  *
   * Conf keys:
   *   graft.rbac.role   — role name; filtering applies when "core"
   *   graft.rbac.table  — protected table name

@@ -64,4 +64,55 @@ class RbacRewriteSpec extends SparkSpec {
       s"""WITH $table AS (SELECT 1 AS one)
           SELECT COUNT(*) AS n FROM $table""") == 1)
   }
+
+  // ---- round-3 advisory bypasses: CTE shadowing must be SCOPED ----
+
+  test("a non-recursive CTE cannot shadow the table inside its own definition") {
+    // the inner reference resolves to the catalog table → must be secured;
+    // the outer reference then reads the (secured) CTE
+    assert(coreCount(
+      s"""WITH $table AS (SELECT * FROM $table)
+          SELECT COUNT(*) AS n FROM $table""") == 10)
+  }
+
+  test("a CTE inside a derived table does not shadow references outside it") {
+    assert(coreCount(
+      s"""SELECT COUNT(*) AS n FROM $table CROSS JOIN
+          (WITH $table AS (SELECT 1 AS one) SELECT * FROM $table) z""") == 10)
+  }
+
+  test("CTE visibility flows into later definitions of the same WITH clause") {
+    assert(coreCount(
+      s"""WITH a AS (SELECT endpoint FROM $table),
+               b AS (SELECT * FROM a)
+          SELECT COUNT(*) AS n FROM b""") == 10)
+  }
+
+  // ---- round-3 advisory: namespace matching must use the session state ----
+
+  test("a qualified protected name matches an unqualified reference") {
+    val df = org.apache.spark.sql.graft.SqlRewrite.substituteTable(
+      spark, s"SELECT COUNT(*) AS n FROM $table",
+      s"default.$table", Rbac.viewName(table, Rbac.core))
+    assert(df.collect()(0).getLong(0) == 10)
+  }
+
+  test("a protected table in a non-default database is rewritten") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS secdb")
+    spark.sql(s"CREATE OR REPLACE VIEW secdb.prot AS SELECT * FROM $table")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW prot_core AS
+         SELECT * FROM secdb.prot WHERE endpoint = 'api-a'""")
+    // qualified reference while the current database is default
+    val q = org.apache.spark.sql.graft.SqlRewrite.substituteTable(
+      spark, "SELECT COUNT(*) AS n FROM secdb.prot", "secdb.prot", "prot_core")
+    assert(q.collect()(0).getLong(0) == 10)
+    // unqualified reference once the current database IS secdb
+    spark.catalog.setCurrentDatabase("secdb")
+    try {
+      val u = org.apache.spark.sql.graft.SqlRewrite.substituteTable(
+        spark, "SELECT COUNT(*) AS n FROM prot", "secdb.prot", "prot_core")
+      assert(u.collect()(0).getLong(0) == 10)
+    } finally spark.catalog.setCurrentDatabase("default")
+  }
 }

@@ -30,6 +30,15 @@ class RowFilterRuleSpec extends SparkSpec {
       // pii role: unfiltered again
       spark.conf.set("graft.rbac.role", "pii")
       assert(spark.table("raw_rule").count() == 40)
+
+      // Trust-model boundary (documented in the rule's scaladoc): a
+      // direct PATH read has no catalogTable, so the rule does not apply —
+      // storage ACLs, not this rule, are what close that path. The sound
+      // in-engine enforcement is Rbac.runAs over role views.
+      spark.conf.set("graft.rbac.role", "core")
+      assert(spark.read.json(root).count() == 40,
+        "path-read bypass is expected and documented; if this starts " +
+          "being filtered, the trust-model scaladoc is stale")
     } finally {
       spark.conf.set("graft.rbac.role", "")
       spark.conf.set("graft.rbac.table", "")
