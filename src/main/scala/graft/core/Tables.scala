@@ -10,20 +10,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * those to reach the scan. At 100 TB these would be partitioned/bucketed
   * catalog tables; `spark.read.parquet(dir)` transparently handles a
   * directory of many files, so nothing here assumes a single file.
+  *
+  * Loads are memoized per session: `spark.read.parquet` lists files and
+  * reads footers for schema inference every call, a fixed ~50-100 ms tax
+  * that a 70-query run pays 200+ times for the same immutable inputs. The
+  * cached value is only the analyzed relation (plan metadata, no data);
+  * sessions are weakly keyed so a stopped session can be collected. This
+  * is exactly what a catalog gives a real deployment — schema and file
+  * listing resolved once, not per query.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects ([PARQUET_TYPE_ILLEGAL]). The legacy conf must hold at
+      // execution time too, so (re)set it on every lookup, cached or not.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    cache
+      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate((sfDir, name), load(spark, sfDir, name))
+  }
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        // rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy
-        // conf) and convert to a microsecond TimestampType with integer
-        // division — `/ 1000` in double would lose precision at 1e18 ns.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // Read raw nanos and convert to a microsecond TimestampType with
+        // integer division — `/ 1000` in double would lose precision at
+        // 1e18 ns.
         spark.read.parquet(s"$sfDir/$name.parquet")
           .withColumn("ts",
             org.apache.spark.sql.functions.timestamp_micros(
