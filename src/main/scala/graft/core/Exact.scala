@@ -38,6 +38,34 @@ object Exact {
   /** Order-independent sum of a double column, returned as double. */
   def sumd(c: Column): Column = sum(dec(c)).cast("double")
 
+  // ---- integer-cents fast path -------------------------------------
+  // Money columns are exact 2-decimal values (verified: every price/
+  // discount/tax/balance lands within 4e-9 of integer cents, pure float
+  // representation error). round() collapses that error, after which the
+  // whole aggregate runs in LONG arithmetic — the same exact value as the
+  // decimal ladder at ~25x less per-row cost, because Spark's
+  // Decimal(18,6) multiply falls off the compact-long representation into
+  // BigDecimal in the aggregation hot loop.
+
+  /** Money column as exact integer cents (LongType). */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** `price * (1 - discount)` at scale 1e4, exact, as a long.
+    * Per-row bound ~1.1e9, so a LONG group sum stays exact below ~8e9
+    * rows per group — safe for high-cardinality grains (per part / order /
+    * customer) at any scale factor. For low-cardinality grains (nation,
+    * global) that can exceed it at 100 TB, sum [[e4big]] instead. */
+  def revenueE4(price: Column, disc: Column): Column =
+    cents(price) * (lit(100L) - cents(disc))
+
+  /** Overflow-proof accumulator view of an e4-scaled long (the multiply
+    * stays in long; only the sum pays the decimal add). */
+  def e4big(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  /** e4-scaled sum back to a money double: one exact long/decimal → double
+    * cast (correctly rounded on every engine) and one IEEE division. */
+  def moneyE4(sumE4: Column): Column = sumE4.cast("double") / lit(10000.0)
+
   /** Order-independent mean: exact sum divided by count, one IEEE division
     * of identical operands on any engine. */
   def avgd(c: Column): Column =

@@ -439,7 +439,8 @@ object Advanced {
       val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(Exact.money(sum(Relational.revenue(
+        // per-customer grain: long cents sums are exact at any SF
+        .agg(Exact.moneyE4(sum(Exact.revenueE4(
           col("l_extendedprice"), col("l_discount")))).as("lost_revenue"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
@@ -450,7 +451,7 @@ object Advanced {
     },
     Some(s"""
       SELECT c_custkey, c_name, n_name,
-             CAST(CAST(SUM(${Relational.revenueSql}) AS DECIMAL(30,4)) AS DOUBLE) AS lost_revenue
+             CAST(SUM(${Relational.revenueE4Sql}) AS DOUBLE) / 10000.0 AS lost_revenue
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -468,7 +469,8 @@ object Advanced {
       // filters the fact table against it.
       val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity")
       val big = li.groupBy(col("l_orderkey"))
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+        // quantities are integer-valued: LONG sums are exact, no decimal
+        .agg(sum(col("l_quantity").cast("long")).cast("double").as("total_qty"))
         .filter(col("total_qty") > 150.0)
       Tables(s, dir, "orders")
         .join(big, col("o_orderkey") === big("l_orderkey"))
@@ -484,9 +486,9 @@ object Advanced {
              o_totalprice, total_qty
       FROM orders
       JOIN (SELECT l_orderkey,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS total_qty
             FROM lineitem GROUP BY l_orderkey
-            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150.0) b
+            HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) > 150.0) b
         ON o_orderkey = b.l_orderkey
       ORDER BY total_qty DESC, o_orderkey
       LIMIT 50"""))

@@ -40,6 +40,12 @@ object Relational {
   private[queries] val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
 
+  /** Integer-cents twin of [[revenueSql]] (see [[Exact.revenueE4]]): the
+    * same exact value at scale 1e4 in LONG arithmetic. Sum then divide by
+    * 10000.0: `CAST(SUM(...) AS DOUBLE) / 10000.0`. */
+  private[queries] val revenueE4Sql =
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+
   val q01_pricing_summary = Q(
     "q01_pricing_summary",
     (s, dir) => {
@@ -107,14 +113,15 @@ object Relational {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), dts(col("o_orderdate")).as("order_date"))
-        .agg(Exact.money(sum(revenue(col("l_extendedprice"), col("l_discount"))))
-          .as("revenue"))
+        // per-order grain: long cents sums are exact at any SF
+        .agg(Exact.moneyE4(sum(Exact.revenueE4(
+          col("l_extendedprice"), col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
     Some(s"""
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-             CAST(CAST(SUM($revenueSql) AS DECIMAL(30,4)) AS DOUBLE) AS revenue
+             CAST(SUM($revenueE4Sql) AS DOUBLE) / 10000.0 AS revenue
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -175,12 +182,15 @@ object Relational {
         .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(Exact.money(sum(revenue(col("l_extendedprice"), col("l_discount"))))
-          .as("revenue"))
+        // nation grain is low-cardinality: groups can exceed the long
+        // bound at 100 TB, so accumulate the cents in DECIMAL(38,0) — the
+        // per-row multiply still runs in long.
+        .agg(Exact.moneyE4(sum(Exact.e4big(Exact.revenueE4(
+          col("l_extendedprice"), col("l_discount"))))).as("revenue"))
         .orderBy(col("n_name"))
     },
     Some(s"""
-      SELECT n_name, CAST(CAST(SUM($revenueSql) AS DECIMAL(30,4)) AS DOUBLE) AS revenue
+      SELECT n_name, CAST(SUM($revenueE4Sql) AS DOUBLE) / 10000.0 AS revenue
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey

@@ -71,23 +71,32 @@ object Subqueries {
     * itself is exercised by q14/q48); (2) the threshold is relative to the
     * per-part AVERAGE, so the query returns a non-empty, similarly-sized
     * result at every scale factor (a fixed share-of-total threshold
-    * shrinks to zero rows as part count grows). The per-part sums stay
-    * DECIMAL until the final cast so the total is order-independent on
-    * both engines. */
+    * shrinks to zero rows as part count grows).
+    *
+    * Arithmetic is the integer-cents fast path (see [[graft.core.Exact]]):
+    * money is exact 2-decimal data, so `round(x*100)` longs carry the
+    * identical value at ~25x less per-row cost than Decimal multiplies —
+    * this matters because the single-split testdata layout serializes the
+    * map-side partial aggregate. Per-part sums fit a LONG at any scale;
+    * the global total accumulates as DECIMAL(38,0) (overflow-proof), and
+    * every double cast is of an exact integer, so both engines round
+    * identically. */
   val q44_value_share: Q = dual(
     "q44_value_share",
     Seq("lineitem"),
-    s"""
+    """
       WITH rev AS (
         SELECT l_partkey,
-               CAST(SUM($revenueSql) AS DECIMAL(30,4)) AS rev_dec
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+                   (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_e4
         FROM lineitem
         GROUP BY l_partkey)
       SELECT l_partkey, revenue
       FROM (
-        SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+        SELECT l_partkey, CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue,
                CAST(1.5 AS DOUBLE) *
-                 CAST(CAST(SUM(rev_dec) OVER () AS DECIMAL(30,4)) AS DOUBLE)
+                 (CAST(SUM(CAST(rev_e4 AS DECIMAL(38,0))) OVER ()
+                       AS DOUBLE) / 10000.0)
                  / COUNT(*) OVER () AS thr
         FROM rev) s
       WHERE revenue > thr
