@@ -288,8 +288,12 @@ object Dedup {
   private[queries] def embedNearDupPairs(
       nv0: DataFrame, maxBlock: Int = neardupMaxBlock): DataFrame = {
     import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    // cache(): both sides of the self-join share this subtree — without
+    // the barrier the norm projection and the sub-block histogram join are
+    // computed twice (the same pattern as the signature caches above).
     val nv = withSubBlock(
       nv0.withColumn("norm", vec_norm(col("embedding"))), maxBlock)
+      .cache()
     nv.as("a").join(nv.as("b"),
         col("a.label") === col("b.label") && col("a.sub") === col("b.sub") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -60,10 +60,25 @@ object QueryRunner {
       table: String,
       queryName: String,
       sql: String,
-      outRoot: String): DataFrame = {
-    val df = Rbac.runAs(spark, role, table, sql)
+      outRoot: String,
+      stringResults: Boolean = false): DataFrame = {
+    val secured = Rbac.runAs(spark, role, table, sql)
+    val df = if (stringResults) asStrings(secured) else secured
     df.coalesce(1).write.mode("overwrite")
       .parquet(s"$outRoot/${role.name}/$queryName")
     df
+  }
+
+  /** Athena result-model parity mode: the reference reads results through
+    * the GetQueryResults API, where EVERY cell is a `VarCharValue`
+    * (rbac-demo/comprehensive_rbac_demo.py:50-56 builds rows exclusively
+    * from `datum.get("VarCharValue")`). With the flag on, the sink casts
+    * each column to its string form so a consumer of the reference's
+    * result files sees the same all-string schema. Default off: the typed
+    * parquet sink is strictly more useful and SURVEY §1 deems it the
+    * primary mode. */
+  private[queries] def asStrings(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
   }
 }

@@ -47,6 +47,19 @@ class ReferenceQueriesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/pii/total").collect()(0).getLong(0) == 80L)
   }
 
+  test("string-results mode mirrors Athena's all-VarCharValue result model") {
+    val out = tmpDir("results_str")
+    QueryRunner.run(spark, Rbac.core, setup, "by_endpoint",
+      ReferenceQueries.filesByEndpoint(setup), out, stringResults = true)
+    val written = spark.read.parquet(s"$out/core/by_endpoint")
+    // every cell a string, like comprehensive_rbac_demo.py:50-56 sees
+    assert(written.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    val rows = written.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("api-a"))
+    assert(rows(0).getString(1) == "20")
+  }
+
   test("vec_dot / vec_cosine are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
