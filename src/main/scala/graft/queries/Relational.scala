@@ -49,25 +49,30 @@ object Relational {
   val q01_pricing_summary = Q(
     "q01_pricing_summary",
     (s, dir) => {
+      // Return-flag grain is ~6 groups: integer quantities sum as LONG
+      // (bounded by 50/row — exact far past 100 TB); money cents use the
+      // DECIMAL(38,0) accumulator since a 6-group grain concentrates the
+      // whole fact table into each group.
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sumd(col("l_quantity")).as("sum_qty"),
-          sumd(col("l_extendedprice")).as("sum_base_price"),
-          Exact.money(sum(revenue(col("l_extendedprice"), col("l_discount"))))
-            .as("sum_disc_price"),
-          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          sum(col("l_quantity").cast("long")).cast("double").as("sum_qty"),
+          (sum(Exact.e4big(Exact.cents(col("l_extendedprice"))))
+            .cast("double") / lit(100.0)).as("sum_base_price"),
+          Exact.moneyE4(sum(Exact.e4big(Exact.revenueE4(
+            col("l_extendedprice"), col("l_discount"))))).as("sum_disc_price"),
+          (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
         COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2000-12-01'

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{ExpressionWithUnresolvedIdentifier, PlanWithUnresolvedIdentifier, UnresolvedExecuteImmediate, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.classic
@@ -38,6 +38,14 @@ import org.apache.spark.sql.classic
   * round-3 advisory's second gap: hardcoding `default` misses a protected
   * table in another database, and misses unqualified references when the
   * session's current database IS the protected one).
+  *
+  * Late-bound names fail closed: `IDENTIFIER(<expr>)` (and its expression
+  * form) and `EXECUTE IMMEDIATE` bind relations during ANALYSIS — after
+  * this rewrite — so queries using them are rejected outright instead of
+  * running unsecured. For paths the parser cannot reveal at all (a
+  * pre-existing view whose body references the protected table), a
+  * post-analysis backstop walks the analyzed plan and denies any route to
+  * the base relation that does not go through the role view.
   */
 object SqlRewrite {
 
@@ -67,6 +75,31 @@ object SqlRewrite {
       }
     }
     val target = qualify(table.split('.').toSeq)
+
+    // Fail closed on late-bound names: IDENTIFIER(<expr>) resolves to a
+    // relation DURING ANALYSIS, after this parse-level rewrite ran — a
+    // caller could smuggle the protected table through it ("SELECT * FROM
+    // IDENTIFIER('raw_rbac')" never contains an UnresolvedRelation here).
+    // No legitimate runAs query needs computed table names, so reject the
+    // construct outright rather than allow the bypass.
+    def lateBoundError(construct: String) = new AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" ->
+        (s"$construct is not allowed under runAs: it binds relations " +
+          "after access-control substitution")))
+    def rejectLateBound(plan: LogicalPlan): Unit = plan.foreach { node =>
+      if (node.isInstanceOf[PlanWithUnresolvedIdentifier])
+        throw lateBoundError("IDENTIFIER()")
+      if (node.isInstanceOf[UnresolvedExecuteImmediate])
+        throw lateBoundError("EXECUTE IMMEDIATE")
+      node.expressions.foreach(_.foreach {
+        case _: ExpressionWithUnresolvedIdentifier =>
+          throw lateBoundError("IDENTIFIER()")
+        case se: SubqueryExpression => rejectLateBound(se.plan)
+        case _ => ()
+      })
+    }
+    rejectLateBound(parsed)
 
     /** `scope` = CTE names visible at this point (lowercased). */
     def rewrite(plan: LogicalPlan, scope: Set[String]): LogicalPlan = {
@@ -99,7 +132,44 @@ object SqlRewrite {
         case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan, scope))
       }
     }
-    ofRows(spark, rewrite(parsed, Set.empty))
+    val df = ofRows(spark, rewrite(parsed, Set.empty))
+
+    // Post-analysis backstop (defense in depth): the parse-level rewrite
+    // only sees names written IN the query text. A pre-existing view whose
+    // BODY references the protected table expands during analysis — after
+    // the rewrite — and would reach the base relation unsecured. Walk the
+    // ANALYZED plan and refuse to return it if the protected table is
+    // reachable through any path other than the role view itself.
+    def matchesTarget(ct: org.apache.spark.sql.catalyst.catalog.CatalogTable): Boolean = {
+      val id = ct.identifier
+      Seq(id.catalog.getOrElse(currentCatalog),
+        id.database.getOrElse(currentNamespace.mkString(".")),
+        id.table).map(_.toLowerCase) == target
+    }
+    def reaches(plan: LogicalPlan): Boolean = plan match {
+      case SubqueryAlias(id, _) if id.name.equalsIgnoreCase(replacement) =>
+        false // the role view legitimately reads the base table
+      case v: org.apache.spark.sql.catalyst.plans.logical.View
+          if v.desc.identifier.table.equalsIgnoreCase(replacement) => false
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.exists(matchesTarget)
+      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        matchesTarget(h.tableMeta)
+      case other =>
+        other.children.exists(reaches) || other.expressions.exists(_.exists {
+          case se: SubqueryExpression => reaches(se.plan)
+          case _ => false
+        })
+    }
+    if (reaches(df.queryExecution.analyzed)) {
+      throw new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          (s"query reaches protected table '$table' through a path the " +
+            "substitution does not secure (e.g. a view over it); access " +
+            "denied")))
+    }
+    df
   }
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =

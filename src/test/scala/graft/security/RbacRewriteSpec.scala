@@ -88,6 +88,45 @@ class RbacRewriteSpec extends SparkSpec {
           SELECT COUNT(*) AS n FROM b""") == 10)
   }
 
+  test("EXECUTE IMMEDIATE is rejected (nested SQL parses after the rewrite)") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        s"EXECUTE IMMEDIATE 'SELECT COUNT(*) AS n FROM $table'").collect()
+    }
+    assert(e.getMessage.contains("EXECUTE IMMEDIATE"))
+  }
+
+  test("a view wrapping the protected table cannot smuggle it past runAs") {
+    // the view body references the base table; it expands during analysis,
+    // AFTER the parse-level rewrite — the post-analysis backstop must deny
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW leak_view AS SELECT * FROM $table")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        "SELECT COUNT(*) AS n FROM leak_view").collect()
+    }
+    assert(e.getMessage.contains("access denied"))
+    // ... while the role's own view keeps working (same analyzed subtree,
+    // reached through the sanctioned alias)
+    assert(coreCount(s"SELECT COUNT(*) AS n FROM $table") == 10)
+  }
+
+  test("IDENTIFIER() late binding is rejected, not silently bypassed") {
+    // IDENTIFIER('t') resolves during analysis, after the substitution
+    // seam — allowing it would be a full RBAC bypass, so runAs fails closed
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        s"SELECT COUNT(*) AS n FROM IDENTIFIER('$table')").collect()
+    }
+    assert(e.getMessage.contains("IDENTIFIER"))
+    // expression position too (nested inside a subquery expression)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        s"SELECT (SELECT COUNT(*) FROM IDENTIFIER('$table')) AS n").collect()
+    }
+    assert(e2.getMessage.contains("IDENTIFIER"))
+  }
+
   // ---- round-3 advisory: namespace matching must use the session state ----
 
   test("a qualified protected name matches an unqualified reference") {
