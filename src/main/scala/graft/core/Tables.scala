@@ -15,18 +15,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads footers for schema inference every call, a fixed ~50-100 ms tax
   * that a 70-query run pays 200+ times for the same immutable inputs. The
   * cached value is only the analyzed relation (plan metadata, no data);
-  * sessions are weakly keyed so a stopped session can be collected. This
-  * is exactly what a catalog gives a real deployment — schema and file
-  * listing resolved once, not per query.
+  * entries of stopped sessions are pruned on access (a weak-keyed map
+  * would not help here — the cached DataFrames strongly reference their
+  * session). This is exactly what a catalog gives a real deployment —
+  * schema and file listing resolved once, not per query.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -34,6 +35,10 @@ object Tables {
       // rejects ([PARQUET_TYPE_ILLEGAL]). The legacy conf must hold at
       // execution time too, so (re)set it on every lookup, cached or not.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    // drop entries for sessions that have been stopped since the last call
+    cache.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) cache.remove(s)
     }
     cache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)

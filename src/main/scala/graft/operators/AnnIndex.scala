@@ -59,6 +59,7 @@ object AnnIndex {
     val marker = new Path(s"$root/centroids/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
+    invalidate(root) // rebuilding in place: drop any cached file listing
     val emb = graft.core.Tables(spark, sfDir, "embeddings")
 
     // Exact-decimal elementwise means: order-independent, so identical on
@@ -84,13 +85,37 @@ object AnnIndex {
     * (q_id, q_emb, q_norm), rank its `nProbe` nearest cells by centroid
     * cosine, then search ONLY those cells for the top-`k` neighbours.
     * Output: (q_id, c_id, label, cos_sim, rank). */
+  private val readCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  /** Memoized parquet load (same rationale as `Tables.apply`): repeated
+    * probes against one index should not re-list files and re-read footers
+    * for the immutable centroids/vectors layout. [[buildIfMissing]]
+    * invalidates a root's entries whenever it actually (re)builds it, so
+    * an index recreated in place (e.g. after tmp cleanup) is never served
+    * from a stale file listing; stopped sessions are pruned on access. */
+  private def read(spark: SparkSession, path: String): DataFrame = {
+    readCache.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) readCache.remove(s)
+    }
+    readCache
+      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(path, spark.read.parquet(path))
+  }
+
+  private def invalidate(root: String): Unit =
+    readCache.values.forEach { m =>
+      m.remove(s"$root/centroids")
+      m.remove(s"$root/vectors")
+    }
+
   def probe(
       spark: SparkSession,
       root: String,
       queries: DataFrame,
       nProbe: Int,
       k: Int): DataFrame = {
-    val cent = spark.read.parquet(s"$root/centroids")
+    val cent = read(spark, s"$root/centroids")
     val wCell = Window.partitionBy(col("q_id"))
       .orderBy(col("cell_sim").desc, col("label"))
     val probed = queries.crossJoin(broadcast(cent))
@@ -107,7 +132,7 @@ object AnnIndex {
     val cells = probed.select(col("label")).distinct()
       .collect().map(_.get(0))
 
-    val vecs = spark.read.parquet(s"$root/vectors")
+    val vecs = read(spark, s"$root/vectors")
       .filter(col("label").isin(cells.toSeq: _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))

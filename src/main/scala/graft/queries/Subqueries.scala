@@ -23,9 +23,11 @@ import graft.core.Tables
   * operators those forms would have demonstrated remain covered by
   * q43/q45/q46 (correlated scalar) and q04/q10/q46/q48 (semi/anti).
   *
-  * Determinism: money sums go through the DECIMAL(18,6)→DECIMAL(30,4)→
-  * DOUBLE ladder; `l_quantity` is integer-valued so its double sums/avgs
-  * are exact in any order; every query ends in a total ORDER BY.
+  * Determinism: money sums use either the DECIMAL(18,6)→DECIMAL(30,4)→
+  * DOUBLE ladder or the integer-cents path (q44 — see
+  * [[graft.core.Exact]]), both exact and order-independent; `l_quantity`
+  * is integer-valued so its double sums/avgs are exact in any order;
+  * every query ends in a total ORDER BY.
   */
 object Subqueries {
   private def onViews(tables: String*)(sql: String): (SparkSession, String) => DataFrame =

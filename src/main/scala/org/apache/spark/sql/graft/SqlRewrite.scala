@@ -92,6 +92,15 @@ object SqlRewrite {
         throw lateBoundError("IDENTIFIER()")
       if (node.isInstanceOf[UnresolvedExecuteImmediate])
         throw lateBoundError("EXECUTE IMMEDIATE")
+      node match {
+        // CTE definitions are innerChildren, invisible to foreach —
+        // recurse explicitly or IDENTIFIER() hides inside a WITH clause.
+        case w: UnresolvedWith =>
+          w.cteRelations.foreach { case (_, defPlan, _) =>
+            rejectLateBound(defPlan)
+          }
+        case _ => ()
+      }
       node.expressions.foreach(_.foreach {
         case _: ExpressionWithUnresolvedIdentifier =>
           throw lateBoundError("IDENTIFIER()")
@@ -140,27 +149,46 @@ object SqlRewrite {
     // the rewrite — and would reach the base relation unsecured. Walk the
     // ANALYZED plan and refuse to return it if the protected table is
     // reachable through any path other than the role view itself.
+    //
+    // The sanctioned path is identified STRUCTURALLY, not by name: anyone
+    // can alias an arbitrary relation as the (predictable) role-view name,
+    // but cannot make an arbitrary plan canonicalize to the role view's
+    // analyzed body — and a subtree that DOES canonicalize to it computes
+    // exactly the secured result, so skipping it can leak nothing.
+    val sanctioned: Option[LogicalPlan] =
+      try Some(spark.table(replacement)
+        .queryExecution.analyzed.canonicalized)
+      catch { case _: AnalysisException => None }
+
     def matchesTarget(ct: org.apache.spark.sql.catalyst.catalog.CatalogTable): Boolean = {
       val id = ct.identifier
-      Seq(id.catalog.getOrElse(currentCatalog),
-        id.database.getOrElse(currentNamespace.mkString(".")),
-        id.table).map(_.toLowerCase) == target
+      // V1/Hive identifiers carry a single-level database; qualify() shapes
+      // the target the same way, so a multi-part current namespace simply
+      // never matches a V1 table (it cannot host one).
+      val parts = (Seq(id.catalog.getOrElse(currentCatalog)) ++
+        id.database.map(Seq(_)).getOrElse(currentNamespace) ++
+        Seq(id.table)).map(_.toLowerCase)
+      parts == target
     }
-    def reaches(plan: LogicalPlan): Boolean = plan match {
-      case SubqueryAlias(id, _) if id.name.equalsIgnoreCase(replacement) =>
-        false // the role view legitimately reads the base table
-      case v: org.apache.spark.sql.catalyst.plans.logical.View
-          if v.desc.identifier.table.equalsIgnoreCase(replacement) => false
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        r.catalogTable.exists(matchesTarget)
-      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
-        matchesTarget(h.tableMeta)
-      case other =>
-        other.children.exists(reaches) || other.expressions.exists(_.exists {
-          case se: SubqueryExpression => reaches(se.plan)
-          case _ => false
-        })
-    }
+    def reaches(plan: LogicalPlan): Boolean =
+      if (sanctioned.contains(plan.canonicalized)) false
+      else plan match {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.exists(matchesTarget)
+        case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+          matchesTarget(h.tableMeta)
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          v2.identifier.exists { ident =>
+            val parts = (Seq(v2.catalog.map(_.name).getOrElse(currentCatalog)) ++
+              ident.namespace.toSeq ++ Seq(ident.name)).map(_.toLowerCase)
+            parts == target
+          }
+        case other =>
+          other.children.exists(reaches) || other.expressions.exists(_.exists {
+            case se: SubqueryExpression => reaches(se.plan)
+            case _ => false
+          })
+      }
     if (reaches(df.queryExecution.analyzed)) {
       throw new AnalysisException(
         errorClass = "INTERNAL_ERROR",

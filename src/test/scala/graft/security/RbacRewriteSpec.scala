@@ -111,6 +111,28 @@ class RbacRewriteSpec extends SparkSpec {
     assert(coreCount(s"SELECT COUNT(*) AS n FROM $table") == 10)
   }
 
+  test("aliasing a leaking relation as the role-view name does not fool the backstop") {
+    // the sanctioned subtree is matched structurally (canonicalized plan),
+    // so wearing the role view's predictable NAME buys nothing
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW leak_view2 AS SELECT * FROM $table")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        s"""SELECT COUNT(*) AS n
+            FROM leak_view2 AS ${Rbac.viewName(table, Rbac.core)}""").collect()
+    }
+    assert(e.getMessage.contains("access denied"))
+  }
+
+  test("IDENTIFIER() hidden inside a CTE definition is rejected too") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        s"""WITH x AS (SELECT * FROM IDENTIFIER('$table'))
+            SELECT COUNT(*) AS n FROM x""").collect()
+    }
+    assert(e.getMessage.contains("IDENTIFIER"))
+  }
+
   test("IDENTIFIER() late binding is rejected, not silently bypassed") {
     // IDENTIFIER('t') resolves during analysis, after the substitution
     // seam — allowing it would be a full RBAC bypass, so runAs fails closed
