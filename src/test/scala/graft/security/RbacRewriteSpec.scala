@@ -111,6 +111,19 @@ class RbacRewriteSpec extends SparkSpec {
     assert(coreCount(s"SELECT COUNT(*) AS n FROM $table") == 10)
   }
 
+  test("backstop does not over-deny: self-join, union and subquery shapes run") {
+    // every shape below reaches the base table ONLY through the role view
+    // (possibly several instances of it) — all must be allowed
+    assert(coreCount(
+      s"""SELECT COUNT(*) AS n
+          FROM $table a JOIN $table b ON a.page = b.page""") == 10)
+    assert(coreCount(
+      s"SELECT COUNT(*) AS n FROM (SELECT * FROM $table UNION ALL SELECT * FROM $table)") == 20)
+    assert(coreCount(
+      s"""SELECT COUNT(*) AS n FROM $table
+          WHERE page <= (SELECT MAX(page) FROM $table)""") == 10)
+  }
+
   test("aliasing a leaking relation as the role-view name does not fool the backstop") {
     // the sanctioned subtree is matched structurally (canonicalized plan),
     // so wearing the role view's predictable NAME buys nothing
