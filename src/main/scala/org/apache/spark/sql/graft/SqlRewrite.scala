@@ -42,10 +42,23 @@ import org.apache.spark.sql.classic
   * Late-bound names fail closed: `IDENTIFIER(<expr>)` (and its expression
   * form) and `EXECUTE IMMEDIATE` bind relations during ANALYSIS — after
   * this rewrite — so queries using them are rejected outright instead of
-  * running unsecured. For paths the parser cannot reveal at all (a
-  * pre-existing view whose body references the protected table), a
+  * running unsecured. runAs is a QUERY-only entry point (the reference's
+  * Athena SELECT path): statements — DML/DDL and metadata commands like
+  * SHOW PARTITIONS / DESCRIBE — are rejected wholesale, both because they
+  * execute eagerly on Dataset construction (before any check could fire)
+  * and because they resolve through paths the substitution does not
+  * cover. File-path relations (``parquet.`/path` ``) are disabled during
+  * the runAs analysis, and the backstop verdict lands BEFORE the Dataset
+  * is constructed. For routes the parser cannot reveal at all (a
+  * pre-existing view whose body references the protected table), the
   * post-analysis backstop walks the analyzed plan and denies any route to
-  * the base relation that does not go through the role view.
+  * the base relation that does not canonicalize to the role view.
+  *
+  * Known semantic choice: under runAs an unqualified reference to the
+  * protected name ALWAYS means the secured table — a same-named user temp
+  * view does not shadow it (shadowing would let callers pre-empt the
+  * predictable name and confuse audits); and a CTE named like the role
+  * view itself is rejected rather than silently captured.
   */
 object SqlRewrite {
 
@@ -64,14 +77,16 @@ object SqlRewrite {
     val currentNamespace = cm.currentNamespace.toSeq.map(_.toLowerCase)
 
     /** Fully qualify an identifier the way the analyzer would resolve it:
-      * 1 part → current catalog + current namespace; 2+ parts without a
-      * catalog → current catalog; otherwise as written. */
+      * 1 part → current catalog + current namespace; multi-part names get
+      * the current catalog prepended unless their head already names a
+      * registered catalog (Spark resolves `cat.ns.tbl` and `cat.tbl`
+      * catalog-first). */
     def qualify(parts: Seq[String]): Seq[String] = {
       val p = parts.map(_.toLowerCase)
       p.length match {
         case 1 => (currentCatalog +: currentNamespace) ++ p
-        case 2 => currentCatalog +: p
-        case _ => p
+        case _ if cm.isCatalogRegistered(p.head) => p
+        case _ => currentCatalog +: p
       }
     }
     val target = qualify(table.split('.').toSeq)
@@ -82,16 +97,28 @@ object SqlRewrite {
     // IDENTIFIER('raw_rbac')" never contains an UnresolvedRelation here).
     // No legitimate runAs query needs computed table names, so reject the
     // construct outright rather than allow the bypass.
-    def lateBoundError(construct: String) = new AnalysisException(
+    def deny(message: String) = new AnalysisException(
       errorClass = "INTERNAL_ERROR",
-      messageParameters = Map("message" ->
-        (s"$construct is not allowed under runAs: it binds relations " +
-          "after access-control substitution")))
+      messageParameters = Map("message" -> message))
+    def lateBoundError(construct: String) = deny(
+      s"$construct is not allowed under runAs: it binds relations " +
+        "after access-control substitution")
     def rejectLateBound(plan: LogicalPlan): Unit = plan.foreach { node =>
       if (node.isInstanceOf[PlanWithUnresolvedIdentifier])
         throw lateBoundError("IDENTIFIER()")
       if (node.isInstanceOf[UnresolvedExecuteImmediate])
         throw lateBoundError("EXECUTE IMMEDIATE")
+      // runAs is a QUERY entry point (the reference's Athena SELECT path).
+      // Statements are rejected wholesale: DML/DDL would execute EAGERLY
+      // when the Dataset is constructed (leaking before any check could
+      // fire), and metadata commands (SHOW PARTITIONS, DESCRIBE) resolve
+      // through UnresolvedTableOrView — a path the substitution does not
+      // cover — exposing partition values and storage locations.
+      if (node.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+          node.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement])
+        throw deny("only queries are allowed under runAs: statements " +
+          "(DML/DDL/metadata commands) execute outside the " +
+          "access-control substitution")
       node match {
         // CTE definitions are innerChildren, invisible to foreach —
         // recurse explicitly or IDENTIFIER() hides inside a WITH clause.
@@ -128,9 +155,15 @@ object SqlRewrite {
         case r: UnresolvedRelation =>
           val shadowed = r.multipartIdentifier.length == 1 &&
             scope(r.multipartIdentifier.head.toLowerCase)
-          if (!shadowed && qualify(r.multipartIdentifier) == target)
+          if (!shadowed && qualify(r.multipartIdentifier) == target) {
+            // A CTE named like the ROLE VIEW would capture the substituted
+            // single-part name (CTESubstitution binds CTEs before temp
+            // views) — silently wrong results, so refuse.
+            if (scope(replacement.toLowerCase))
+              throw deny(s"a CTE named '$replacement' conflicts with the " +
+                "role view runAs substitutes; rename the CTE")
             r.copy(multipartIdentifier = Seq(replacement))
-          else r
+          } else r
         case other => other.mapChildren(rewrite(_, scope))
       }
       // Plan-expressions (scalar/IN/EXISTS/lateral subqueries) hosted on
@@ -141,7 +174,21 @@ object SqlRewrite {
         case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan, scope))
       }
     }
-    val df = ofRows(spark, rewrite(parsed, Set.empty))
+    val rewritten = rewrite(parsed, Set.empty)
+
+    // Analyze BEFORE constructing the Dataset, with file-path relations
+    // disabled: `SELECT * FROM parquet.`/warehouse/...`` reads the data
+    // behind the table with no catalogTable for the backstop to flag, so
+    // analysis under runAs must not resolve paths at all (fail closed:
+    // TABLE_OR_VIEW_NOT_FOUND). The statement rejection above keeps
+    // everything below side-effect-free, and the backstop verdict lands
+    // before any Dataset exists.
+    val prevRunOnFiles = spark.conf.get("spark.sql.runSQLOnFiles", "true")
+    val analyzed =
+      try {
+        spark.conf.set("spark.sql.runSQLOnFiles", "false")
+        session.sessionState.executePlan(rewritten).analyzed
+      } finally spark.conf.set("spark.sql.runSQLOnFiles", prevRunOnFiles)
 
     // Post-analysis backstop (defense in depth): the parse-level rewrite
     // only sees names written IN the query text. A pre-existing view whose
@@ -189,15 +236,13 @@ object SqlRewrite {
             case _ => false
           })
       }
-    if (reaches(df.queryExecution.analyzed)) {
-      throw new AnalysisException(
-        errorClass = "INTERNAL_ERROR",
-        messageParameters = Map("message" ->
-          (s"query reaches protected table '$table' through a path the " +
-            "substitution does not secure (e.g. a view over it); access " +
-            "denied")))
+    if (reaches(analyzed)) {
+      throw deny(
+        s"query reaches protected table '$table' through a path the " +
+          "substitution does not secure (e.g. a view over it); access " +
+          "denied")
     }
-    df
+    ofRows(spark, rewritten)
   }
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =

@@ -88,6 +88,48 @@ class RbacRewriteSpec extends SparkSpec {
           SELECT COUNT(*) AS n FROM b""") == 10)
   }
 
+  test("statements are rejected: runAs is a query-only entry point") {
+    // metadata command: would resolve via UnresolvedTableOrView and leak
+    // partition values / storage location outside the row filter
+    val show = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table, s"SHOW PARTITIONS $table").collect()
+    }
+    assert(show.getMessage.contains("only queries"))
+    // DML: would execute eagerly on Dataset construction
+    val ins = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        s"INSERT INTO scratch_t SELECT * FROM $table").collect()
+    }
+    assert(ins.getMessage.contains("only queries"))
+    val desc = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table, s"DESCRIBE EXTENDED $table").collect()
+    }
+    assert(desc.getMessage.contains("only queries"))
+  }
+
+  test("file-path relations cannot read the protected data under runAs") {
+    // discover the table's storage location the way an attacker would not
+    // be able to (DESCRIBE is denied above) — directly from the catalog
+    val loc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1)).get
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        s"SELECT COUNT(*) AS n FROM json.`$loc`").collect()
+    }
+    // fails closed (path resolution disabled during runAs analysis)
+    assert(e.getMessage.toLowerCase.contains("table or view not found") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
+  test("a CTE named like the role view is rejected, not silently captured") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        s"""WITH ${Rbac.viewName(table, Rbac.core)} AS (SELECT 1 AS one)
+            SELECT COUNT(*) AS n FROM $table""").collect()
+    }
+    assert(e.getMessage.contains("conflicts with the role view"))
+  }
+
   test("EXECUTE IMMEDIATE is rejected (nested SQL parses after the rewrite)") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Rbac.runAs(spark, Rbac.core, table,
