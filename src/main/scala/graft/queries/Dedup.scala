@@ -382,6 +382,50 @@ object Dedup {
       FROM usig a JOIN usig b ON a.source < b.source
       ORDER BY src_a, src_b"""))
 
+  val d08_decontamination = Q(
+    "d08_decontamination",
+    (s, dir) => {
+      // Train/test decontamination: flag training documents sharing >= 3
+      // word-3-gram shingles with any held-out evaluation document — the
+      // standard benchmark-leakage sweep run before LLM training. The
+      // held-out set is tiny by construction (here the deterministic
+      // doc_id % 89 slice, in production the benchmark suite), so its
+      // exploded shingles BROADCAST: the corpus side streams map-only
+      // through the hash join — no shuffle touches the train corpus until
+      // the (already tiny) matched pairs aggregate. Shingles are distinct
+      // per document (array_distinct), so COUNT(*) per pair counts
+      // distinct shared shingles.
+      // cache(): the same optimizer-barrier requirement as signatures() —
+      // Generate(explode) plans a `size(sh) > 0` filter + project around
+      // the generator, and each reference re-evaluates the interpreted
+      // shingle tree (measured 10x: 8.3s -> 0.8s at sf0.1 with the cache).
+      val sh = withShingles(s, dir).select(col("doc_id"), col("sh")).cache()
+      val test = sh.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("test_id"), explode(col("sh")).as("g"))
+      val train = sh.filter(col("doc_id") % 89 =!= 0)
+        .select(col("doc_id").as("train_id"), explode(col("sh")).as("g"))
+      train.join(broadcast(test), "g")
+        .groupBy(col("train_id"), col("test_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("train_id"), col("test_id"))
+    },
+    Some(s"""
+      WITH shs AS (
+        SELECT doc_id, $shinglesSqlDuck AS sh
+        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+              FROM documents)),
+      test AS (SELECT doc_id AS test_id, unnest(sh) AS g
+               FROM shs WHERE doc_id % 89 = 0),
+      train AS (SELECT doc_id AS train_id, unnest(sh) AS g
+                FROM shs WHERE doc_id % 89 <> 0)
+      SELECT train_id, test_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM train JOIN test USING (g)
+      GROUP BY train_id, test_id
+      HAVING COUNT(*) >= 3
+      ORDER BY train_id, test_id"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
-    d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash)
+    d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash,
+    d08_decontamination)
 }
