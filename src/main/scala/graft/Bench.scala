@@ -53,6 +53,13 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // Intra-query cache() blocks (optimizer barriers in d08/d06/t06 …)
+      // are only needed within one query's execution; drain them here so
+      // 70+ queries' worth of cached partitions don't pile up in executor
+      // storage and evict/spill each other late in the run. Timed runs
+      // still see a warm cache (the warmup pass repopulates it) — only
+      // cross-QUERY retention goes away.
+      spark.catalog.clearCache()
       name -> times(times.length / 2) // median
     }
     val total = results.map(_._2).sum
@@ -71,16 +78,22 @@ object Bench {
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"queries":$detail,"sf":"$sfDir"}""")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // the contract line — keep LAST and compact
     val contract =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
-    println(contract)
-    // ... and to a file, so the artifact stays machine-parseable even if
-    // a build tool truncates or prefixes stdout.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      (contract + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () }
+    // ... also to a PER-RUN file, so the artifact stays machine-parseable
+    // even if a build tool truncates or prefixes stdout. Not a fixed
+    // shared path (/tmp/graft_bench.json clobbered concurrent runs'
+    // attestations, and a pre-planted symlink there would redirect the
+    // write): SPARK_GRAFT_BENCH_OUT if the caller wants a known location,
+    // else a fresh temp file, path announced next to the contract line.
+    try {
+      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(java.nio.file.Files.createTempFile("graft_bench_", ".json"))
+      java.nio.file.Files.write(out, (contract + "\n").getBytes("UTF-8"))
+      println(s"""{"metric":"bench_file","path":"$out"}""")
+    } catch { case _: java.io.IOException => () }
+    println(contract) // the contract line — keep LAST and compact
     spark.stop()
   }
 }

@@ -15,19 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads footers for schema inference every call, a fixed ~50-100 ms tax
   * that a 70-query run pays 200+ times for the same immutable inputs. The
   * cached value is only the analyzed relation (plan metadata, no data);
-  * entries of stopped sessions are pruned on access (a weak-keyed map
-  * would not help here — the cached DataFrames strongly reference their
-  * session). This is exactly what a catalog gives a real deployment —
-  * schema and file listing resolved once, not per query.
+  * lifetime/bounding is [[SessionCache]]'s. This is exactly what a
+  * catalog gives a real deployment — schema and file listing resolved
+  * once, not per query.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession,
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  private val cache = new SessionCache[(String, String)]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -36,13 +33,7 @@ object Tables {
       // execution time too, so (re)set it on every lookup, cached or not.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    // drop entries for sessions that have been stopped since the last call
-    cache.keySet.forEach { s =>
-      if (s.sparkContext.isStopped) cache.remove(s)
-    }
-    cache
-      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate((sfDir, name), load(spark, sfDir, name))
+    cache.getOrElseUpdate(spark, (sfDir, name))(load(spark, sfDir, name))
   }
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -85,29 +85,21 @@ object AnnIndex {
     * (q_id, q_emb, q_norm), rank its `nProbe` nearest cells by centroid
     * cosine, then search ONLY those cells for the top-`k` neighbours.
     * Output: (q_id, c_id, label, cos_sim, rank). */
-  private val readCache = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private val readCache = new graft.core.SessionCache[String]()
 
   /** Memoized parquet load (same rationale as `Tables.apply`): repeated
     * probes against one index should not re-list files and re-read footers
     * for the immutable centroids/vectors layout. [[buildIfMissing]]
     * invalidates a root's entries whenever it actually (re)builds it, so
     * an index recreated in place (e.g. after tmp cleanup) is never served
-    * from a stale file listing; stopped sessions are pruned on access. */
-  private def read(spark: SparkSession, path: String): DataFrame = {
-    readCache.keySet.forEach { s =>
-      if (s.sparkContext.isStopped) readCache.remove(s)
-    }
-    readCache
-      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(path, spark.read.parquet(path))
-  }
+    * from a stale file listing; lifetime/bounding is
+    * [[graft.core.SessionCache]]'s. */
+  private def read(spark: SparkSession, path: String): DataFrame =
+    readCache.getOrElseUpdate(spark, path)(spark.read.parquet(path))
 
   private def invalidate(root: String): Unit =
-    readCache.values.forEach { m =>
-      m.remove(s"$root/centroids")
-      m.remove(s"$root/vectors")
-    }
+    readCache.invalidateWhere(p =>
+      p == s"$root/centroids" || p == s"$root/vectors")
 
   def probe(
       spark: SparkSession,

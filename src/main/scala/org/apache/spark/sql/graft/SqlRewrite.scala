@@ -47,12 +47,35 @@ import org.apache.spark.sql.classic
   * SHOW PARTITIONS / DESCRIBE — are rejected wholesale, both because they
   * execute eagerly on Dataset construction (before any check could fire)
   * and because they resolve through paths the substitution does not
-  * cover. File-path relations (``parquet.`/path` ``) are disabled during
-  * the runAs analysis, and the backstop verdict lands BEFORE the Dataset
-  * is constructed. For routes the parser cannot reveal at all (a
-  * pre-existing view whose body references the protected table), the
-  * post-analysis backstop walks the analyzed plan and denies any route to
-  * the base relation that does not canonicalize to the role view.
+  * cover.
+  *
+  * File-path relations fail closed STRUCTURALLY, twice over, with no
+  * session state touched (an earlier revision flipped
+  * `spark.sql.runSQLOnFiles` around the analysis — a session-global,
+  * non-reentrant toggle: two concurrent runAs calls raced, one `finally`
+  * restoring the conf while the other's analysis was in flight, and the
+  * flip also briefly broke unrelated concurrent path-read queries on the
+  * same session):
+  *  1. at PARSE time, format-shaped relations (``parquet.`/path` ``, a
+  *     dotted datasource class name, or a `/`-containing second part)
+  *     are rejected before analysis can resolve them;
+  *  2. at the BACKSTOP, under runAs only relations with a catalog
+  *     identity may appear outside the sanctioned role-view subtree — a
+  *     leaf with no `catalogTable` (the shape of every path read,
+  *     including one smuggled through a pre-existing view, which the
+  *     parse check cannot see) or a DSv2 relation with no identifier is
+  *     denied regardless of which path it reads. A table in a database
+  *     named like a file format (`parquet.t`) is denied by check 1 —
+  *     an acceptable fail-closed edge for an access-control entry point.
+  * The backstop verdict lands BEFORE any Dataset exists, and the Dataset
+  * that is returned is built from the very plan the backstop audited
+  * (re-analyzing the parsed plan would be a TOCTOU window: session state
+  * such as temp views could rebind between verdict and execution). For
+  * routes the parser cannot reveal at all (a pre-existing view whose
+  * body references the protected table), the post-analysis backstop
+  * walks the analyzed plan and denies any route to the base relation
+  * that does not canonicalize to the role view. substituteTable mutates
+  * no shared state, so concurrent calls on one session are safe.
   *
   * Known semantic choice: under runAs an unqualified reference to the
   * protected name ALWAYS means the secured table — a same-named user temp
@@ -126,6 +149,21 @@ object SqlRewrite {
           w.cteRelations.foreach { case (_, defPlan, _) =>
             rejectLateBound(defPlan)
           }
+        // Format-shaped relations (SELECT-on-files): reject at parse time
+        // so the analyzer never resolves a path, whatever
+        // spark.sql.runSQLOnFiles holds. The match is deliberately a
+        // superset of Spark's own `format.\`path\`` rule — a known format
+        // token, a dotted head (datasource CLASS names like
+        // org.apache...parquet resolve too), or a `/` in the second part
+        // all deny. The structural backstop below catches anything
+        // format-shaped this misses.
+        case r: UnresolvedRelation if r.multipartIdentifier.length == 2 =>
+          val head = r.multipartIdentifier.head.toLowerCase
+          if (FileFormatTokens(head) || head.contains('.') ||
+              r.multipartIdentifier(1).contains('/'))
+            throw deny(
+              s"file-path relations (`$head`.`...`) are not allowed under " +
+                "runAs: path reads bypass table-level access control")
         case _ => ()
       }
       node.expressions.foreach(_.foreach {
@@ -176,19 +214,14 @@ object SqlRewrite {
     }
     val rewritten = rewrite(parsed, Set.empty)
 
-    // Analyze BEFORE constructing the Dataset, with file-path relations
-    // disabled: `SELECT * FROM parquet.`/warehouse/...`` reads the data
-    // behind the table with no catalogTable for the backstop to flag, so
-    // analysis under runAs must not resolve paths at all (fail closed:
-    // TABLE_OR_VIEW_NOT_FOUND). The statement rejection above keeps
-    // everything below side-effect-free, and the backstop verdict lands
-    // before any Dataset exists.
-    val prevRunOnFiles = spark.conf.get("spark.sql.runSQLOnFiles", "true")
-    val analyzed =
-      try {
-        spark.conf.set("spark.sql.runSQLOnFiles", "false")
-        session.sessionState.executePlan(rewritten).analyzed
-      } finally spark.conf.set("spark.sql.runSQLOnFiles", prevRunOnFiles)
+    // Analyze BEFORE constructing the Dataset. The statement rejection
+    // above keeps everything below side-effect-free, and the backstop
+    // verdict lands before any Dataset exists. No session conf is
+    // touched: path reads are denied structurally (parse check above +
+    // the no-catalog-identity rule in reaches() below), so concurrent
+    // runAs calls — and unrelated concurrent queries — cannot race a
+    // set/restore window.
+    val analyzed = session.sessionState.executePlan(rewritten).analyzed
 
     // Post-analysis backstop (defense in depth): the parse-level rewrite
     // only sees names written IN the query text. A pre-existing view whose
@@ -221,11 +254,17 @@ object SqlRewrite {
       if (sanctioned.contains(plan.canonicalized)) false
       else plan match {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.catalogTable.exists(matchesTarget)
+          // No catalogTable ⇒ a path-backed read (spark.read.parquet(...)
+          // behind a temp view, or SELECT-on-files): nothing attributes it
+          // to a catalog entity, so the protected table's own files could
+          // hide behind it. Under runAs only catalog-resident relations
+          // are permitted — deny, whatever path it reads.
+          r.catalogTable.forall(matchesTarget)
         case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
           matchesTarget(h.tableMeta)
         case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-          v2.identifier.exists { ident =>
+          // Same rule for DSv2: an identifier-less relation is a path load.
+          v2.identifier.forall { ident =>
             val parts = (Seq(v2.catalog.map(_.name).getOrElse(currentCatalog)) ++
               ident.namespace.toSeq ++ Seq(ident.name)).map(_.toLowerCase)
             parts == target
@@ -239,11 +278,24 @@ object SqlRewrite {
     if (reaches(analyzed)) {
       throw deny(
         s"query reaches protected table '$table' through a path the " +
-          "substitution does not secure (e.g. a view over it); access " +
+          "substitution does not secure (e.g. a view over it, or a " +
+          "path-backed relation with no catalog identity); access " +
           "denied")
     }
-    ofRows(spark, rewritten)
+    // Return the AUDITED plan, not the parsed one: ofRows(spark,
+    // rewritten) would re-analyze, and session changes (temp views,
+    // current database) between verdict and execution could rebind a
+    // relation the backstop never saw.
+    ofRows(spark, analyzed)
   }
+
+  /** Datasource tokens Spark's SELECT-on-files rule accepts as
+    * `format.\`path\``; used to reject format-shaped relations under
+    * runAs at parse time (dotted class-name heads are rejected
+    * separately). */
+  private val FileFormatTokens: Set[String] = Set(
+    "parquet", "orc", "json", "csv", "text", "avro", "binaryfile",
+    "libsvm", "xml", "jdbc", "delta", "iceberg", "hudi", "textfile")
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)

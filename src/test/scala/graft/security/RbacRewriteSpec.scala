@@ -116,9 +116,55 @@ class RbacRewriteSpec extends SparkSpec {
       Rbac.runAs(spark, Rbac.core, table,
         s"SELECT COUNT(*) AS n FROM json.`$loc`").collect()
     }
-    // fails closed (path resolution disabled during runAs analysis)
-    assert(e.getMessage.toLowerCase.contains("table or view not found") ||
-      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    // fails closed at parse time — structurally, not via a conf flip
+    assert(e.getMessage.contains("file-path relations"))
+    // ... and for any OTHER path too (path reads have no catalog identity
+    // to attribute, so runAs denies them wholesale)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        "SELECT COUNT(*) AS n FROM parquet.`/etc/hosts`").collect()
+    }
+    assert(e2.getMessage.contains("file-path relations"))
+    // a dotted datasource CLASS name does not dodge the token list
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        s"SELECT COUNT(*) AS n FROM " +
+          s"`org.apache.spark.sql.execution.datasources.json`.`$loc`").collect()
+    }
+    assert(e3.getMessage.contains("file-path relations"))
+  }
+
+  test("a temp view over the raw storage path is denied by the backstop") {
+    // the advisory's bypass: the caller reads the table's files directly
+    // (no catalogTable anywhere in that plan) and wraps them in a view —
+    // the parse-level check never sees a path, so the structural
+    // no-catalog-identity rule in the backstop must deny it
+    val loc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1)).get
+    spark.read.json(loc.stripPrefix("file:"))
+      .createOrReplaceTempView("path_leak")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, Rbac.core, table,
+        "SELECT COUNT(*) AS n FROM path_leak").collect()
+    }
+    assert(e.getMessage.contains("access denied"))
+  }
+
+  test("runAs mutates no session conf and is safe under concurrency") {
+    val before = spark.conf.get("spark.sql.runSQLOnFiles", "true")
+    // 4 threads × 8 calls: with the old runSQLOnFiles set/restore this
+    // interleaving raced (one finally restoring while another's analysis
+    // was in flight); structurally-fail-closed runAs shares no state
+    val results = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => (1 to 8).foreach { _ =>
+        results.add(coreCount(s"SELECT COUNT(*) AS n FROM $table"))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(results.size == 1 && results.contains(10L))
+    assert(spark.conf.get("spark.sql.runSQLOnFiles", "true") == before)
   }
 
   test("a CTE named like the role view is rejected, not silently captured") {
