@@ -346,7 +346,91 @@ object Text {
       GROUP BY split
       ORDER BY split"""))
 
+  val t11_repetition = Q(
+    "t11_repetition",
+    (s, dir) => {
+      // Repetition-based quality signals (the Gopher/C4 family of
+      // filters): top-token share (mode frequency / length), duplicate
+      // token ratio, duplicate bigram ratio. ONE corpus scan: the
+      // array-derived per-document scalars (length, distinct counts,
+      // bigram stats) are projected map-side BEFORE the explode, ride
+      // along as grouping keys (constant per doc), and only the mode
+      // count — the one signal that genuinely needs per-(doc, token)
+      // counts — goes through the two-level partial-aggregating groupBy.
+      // The shuffle carries one row per DISTINCT token per doc, not per
+      // occurrence (an array-HOF mode — array_max(transform(distinct,
+      // count-in-array)) — would be O(distinct·len) interpreted work per
+      // row; the declarative aggregate beats it and scales out).
+      // cache(): optimizer barrier (same requirement as d08/signatures) —
+      // without it CollapseProject inlines the regexp tokenizer into every
+      // one of its five references and the interpreted array trees
+      // re-evaluate under the Generate; with the barrier each scalar is
+      // computed exactly once per document.
+      val base = Tables(s, dir, "documents")
+        // single-split testdata parquet: without this the interpreted
+        // array/regexp work below runs on ONE core (same mitigation as
+        // t06/t07 and Dedup.withToks)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          col("doc_id"),
+          expr("size(toks)").cast("long").as("n_tok"),
+          expr("size(array_distinct(toks))").cast("long").as("n_uniq"),
+          greatest(expr("size(toks)").cast("long") - 1L, lit(0L)).as("n_big"),
+          expr("""CASE WHEN size(toks) >= 2 THEN size(array_distinct(
+                    transform(sequence(0, size(toks)-2),
+                              i -> concat(toks[i], ' ', toks[i+1]))))
+                  ELSE 0 END""").cast("long").as("n_uniq_big"),
+          col("toks"))
+        .cache()
+      base
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_big"),
+          col("n_uniq_big"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_big"),
+          col("n_uniq_big"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_big"),
+          col("n_uniq_big"))
+        .agg(max(col("c")).as("top_cnt"))
+        .select(
+          col("doc_id"), col("n_tok"), col("top_cnt"),
+          (col("top_cnt").cast("double") / col("n_tok")).as("top_share"),
+          (lit(1.0) - col("n_uniq").cast("double") / col("n_tok"))
+            .as("dup_tok_ratio"),
+          when(col("n_big") > 0,
+            lit(1.0) - col("n_uniq_big").cast("double") / col("n_big"))
+            .otherwise(0.0).as("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+                 FROM documents),
+      base AS (
+        SELECT doc_id,
+               CAST(length(toks) AS BIGINT) AS n_tok,
+               CAST(length(list_distinct(toks)) AS BIGINT) AS n_uniq,
+               CAST(greatest(length(toks) - 1, 0) AS BIGINT) AS n_big,
+               CAST(CASE WHEN length(toks) >= 2 THEN length(list_distinct(
+                      list_transform(range(1, length(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])))
+                    ELSE 0 END AS BIGINT) AS n_uniq_big
+        FROM t),
+      top AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_cnt FROM (
+          SELECT doc_id, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+          GROUP BY doc_id, tok)
+        GROUP BY doc_id)
+      SELECT b.doc_id, n_tok, top_cnt,
+             CAST(top_cnt AS DOUBLE) / n_tok AS top_share,
+             1.0 - CAST(n_uniq AS DOUBLE) / n_tok AS dup_tok_ratio,
+             CASE WHEN n_big > 0
+                  THEN 1.0 - CAST(n_uniq_big AS DOUBLE) / n_big
+                  ELSE 0.0 END AS dup_bigram_ratio
+      FROM base b JOIN top USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
-    t10_hash_split)
+    t10_hash_split, t11_repetition)
 }
