@@ -1,11 +1,13 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Lake-Formation-style row security as a Catalyst rule (SURVEY §4's
   * optional `RowFilterRule`): when the session conf declares a restricted
@@ -22,11 +24,12 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * ==Trust model — this rule is a plan-injection DEMO, not the
   * enforcement boundary==
   *
-  * It covers exactly V1 `LogicalRelation` scans that carry a catalog
-  * table. Paths that BYPASS it, by design:
-  *  - DSv2 (`DataSourceV2Relation`) and Hive (`HiveTableRelation`) scans;
+  * It covers every CATALOG-ATTRIBUTED scan shape: V1 `LogicalRelation`
+  * with a catalogTable, Hive `HiveTableRelation`, and DSv2
+  * `DataSourceV2Relation` carrying an identifier. Paths that BYPASS it,
+  * by design:
   *  - direct path reads of the underlying files
-  *    (`spark.read.parquet(rawPrefix)`) — no catalogTable, no match
+  *    (`spark.read.parquet(rawPrefix)`) — no catalog identity, no match
   *    (pinned by a spec case);
   *  - temp views defined over such reads;
   *  - `graft.rbac.role` is an ORDINARY session conf the caller can flip —
@@ -55,16 +58,26 @@ case class RowFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (role != "core" || table.isEmpty) return plan
     val column = conf.get("graft.rbac.filter.column", "endpoint")
     val value = conf.get("graft.rbac.filter.value", "api-a")
+    def wrap(rel: LogicalPlan): LogicalPlan =
+      rel.output.find(_.name == column) match {
+        case Some(attr) =>
+          rel.setTagValue(applied, true)
+          Filter(EqualTo(attr, Literal(value)), rel)
+        case None => rel
+      }
+    def fresh(rel: LogicalPlan): Boolean =
+      !rel.getTagValue(applied).contains(true)
     plan.transformUp {
       case rel: LogicalRelation
           if rel.catalogTable.exists(_.identifier.table == table) &&
-            !rel.getTagValue(applied).contains(true) =>
-        rel.output.find(_.name == column) match {
-          case Some(attr) =>
-            rel.setTagValue(applied, true)
-            Filter(EqualTo(attr, Literal(value)), rel)
-          case None => rel
-        }
+            fresh(rel) =>
+        wrap(rel)
+      case rel: HiveTableRelation
+          if rel.tableMeta.identifier.table == table && fresh(rel) =>
+        wrap(rel)
+      case rel: DataSourceV2Relation
+          if rel.identifier.exists(_.name == table) && fresh(rel) =>
+        wrap(rel)
     }
   }
 }
