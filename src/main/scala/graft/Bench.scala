@@ -86,13 +86,24 @@ object Bench {
     // attestations, and a pre-planted symlink there would redirect the
     // write): SPARK_GRAFT_BENCH_OUT if the caller wants a known location,
     // else a fresh temp file, path announced next to the contract line.
+    // NonFatal, not just IOException: Paths.get on a malformed
+    // SPARK_GRAFT_BENCH_OUT throws unchecked InvalidPathException, and the
+    // contract line below must print regardless of artifact-write failure.
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
         .map(java.nio.file.Paths.get(_))
         .getOrElse(java.nio.file.Files.createTempFile("graft_bench_", ".json"))
       java.nio.file.Files.write(out, (contract + "\n").getBytes("UTF-8"))
-      println(s"""{"metric":"bench_file","path":"$out"}""")
-    } catch { case _: java.io.IOException => () }
+      // JSON-escape the path (quotes/backslashes/control chars) so the
+      // announcement line stays machine-parseable for any env value.
+      val escaped = out.toString.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      println(s"""{"metric":"bench_file","path":"$escaped"}""")
+    } catch { case scala.util.control.NonFatal(_) => () }
     println(contract) // the contract line — keep LAST and compact
     spark.stop()
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
 /** Lake-Formation-style row security as a Catalyst rule (SURVEY §4's
   * optional `RowFilterRule`): when the session conf declares a restricted
@@ -25,9 +25,16 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * enforcement boundary==
   *
   * It covers every CATALOG-ATTRIBUTED scan shape: V1 `LogicalRelation`
-  * with a catalogTable, Hive `HiveTableRelation`, and DSv2
-  * `DataSourceV2Relation` carrying an identifier. Paths that BYPASS it,
-  * by design:
+  * with a catalogTable, Hive `HiveTableRelation`, and DSv2 relations
+  * carrying an identifier — both `DataSourceV2Relation` (pre-optimization
+  * injection) and `DataSourceV2ScanRelation` (what the relation has
+  * already become by the time `extraOptimizations` runs, after
+  * V2ScanRelationPushDown). Post-pushdown DSv2 wrapping only works while
+  * the filter column survives column pruning — a query that never
+  * references it gets an unfiltered scan, one more reason this rule is a
+  * demo: real enforcement belongs at a pre-optimization seam (resolution
+  * rule via SparkSessionExtensions) or in the catalog/storage layer.
+  * Paths that BYPASS it, by design:
   *  - direct path reads of the underlying files
   *    (`spark.read.parquet(rawPrefix)`) — no catalog identity, no match
   *    (pinned by a spec case);
@@ -75,8 +82,18 @@ case class RowFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case rel: HiveTableRelation
           if rel.tableMeta.identifier.table == table && fresh(rel) =>
         wrap(rel)
+      // Matters when the rule is injected PRE-optimization (a resolution
+      // rule via SparkSessionExtensions): at that point DSv2 tables are
+      // still DataSourceV2Relation nodes.
       case rel: DataSourceV2Relation
           if rel.identifier.exists(_.name == table) && fresh(rel) =>
+        wrap(rel)
+      // Registered via extraOptimizations ("User Provided Optimizers"
+      // batch), the rule runs AFTER V2ScanRelationPushDown has rewritten
+      // every DataSourceV2Relation into DataSourceV2ScanRelation — this
+      // arm is the one that fires on real optimized DSv2 queries.
+      case rel: DataSourceV2ScanRelation
+          if rel.relation.identifier.exists(_.name == table) && fresh(rel) =>
         wrap(rel)
     }
   }

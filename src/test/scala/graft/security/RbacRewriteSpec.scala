@@ -156,14 +156,24 @@ class RbacRewriteSpec extends SparkSpec {
     // interleaving raced (one finally restoring while another's analysis
     // was in flight); structurally-fail-closed runAs shares no state
     val results = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
     val threads = (1 to 4).map { _ =>
       new Thread(() => (1 to 8).foreach { _ =>
-        results.add(coreCount(s"SELECT COUNT(*) AS n FROM $table"))
+        // catch INSIDE the loop: an uncaught throw would kill the thread
+        // silently and the surviving threads' successes could still
+        // satisfy a naive results-only assertion
+        try {
+          results.add(coreCount(s"SELECT COUNT(*) AS n FROM $table"))
+          ok.incrementAndGet()
+        } catch { case t: Throwable => failures.add(t) }
       })
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
-    assert(results.size == 1 && results.contains(10L))
+    assert(failures.isEmpty,
+      s"concurrent runAs threw: ${Option(failures.peek()).map(_.toString)}")
+    assert(ok.get == 32 && results.size == 1 && results.contains(10L))
     assert(spark.conf.get("spark.sql.runSQLOnFiles", "true") == before)
   }
 

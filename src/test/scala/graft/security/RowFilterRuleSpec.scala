@@ -100,6 +100,22 @@ class RowFilterRuleSpec extends SparkSpec {
         case other => fail(s"expected injected Filter, got:\n$other")
       }
 
+      // DataSourceV2ScanRelation — the shape real DSv2 queries have by
+      // the time extraOptimizations runs (after V2ScanRelationPushDown
+      // has rewritten the relation) — must be wrapped too; the
+      // DataSourceV2Relation arm alone would be dead code at that seam
+      val scan = new org.apache.spark.sql.connector.read.Scan {
+        override def readSchema(): StructType = schema
+      }
+      val scanRel =
+        org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation(
+          v2, scan, attrs, None, None)
+      rule(scanRel) match {
+        case Filter(cond, _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation) =>
+          assert(cond.references.map(_.name).toSeq == Seq("endpoint"))
+        case other => fail(s"expected injected Filter, got:\n$other")
+      }
+
       // an identifier-LESS DSv2 relation (path load) stays unwrapped —
       // the documented trust boundary
       val pathRel = DataSourceV2Relation(
