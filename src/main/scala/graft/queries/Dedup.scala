@@ -425,7 +425,85 @@ object Dedup {
       HAVING COUNT(*) >= 3
       ORDER BY train_id, test_id"""))
 
+  val d09_semantic_neardup = Q(
+    "d09_semantic_neardup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+      // Semantic near-dup: candidate blocking by LEARNED cluster
+      // assignment instead of the stored label — the pipeline shape when
+      // no curated label exists. Centroids are the exact-decimal label
+      // means (one grouped aggregate, k tiny rows broadcast); every
+      // vector is assigned to its NEAREST centroid (which need not be
+      // its own label — s04 measures exactly that movement); pairs are
+      // then generated within assignment cells only, so candidate
+      // generation stays an equi-join on the cell id — at 100 TB the
+      // cell is the partition key (the s05 index layout) and
+      // embedNearDupPairs' SRP sub-split guard keeps a degenerate cell
+      // from going quadratic.
+      val cent = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cvec"))
+        .select(col("label").as("clabel"), col("cvec"),
+          vec_norm(col("cvec")).as("cn"))
+      val wBest = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("clabel"))
+      val assigned = Tables(s, dir, "embeddings")
+        .withColumn("norm", vec_norm(col("embedding")))
+        .crossJoin(broadcast(cent))
+        .withColumn("sim",
+          when(col("norm") > 0 && col("cn") > 0,
+            round(vec_dot(col("embedding"), col("cvec")) /
+              (col("norm") * col("cn")), 6)).otherwise(0.0))
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("clabel").as("label"), col("embedding"))
+      embedNearDupPairs(assigned).withColumnRenamed("label", "cell")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(e AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS e, unnest(range(64)) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      centroid AS (
+        SELECT label AS clabel, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
+      cn AS (
+        SELECT clabel, cvec, sqrt(${Similarity.dotSqlDuck("cvec", "cvec")}) AS cn
+        FROM centroid),
+      nv AS (
+        SELECT vec_id, embedding,
+               sqrt(${Similarity.dotSqlDuck("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, cell, embedding, norm FROM (
+          SELECT v.vec_id, c.clabel AS cell, v.embedding, v.norm,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                   CASE WHEN v.norm > 0 AND c.cn > 0
+                     THEN round(${Similarity.dotSqlDuck("v.embedding", "c.cvec")} / (v.norm * c.cn), 6)
+                     ELSE 0.0 END DESC, c.clabel) AS rk
+          FROM nv v CROSS JOIN cn c)
+        WHERE rk = 1)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell AS cell,
+             CASE WHEN a.norm > 0 AND b.norm > 0
+               THEN round(${Similarity.dotSqlDuck("a.embedding", "b.embedding")}
+                 / (a.norm * b.norm), 6)
+               ELSE 0.0 END AS cos_sim
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE CASE WHEN a.norm > 0 AND b.norm > 0
+              THEN round(${Similarity.dotSqlDuck("a.embedding", "b.embedding")}
+                / (a.norm * b.norm), 6)
+              ELSE 0.0 END >= 0.35
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
     d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash,
-    d08_decontamination)
+    d08_decontamination, d09_semantic_neardup)
 }

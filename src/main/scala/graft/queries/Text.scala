@@ -430,7 +430,51 @@ object Text {
       FROM base b JOIN top USING (doc_id)
       ORDER BY doc_id"""))
 
+  val t12_source_mix = Q(
+    "t12_source_mix",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Corpus composition report: the per-source doc/char/token budget a
+      // data-mixing stage works from. One scan + one tiny grouped
+      // aggregate (|sources| rows); the corpus shares come from empty-frame
+      // windows OVER the grouped result — the q44 single-pass pattern, no
+      // second scan for the global totals. Token counts are exact long
+      // sums; shares are double ratios of exact integers, so identical on
+      // any engine/partitioning.
+      val grouped = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), col("n_chars"),
+          expr(s"size($toksExpr)").cast("long").as("n_tok"),
+          col("lang"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tok")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+      val w = Window.partitionBy()
+      grouped
+        .withColumn("doc_share",
+          col("n_docs").cast("double") / sum(col("n_docs")).over(w))
+        .withColumn("token_share",
+          col("total_tokens").cast("double") / sum(col("total_tokens")).over(w))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, n_docs, total_chars, total_tokens, n_langs,
+             CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
+             CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS token_share
+      FROM (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(length(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+        GROUP BY source)
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
-    t10_hash_split, t11_repetition)
+    t10_hash_split, t11_repetition, t12_source_mix)
 }
