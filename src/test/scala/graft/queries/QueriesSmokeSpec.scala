@@ -79,6 +79,35 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(df.count() > 0, "q44 returned no rows at smoke scale")
   }
 
+  test("t11 single-scan form reads documents exactly once") {
+    val plan = Text.t11_repetition.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
+  }
+
+  test("d09 pair generation is an equi-join on the cell, never nested-loop") {
+    // the only nested-loop allowed is the k-row centroid broadcast; the
+    // PAIR join (the part that touches n^2 candidates if blocking breaks)
+    // must be a hash/sort-merge equi-join on the assignment cell.
+    // String-matched because collect() does not descend into
+    // AdaptiveSparkPlanExec's inner plan.
+    val plan = Dedup.d09_semantic_neardup.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // examine only the OUTER pair-join plan: everything from the first
+    // InMemoryRelation down is the cached assignment subtree, which
+    // legitimately contains the k-row centroid broadcast (and prints once
+    // per join side)
+    val outer = plan.split("InMemoryRelation")(0)
+    assert(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[label".r
+        .findFirstIn(outer).isDefined,
+      s"no equi-join on the cell found for d09 pair generation:\n$plan")
+    assert(!outer.contains("BroadcastNestedLoopJoin") &&
+      !outer.contains("CartesianProduct"),
+      s"nested-loop join in d09 pair generation:\n$plan")
+  }
+
   graft.SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, sfDir)
