@@ -166,6 +166,30 @@ object Dedup {
       FROM sig
       ORDER BY doc_id"""))
 
+  /** 4-band × 4-row LSH banding over a 16-slot `sig` column: each band's
+    * key is the md5 of its 4 signature slots. Shared verbatim by the
+    * batch d04 join and [[graft.streaming.DedupStream]] so batch and
+    * incremental detection see byte-identical bucket keys. */
+  private[graft] val bandStructExpr =
+    """transform(sequence(0, 3), b -> struct(b AS band,
+       md5(concat_ws(',', CAST(sig[b*4] AS STRING), CAST(sig[b*4+1] AS STRING),
+                     CAST(sig[b*4+2] AS STRING), CAST(sig[b*4+3] AS STRING))) AS bh))"""
+
+  /** Band any (doc_id, text) relation — batch OR streaming — into
+    * (doc_id, band, bh) bucket membership rows. Pure per-row projections
+    * (regexp → shingles → native MinHash → band md5), so it runs
+    * unchanged under Structured Streaming. */
+  private[graft] def bandedFromText(docs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.minhash_sig
+    docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("sh", expr(shinglesExpr))
+      .select(col("doc_id"), minhash_sig(col("sh")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(expr(bandStructExpr)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bh"))
+  }
+
   val d04_lsh_pairs = Q(
     "d04_lsh_pairs",
     (s, dir) => {
@@ -175,11 +199,7 @@ object Dedup {
       // extra lookup joins are needed for the similarity estimate.
       val bands = signatures(s, dir).select(
         col("doc_id"), col("sig"),
-        explode(expr(
-          """transform(sequence(0, 3), b -> struct(b AS band,
-             md5(concat_ws(',', CAST(sig[b*4] AS STRING), CAST(sig[b*4+1] AS STRING),
-                           CAST(sig[b*4+2] AS STRING), CAST(sig[b*4+3] AS STRING))) AS bh))"""))
-          .as("x"))
+        explode(expr(bandStructExpr)).as("x"))
         .select(col("doc_id"), col("sig"), col("x.band"), col("x.bh"))
       bands.as("l")
         .join(bands.as("r"),

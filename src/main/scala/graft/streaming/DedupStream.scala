@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental near-duplicate detection over a DOCUMENT stream — the
+  * ingestion-time twin of the batch d04 LSH join: as new crawl shards
+  * arrive, each document's MinHash signature is banded with EXACTLY the
+  * batch banding expression ([[graft.queries.Dedup.bandedFromText]]), and
+  * a stateful per-bucket membership check emits a candidate pair the
+  * moment a new document lands in a bucket that already holds others.
+  * Run over the same corpus, the distinct candidate set is identical to
+  * the batch join's (pinned by `DedupStreamSpec`) — dedup does not need a
+  * nightly recompute; it can gate ingestion.
+  *
+  * Scale shape: state is keyed by (band, bucket-hash), so it shards
+  * across executors like any grouped state and each key holds only that
+  * bucket's doc ids. Buckets are small by construction (a bucket is a
+  * 1-in-2^60 hash collision unless the documents genuinely share a band,
+  * which is what LSH makes rare for non-near-dups); a degenerate bucket —
+  * a boilerplate band shared by millions of pages — is capped at
+  * `maxBucket` RETAINED ids: every incoming doc still pairs against the
+  * retained members (the canonical early arrivals), which is the standard
+  * recall/state trade for streaming LSH. With checkpointing the state
+  * store persists across restarts, so the detector resumes where the
+  * previous run stopped.
+  */
+object DedupStream {
+  /** One banded membership row (input). */
+  final case class BandedDoc(doc_id: Long, band: Int, bh: String)
+
+  /** Retained ids of one LSH bucket (state). */
+  final case class BucketState(ids: List[Long])
+
+  /** Emitted candidate pair, a_id < b_id (output). May repeat across
+    * BUCKETS (a pair sharing two bands emits twice, exactly like the
+    * batch join before its dropDuplicates) — distinct downstream. */
+  final case class CandidatePair(a_id: Long, b_id: Long, band: Int, bh: String)
+
+  /** Band a (streaming or batch) `(doc_id, text)` relation. */
+  def banded(docs: DataFrame): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    graft.queries.Dedup.bandedFromText(docs).as[BandedDoc]
+  }
+
+  /** Stateful bucket membership: every new doc pairs against the bucket's
+    * retained members, then joins them. Append-mode compatible
+    * (`flatMapGroupsWithState` + NoTimeout — bucket membership has no
+    * event-time horizon; eviction is the `maxBucket` cap). */
+  def lshCandidates(
+      bandedDocs: Dataset[BandedDoc],
+      maxBucket: Int = 1024): Dataset[CandidatePair] = {
+    import bandedDocs.sparkSession.implicits._
+    bandedDocs
+      .groupByKey(b => (b.band, b.bh))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, bh), rows, state: GroupState[BucketState]) =>
+          val seen = state.getOption.map(_.ids).getOrElse(Nil)
+          // deterministic intra-batch order so a batch containing a whole
+          // bucket emits the same pairs as N single-doc batches
+          val fresh = rows.map(_.doc_id).toSeq.distinct.sorted
+            .filterNot(seen.contains)
+          val out = Seq.newBuilder[CandidatePair]
+          var members = seen // oldest-first, so the cap keeps early arrivals
+          fresh.foreach { n =>
+            members.foreach { m =>
+              out += (if (m < n) CandidatePair(m, n, band, bh)
+                      else CandidatePair(n, m, band, bh))
+            }
+            members = members :+ n
+          }
+          state.update(BucketState(members.take(maxBucket)))
+          out.result().iterator
+      }
+  }
+}
