@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.{Dedup, Text}
+
+/** End-to-end training-data curation: the LLM counterpart of
+  * [[graft.tools.Pipeline]]'s reference dataflow, composing the
+  * oracle-verified operators into the standard corpus-curation funnel:
+  *
+  *   documents
+  *     → exact dedup        (keep each md5 group's canonical min doc_id)
+  *     → near-dup removal   (LSH candidates ≥ `simThreshold` estimated
+  *                           Jaccard; keep the smaller id of each pair)
+  *     → quality filter     (t02 score ≥ `qualityThreshold`)
+  *     → decontamination    (drop training docs sharing ≥3 shingles with
+  *                           the held-out slice — d08's sweep)
+  *     → deterministic split (t10's md5 bucketing, 80/10/10)
+  *     → curated parquet partitioned by split + a JSON manifest
+  *
+  * Every stage is an (anti-)join against a digest-sized side — document
+  * text never re-shuffles after its one banding/scoring pass — so the
+  * funnel runs at corpus scale exactly like its constituent operators.
+  * Each drop rule is deterministic (min-id canonical, hash split), so two
+  * runs over the same corpus produce byte-identical curated sets — the
+  * reproducibility a training pipeline audit needs.
+  */
+object Curate {
+  final case class Report(
+      input: Long,
+      afterExact: Long,
+      afterNearDup: Long,
+      afterQuality: Long,
+      afterDecontam: Long,
+      splits: Map[String, Long]) {
+    def json: String = {
+      val sp = splits.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      s"""{"input":$input,"after_exact_dedup":$afterExact,""" +
+        s""""after_neardup":$afterNearDup,"after_quality":$afterQuality,""" +
+        s""""after_decontam":$afterDecontam,"splits":$sp}"""
+    }
+  }
+
+  /** Run the funnel; write `outDir/curated` (parquet, partitioned by
+    * split) and `outDir/manifest.json`; return the per-stage counts. */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      simThreshold: Double = 0.5,
+      qualityThreshold: Double = 0.5): Report = {
+    val docs = Tables(spark, sfDir, "documents")
+    val input = docs.count()
+
+    // 1. exact dedup: d01's canonical ids ARE the survivors
+    val canonical = Dedup.d01_exact_dedup.run(spark, sfDir)
+      .select(col("canonical_id").as("doc_id"))
+    val exact = docs.join(canonical, "doc_id")
+    val nExact = exact.count()
+
+    // 2. near-dup removal: of each high-similarity candidate pair, the
+    // larger id is dropped (deterministic, order-free). Estimated Jaccard
+    // comes from the banded signatures, so this never rescans text.
+    val dropNear = Dedup.d04_lsh_pairs.run(spark, sfDir)
+      .filter(col("est_sim") >= simThreshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    val nearDeduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+    val nNear = nearDeduped.count()
+
+    // 3. quality floor (t02's saturation + diversity + stopword score)
+    val quality = Text.t02_quality_score.run(spark, sfDir)
+      .filter(col("quality") >= qualityThreshold)
+      .select(col("doc_id"))
+    val qualified = nearDeduped.join(quality, "doc_id")
+    val nQuality = qualified.count()
+
+    // 4. decontamination: drop flagged TRAIN docs; the held-out slice
+    // (doc_id % 89 == 0) is also excluded from the curated set — it is
+    // the evaluation data, not training data
+    val contaminated = Dedup.d08_decontamination.run(spark, sfDir)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = qualified
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 89 =!= 0)
+    val nClean = clean.count()
+
+    // 5. deterministic split (same md5 bucketing as t10) and write
+    val curated = clean
+      .withColumn("bucket",
+        expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .drop("bucket")
+    curated.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/curated")
+
+    val splits = spark.read.parquet(s"$outDir/curated")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val report =
+      Report(input, nExact, nNear, nQuality, nClean, splits)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "manifest.json"),
+      (report.json + "\n").getBytes("UTF-8"))
+    report
+  }
+
+  /** CLI: graft.pipeline.Curate <sfDir> <outDir>. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.drop(1).headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-curate").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val report = run(spark, sfDir, outDir)
+    println(report.json)
+    println(s"curated -> $outDir/curated")
+    spark.stop()
+  }
+}
