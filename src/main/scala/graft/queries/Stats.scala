@@ -116,6 +116,38 @@ object Stats {
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY rflag, lstatus"""))
 
+  val q49_grouping_sets = Q(
+    "q49_grouping_sets",
+    (s, dir) => {
+      // Explicit GROUPING SETS — the asymmetric cousin of q16 ROLLUP and
+      // q41 CUBE: exactly the requested combinations ((rf, ls), (ls), ())
+      // in ONE Expand + aggregate; grouping_id() disambiguates which set
+      // produced a row (COALESCE alone cannot when a set omits a column).
+      Tables(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(Exact.dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("rflag"), col("lstatus"))
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+             COALESCE(l_linestatus, 'ALL') AS lstatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY gid, rflag, lstatus"""))
+
   val q42_relational_division = Q(
     "q42_relational_division",
     (s, dir) => {
@@ -150,5 +182,5 @@ object Stats {
       ORDER BY o_custkey"""))
 
   val all: Seq[Q] = Seq(q19_count_distinct, q20_stats_moments, q21_min_max_top,
-    q41_cube, q42_relational_division)
+    q41_cube, q42_relational_division, q49_grouping_sets)
 }
