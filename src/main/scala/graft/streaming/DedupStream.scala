@@ -43,6 +43,27 @@ object DedupStream {
     graft.queries.Dedup.bandedFromText(docs).as[BandedDoc]
   }
 
+  /** Pure bucket-admission step: pair each arriving id against retained
+    * members (then among the arrivals themselves, in sorted order — so a
+    * batch containing a whole bucket emits the same pairs as N
+    * single-doc batches), and produce the next retained-member list
+    * (oldest-first, capped). Factored out of the streaming closure so
+    * its batch-split invariance is property-testable without a streaming
+    * harness. */
+  private[streaming] def admit(
+      seen: List[Long],
+      arriving: Seq[Long],
+      maxBucket: Int): (Seq[(Long, Long)], List[Long]) = {
+    val fresh = arriving.distinct.sorted.filterNot(seen.contains)
+    val out = Seq.newBuilder[(Long, Long)]
+    var members = seen // oldest-first, so the cap keeps early arrivals
+    fresh.foreach { n =>
+      members.foreach(m => out += (if (m < n) (m, n) else (n, m)))
+      members = members :+ n
+    }
+    (out.result(), members.take(maxBucket))
+  }
+
   /** Stateful bucket membership: every new doc pairs against the bucket's
     * retained members, then joins them. Append-mode compatible
     * (`flatMapGroupsWithState` + NoTimeout — bucket membership has no
@@ -57,21 +78,10 @@ object DedupStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((band, bh), rows, state: GroupState[BucketState]) =>
           val seen = state.getOption.map(_.ids).getOrElse(Nil)
-          // deterministic intra-batch order so a batch containing a whole
-          // bucket emits the same pairs as N single-doc batches
-          val fresh = rows.map(_.doc_id).toSeq.distinct.sorted
-            .filterNot(seen.contains)
-          val out = Seq.newBuilder[CandidatePair]
-          var members = seen // oldest-first, so the cap keeps early arrivals
-          fresh.foreach { n =>
-            members.foreach { m =>
-              out += (if (m < n) CandidatePair(m, n, band, bh)
-                      else CandidatePair(n, m, band, bh))
-            }
-            members = members :+ n
-          }
-          state.update(BucketState(members.take(maxBucket)))
-          out.result().iterator
+          val (pairs, members) =
+            admit(seen, rows.map(_.doc_id).toSeq, maxBucket)
+          state.update(BucketState(members))
+          pairs.iterator.map { case (a, b) => CandidatePair(a, b, band, bh) }
       }
   }
 }

@@ -62,6 +62,47 @@ class DedupStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("admit is batch-split invariant: any sharding emits the same pair set") {
+    // property over random id multisets and random batch splits (fixed
+    // seeds): replaying a bucket's arrivals in ANY batching yields the
+    // same distinct pairs and the same retained state as one big batch —
+    // the invariant that makes micro-batch boundaries semantically
+    // invisible
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val ids = Seq.fill(rnd.nextInt(30) + 2)(rnd.nextInt(40).toLong)
+      val cap = rnd.nextInt(10) + 1
+      val (onePairs, oneState) = DedupStream.admit(Nil, ids, cap)
+      // random split into 1..5 batches, preserving arrival order
+      val batches = ids.foldLeft(List(List.empty[Long])) { (acc, id) =>
+        if (rnd.nextBoolean() && acc.head.nonEmpty) List(id) :: acc
+        else (acc.head :+ id) :: acc.tail
+      }.reverse.filter(_.nonEmpty)
+      var state = List.empty[Long]
+      val shardedPairs = Seq.newBuilder[(Long, Long)]
+      batches.foreach { b =>
+        val (p, s2) = DedupStream.admit(state, b, cap)
+        shardedPairs ++= p; state = s2
+      }
+      // under a cap, later shards may MISS pairs against evicted members,
+      // never invent new ones; with an uncapped bucket the sets are equal
+      val (fullPairs, fullState) = DedupStream.admit(Nil, ids, Int.MaxValue)
+      var st = List.empty[Long]
+      val shardedFull = Seq.newBuilder[(Long, Long)]
+      batches.foreach { b =>
+        val (p, s2) = DedupStream.admit(st, b, Int.MaxValue)
+        shardedFull ++= p; st = s2
+      }
+      assert(shardedFull.result().toSet == fullPairs.toSet)
+      // retained membership agrees as a SET (arrival order differs: one
+      // big batch sorts all ids, shards sort per batch)
+      assert(st.toSet == fullState.toSet)
+      assert(shardedPairs.result().toSet.subsetOf(fullPairs.toSet))
+      assert(oneState.size <= cap && state.size <= cap)
+      assert(state.toSet.subsetOf(ids.toSet))
+    }
+  }
+
   test("a degenerate bucket is capped but still pairs against retained members") {
     import spark.implicits._
     val input = MemoryStream[DedupStream.BandedDoc](spark, 2)
