@@ -55,59 +55,70 @@ object Curate {
     val docs = Tables(spark, sfDir, "documents")
     val input = docs.count()
 
-    // 1. exact dedup: d01's canonical ids ARE the survivors
-    val canonical = Dedup.d01_exact_dedup.run(spark, sfDir)
-      .select(col("canonical_id").as("doc_id"))
-    val exact = docs.join(canonical, "doc_id")
-    val nExact = exact.count()
+    // Each stage frame is cached before its count: the manifest needs a
+    // count per stage AND the final write, and without the barriers every
+    // action would re-execute the whole uncached upstream funnel (the
+    // write alone would be the fifth full computation). The caches chain —
+    // stage N+1 reads stage N's cached blocks — so the corpus-scale work
+    // (digests, banding, scoring) runs once; all caches are dropped in
+    // the finally.
+    val cached = Seq.newBuilder[DataFrame]
+    def stage(df: DataFrame): DataFrame = { cached += df.cache(); df }
+    try {
+      // 1. exact dedup: d01's canonical ids ARE the survivors
+      val canonical = Dedup.d01_exact_dedup.run(spark, sfDir)
+        .select(col("canonical_id").as("doc_id"))
+      val exact = stage(docs.join(canonical, "doc_id"))
+      val nExact = exact.count()
 
-    // 2. near-dup removal: of each high-similarity candidate pair, the
-    // larger id is dropped (deterministic, order-free). Estimated Jaccard
-    // comes from the banded signatures, so this never rescans text.
-    val dropNear = Dedup.d04_lsh_pairs.run(spark, sfDir)
-      .filter(col("est_sim") >= simThreshold)
-      .select(col("b_id").as("doc_id")).distinct()
-    val nearDeduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
-    val nNear = nearDeduped.count()
+      // 2. near-dup removal: of each high-similarity candidate pair, the
+      // larger id is dropped (deterministic, order-free). Estimated
+      // Jaccard comes from the banded signatures — never rescans text.
+      val dropNear = Dedup.d04_lsh_pairs.run(spark, sfDir)
+        .filter(col("est_sim") >= simThreshold)
+        .select(col("b_id").as("doc_id")).distinct()
+      val nearDeduped = stage(exact.join(dropNear, Seq("doc_id"), "left_anti"))
+      val nNear = nearDeduped.count()
 
-    // 3. quality floor (t02's saturation + diversity + stopword score)
-    val quality = Text.t02_quality_score.run(spark, sfDir)
-      .filter(col("quality") >= qualityThreshold)
-      .select(col("doc_id"))
-    val qualified = nearDeduped.join(quality, "doc_id")
-    val nQuality = qualified.count()
+      // 3. quality floor (t02's saturation + diversity + stopword score)
+      val quality = Text.t02_quality_score.run(spark, sfDir)
+        .filter(col("quality") >= qualityThreshold)
+        .select(col("doc_id"))
+      val qualified = stage(nearDeduped.join(quality, "doc_id"))
+      val nQuality = qualified.count()
 
-    // 4. decontamination: drop flagged TRAIN docs; the held-out slice
-    // (doc_id % 89 == 0) is also excluded from the curated set — it is
-    // the evaluation data, not training data
-    val contaminated = Dedup.d08_decontamination.run(spark, sfDir)
-      .select(col("train_id").as("doc_id")).distinct()
-    val clean = qualified
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .filter(col("doc_id") % 89 =!= 0)
-    val nClean = clean.count()
+      // 4. decontamination: drop flagged TRAIN docs; the held-out slice
+      // (doc_id % 89 == 0) is also excluded from the curated set — it is
+      // the evaluation data, not training data
+      val contaminated = Dedup.d08_decontamination.run(spark, sfDir)
+        .select(col("train_id").as("doc_id")).distinct()
+      val clean = stage(qualified
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 89 =!= 0))
+      val nClean = clean.count()
 
-    // 5. deterministic split (same md5 bucketing as t10) and write
-    val curated = clean
-      .withColumn("bucket",
-        expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "valid")
-          .otherwise("test"))
-      .drop("bucket")
-    curated.write.mode("overwrite").partitionBy("split")
-      .parquet(s"$outDir/curated")
+      // 5. deterministic split (same md5 bucketing as t10) and write
+      val curated = clean
+        .withColumn("bucket",
+          expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test"))
+        .drop("bucket")
+      curated.write.mode("overwrite").partitionBy("split")
+        .parquet(s"$outDir/curated")
 
-    val splits = spark.read.parquet(s"$outDir/curated")
-      .groupBy("split").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val report =
-      Report(input, nExact, nNear, nQuality, nClean, splits)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "manifest.json"),
-      (report.json + "\n").getBytes("UTF-8"))
-    report
+      val splits = spark.read.parquet(s"$outDir/curated")
+        .groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val report =
+        Report(input, nExact, nNear, nQuality, nClean, splits)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "manifest.json"),
+        (report.json + "\n").getBytes("UTF-8"))
+      report
+    } finally cached.result().foreach(_.unpersist(false))
   }
 
   /** CLI: graft.pipeline.Curate <sfDir> <outDir>. */

@@ -178,13 +178,23 @@ object Dedup {
   /** Band any (doc_id, text) relation — batch OR streaming — into
     * (doc_id, band, bh) bucket membership rows. Pure per-row projections
     * (regexp → shingles → native MinHash → band md5), so it runs
-    * unchanged under Structured Streaming. */
+    * unchanged under Structured Streaming.
+    *
+    * The signature is bound through `explode(array(sig))` rather than a
+    * plain projection: signatures() uses .cache() as its optimizer
+    * barrier, but a cache is unavailable on a streaming plan, and
+    * without SOME barrier CollapseProject inlines the interpreted
+    * shingle+MinHash tree into all 17 downstream references (16 band
+    * slots + the null filter — the measured 16x blowup documented on
+    * signatures()). A Generate's output is an attribute the optimizer
+    * cannot inline through, so the tree evaluates exactly once per
+    * document on both the batch and streaming paths. */
   private[graft] def bandedFromText(docs: DataFrame): DataFrame = {
     import graft.functions.HashFunctions.minhash_sig
     docs
       .withColumn("toks", expr(toksExpr))
       .withColumn("sh", expr(shinglesExpr))
-      .select(col("doc_id"), minhash_sig(col("sh")).as("sig"))
+      .select(col("doc_id"), explode(array(minhash_sig(col("sh")))).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"), explode(expr(bandStructExpr)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bh"))
@@ -448,43 +458,34 @@ object Dedup {
   val d09_semantic_neardup = Q(
     "d09_semantic_neardup",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
-      import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+      import graft.functions.VectorFunctions.vec_norm
       // Semantic near-dup: candidate blocking by LEARNED cluster
       // assignment instead of the stored label — the pipeline shape when
       // no curated label exists. Centroids are the exact-decimal label
-      // means (one grouped aggregate, k tiny rows broadcast); every
-      // vector is assigned to its NEAREST centroid (which need not be
-      // its own label — s04 measures exactly that movement); pairs are
-      // then generated within assignment cells only, so candidate
-      // generation stays an equi-join on the cell id — at 100 TB the
-      // cell is the partition key (the s05 index layout) and
-      // embedNearDupPairs' SRP sub-split guard keeps a degenerate cell
-      // from going quadratic.
-      val cent = Tables(s, dir, "embeddings")
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
-          .as("cvec"))
-        .select(col("label").as("clabel"), col("cvec"),
-          vec_norm(col("cvec")).as("cn"))
-      val wBest = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("clabel"))
-      val assigned = Tables(s, dir, "embeddings")
-        .withColumn("norm", vec_norm(col("embedding")))
-        .crossJoin(broadcast(cent))
-        .withColumn("sim",
-          when(col("norm") > 0 && col("cn") > 0,
-            round(vec_dot(col("embedding"), col("cvec")) /
-              (col("norm") * col("cn")), 6)).otherwise(0.0))
-        .withColumn("rk", row_number().over(wBest))
-        .filter(col("rk") === 1)
+      // means (Similarity.labelCentroids: one grouped aggregate, k tiny
+      // rows broadcast); every vector is assigned to its NEAREST
+      // centroid (Similarity.assignNearest — which need not be its own
+      // label; s04 measures exactly that movement); pairs are then
+      // generated within assignment cells only, so candidate generation
+      // stays an equi-join on the cell id — at 100 TB the cell is the
+      // partition key (the s05 index layout).
+      //
+      // cache(): the assignment (crossJoin + window) is the expensive
+      // subtree and embedNearDupPairs consumes its input twice (size
+      // histogram + join probe) before its own barrier.
+      // maxBlock = MaxValue: the oracle models a PLAIN cell equi-join;
+      // the SRP sub-split guard (d06's path) would silently drop
+      // cross-sub-block pairs the oracle still emits once a learned cell
+      // outgrows the cap — at production scale enable the guard and
+      // accept the documented recall trade instead.
+      val assigned = Similarity.assignNearest(
+          Tables(s, dir, "embeddings")
+            .withColumn("norm", vec_norm(col("embedding"))),
+          Similarity.labelCentroids(s, dir))
         .select(col("vec_id"), col("clabel").as("label"), col("embedding"))
-      embedNearDupPairs(assigned).withColumnRenamed("label", "cell")
+        .cache()
+      embedNearDupPairs(assigned, maxBlock = Int.MaxValue)
+        .withColumnRenamed("label", "cell")
     },
     Some(s"""
       WITH cent AS (

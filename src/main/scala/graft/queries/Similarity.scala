@@ -29,6 +29,43 @@ object Similarity {
     s"""list_sum(list_transform(range(64),
         i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"""
 
+  /** Exact-decimal per-label centroids, `(clabel, cvec, cn)` — the ONE
+    * copy of the decimal ladder shared by s03, s04 and d09 (a precision
+    * or tie-break tweak here changes every consumer and its oracle in
+    * lockstep). Order-independent (decimal sums), so identical on any
+    * engine/partitioning. */
+  private[queries] def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+        .as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"),
+        vec_norm(col("cvec")).as("cn"))
+  }
+
+  /** Assign every row of `emb` (vec_id, embedding, norm, passthrough
+    * cols) to its nearest centroid by rounded cosine (tie-break on
+    * clabel — the s04 oracle's exact ordering): adds `clabel`, drops the
+    * scratch columns. One broadcast of k centroids, one window. */
+  private[queries] def assignNearest(emb: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("clabel"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("sim",
+        when(col("norm") > 0 && col("cn") > 0,
+          round(vec_dot(col("embedding"), col("cvec")) /
+            (col("norm") * col("cn")), 6)).otherwise(0.0))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .drop("cvec", "cn", "sim", "rk")
+  }
+
   val s01_cosine_topk = Q(
     "s01_cosine_topk",
     (s, dir) => {
@@ -226,21 +263,14 @@ object Similarity {
     "s03_ivf_ann",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
       // IVF: the label column is the coarse-quantizer cell id. Centroids
-      // are exact-decimal elementwise means (order-independent, so the
-      // same on any engine/partitioning); a query probes its 2 nearest
-      // cells and searches only those — at 100 TB the cell id is the
-      // partition key and a probe touches 2 partitions, not the corpus.
-      val cent = Tables(s, dir, "embeddings")
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
-          .as("cvec"))
-        .withColumn("cnorm", vec_norm(col("cvec")))
+      // are exact-decimal elementwise means (labelCentroids); a query
+      // probes its 2 nearest cells and searches only those — at 100 TB
+      // the cell id is the partition key and a probe touches 2
+      // partitions, not the corpus.
+      val cent = labelCentroids(s, dir)
+        .select(col("clabel").as("label"), col("cvec"),
+          col("cn").as("cnorm"))
       val emb = withNorm(Tables(s, dir, "embeddings"))
       val queries = emb.filter(col("vec_id") < 5).select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -294,34 +324,15 @@ object Similarity {
   val s04_kmeans_step = Q(
     "s04_kmeans_step",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
       // One Lloyd iteration over the label seeding: exact-decimal
-      // centroids per current label, then every vector re-assigned to its
-      // nearest centroid (max cosine, tie-break on label). The output
-      // reports cluster movement — the convergence signal an iterative
-      // clustering job tracks. Per iteration: one grouped aggregate +
-      // one broadcast of k centroids; no O(n^2) anything.
-      val cent = Tables(s, dir, "embeddings")
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
-          .as("cvec"))
-        .select(col("label").as("clabel"), col("cvec"),
-          vec_norm(col("cvec")).as("cn"))
-      val emb = withNorm(Tables(s, dir, "embeddings"))
-      val wBest = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("clabel"))
-      emb.crossJoin(broadcast(cent))
-        .withColumn("sim",
-          when(col("norm") > 0 && col("cn") > 0,
-            round(vec_dot(col("embedding"), col("cvec")) /
-              (col("norm") * col("cn")), 6)).otherwise(0.0))
-        .withColumn("rk", row_number().over(wBest))
-        .filter(col("rk") === 1)
+      // centroids per current label (labelCentroids), then every vector
+      // re-assigned to its nearest centroid (assignNearest: max cosine,
+      // tie-break on label). The output reports cluster movement — the
+      // convergence signal an iterative clustering job tracks. Per
+      // iteration: one grouped aggregate + one broadcast of k centroids;
+      // no O(n^2) anything.
+      assignNearest(withNorm(Tables(s, dir, "embeddings")),
+          labelCentroids(s, dir))
         .groupBy(col("label"), col("clabel"))
         .agg(count(lit(1)).as("n_vectors"))
         .orderBy(col("label"), col("clabel"))

@@ -34,7 +34,12 @@ object DedupStream {
 
   /** Emitted candidate pair, a_id < b_id (output). May repeat across
     * BUCKETS (a pair sharing two bands emits twice, exactly like the
-    * batch join before its dropDuplicates) — distinct downstream. */
+    * batch join before its dropDuplicates), and — once a bucket has
+    * EVICTED members past `maxBucket` — an at-least-once source that
+    * re-delivers an evicted id will re-emit its pairs (the evicted id no
+    * longer appears in state, so it looks fresh). Within-cap buckets are
+    * exactly-once per (pair, bucket); consumers needing global
+    * exactly-once apply `dropDuplicates`, as the batch twin does. */
   final case class CandidatePair(a_id: Long, b_id: Long, band: Int, bh: String)
 
   /** Band a (streaming or batch) `(doc_id, text)` relation. */
@@ -49,7 +54,15 @@ object DedupStream {
     * single-doc batches), and produce the next retained-member list
     * (oldest-first, capped). Factored out of the streaming closure so
     * its batch-split invariance is property-testable without a streaming
-    * harness. */
+    * harness.
+    *
+    * The cap bounds BOTH state and work, including within one batch: a
+    * degenerate bucket receiving a million docs in a single trigger
+    * pairs each of them against at most `maxBucket` retained members
+    * (O(n·cap) emissions), never against the whole uncapped batch
+    * (O(n²)). Ids beyond the cap are pair sources but not pair targets —
+    * the standard recall/state trade, applied uniformly so batch
+    * boundaries don't change which pairs exist. */
   private[streaming] def admit(
       seen: List[Long],
       arriving: Seq[Long],
@@ -59,9 +72,9 @@ object DedupStream {
     var members = seen // oldest-first, so the cap keeps early arrivals
     fresh.foreach { n =>
       members.foreach(m => out += (if (m < n) (m, n) else (n, m)))
-      members = members :+ n
+      if (members.size < maxBucket) members = members :+ n
     }
-    (out.result(), members.take(maxBucket))
+    (out.result(), members)
   }
 
   /** Stateful bucket membership: every new doc pairs against the bucket's

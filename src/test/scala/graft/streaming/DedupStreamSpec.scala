@@ -111,17 +111,26 @@ class DedupStreamSpec extends SparkSpec {
       .format("memory").queryName("lsh_cap_out")
       .outputMode(OutputMode.Append).start()
     try {
-      // 5 docs into ONE bucket, one batch: pairs = C(5,2) = 10 emitted,
-      // but only the 3 earliest ids are retained as state
+      // 5 docs into ONE bucket, one batch: the cap bounds work WITHIN the
+      // batch too — ids pair against at most 3 retained members, so
+      // (4,5) is never emitted: 9 pairs, not C(5,2)=10
       input.addData((1L to 5L).map(DedupStream.BandedDoc(_, 0, "deadbeef")))
       query.processAllAvailable()
-      assert(spark.table("lsh_cap_out").count() == 10)
+      assert(spark.table("lsh_cap_out").count() == 9)
+      assert(spark.table("lsh_cap_out").as[(Long, Long, Int, String)]
+        .collect().forall { case (a, _, _, _) => a <= 3 })
       // a later arrival pairs against the 3 retained members only
       input.addData(Seq(DedupStream.BandedDoc(6L, 0, "deadbeef")))
       query.processAllAvailable()
       val late = spark.table("lsh_cap_out").as[(Long, Long, Int, String)]
         .collect().filter(_._2 == 6L).map(_._1).sorted.toSeq
       assert(late == Seq(1L, 2L, 3L), s"expected capped members, got $late")
+      // documented at-least-once edge: a REDELIVERED evicted id (4 is no
+      // longer in state) re-emits its pairs; downstream distinct absorbs
+      val before = spark.table("lsh_cap_out").count()
+      input.addData(Seq(DedupStream.BandedDoc(4L, 0, "deadbeef")))
+      query.processAllAvailable()
+      assert(spark.table("lsh_cap_out").count() == before + 3)
     } finally query.stop()
   }
 }
