@@ -108,6 +108,24 @@ class QueriesSmokeSpec extends SparkSpec {
       s"nested-loop join in d09 pair generation:\n$plan")
   }
 
+  test("d01 shuffles digests, not document bodies") {
+    // README's scale claim, measured: exact dedup reduces each document
+    // to (md5, id, n_chars) BEFORE any exchange, so total shuffle-write
+    // bytes must be a small fraction of the corpus text it deduplicates
+    // (at 100 TB this is the difference between shuffling digests and
+    // re-shuffling the corpus)
+    import org.apache.spark.sql.functions._
+    val textBytes = graft.core.Tables(spark, sfDir, "documents")
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val (_, shuffle) = graft.tools.ShuffleMeter.measure(spark) {
+      Dedup.d01_exact_dedup.run(spark, sfDir).count()
+    }
+    assert(shuffle.bytesWritten > 0, "expected a digest shuffle")
+    assert(shuffle.bytesWritten < textBytes / 3,
+      s"d01 shuffled ${shuffle.bytesWritten}B against ${textBytes}B of text " +
+        "— document bodies are leaking into the exchange")
+  }
+
   graft.SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, sfDir)
