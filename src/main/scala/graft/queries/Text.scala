@@ -442,7 +442,6 @@ object Text {
       // sums; shares are double ratios of exact integers, so identical on
       // any engine/partitioning.
       val grouped = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
         .select(col("source"), col("n_chars"),
           expr(s"size($toksExpr)").cast("long").as("n_tok"),
           col("lang"))
