@@ -70,6 +70,27 @@ object Decode {
     }(enc)
   }
 
+  /** Nearest-neighbor "resize" stub for image payloads: sample `target`
+    * evenly-spaced bytes (positions 1 + floor(i·n/m), the 1-D analog of
+    * nearest-neighbor pixel sampling) into a smaller payload. A real
+    * codec would decode, resample pixels and re-encode; the byte-level
+    * fake keeps the contract — deterministic, size-bounded output,
+    * columnar (pure Catalyst expressions, no UDF) — testable end-to-end.
+    * Payloads at or under `target` pass through byte-identical. */
+  def resizePayload(df: DataFrame, binaryCol: String, target: Int): DataFrame =
+    df.select(
+      col("*"),
+      expr(
+        s"""CASE WHEN octet_length($binaryCol) = 0 THEN CAST('' AS BINARY) ELSE
+              aggregate(
+                transform(
+                  sequence(0, CAST(least(octet_length($binaryCol), $target) - 1 AS INT)),
+                  i -> substring($binaryCol,
+                         CAST(1 + CAST(i AS BIGINT) * octet_length($binaryCol)
+                              DIV least(octet_length($binaryCol), $target) AS INT), 1)),
+                CAST('' AS BINARY), (acc, x) -> concat(acc, x))
+            END""").as("resized"))
+
   /** Frame sampling stub for video payloads: every `stride`-th byte chunk
     * stands in for a frame; real codecs replace `sliceFrames`. */
   def sampleFrames(

@@ -107,6 +107,40 @@ object Multimodal {
         FROM documents)
       ORDER BY doc_id"""))
 
+  val mm04_resize = Q(
+    "mm04_resize",
+    (s, dir) => {
+      // Resize plumbing (graft.multimodal.Decode.resizePayload): sample
+      // 64 evenly-spaced bytes per payload — the 1-D nearest-neighbor
+      // stand-in for pixel resampling. The oracle recomputes the same
+      // positions over the (ASCII) text, checking the binary expression
+      // tree value-for-value.
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.multimodal.Decode.resizePayload(payloads, "payload", target = 64)
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("orig_bytes"),
+          octet_length(col("resized")).cast("long").as("resized_bytes"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(strlen(text) AS BIGINT) AS orig_bytes,
+             CAST(strlen(resized) AS BIGINT) AS resized_bytes,
+             md5(resized) AS resized_md5
+      FROM (
+        SELECT doc_id, text,
+               CASE WHEN strlen(text) = 0 THEN ''
+               ELSE array_to_string(list_transform(
+                      range(least(strlen(text), 64)),
+                      i -> substr(text,
+                             CAST(1 + i * strlen(text) // least(strlen(text), 64) AS INT), 1)), '')
+               END AS resized
+        FROM documents)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(mm01_binary_meta, mm02_feature_extract,
-    mm03_frame_sample)
+    mm03_frame_sample, mm04_resize)
 }
