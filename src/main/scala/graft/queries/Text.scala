@@ -473,7 +473,59 @@ object Text {
         GROUP BY source)
       ORDER BY source"""))
 
+  val t13_surprisal = Q(
+    "t13_surprisal",
+    (s, dir) => {
+      // Per-document unigram surprisal: average -log2 P(token) under the
+      // corpus's own unigram distribution — the cheap perplexity-filter
+      // proxy (docs far from the corpus distribution score high, rote
+      // boilerplate scores low). Two aggregates: corpus vocab counts
+      // (tiny: distinct tokens), broadcast back onto the exploded token
+      // stream. Per-token surprisals are quantized to integer NANO-UNITS
+      // (round(log2·1e9) as BIGINT): the per-document sum is then a LONG
+      // sum — exact, order-independent under any partitioning, and ~25x
+      // cheaper per row than a Decimal accumulator (the Exact.cents
+      // lesson; log2 ≤ ~45, so even 10^6-token docs stay far from long
+      // overflow). A raw double sum would be partial-order-dependent and
+      // could not hash-match the serial oracle.
+      // cache(): the exploded token stream feeds BOTH the vocab count and
+      // the scoring join — without the barrier the regexp+explode runs
+      // twice (same pattern as d08's shingle cache)
+      val toks = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+        .cache()
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
+        .select(col("tok"), expr(
+          """CAST(round(log2(CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE))
+                        * 1000000000) AS BIGINT)""").as("surp_n9"))
+      toks.join(broadcast(vocab), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("surp_n9")).as("sum_n9"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("sum_n9").cast("double") / 1000000000.0 / col("n_tok"), 6)
+            .as("avg_surprisal"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      scored AS (
+        SELECT tok, CAST(round(log2(CAST(SUM(c) OVER () AS DOUBLE)
+                                    / CAST(c AS DOUBLE))
+                         * 1000000000) AS BIGINT) AS surp_n9
+        FROM vocab)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             round(CAST(SUM(surp_n9) AS DOUBLE) / 1000000000.0 / COUNT(*), 6)
+               AS avg_surprisal
+      FROM toks t JOIN scored USING (tok)
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
-    t10_hash_split, t11_repetition, t12_source_mix)
+    t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal)
 }
