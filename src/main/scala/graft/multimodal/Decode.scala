@@ -81,13 +81,18 @@ object Decode {
     df.select(
       col("*"),
       expr(
-        s"""CASE WHEN octet_length($binaryCol) = 0 THEN CAST('' AS BINARY) ELSE
+        // pass-through arm: at or under target the sampled positions are
+        // the identity (pos = 1+i), so returning the payload unchanged is
+        // byte-identical AND skips the per-row transform + O(m^2) concat
+        // fold for every already-small payload
+        s"""CASE WHEN octet_length($binaryCol) <= $target THEN $binaryCol
+            ELSE
               aggregate(
                 transform(
-                  sequence(0, CAST(least(octet_length($binaryCol), $target) - 1 AS INT)),
+                  sequence(0, ${target - 1}),
                   i -> substring($binaryCol,
                          CAST(1 + CAST(i AS BIGINT) * octet_length($binaryCol)
-                              DIV least(octet_length($binaryCol), $target) AS INT), 1)),
+                              DIV $target AS INT), 1)),
                 CAST('' AS BINARY), (acc, x) -> concat(acc, x))
             END""").as("resized"))
 

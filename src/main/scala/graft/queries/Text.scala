@@ -481,13 +481,21 @@ object Text {
       // proxy (docs far from the corpus distribution score high, rote
       // boilerplate scores low). Two aggregates: corpus vocab counts
       // (tiny: distinct tokens), broadcast back onto the exploded token
-      // stream. Per-token surprisals are quantized to integer NANO-UNITS
-      // (round(log2·1e9) as BIGINT): the per-document sum is then a LONG
-      // sum — exact, order-independent under any partitioning, and ~25x
-      // cheaper per row than a Decimal accumulator (the Exact.cents
-      // lesson; log2 ≤ ~45, so even 10^6-token docs stay far from long
-      // overflow). A raw double sum would be partial-order-dependent and
-      // could not hash-match the serial oracle.
+      // stream.
+      //
+      // log2 is computed by MITCHELL'S log-linear approximation in EXACT
+      // integer arithmetic (k = floor(log2(N/c)) from the bit length of
+      // N div c, fractional part by linear interpolation of the
+      // remainder): libm log2 differs across engines in the last ulp, so
+      // a transcendental here would be a rare nondeterministic hash
+      // flake at large vocabularies — the one class of math the
+      // determinism rules ban. The approximation is monotonic in N/c
+      // (rank-preserving, which is all a quality FILTER consumes) with
+      // max error 0.086 bits, and every step — bit length, shifts,
+      // integer division to nano-units — is exact on both engines. The
+      // per-document sum is then a LONG sum: order-independent and ~25x
+      // cheaper per row than a Decimal accumulator. (Long bound: N·1e9
+      // needs N < 9.2e9 tokens; beyond that widen to DECIMAL(38,0).)
       // cache(): the exploded token stream feeds BOTH the vocab count and
       // the scoring join — without the barrier the regexp+explode runs
       // twice (same pattern as d08's shingle cache)
@@ -497,9 +505,11 @@ object Text {
         .cache()
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
         .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
+        .withColumn("k", expr("length(bin(n_total div c)) - 1").cast("int"))
+        .withColumn("p", expr("c * shiftleft(CAST(1 AS BIGINT), k)"))
         .select(col("tok"), expr(
-          """CAST(round(log2(CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE))
-                        * 1000000000) AS BIGINT)""").as("surp_n9"))
+          """CAST(k AS BIGINT) * 1000000000 +
+             (n_total - p) * 1000000000 div p""").as("surp_n9"))
       toks.join(broadcast(vocab), "tok")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(col("surp_n9")).as("sum_n9"))
@@ -512,12 +522,19 @@ object Text {
       WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
         FROM documents),
-      vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      vocab AS (SELECT tok, COUNT(*) AS c, SUM(COUNT(*)) OVER () AS n_total
+                FROM toks GROUP BY tok),
       scored AS (
-        SELECT tok, CAST(round(log2(CAST(SUM(c) OVER () AS DOUBLE)
-                                    / CAST(c AS DOUBLE))
-                         * 1000000000) AS BIGINT) AS surp_n9
-        FROM vocab)
+        SELECT tok,
+               CAST(k AS BIGINT) * 1000000000 + (n_total - p) * 1000000000 // p
+                 AS surp_n9
+        FROM (
+          SELECT tok, c, n_total, k,
+                 c * (CAST(1 AS BIGINT) << k) AS p
+          FROM (
+            SELECT tok, c, n_total,
+                   length(bin(CAST(n_total // c AS BIGINT))) - 1 AS k
+            FROM vocab)))
       SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
              round(CAST(SUM(surp_n9) AS DOUBLE) / 1000000000.0 / COUNT(*), 6)
                AS avg_surprisal
