@@ -46,7 +46,13 @@ object Bench {
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_BENCH_ONLY="t14_tfidf_keywords,q01_..."
+    // restricts the run to the named queries (full pack when unset).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -20,7 +20,8 @@ object GraftFunctions {
         Sqrt(DotProduct(exprs(0), exprs(0))),
         Sqrt(DotProduct(exprs(1), exprs(1))))
       Divide(dot, n)
-    })
+    },
+    "vec_qdot" -> { exprs => LongDotProduct(exprs(0), exprs(1)) })
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>

@@ -83,6 +83,67 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over two `array<bigint>` columns — the scoring
+  * kernel of the int8-quantized similarity path (s06). Exact 64-bit
+  * arithmetic: for int8-range elements (|v| <= 127) and realistic
+  * dimensionalities the accumulator is far from overflow (64 dims bounds
+  * |dot| by ~1.03e6), so the result is bit-identical on any engine and
+  * any partitioning — no floating-point rounding to reconcile at all.
+  * Codegen'd tight loop for the same reason as [[DotProduct]]: the HOF
+  * route (`aggregate(zip_with(...))`) evaluates interpreted per element.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_qdot expects array<bigint>, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += $a.getLong($i) * $b.getLong($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Element-order dot product of two numeric arrays, as a Column. */
   def vec_dot(a: Column, b: Column): Column =
@@ -91,4 +152,8 @@ object VectorFunctions {
   /** L2 norm. */
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+
+  /** Exact integer dot product of two `array<bigint>` columns (s06). */
+  def vec_qdot(a: Column, b: Column): Column =
+    Bridge.column(LongDotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -70,6 +70,28 @@ object Decode {
     }(enc)
   }
 
+  /** Integer 16-bucket byte histogram of a binary column — the
+    * exact-count sibling of [[FakeCodec.features]] (which L1-normalizes
+    * to doubles). Partition-wise like [[decodeBinary]]: one imperative
+    * pass over each payload's bytes, amortizing setup per partition.
+    * Exact longs so downstream statistics (mm05's entropy) stay in
+    * integer arithmetic end-to-end. */
+  def byteHistogram(df: DataFrame, binaryCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("hist", ArrayType(LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty)
+        val h = new Array[Long](16)
+        bytes.foreach(b => h((b & 0xFF) / 16) += 1L)
+        Row.fromSeq(r.toSeq :+ h.toSeq)
+      }
+    }(enc)
+  }
+
   /** Nearest-neighbor "resize" stub for image payloads: sample `target`
     * evenly-spaced bytes (positions 1 + floor(i·n/m), the 1-D analog of
     * nearest-neighbor pixel sampling) into a smaller payload. A real

@@ -524,7 +524,116 @@ object Dedup {
               ELSE 0.0 END >= 0.35
       ORDER BY a_id, b_id"""))
 
+  val d10_prefix_templates = Q(
+    "d10_prefix_templates",
+    (s, dir) => {
+      // Template / boilerplate detection: documents that OPEN identically
+      // (same first-5-token fingerprint) are near-certain template
+      // instances — scraped page headers, license preambles, generated
+      // intros — even when their bodies differ, which is exactly the
+      // class whole-document dedup (d01) misses. Same scale shape as
+      // d01: only the 32-char digest + doc_id shuffle for the groupBy;
+      // never the text, never all-pairs.
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(expr(s"concat_ws(' ', slice($toksExpr, 1, 5))")).as("prefix_fp"))
+        .groupBy(col("prefix_fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("prefix_fp"))
+    },
+    Some("""
+      SELECT prefix_fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM (SELECT doc_id,
+                   md5(array_to_string(
+                     regexp_extract_all(text, '[a-z0-9]+')[1:5], ' ')) AS prefix_fp
+            FROM documents)
+      GROUP BY prefix_fp
+      HAVING COUNT(*) >= 2
+      ORDER BY prefix_fp"""))
+
+  val d11_dup_window_share = Q(
+    "d11_dup_window_share",
+    (s, dir) => {
+      // Substring-level contamination: for every document, the share of
+      // its 5-token windows that ALSO occur in some other document — the
+      // per-doc signal substring dedup pipelines threshold on (a doc can
+      // be globally unique yet 60% boilerplate). Window fingerprints are
+      // the t08 polynomial over per-token md5 hashes, so only 8-byte
+      // longs shuffle, never text: one groupBy on the fingerprint
+      // (countDistinct doc), one join back — both equi on the
+      // fingerprint, nothing all-pairs, the shape that survives 100 TB.
+      // hs (the per-token hashes) is CACHED so each token is md5'd once:
+      // the window expression references hs three times and
+      // CollapseProject would otherwise inline (and re-run) the md5
+      // transform at every reference — same barrier rationale as t11.
+      val p = "1000000007"
+      val base = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), expr(
+          s"""transform($toksExpr, t ->
+              pmod(CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT), $p))""")
+          .as("hs"))
+        .cache() // also feeds the all-docs frame for the final left join
+      val pos = base.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(hs) >= 5 THEN
+              transform(sequence(0, size(hs) - 5), i ->
+                aggregate(slice(hs, i + 1, 5), CAST(0 AS BIGINT),
+                  (acc, h) -> pmod(acc * 256 + h, $p)))
+            ELSE array() END""")).as("wfp"))
+      val nd = pos.groupBy(col("wfp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val per = pos.join(nd, "wfp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      base.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("dup_share",
+          when(col("n_windows") > 0,
+            round(col("n_shared").cast("double") / col("n_windows"), 6))
+            .otherwise(0.0))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(text, '[a-z0-9]+'), tok ->
+                 CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                   % 1000000007) AS hs
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= 5 THEN
+                 list_transform(range(len(hs) - 4), i ->
+                   list_reduce(hs[i + 1:i + 5],
+                     (acc, h) -> (acc * 256 + h) % 1000000007))
+               ELSE [] END AS wfps
+        FROM t),
+      pos AS (SELECT doc_id, unnest(wfps) AS wfp FROM w),
+      nd AS (SELECT wfp, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY wfp),
+      per AS (
+        SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared
+        FROM pos p JOIN nd USING (wfp)
+        GROUP BY p.doc_id)
+      SELECT w.doc_id,
+             COALESCE(n_windows, 0) AS n_windows,
+             COALESCE(n_shared, 0) AS n_shared,
+             CASE WHEN COALESCE(n_windows, 0) > 0
+                  THEN round(CAST(n_shared AS DOUBLE) / n_windows, 6)
+                  ELSE 0.0 END AS dup_share
+      FROM w LEFT JOIN per USING (doc_id)
+      ORDER BY w.doc_id"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
     d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash,
-    d08_decontamination, d09_semantic_neardup)
+    d08_decontamination, d09_semantic_neardup, d10_prefix_templates,
+    d11_dup_window_share)
 }

@@ -141,6 +141,67 @@ object Multimodal {
         FROM documents)
       ORDER BY doc_id"""))
 
+  val mm05_byte_entropy = Q(
+    "mm05_byte_entropy",
+    (s, dir) => {
+      // Byte-distribution statistics of the opaque payload: a 16-bucket
+      // histogram (partition-wise exact counts —
+      // graft.multimodal.Decode.byteHistogram, the same mapPartitions
+      // plumbing as mm02's feature extractor) reduced to Shannon entropy
+      // via the t13 Mitchell exact-integer log2 ladder:
+      // H = sum_j c_j * log2(n / c_j) / n, every step 64-bit integer
+      // math until the final display division — so the
+      // compressibility / corruption / format signal an intake stage
+      // computes before any codec runs hash-matches any engine. Pure
+      // per-row map over one corpus scan, zero shuffle; the repartition
+      // only spreads the single-split testdata parquet.
+      val payloads = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.multimodal.Decode.byteHistogram(payloads, "payload")
+        .withColumn("n", octet_length(col("payload")).cast("long"))
+        .select(
+          col("doc_id"),
+          col("n").as("n_bytes"),
+          expr("size(filter(hist, c -> c > 0))").cast("long")
+            .as("n_buckets_used"),
+          round(expr("array_max(hist)").cast("double") /
+            greatest(col("n"), lit(1L)), 6).as("top_bucket_share"),
+          when(col("n") > 0,
+            round(expr(
+              """aggregate(hist, CAST(0 AS BIGINT), (acc, c) -> acc +
+                   CASE WHEN c > 0 THEN c * (
+                     CAST(length(bin(n div c)) - 1 AS BIGINT) * 1000000000 +
+                     (n - c * shiftleft(CAST(1 AS BIGINT), length(bin(n div c)) - 1)) * 1000000000
+                       div (c * shiftleft(CAST(1 AS BIGINT), length(bin(n div c)) - 1)))
+                   ELSE CAST(0 AS BIGINT) END)""").cast("double")
+              / col("n") / 1000000000.0, 6))
+            .otherwise(0.0).as("entropy_bits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, strlen(text) AS n,
+               list_transform(range(16), j ->
+                 CAST(length(list_filter(string_split(text, ''),
+                   c -> ascii(c) // 16 = j)) AS BIGINT)) AS hist
+        FROM documents)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+             CAST(length(list_filter(hist, c -> c > 0)) AS BIGINT)
+               AS n_buckets_used,
+             round(CAST(list_max(hist) AS DOUBLE) / greatest(n, 1), 6)
+               AS top_bucket_share,
+             CASE WHEN n > 0 THEN
+               round(CAST(list_sum(list_transform(hist, c ->
+                 CASE WHEN c > 0 THEN c * (
+                   CAST(length(bin(CAST(n // c AS BIGINT))) - 1 AS BIGINT) * 1000000000 +
+                   (n - c * (CAST(1 AS BIGINT) << (length(bin(CAST(n // c AS BIGINT))) - 1))) * 1000000000
+                     // (c * (CAST(1 AS BIGINT) << (length(bin(CAST(n // c AS BIGINT))) - 1))))
+                 ELSE 0 END)) AS DOUBLE) / n / 1000000000.0, 6)
+             ELSE 0.0 END AS entropy_bits
+      FROM h
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(mm01_binary_meta, mm02_feature_extract,
-    mm03_frame_sample, mm04_resize)
+    mm03_frame_sample, mm04_resize, mm05_byte_entropy)
 }

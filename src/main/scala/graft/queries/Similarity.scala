@@ -367,6 +367,71 @@ object Similarity {
       GROUP BY label, clabel
       ORDER BY label, clabel"""))
 
+  val s06_quantized_ann = Q(
+    "s06_quantized_ann",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.vec_qdot
+      // Int8 symmetric scalar quantization + integer-dot top-k — the
+      // memory/bandwidth scale path for brute-force search: per-vector
+      // scale ma = max|x|, q[i] = floor(x[i]*127/ma). The quantized
+      // corpus is 4x smaller than float32 (8x vs float64), scans at
+      // memory bandwidth, and scores with the codegen'd EXACT integer
+      // dot (LongDotProduct) — no floating-point rounding anywhere in
+      // the ranking, so results are bit-identical on any engine and any
+      // partitioning (the one place ANN pipelines usually leak
+      // nondeterminism). Quantization error only re-orders neighbors
+      // whose true similarities are within ~1/127 of each other;
+      // CurationOpsSpec measures recall@10 against the exact s01
+      // baseline. Same physical shape as s01: tiny query set broadcast,
+      // one corpus scan, map-side top-k via window.
+      val emb = Tables(s, dir, "embeddings")
+        .withColumn("ma",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .select(col("vec_id"), expr(
+          """CASE WHEN ma > 0 THEN
+               transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / ma) AS BIGINT))
+             ELSE transform(embedding, x -> CAST(0 AS BIGINT)) END""")
+          .as("qe"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("qe").as("q_qe"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("qdot").desc, col("c_id"))
+      emb.select(col("vec_id").as("c_id"), col("qe").as("c_qe"))
+        .join(broadcast(queries), col("c_id") =!= col("q_id"))
+        .withColumn("qdot", vec_qdot(col("q_qe"), col("c_qe")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("q_id", "c_id", "qdot", "rank")
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""
+      WITH qv AS (
+        SELECT vec_id,
+               CASE WHEN ma > 0 THEN
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT))
+               ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qe
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS ma
+              FROM embeddings)),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               CAST(list_sum(list_transform(range(64),
+                 i -> q.qe[i+1] * c.qe[i+1])) AS BIGINT) AS qdot
+        FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      ranked AS (
+        SELECT q_id, c_id, qdot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY qdot DESC, c_id) AS INT) AS rank
+        FROM pairs)
+      SELECT q_id, c_id, qdot, rank FROM ranked
+      WHERE rank <= 10
+      ORDER BY q_id, rank"""))
+
   val t09_array_ops = Q(
     "t09_array_ops",
     (s, dir) => {
@@ -409,5 +474,5 @@ object Similarity {
       ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
-    s04_kmeans_step, s05_ann_index, t09_array_ops)
+    s04_kmeans_step, s05_ann_index, s06_quantized_ann, t09_array_ops)
 }

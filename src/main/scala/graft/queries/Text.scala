@@ -498,7 +498,11 @@ object Text {
       // needs N < 9.2e9 tokens; beyond that widen to DECIMAL(38,0).)
       // cache(): the exploded token stream feeds BOTH the vocab count and
       // the scoring join — without the barrier the regexp+explode runs
-      // twice (same pattern as d08's shingle cache)
+      // twice (same pattern as d08's shingle cache). (A tf-first
+      // formulation — collapse to (doc, tok, tf) before joining — reads
+      // as less work but measured 2-10x SLOWER here: the extra aggregate
+      // adds a stage and defeats the cached-scan reuse; occurrences are
+      // cheap, stages are not.)
       val toks = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
@@ -542,7 +546,185 @@ object Text {
       GROUP BY t.doc_id
       ORDER BY t.doc_id"""))
 
+  val t14_tfidf_keywords = Q(
+    "t14_tfidf_keywords",
+    (s, dir) => {
+      // Per-document top-3 TF-IDF keywords — the salient-term extraction
+      // a curation/tagging stage runs corpus-wide. IDF = log2(N/df) via
+      // the t13 Mitchell exact-integer ladder (monotone in N/df, every
+      // step exact 64-bit math), so score_n9 = tf * idf_n9 is a BIGINT
+      // and ranking is bit-reproducible on any engine/partitioning.
+      // Physical shape: the (doc, tok) partial counts aggregate map-side
+      // before the shuffle; doc frequency is a COUNT window over the tf
+      // rows partitioned by `tok` (each tf row is one distinct (doc,
+      // tok), so the window count IS df) — one shuffle on tok instead of
+      // the aggregate+join-back diamond, no cache barrier needed because
+      // nothing is consumed twice; the final top-3 is a per-doc window
+      // over <= |distinct toks| rows.
+      val tf = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val nDocs = Tables(s, dir, "documents")
+        .select(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_n9").desc, col("tok"))
+      tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("tok"))))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("k", expr("length(bin(n_docs div df)) - 1").cast("int"))
+        .withColumn("p", expr("df * shiftleft(CAST(1 AS BIGINT), k)"))
+        .withColumn("idf_n9", expr(
+          """CAST(k AS BIGINT) * 1000000000 +
+             (n_docs - p) * 1000000000 div p"""))
+        .withColumn("score_n9", col("tf") * col("idf_n9"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+          round(col("score_n9").cast("double") / 1000000000.0, 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, tok),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      idf AS (
+        SELECT tok,
+               CAST(k AS BIGINT) * 1000000000 + (n_docs - p) * 1000000000 // p
+                 AS idf_n9
+        FROM (
+          SELECT tok, df, n_docs, k, df * (CAST(1 AS BIGINT) << k) AS p
+          FROM (
+            SELECT tok, df, n_docs,
+                   length(bin(CAST(n_docs // df AS BIGINT))) - 1 AS k
+            FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM tf GROUP BY tok) CROSS JOIN nd))),
+      scored AS (
+        SELECT doc_id, tok, tf, tf * idf_n9 AS score_n9,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tf * idf_n9 DESC, tok) AS INT) AS rank
+        FROM tf JOIN idf USING (tok))
+      SELECT doc_id, rank, tok, tf,
+             round(CAST(score_n9 AS DOUBLE) / 1000000000.0, 6) AS tfidf
+      FROM scored WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
+  val t15_vocab_coverage = Q(
+    "t15_vocab_coverage",
+    (s, dir) => {
+      // Tokenizer-budget curve: what share of all token OCCURRENCES the
+      // top-k vocabulary covers, k in {10, 100, 1000} — the number a
+      // vocab-size / OOV-rate decision reads off. One exploded count to
+      // vocab (corpus-sublinear), one global rank over the vocab rows
+      // (fine at any corpus size: the window input is |vocab|, not
+      // |tokens|), then a 3-way conditional rollup via a tiny exploded
+      // k-column. All counts exact longs; shares are ratios of exact
+      // integers.
+      val vocab = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(expr(toksExpr)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val wAll = Window.partitionBy()
+      val ranked = vocab
+        .withColumn("rk", row_number().over(
+          Window.partitionBy().orderBy(col("cnt").desc, col("tok"))))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+      ranked
+        .select(col("cnt"), col("rk"), col("total"),
+          explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+        .filter(col("rk") <= col("k"))
+        .groupBy(col("k"), col("total"))
+        .agg(count(lit(1)).as("n_vocab_used"), sum(col("cnt")).as("covered"))
+        .select(col("k"), col("n_vocab_used"), col("covered"), col("total"),
+          round(col("covered").cast("double") / col("total"), 6).as("coverage"))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+              FROM documents)
+        GROUP BY tok),
+      ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk,
+               SUM(cnt) OVER () AS total
+        FROM vocab)
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vocab_used,
+             CAST(SUM(cnt) AS BIGINT) AS covered,
+             CAST(ANY_VALUE(total) AS BIGINT) AS total,
+             round(CAST(SUM(cnt) AS DOUBLE) / ANY_VALUE(total), 6) AS coverage
+      FROM ranked CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k)
+      WHERE rk <= k
+      GROUP BY k
+      ORDER BY k"""))
+
+  val t16_mix_sampler = Q(
+    "t16_mix_sampler",
+    (s, dir) => {
+      // Deterministic stratified downsampler: rebalance a skewed corpus
+      // to its smallest source's size (equal-docs target mix). A doc is
+      // kept iff its md5 hash-bucket clears the source's acceptance rate
+      // — compared as the EXACT rational `bucket * n_docs < min_docs *
+      // 1e6` (no float rate), so membership is a pure function of doc_id
+      // and the per-source counts: reproducible across runs, engines and
+      // partitionings, and stable under corpus appends to other sources.
+      // Physical shape: one tiny per-source count (broadcast back), one
+      // corpus pass to filter+aggregate — the smallest source keeps rate
+      // exactly 1.0 (bucket < 1e6 always), larger sources keep ~min/n.
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val stats = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("min_docs",
+          min(col("n_docs")).over(Window.partitionBy()))
+      docs
+        .withColumn("bucket", expr(
+          "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 1000000)"))
+        .join(broadcast(stats), "source")
+        .withColumn("keep",
+          col("bucket") * col("n_docs") < col("min_docs") * lit(1000000L))
+        .groupBy(col("source"), col("n_docs"), col("min_docs"))
+        .agg(
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L))
+            .as("sampled_chars"))
+        .select(col("source"), col("n_docs"), col("n_sampled"),
+          col("sampled_chars"),
+          round(col("n_sampled").cast("double") / col("n_docs"), 6)
+            .as("achieved_rate"),
+          round(col("min_docs").cast("double") / col("n_docs"), 6)
+            .as("target_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH stats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(COUNT(*)) OVER () AS BIGINT) AS min_docs
+        FROM documents GROUP BY source),
+      tagged AS (
+        SELECT d.source, s.n_docs, s.min_docs, d.n_chars,
+               CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1000000 AS bucket
+        FROM documents d JOIN stats s USING (source))
+      SELECT source, n_docs,
+             CAST(SUM(CASE WHEN bucket * n_docs < min_docs * 1000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             CAST(SUM(CASE WHEN bucket * n_docs < min_docs * 1000000
+                  THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+             round(CAST(SUM(CASE WHEN bucket * n_docs < min_docs * 1000000
+                  THEN 1 ELSE 0 END) AS DOUBLE) / n_docs, 6) AS achieved_rate,
+             round(CAST(ANY_VALUE(min_docs) AS DOUBLE) / n_docs, 6) AS target_rate
+      FROM tagged
+      GROUP BY source, n_docs
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
-    t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal)
+    t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal,
+    t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler)
 }

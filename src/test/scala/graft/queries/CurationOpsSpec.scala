@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-5 curation operators (s06, t14–t16, mm05,
+  * d10) that the hash-match oracle can't express: recall against the
+  * exact baseline, monotonicity, exact-rate sampling properties. */
+class CurationOpsSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("s06 quantized top-k recalls most of the exact top-10 (s01)") {
+    def topk(q: Q): Map[Long, Set[Long]] =
+      q.run(spark, sfDir).filter(col("rank") <= 10)
+        .select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) =>
+          k -> rs.map(_.getLong(1)).toSet
+        }
+    val exact = topk(Similarity.s01_cosine_topk)
+    val quant = topk(Similarity.s06_quantized_ann)
+    assert(exact.keySet == quant.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      quant(q).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // int8 quantization only reorders neighbors within ~1/127 of each
+    // other; unnormalized-dot vs cosine ranking adds the rest of the gap
+    assert(mean >= 0.5, s"mean recall@10 vs exact baseline too low: $mean")
+  }
+
+  test("s06 scores with the codegen'd integer dot, broadcast query side") {
+    val plan = Similarity.s06_quantized_ann.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("longdotproduct") || plan.contains("LongDotProduct"),
+      s"expected native LongDotProduct in plan:\n$plan")
+    assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
+  }
+
+  test("LongDotProduct: interpreted eval matches codegen and exact math") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_qdot
+    val df = Seq((Array(1L, -2L, 3L), Array(4L, 5L, -6L)))
+      .toDF("a", "b")
+      .select(vec_qdot(col("a"), col("b")).as("d"))
+    assert(df.head().getLong(0) == (4 - 10 - 18))
+  }
+
+  test("t14: per-doc ranks are 1..3, tfidf non-increasing within a doc") {
+    val rows = Text.t14_tfidf_keywords.run(spark, sfDir)
+      .select("doc_id", "rank", "tfidf").collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        s"doc $doc ranks not contiguous")
+      val scores = sorted.map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc tfidf not non-increasing: ${scores.toSeq}")
+    }
+  }
+
+  test("t15: coverage is monotone in k and bounded by 1") {
+    val rows = Text.t15_vocab_coverage.run(spark, sfDir)
+      .orderBy("k").collect()
+    assert(rows.length == 3)
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+    // total token occurrences must equal the direct corpus count
+    val total = rows.head.getAs[Long]("total")
+    val direct = graft.core.Tables(spark, sfDir, "documents")
+      .select(sum(expr(
+        "size(regexp_extract_all(text, '[a-z0-9]+', 0))")).cast("long"))
+      .head().getLong(0)
+    assert(total == direct, s"t15 total $total != corpus tokens $direct")
+  }
+
+  test("t16: smallest source keeps rate exactly 1.0; others near target") {
+    val rows = Text.t16_mix_sampler.run(spark, sfDir).collect()
+    val minDocs = rows.map(_.getAs[Long]("n_docs")).min
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val sampled = r.getAs[Long]("n_sampled")
+      assert(sampled <= n)
+      if (n == minDocs)
+        assert(sampled == n,
+          s"smallest source ${r.getAs[String]("source")} not fully kept")
+      else {
+        // md5 buckets are uniform: achieved rate within ±0.25 absolute of
+        // target at this tiny SF (25 docs/source)
+        val achieved = r.getAs[Double]("achieved_rate")
+        val target = r.getAs[Double]("target_rate")
+        assert(math.abs(achieved - target) < 0.25,
+          s"source ${r.getAs[String]("source")}: $achieved vs $target")
+      }
+    }
+  }
+
+  test("t16 sampling membership is append-stable for unchanged sources") {
+    // the keep decision depends only on (doc_id, own-source count,
+    // min count) — rerunning yields identical sampled counts
+    val a = Text.t16_mix_sampler.run(spark, sfDir).collect().toSeq
+    val b = Text.t16_mix_sampler.run(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("mm05: entropy bounded by log2(16)+Mitchell error, buckets sane") {
+    val rows = Multimodal.mm05_byte_entropy.run(spark, sfDir).collect()
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val used = r.getAs[Long]("n_buckets_used")
+      val share = r.getAs[Double]("top_bucket_share")
+      assert(h >= 0.0 && h <= 4.1, s"entropy out of range: $h")
+      assert(used >= 0L && used <= 16L)
+      assert(share >= 0.0 && share <= 1.0)
+      if (r.getAs[Long]("n_bytes") > 0) {
+        assert(used >= 1L)
+        // single-bucket payload => zero entropy; multi-bucket => positive
+        if (used == 1L) assert(h == 0.0) else assert(h > 0.0)
+      }
+    }
+  }
+
+  test("mm05 is shuffle-free after the split-spreading repartition") {
+    val plan = Multimodal.mm05_byte_entropy.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one exchange for the repartition, one for the final global sort —
+    // no aggregate/join exchange in between
+    assert(!plan.contains("HashAggregate") || !plan.contains("Join"),
+      s"unexpected shuffle-bearing operator:\n$plan")
+  }
+
+  test("d10: every template group has >=2 docs and a consistent span") {
+    val rows = Dedup.d10_prefix_templates.run(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no prefix-template groups at smoke SF")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2L)
+      assert(r.getAs[Long]("min_doc") < r.getAs[Long]("max_doc"))
+    }
+  }
+
+  test("d11: dup_share bounded; d10 template docs have a shared window") {
+    val d11 = Dedup.d11_dup_window_share.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    d11.values.foreach { r =>
+      val share = r.getAs[Double]("dup_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_windows"))
+    }
+    // a d10 prefix-template doc's first 5-token window IS the shared
+    // prefix, so its d11 n_shared must be >= 1
+    val templateDocs = Dedup.d10_prefix_templates.run(spark, sfDir)
+      .select("min_doc").collect().map(_.getLong(0))
+    templateDocs.foreach { doc =>
+      assert(d11(doc).getAs[Long]("n_shared") >= 1L,
+        s"template doc $doc has no shared window in d11")
+    }
+  }
+
+  test("d10 shuffles digests, not text") {
+    val plan = Dedup.d10_prefix_templates.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the md5 projection must happen below the exchange: text never
+    // crosses the wire
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(prefix_fp")
+    assert(exchangeIdx >= 0, s"expected hash exchange on prefix_fp:\n$plan")
+  }
+}

@@ -60,13 +60,15 @@ class ReferenceQueriesSpec extends SparkSpec {
     assert(rows(0).getString(1) == "20")
   }
 
-  test("vec_dot / vec_cosine are SQL-callable after registration") {
+  test("vec_dot / vec_cosine / vec_qdot are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
-                vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""")
+                vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+                vec_qdot(array(1L, -2L), array(3L, 4L)) AS q""")
       .collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getLong(2) == -5L)
   }
 }
