@@ -17,6 +17,9 @@ import graft.queries.{Dedup, Text}
   *     → quality filter     (t02 score ≥ `qualityThreshold`)
   *     → decontamination    (drop training docs sharing ≥3 shingles with
   *                           the held-out slice — d08's sweep)
+  *     → mix rebalance      (opt-in: stratified downsample of the
+  *                           survivors to the smallest source's size —
+  *                           t16's exact-rational sampler, salted hash)
   *     → deterministic split (t10's md5 bucketing, 80/10/10)
   *     → curated parquet partitioned by split + a JSON manifest
   *
@@ -34,13 +37,15 @@ object Curate {
       afterNearDup: Long,
       afterQuality: Long,
       afterDecontam: Long,
-      splits: Map[String, Long]) {
+      splits: Map[String, Long],
+      afterRebalance: Option[Long] = None) {
     def json: String = {
       val sp = splits.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val reb = afterRebalance.fold("")(n => s""""after_rebalance":$n,""")
       s"""{"input":$input,"after_exact_dedup":$afterExact,""" +
         s""""after_neardup":$afterNearDup,"after_quality":$afterQuality,""" +
-        s""""after_decontam":$afterDecontam,"splits":$sp}"""
+        s""""after_decontam":$afterDecontam,$reb"splits":$sp}"""
     }
   }
 
@@ -51,7 +56,8 @@ object Curate {
       sfDir: String,
       outDir: String,
       simThreshold: Double = 0.5,
-      qualityThreshold: Double = 0.5): Report = {
+      qualityThreshold: Double = 0.5,
+      rebalanceMix: Boolean = false): Report = {
     val docs = Tables(spark, sfDir, "documents")
     val input = docs.count()
 
@@ -97,8 +103,32 @@ object Curate {
         .filter(col("doc_id") % 89 =!= 0))
       val nClean = clean.count()
 
+      // 4.5 (opt-in) mix rebalance: stratified downsample of the
+      // SURVIVORS to their smallest source's size — t16's exact-rational
+      // accept test (bucket·n < min·1e6, no float rate) applied after
+      // the drop stages, because dedup/quality survival itself skews the
+      // mix, so rebalancing anywhere earlier would be undone. The accept
+      // hash is salted ('mix:' prefix) so membership is independent of
+      // the split bucketing below — unsalted, the two decisions would
+      // read correlated ranges of the same md5.
+      val balanced = if (!rebalanceMix) clean else {
+        import org.apache.spark.sql.expressions.Window
+        val stats = clean.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("min_docs",
+            min(col("n_docs")).over(Window.partitionBy()))
+        stage(clean
+          .withColumn("mix_bucket", expr(
+            "pmod(CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT), 1000000)"))
+          .join(broadcast(stats), "source")
+          .filter(col("mix_bucket") * col("n_docs") <
+            col("min_docs") * lit(1000000L))
+          .drop("mix_bucket", "n_docs", "min_docs"))
+      }
+      val nBalanced = if (rebalanceMix) Some(balanced.count()) else None
+
       // 5. deterministic split (same md5 bucketing as t10) and write
-      val curated = clean
+      val curated = balanced
         .withColumn("bucket",
           expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"))
         .withColumn("split",
@@ -113,7 +143,7 @@ object Curate {
         .groupBy("split").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val report =
-        Report(input, nExact, nNear, nQuality, nClean, splits)
+        Report(input, nExact, nNear, nQuality, nClean, splits, nBalanced)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, "manifest.json"),
         (report.json + "\n").getBytes("UTF-8"))
@@ -121,11 +151,12 @@ object Curate {
     } finally cached.result().foreach(_.unpersist(false))
   }
 
-  /** CLI: graft.pipeline.Curate <sfDir> <outDir>. */
+  /** CLI: graft.pipeline.Curate <sfDir> <outDir> [rebalance]. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.drop(1).headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-curate").toString)
+    val rebalance = args.contains("rebalance")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -133,7 +164,7 @@ object Curate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val report = run(spark, sfDir, outDir)
+    val report = run(spark, sfDir, outDir, rebalanceMix = rebalance)
     println(report.json)
     println(s"curated -> $outDir/curated")
     spark.stop()

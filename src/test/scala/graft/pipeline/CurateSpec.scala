@@ -53,6 +53,28 @@ class CurateSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rebalance stage: equalizes the surviving mix, smallest source whole") {
+    val dir = tmpDir("curate-reb")
+    val r = Curate.run(spark, sfDir, dir, rebalanceMix = true)
+    val nBal = r.afterRebalance.getOrElse(fail("afterRebalance missing"))
+    assert(nBal <= r.afterDecontam && nBal > 0)
+    assert(r.splits.values.sum == nBal)
+    assert(r.json.contains("\"after_rebalance\":" + nBal))
+    // per-source counts: all within sampling noise of the smallest
+    // surviving source (exact-rational accept keeps the min source whole)
+    val curated = spark.read.parquet(s"$dir/curated")
+    val bySource = curated.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCount = bySource.values.min
+    bySource.values.foreach { n =>
+      assert(n <= minCount * 2,
+        s"rebalanced source count $n far above min $minCount")
+    }
+    // determinism: a second rebalanced run reproduces the manifest
+    val dir2 = tmpDir("curate-reb2")
+    assert(Curate.run(spark, sfDir, dir2, rebalanceMix = true) == r)
+  }
+
   test("manifest file is valid machine-readable JSON") {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
