@@ -48,10 +48,22 @@ object Bench {
 
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY="t14_tfidf_keywords,q01_..."
     // restricts the run to the named queries (full pack when unset).
+    // Unknown names are called out loudly (a typo would otherwise
+    // benchmark nothing and still print a plausible-looking total), and
+    // a subset run marks its contract line so it can never be mistaken
+    // for a full-pack attestation.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: unknown query names ignored: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val picked = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
+    val subsetMark = only.fold("")(_ =>
+      s""""subset":"${picked.size}/${SparkEntry.queries.size}",""")
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       val times = (1 to runs).map { _ =>
@@ -85,7 +97,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val contract =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$subsetMark"queries":$qs,"sf":"$sf"}"""
     // ... also to a PER-RUN file, so the artifact stays machine-parseable
     // even if a build tool truncates or prefixes stdout. Not a fixed
     // shared path (/tmp/graft_bench.json clobbered concurrent runs'

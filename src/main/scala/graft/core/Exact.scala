@@ -70,4 +70,26 @@ object Exact {
     * of identical operands on any engine. */
   def avgd(c: Column): Column =
     (sum(dec(c)).cast("double") / count(c)).cast("double")
+
+  // ---- exact-integer log2 (Mitchell) --------------------------------
+  // libm log2 differs across engines in the last ulp, so a transcendental
+  // inside a hash-matched operator would be a rare nondeterministic flake.
+  // Mitchell's log-linear approximation runs in EXACT 64-bit integer
+  // arithmetic instead: k = floor(log2(num/den)) from the bit length of
+  // num div den, fractional part by linear interpolation of the remainder.
+  // Monotone in num/den (rank-preserving, all a quality filter consumes),
+  // max error 0.086 bits, bit-identical on every engine.
+
+  /** SQL expression string: Mitchell log2(num/den) in nano-bits
+    * (k·1e9 + frac·1e9) as BIGINT. `num`/`den` must be BIGINT-typed SQL
+    * expressions with num >= den >= 1 (they may reference lambda
+    * variables, so this is a string, not a Column). ONE copy shared by
+    * t13 (surprisal), t14 (IDF) and mm05 (entropy) — a precision change
+    * here lands in every consumer at once; the DuckDB oracles
+    * hand-mirror this text with `//` and `<<`. */
+  def mitchellLog2n9(num: String, den: String): String = {
+    val k = s"(length(bin(($num) div ($den))) - 1)"
+    val p = s"(($den) * shiftleft(CAST(1 AS BIGINT), $k))"
+    s"(CAST($k AS BIGINT) * 1000000000 + (($num) - $p) * 1000000000 div $p)"
+  }
 }

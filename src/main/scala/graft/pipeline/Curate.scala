@@ -118,19 +118,19 @@ object Curate {
           .withColumn("min_docs",
             min(col("n_docs")).over(Window.partitionBy()))
         stage(clean
-          .withColumn("mix_bucket", expr(
-            "pmod(CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT), 1000000)"))
+          .withColumn("mix_bucket", expr(graft.core.Sampling
+            .md5Bucket("CAST(doc_id AS STRING)", 1000000, salt = "mix:")))
           .join(broadcast(stats), "source")
-          .filter(col("mix_bucket") * col("n_docs") <
-            col("min_docs") * lit(1000000L))
+          .filter(graft.core.Sampling.stratifiedAccept(
+            col("mix_bucket"), col("n_docs"), col("min_docs"), 1000000L))
           .drop("mix_bucket", "n_docs", "min_docs"))
       }
       val nBalanced = if (rebalanceMix) Some(balanced.count()) else None
 
       // 5. deterministic split (same md5 bucketing as t10) and write
       val curated = balanced
-        .withColumn("bucket",
-          expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"))
+        .withColumn("bucket", expr(
+          graft.core.Sampling.md5Bucket("CAST(doc_id AS STRING)", 100)))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "valid")

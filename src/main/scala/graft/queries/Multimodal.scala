@@ -148,13 +148,19 @@ object Multimodal {
       // histogram (partition-wise exact counts —
       // graft.multimodal.Decode.byteHistogram, the same mapPartitions
       // plumbing as mm02's feature extractor) reduced to Shannon entropy
-      // via the t13 Mitchell exact-integer log2 ladder:
+      // via the Mitchell exact-integer log2 ladder (Exact.mitchellLog2n9):
       // H = sum_j c_j * log2(n / c_j) / n, every step 64-bit integer
-      // math until the final display division — so the
-      // compressibility / corruption / format signal an intake stage
-      // computes before any codec runs hash-matches any engine. Pure
-      // per-row map over one corpus scan, zero shuffle; the repartition
-      // only spreads the single-split testdata parquet.
+      // math until the final display division — the compressibility /
+      // corruption / format signal an intake stage computes before any
+      // codec runs. Pure per-row map over one corpus scan, zero shuffle;
+      // the repartition only spreads the single-split testdata parquet.
+      // Engine semantics: Spark histograms the raw BYTES (the real
+      // multimodal contract — payloads are opaque binary); the DuckDB
+      // oracle can only histogram VARCHAR codepoints, so, exactly like
+      // mm02, the value-for-value check is valid because this corpus is
+      // ASCII (byte == codepoint < 128). On non-ASCII/true-binary data
+      // the byte side remains the definition and the SQL mirror is not
+      // equivalent.
       val payloads = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -169,12 +175,10 @@ object Multimodal {
             greatest(col("n"), lit(1L)), 6).as("top_bucket_share"),
           when(col("n") > 0,
             round(expr(
-              """aggregate(hist, CAST(0 AS BIGINT), (acc, c) -> acc +
-                   CASE WHEN c > 0 THEN c * (
-                     CAST(length(bin(n div c)) - 1 AS BIGINT) * 1000000000 +
-                     (n - c * shiftleft(CAST(1 AS BIGINT), length(bin(n div c)) - 1)) * 1000000000
-                       div (c * shiftleft(CAST(1 AS BIGINT), length(bin(n div c)) - 1)))
-                   ELSE CAST(0 AS BIGINT) END)""").cast("double")
+              s"""aggregate(hist, CAST(0 AS BIGINT), (acc, c) -> acc +
+                   CASE WHEN c > 0
+                     THEN c * ${graft.core.Exact.mitchellLog2n9("n", "c")}
+                     ELSE CAST(0 AS BIGINT) END)""").cast("double")
               / col("n") / 1000000000.0, 6))
             .otherwise(0.0).as("entropy_bits"))
         .orderBy(col("doc_id"))
@@ -182,9 +186,12 @@ object Multimodal {
     Some("""
       WITH h AS (
         SELECT doc_id, strlen(text) AS n,
-               list_transform(range(16), j ->
-                 CAST(length(list_filter(string_split(text, ''),
-                   c -> ascii(c) // 16 = j)) AS BIGINT)) AS hist
+               CASE WHEN strlen(text) > 0 THEN
+                 list_transform(range(16), j ->
+                   CAST(length(list_filter(string_split(text, ''),
+                     c -> ascii(c) // 16 = j)) AS BIGINT))
+               ELSE list_transform(range(16), j -> CAST(0 AS BIGINT)) END
+                 AS hist
         FROM documents)
       SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
              CAST(length(list_filter(hist, c -> c > 0)) AS BIGINT)

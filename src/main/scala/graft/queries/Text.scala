@@ -316,8 +316,8 @@ object Text {
       // document identically — the property training pipelines need for
       // leak-free splits. 80/10/10 via hash bucket.
       Tables(s, dir, "documents")
-        .withColumn("bucket",
-          expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"))
+        .withColumn("bucket", expr(
+          graft.core.Sampling.md5Bucket("CAST(doc_id AS STRING)", 100)))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "valid")
@@ -509,11 +509,8 @@ object Text {
         .cache()
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
         .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
-        .withColumn("k", expr("length(bin(n_total div c)) - 1").cast("int"))
-        .withColumn("p", expr("c * shiftleft(CAST(1 AS BIGINT), k)"))
-        .select(col("tok"), expr(
-          """CAST(k AS BIGINT) * 1000000000 +
-             (n_total - p) * 1000000000 div p""").as("surp_n9"))
+        .select(col("tok"),
+          expr(graft.core.Exact.mitchellLog2n9("n_total", "c")).as("surp_n9"))
       toks.join(broadcast(vocab), "tok")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(col("surp_n9")).as("sum_n9"))
@@ -573,11 +570,8 @@ object Text {
       tf.withColumn("df",
           count(lit(1)).over(Window.partitionBy(col("tok"))))
         .crossJoin(broadcast(nDocs))
-        .withColumn("k", expr("length(bin(n_docs div df)) - 1").cast("int"))
-        .withColumn("p", expr("df * shiftleft(CAST(1 AS BIGINT), k)"))
-        .withColumn("idf_n9", expr(
-          """CAST(k AS BIGINT) * 1000000000 +
-             (n_docs - p) * 1000000000 div p"""))
+        .withColumn("idf_n9",
+          expr(graft.core.Exact.mitchellLog2n9("n_docs", "df")))
         .withColumn("score_n9", col("tf") * col("idf_n9"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -654,7 +648,7 @@ object Text {
                ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk,
                SUM(cnt) OVER () AS total
         FROM vocab)
-      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vocab_used,
+      SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_vocab_used,
              CAST(SUM(cnt) AS BIGINT) AS covered,
              CAST(ANY_VALUE(total) AS BIGINT) AS total,
              round(CAST(SUM(cnt) AS DOUBLE) / ANY_VALUE(total), 6) AS coverage
@@ -684,10 +678,10 @@ object Text {
           min(col("n_docs")).over(Window.partitionBy()))
       docs
         .withColumn("bucket", expr(
-          "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 1000000)"))
+          graft.core.Sampling.md5Bucket("CAST(doc_id AS STRING)", 1000000)))
         .join(broadcast(stats), "source")
-        .withColumn("keep",
-          col("bucket") * col("n_docs") < col("min_docs") * lit(1000000L))
+        .withColumn("keep", graft.core.Sampling.stratifiedAccept(
+          col("bucket"), col("n_docs"), col("min_docs"), 1000000L))
         .groupBy(col("source"), col("n_docs"), col("min_docs"))
         .agg(
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),

@@ -125,8 +125,8 @@ class CurationOpsSpec extends SparkSpec {
     val plan = Multimodal.mm05_byte_entropy.run(spark, sfDir)
       .queryExecution.executedPlan.toString
     // one exchange for the repartition, one for the final global sort —
-    // no aggregate/join exchange in between
-    assert(!plan.contains("HashAggregate") || !plan.contains("Join"),
+    // no aggregate or join in between
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
       s"unexpected shuffle-bearing operator:\n$plan")
   }
 
@@ -148,12 +148,15 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_windows"))
     }
     // a d10 prefix-template doc's first 5-token window IS the shared
-    // prefix, so its d11 n_shared must be >= 1
+    // prefix, so its d11 n_shared must be >= 1 — provided the doc HAS a
+    // 5-token window (d10 also groups shorter docs by their full prefix,
+    // where d11 by design reports zero windows)
     val templateDocs = Dedup.d10_prefix_templates.run(spark, sfDir)
       .select("min_doc").collect().map(_.getLong(0))
     templateDocs.foreach { doc =>
-      assert(d11(doc).getAs[Long]("n_shared") >= 1L,
-        s"template doc $doc has no shared window in d11")
+      if (d11(doc).getAs[Long]("n_windows") >= 1L)
+        assert(d11(doc).getAs[Long]("n_shared") >= 1L,
+          s"template doc $doc has no shared window in d11")
     }
   }
 
