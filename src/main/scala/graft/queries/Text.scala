@@ -41,25 +41,34 @@ object Text {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** t02's scoring columns on ANY (doc_id, text, …) relation — ONE copy
+    * shared by the batch operator and the streaming intake gate
+    * (graft.streaming.CurationStream), so the streamed and batch admit
+    * decisions can never diverge. Stateless codegen'd expressions only,
+    * hence streaming-safe. Adds n_tok/n_stop/n_uniq/quality (plus a
+    * scratch toks column the callers drop). */
+  private[graft] def withQuality(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("toks", expr(toksExpr))
+      .withColumn("n_tok", expr("size(toks)").cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(toks, t -> t IN ('the','a','of','and','to','in','is')))")
+        .cast("long"))
+      .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
+      .withColumn("quality",
+        when(col("n_tok") > 0,
+          lit(0.4) * least(lit(1.0), col("n_tok").cast("double") / 100.0)
+            + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tok"))
+            + lit(0.3) * (col("n_uniq").cast("double") / col("n_tok")))
+          .otherwise(0.0))
+
   val t02_quality_score = Q(
     "t02_quality_score",
     (s, dir) => {
       // Quality heuristic: length saturation + lexical diversity +
       // stopword-rate penalty; all integer-derived double math so it is
       // bit-reproducible under any parallelism.
-      Tables(s, dir, "documents")
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("n_tok", expr("size(toks)").cast("long"))
-        .withColumn("n_stop", expr(
-          "size(filter(toks, t -> t IN ('the','a','of','and','to','in','is')))")
-          .cast("long"))
-        .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
-        .withColumn("quality",
-          when(col("n_tok") > 0,
-            lit(0.4) * least(lit(1.0), col("n_tok").cast("double") / 100.0)
-              + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tok"))
-              + lit(0.3) * (col("n_uniq").cast("double") / col("n_tok")))
-            .otherwise(0.0))
+      withQuality(Tables(s, dir, "documents"))
         .select("doc_id", "n_tok", "n_stop", "n_uniq", "quality")
         .orderBy(col("doc_id"))
     },

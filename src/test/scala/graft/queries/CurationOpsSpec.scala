@@ -28,6 +28,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 vs exact baseline too low: $mean")
   }
 
+  test("s07 two-stage rerank: recall@10 at least s06's, exact scores") {
+    def topk(q: Q): Map[Long, Set[Long]] =
+      q.run(spark, sfDir).filter(col("rank") <= 10)
+        .select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) =>
+          k -> rs.map(_.getLong(1)).toSet
+        }
+    def meanRecall(got: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]) = {
+      val rs = exact.map { case (q, ex) =>
+        got(q).intersect(ex).size.toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    val exact = topk(Similarity.s01_cosine_topk)
+    val r06 = meanRecall(topk(Similarity.s06_quantized_ann), exact)
+    val r07 = meanRecall(topk(Similarity.s07_quantized_rerank), exact)
+    // re-ranking a 50-candidate superset with the exact cosine can only
+    // improve on taking the quantized top-10 directly
+    assert(r07 >= r06, s"rerank recall $r07 below quantized-only $r06")
+    assert(r07 >= 0.8, s"two-stage recall@10 too low: $r07")
+  }
+
   test("s06 scores with the codegen'd integer dot, broadcast query side") {
     val plan = Similarity.s06_quantized_ann.run(spark, sfDir)
       .queryExecution.executedPlan.toString
