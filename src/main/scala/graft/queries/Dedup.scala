@@ -632,8 +632,89 @@ object Dedup {
       FROM w LEFT JOIN per USING (doc_id)
       ORDER BY w.doc_id"""))
 
+  val d12_dup_clusters = Q(
+    "d12_dup_clusters",
+    (s, dir) => {
+      // Duplicate-CLUSTER assignment: connected components over the LSH
+      // candidate graph (est_sim >= 0.5 — the same edge set Curate's
+      // near-dup stage drops from). This is the transitive-closure step
+      // a real dedup pipeline runs between pair generation and
+      // canonical-doc selection, because near-duplication is not
+      // transitive pairwise: A~B and B~C must land A, B and C in ONE
+      // group with ONE canonical id, which per-pair dropping cannot
+      // guarantee. Algorithm: min-label propagation to fixpoint — each
+      // round every node takes the min label among itself and its
+      // neighbors; rounds = component diameter (LSH components are
+      // near-cliques, so 2-3 rounds; a production variant swaps in
+      // alternating star contraction for O(log n) worst case). Each
+      // round is one distributed join + aggregate over (id, label)
+      // longs; the only driver-side value is the converged? flag —
+      // no row data ever collects.
+      val edges = d04_lsh_pairs.run(s, dir)
+        .filter(col("est_sim") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val sym = edges.union(edges.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst").cache()
+      var labels = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("label")).cache()
+      var converged = false
+      while (!converged) {
+        val viaNbr = sym
+          .join(labels.withColumnRenamed("doc_id", "nbr"),
+            col("dst") === col("nbr"))
+          .select(col("src").as("doc_id"), col("label"))
+        val next = labels.unionByName(viaNbr)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+          .cache()
+        converged = next
+          .join(labels.withColumnRenamed("label", "prev"), "doc_id")
+          .filter(col("label") < col("prev")).isEmpty
+        labels.unpersist(false)
+        labels = next
+      }
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      ${signaturesSqlDuck.replaceFirst("WITH", "WITH RECURSIVE")},
+      band AS (
+        SELECT doc_id, b,
+               md5(CAST(sig[b*4 + 1] AS VARCHAR) || ',' || CAST(sig[b*4 + 2] AS VARCHAR)
+                   || ',' || CAST(sig[b*4 + 3] AS VARCHAR) || ',' || CAST(sig[b*4 + 4] AS VARCHAR)) AS bh
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+      cpairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM band l JOIN band r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+      cand AS (
+        SELECT a_id, b_id,
+               CAST(list_sum(list_transform(range(16),
+                 i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+        FROM cpairs
+        JOIN sig sa ON sa.doc_id = a_id
+        JOIN sig sb ON sb.doc_id = b_id),
+      sym AS (
+        SELECT a_id AS src, b_id AS dst FROM cand WHERE est_sim >= 0.5
+        UNION ALL
+        SELECT b_id, a_id FROM cand WHERE est_sim >= 0.5),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+              FROM reach GROUP BY src),
+      sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+             FROM lab GROUP BY cluster_id)
+      SELECT doc_id, cluster_id, cluster_size
+      FROM lab JOIN sz USING (cluster_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
     d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash,
     d08_decontamination, d09_semantic_neardup, d10_prefix_templates,
-    d11_dup_window_share)
+    d11_dup_window_share, d12_dup_clusters)
 }

@@ -182,6 +182,27 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("d12: cluster assignment is a valid partition closed over edges") {
+    val rows = Dedup.d12_dup_clusters.run(spark, sfDir).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // cluster_id is the component minimum and a member of the cluster
+    cluster.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid,
+        s"cluster $cid labeled by non-minimum")
+      assert(sizes(cid) == members.size.toLong)
+    }
+    // closure: every qualifying LSH edge joins its endpoints' clusters
+    Dedup.d04_lsh_pairs.run(spark, sfDir)
+      .filter(col("est_sim") >= 0.5)
+      .select("a_id", "b_id").collect().foreach { r =>
+      assert(cluster(r.getLong(0)) == cluster(r.getLong(1)),
+        s"edge (${r.getLong(0)},${r.getLong(1)}) spans two clusters")
+    }
+    // the graph actually has non-trivial components at smoke scale
+    assert(rows.exists(_.getLong(2) >= 2L), "no multi-doc cluster; weak test")
+  }
+
   test("d10 shuffles digests, not text") {
     val plan = Dedup.d10_prefix_templates.run(spark, sfDir)
       .queryExecution.executedPlan.toString
