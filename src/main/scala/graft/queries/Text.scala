@@ -512,15 +512,30 @@ object Text {
       // as less work but measured 2-10x SLOWER here: the extra aggregate
       // adds a stage and defeats the cached-scan reuse; occurrences are
       // cheap, stages are not.)
+      // The scoring join is hinted SHUFFLE_HASH, never broadcast: vocab
+      // is one row per DISTINCT corpus token, which Heaps' law puts at
+      // 1e8-1e9 at 100 TB — far past any sane broadcast threshold. A
+      // shuffled hash join partitions the vocab build side across
+      // executors (|vocab|/numPartitions rows per task) and co-shuffles
+      // the token stream on `tok`, the shape that survives any corpus
+      // size; the explicit hint also keeps AQE from promoting the
+      // bench-scale plan back to a broadcast that would lie about the
+      // 100-TB shape.
       val toks = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
         .cache()
+      // n_total (total token occurrences) as a 1-row scalar aggregate off
+      // the cached stream, NOT a global window over the vocab rows: an
+      // empty-frame window is a single task, and its input here is
+      // |vocab| — unbounded in corpus size (unlike t12/t16, whose window
+      // input is |sources|). The broadcast is one row.
+      val nTotal = toks.agg(count(lit(1)).as("n_total"))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
+        .crossJoin(broadcast(nTotal))
         .select(col("tok"),
           expr(graft.core.Exact.mitchellLog2n9("n_total", "c")).as("surp_n9"))
-      toks.join(broadcast(vocab), "tok")
+      toks.join(vocab.hint("shuffle_hash"), "tok")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(col("surp_n9")).as("sum_n9"))
         .select(col("doc_id"), col("n_tok"),
@@ -622,20 +637,27 @@ object Text {
       // Tokenizer-budget curve: what share of all token OCCURRENCES the
       // top-k vocabulary covers, k in {10, 100, 1000} — the number a
       // vocab-size / OOV-rate decision reads off. One exploded count to
-      // vocab (corpus-sublinear), one global rank over the vocab rows
-      // (fine at any corpus size: the window input is |vocab|, not
-      // |tokens|), then a 3-way conditional rollup via a tiny exploded
-      // k-column. All counts exact longs; shares are ratios of exact
-      // integers.
+      // vocab (corpus-sublinear), then only the TOP-1000 vocab rows ever
+      // reach a single task: the candidate set is `orderBy(...).limit(
+      // 1000)`, which plans TakeOrderedAndProject (per-partition top-k
+      // heaps, then a 1000-row merge — distributed at any |vocab|), and
+      // the grand total is a plain scalar aggregate. Ranks are then a
+      // window over exactly 1000 rows (a constant, like t12's
+      // |sources|-row windows — NOT |vocab|, which Heaps' law makes
+      // 1e8+ at 100 TB). The vocab aggregate feeds both subtrees; its
+      // exchange is identical in each, so Spark reuses one shuffle
+      // (ReusedExchange — pinned in PLANS.md). All counts exact longs;
+      // shares are ratios of exact integers.
       val vocab = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(explode(expr(toksExpr)).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      val wAll = Window.partitionBy()
+      val total = vocab.agg(sum(col("cnt")).as("total"))
       val ranked = vocab
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
         .withColumn("rk", row_number().over(
           Window.partitionBy().orderBy(col("cnt").desc, col("tok"))))
-        .withColumn("total", sum(col("cnt")).over(wAll))
+        .crossJoin(broadcast(total))
       ranked
         .select(col("cnt"), col("rk"), col("total"),
           explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))

@@ -108,6 +108,47 @@ class QueriesSmokeSpec extends SparkSpec {
       s"nested-loop join in d09 pair generation:\n$plan")
   }
 
+  test("t13 scoring join never broadcasts the vocab (100TB shape)") {
+    // vocab is one row per distinct corpus token — Heaps' law makes that
+    // 1e8+ at 100 TB, so the scoring join must stay a shuffled hash join
+    // (partitioned build side) at EVERY scale, never a vocab broadcast.
+    // Materialize first: the pin is on the AQE-final plan, and the hint
+    // must hold even where the bench-scale vocab is broadcastable.
+    val df = Text.t13_surprisal.run(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("ShuffledHashJoin \\[tok".r.findFirstIn(plan).isDefined,
+      s"t13 tok join is not a shuffled hash join:\n$plan")
+    assert("BroadcastHashJoin \\[tok".r.findFirstIn(plan).isEmpty,
+      s"t13 vocab side got broadcast:\n$plan")
+    // the single-task global window over vocab is gone too: n_total is a
+    // plain scalar aggregate (1-row broadcast), so no Window at all here
+    assert(!plan.contains("Window"),
+      s"t13 still computes n_total via a window:\n$plan")
+  }
+
+  test("t15 ranks only the top-1000 vocab rows, total via plain aggregate") {
+    // |vocab| is unbounded in corpus size: the rank source must be
+    // TakeOrderedAndProject (per-partition top-k heaps), the only Window
+    // input the constant 1000-row candidate set, and the grand total a
+    // scalar aggregate — never a single-partition window over all vocab
+    // rows. The duplicated vocab aggregate must reuse one exchange.
+    val df = Text.t15_vocab_coverage.run(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject(limit=1000"),
+      s"t15 top-1000 did not plan as TakeOrderedAndProject:\n$plan")
+    assert(plan.split("Window \\[", -1).length == 2,
+      s"t15 has a window beyond the bounded top-1000 rank:\n$plan")
+    assert("Window \\[row_number[\\s\\S]{0,400}?TakeOrderedAndProject".r
+      .findFirstIn(plan).isDefined,
+      s"t15's rank window does not read the top-1000 candidate set:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"t15 vocab aggregate is computed twice (no exchange reuse):\n$plan")
+  }
+
   test("d01 shuffles digests, not document bodies") {
     // README's scale claim, measured: exact dedup reduces each document
     // to (md5, id, n_chars) BEFORE any exchange, so total shuffle-write
