@@ -23,6 +23,11 @@ object Sampling {
     * accept ('mix:' salt) vs its train/valid/test split (unsalted):
     * unsalted, the two would read correlated ranges of one hash. */
   def md5Bucket(keySql: String, mod: Long, salt: String = ""): String = {
+    // The salt lands inside a SQL string literal; restrict it to a safe
+    // alphabet so a quote (or any metacharacter) can never break out of
+    // the literal and alter the generated expression — public API.
+    require(salt.matches("[A-Za-z0-9_.:-]*"),
+      s"salt must match [A-Za-z0-9_.:-]*, got: $salt")
     val arg = if (salt.isEmpty) keySql else s"concat('$salt', $keySql)"
     s"pmod(CAST(conv(substr(md5($arg), 1, 15), 16, 10) AS BIGINT), ${mod}L)"
   }

@@ -91,6 +91,16 @@ case class DotProduct(left: Expression, right: Expression)
   * any partitioning — no floating-point rounding to reconcile at all.
   * Codegen'd tight loop for the same reason as [[DotProduct]]: the HOF
   * route (`aggregate(zip_with(...))`) evaluates interpreted per element.
+  *
+  * CONTRACT (the function is SQL-registered as `vec_qdot`, so arbitrary
+  * `array<bigint>` inputs can reach it): mismatched lengths are truncated
+  * to the SHORTER array — the zip semantics of every vector kernel here —
+  * and the accumulator is unchecked 64-bit math, so inputs outside the
+  * quantized-embedding envelope (|element| <= ~2^15 at dim <= ~2^30)
+  * can wrap silently. Callers wanting strict behavior must validate
+  * lengths/ranges upstream; the s06/s07 pipelines generate both sides
+  * from the same 64-dim quantizer, which satisfies the contract by
+  * construction.
   */
 case class LongDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

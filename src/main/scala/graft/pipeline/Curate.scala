@@ -12,8 +12,20 @@ import graft.queries.{Dedup, Text}
   *
   *   documents
   *     → exact dedup        (keep each md5 group's canonical min doc_id)
-  *     → near-dup removal   (LSH candidates ≥ `simThreshold` estimated
-  *                           Jaccard; keep the smaller id of each pair)
+  *     → near-dup removal   (default CLUSTER mode: connected components
+  *                           over the LSH pair graph at `simThreshold` —
+  *                           d12's transitive closure — keeping one
+  *                           min-doc_id canonical per component, the only
+  *                           policy that guarantees one survivor per
+  *                           transitive cluster; `clusterDedup = false`
+  *                           falls back to per-pair larger-id dropping,
+  *                           which keeps spurious extra survivors when a
+  *                           chain's hub has the largest id)
+  *     → semantic near-dup  (opt-in: d09's learned-cell embedding pairs
+  *                           at cosine ≥ `semanticThreshold`, restricted
+  *                           to the current survivors, one canonical per
+  *                           connected component — catches paraphrase
+  *                           duplicates that share no token shingles)
   *     → quality filter     (t02 score ≥ `qualityThreshold`)
   *     → decontamination    (drop training docs sharing ≥3 shingles with
   *                           the held-out slice — d08's sweep)
@@ -38,13 +50,18 @@ object Curate {
       afterQuality: Long,
       afterDecontam: Long,
       splits: Map[String, Long],
-      afterRebalance: Option[Long] = None) {
+      afterRebalance: Option[Long] = None,
+      nearDupClusters: Option[Long] = None,
+      afterSemantic: Option[Long] = None) {
     def json: String = {
       val sp = splits.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val cl = nearDupClusters.fold("")(n => s""""neardup_clusters":$n,""")
+      val sem = afterSemantic.fold("")(n => s""""after_semantic":$n,""")
       val reb = afterRebalance.fold("")(n => s""""after_rebalance":$n,""")
       s"""{"input":$input,"after_exact_dedup":$afterExact,""" +
-        s""""after_neardup":$afterNearDup,"after_quality":$afterQuality,""" +
+        s"""$cl"after_neardup":$afterNearDup,$sem""" +
+        s""""after_quality":$afterQuality,""" +
         s""""after_decontam":$afterDecontam,$reb"splits":$sp}"""
     }
   }
@@ -57,7 +74,10 @@ object Curate {
       outDir: String,
       simThreshold: Double = 0.5,
       qualityThreshold: Double = 0.5,
-      rebalanceMix: Boolean = false): Report = {
+      rebalanceMix: Boolean = false,
+      clusterDedup: Boolean = true,
+      semanticDedup: Boolean = false,
+      semanticThreshold: Double = 0.9): Report = {
     val docs = Tables(spark, sfDir, "documents")
     val input = docs.count()
 
@@ -77,20 +97,61 @@ object Curate {
       val exact = stage(docs.join(canonical, "doc_id"))
       val nExact = exact.count()
 
-      // 2. near-dup removal: of each high-similarity candidate pair, the
-      // larger id is dropped (deterministic, order-free). Estimated
+      // 2. near-dup removal. Cluster mode (default): one min-doc_id
+      // canonical per connected component of the LSH pair graph — d12's
+      // transitive closure, the only policy that guarantees one survivor
+      // per transitive cluster (A~B, B~C with the hub holding the
+      // largest id keeps BOTH ends under pairwise dropping). The cluster
+      // canonical always survives stage 1: exact duplicates share every
+      // band, so an exact group lies inside one component, making the
+      // component's min id the min of its own md5 group. Estimated
       // Jaccard comes from the banded signatures — never rescans text.
-      val dropNear = Dedup.d04_lsh_pairs.run(spark, sfDir)
-        .filter(col("est_sim") >= simThreshold)
-        .select(col("b_id").as("doc_id")).distinct()
-      val nearDeduped = stage(exact.join(dropNear, Seq("doc_id"), "left_anti"))
+      var nClusters: Option[Long] = None
+      val nearDeduped = stage(if (clusterDedup) {
+        val clusters = Dedup.dupClusters(spark, sfDir, simThreshold)
+        nClusters = Some(clusters.filter(col("cluster_size") >= 2)
+          .select(col("cluster_id")).distinct().count())
+        exact.join(
+          clusters.filter(col("cluster_id") === col("doc_id"))
+            .select(col("doc_id")),
+          "doc_id")
+      } else {
+        // legacy pairwise policy: drop the larger id of each pair
+        val dropNear = Dedup.d04_lsh_pairs.run(spark, sfDir)
+          .filter(col("est_sim") >= simThreshold)
+          .select(col("b_id").as("doc_id")).distinct()
+        exact.join(dropNear, Seq("doc_id"), "left_anti")
+      })
       val nNear = nearDeduped.count()
+
+      // 2.5 (opt-in) semantic near-dup: paraphrase duplicates share no
+      // shingles, so they sail through stages 1-2; d09's learned-cell
+      // embedding pairs catch them (vec_id and doc_id share one id
+      // space in the testdata layout). The component graph is RESTRICTED
+      // to current survivors — a semantic cluster whose global canonical
+      // already died in text dedup must still keep its min SURVIVING
+      // member, not lose the content outright.
+      val semDeduped = if (!semanticDedup) nearDeduped else stage {
+        val ids = nearDeduped.select(col("doc_id"))
+        val pairs = Dedup.d09_semantic_neardup.run(spark, sfDir)
+          .filter(col("cos_sim") >= semanticThreshold)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val edges = pairs
+          .join(ids, pairs("src") === ids("doc_id"), "left_semi")
+          .join(ids, pairs("dst") === ids("doc_id"), "left_semi")
+        val keep = Dedup
+          .connectedComponents(ids.withColumnRenamed("doc_id", "id"), edges)
+          .filter(col("id") === col("label"))
+          .select(col("id").as("doc_id"))
+        nearDeduped.join(keep, "doc_id")
+      }
+      val nSemantic = if (semanticDedup) Some(semDeduped.count()) else None
 
       // 3. quality floor (t02's saturation + diversity + stopword score)
       val quality = Text.t02_quality_score.run(spark, sfDir)
         .filter(col("quality") >= qualityThreshold)
         .select(col("doc_id"))
-      val qualified = stage(nearDeduped.join(quality, "doc_id"))
+      val qualified = stage(semDeduped.join(quality, "doc_id"))
       val nQuality = qualified.count()
 
       // 4. decontamination: drop flagged TRAIN docs; the held-out slice
@@ -142,8 +203,8 @@ object Curate {
       val splits = spark.read.parquet(s"$outDir/curated")
         .groupBy("split").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val report =
-        Report(input, nExact, nNear, nQuality, nClean, splits, nBalanced)
+      val report = Report(input, nExact, nNear, nQuality, nClean, splits,
+        nBalanced, nClusters, nSemantic)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, "manifest.json"),
         (report.json + "\n").getBytes("UTF-8"))
@@ -151,7 +212,8 @@ object Curate {
     } finally cached.result().foreach(_.unpersist(false))
   }
 
-  /** CLI: graft.pipeline.Curate <sfDir> <outDir> [rebalance]. */
+  /** CLI: graft.pipeline.Curate <sfDir> <outDir> [rebalance] [pairwise]
+    * [semantic]. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.drop(1).headOption.getOrElse(
@@ -164,7 +226,9 @@ object Curate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val report = run(spark, sfDir, outDir, rebalanceMix = rebalance)
+    val report = run(spark, sfDir, outDir, rebalanceMix = rebalance,
+      clusterDedup = !args.contains("pairwise"),
+      semanticDedup = args.contains("semantic"))
     println(report.json)
     println(s"curated -> $outDir/curated")
     spark.stop()

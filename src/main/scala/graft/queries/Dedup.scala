@@ -632,53 +632,76 @@ object Dedup {
       FROM w LEFT JOIN per USING (doc_id)
       ORDER BY w.doc_id"""))
 
+  /** Min-label-propagation connected components over an undirected edge
+    * set: `nodes` is one column `id`; `edges` has columns `src`, `dst`
+    * (one row per edge, either orientation — symmetrized here). Returns
+    * `(id, label)` with label = the minimum id reachable from `id`.
+    *
+    * Each round every node takes the min label among itself and its
+    * neighbors; rounds = component diameter (LSH duplicate components
+    * are near-cliques, so 2-3 rounds; a production variant swaps in
+    * alternating star contraction for O(log n) worst case). Each round
+    * is one distributed join + aggregate over (id, label) longs; the
+    * only driver-side value is the converged? flag — no row data ever
+    * collects. The RESULT is localCheckpoint-ed (materialized, lineage
+    * cut) so every loop cache — including the symmetrized edge set —
+    * is dropped before returning: callers get a self-contained frame
+    * and repeated invocations (bench warm+timed runs, the test suite,
+    * Curate) leak no cached blocks.
+    */
+  private[graft] def connectedComponents(
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var labels = nodes.select(col("id"), col("id").as("label")).cache()
+    var converged = false
+    while (!converged) {
+      val viaNbr = sym
+        .join(labels.withColumnRenamed("id", "nbr"),
+          col("dst") === col("nbr"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .cache()
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels.unpersist(false)
+      labels = next
+    }
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
+    sym.unpersist(false)
+    out
+  }
+
+  /** Duplicate-CLUSTER assignment: connected components over the LSH
+    * candidate graph at `simThreshold` estimated Jaccard (the same edge
+    * set Curate's near-dup stage drops from). This is the
+    * transitive-closure step a real dedup pipeline runs between pair
+    * generation and canonical-doc selection, because near-duplication is
+    * not transitive pairwise: A~B and B~C must land A, B and C in ONE
+    * group with ONE canonical id (`cluster_id` = the component's min
+    * doc_id), which per-pair dropping cannot guarantee. */
+  def dupClusters(
+      s: SparkSession, dir: String, simThreshold: Double = 0.5): DataFrame = {
+    val edges = d04_lsh_pairs.run(s, dir)
+      .filter(col("est_sim") >= simThreshold)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val labels = connectedComponents(
+      Tables(s, dir, "documents").select(col("doc_id").as("id")), edges)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val d12_dup_clusters = Q(
     "d12_dup_clusters",
-    (s, dir) => {
-      // Duplicate-CLUSTER assignment: connected components over the LSH
-      // candidate graph (est_sim >= 0.5 — the same edge set Curate's
-      // near-dup stage drops from). This is the transitive-closure step
-      // a real dedup pipeline runs between pair generation and
-      // canonical-doc selection, because near-duplication is not
-      // transitive pairwise: A~B and B~C must land A, B and C in ONE
-      // group with ONE canonical id, which per-pair dropping cannot
-      // guarantee. Algorithm: min-label propagation to fixpoint — each
-      // round every node takes the min label among itself and its
-      // neighbors; rounds = component diameter (LSH components are
-      // near-cliques, so 2-3 rounds; a production variant swaps in
-      // alternating star contraction for O(log n) worst case). Each
-      // round is one distributed join + aggregate over (id, label)
-      // longs; the only driver-side value is the converged? flag —
-      // no row data ever collects.
-      val edges = d04_lsh_pairs.run(s, dir)
-        .filter(col("est_sim") >= 0.5)
-        .select(col("a_id"), col("b_id"))
-      val sym = edges.union(edges.select(col("b_id"), col("a_id")))
-        .toDF("src", "dst").cache()
-      var labels = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("label")).cache()
-      var converged = false
-      while (!converged) {
-        val viaNbr = sym
-          .join(labels.withColumnRenamed("doc_id", "nbr"),
-            col("dst") === col("nbr"))
-          .select(col("src").as("doc_id"), col("label"))
-        val next = labels.unionByName(viaNbr)
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-          .cache()
-        converged = next
-          .join(labels.withColumnRenamed("label", "prev"), "doc_id")
-          .filter(col("label") < col("prev")).isEmpty
-        labels.unpersist(false)
-        labels = next
-      }
-      val sizes = labels.groupBy(col("label"))
-        .agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "label")
-        .select(col("doc_id"), col("label").as("cluster_id"),
-          col("cluster_size"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => dupClusters(s, dir, 0.5),
     Some(s"""
       ${signaturesSqlDuck.replaceFirst("WITH", "WITH RECURSIVE")},
       band AS (

@@ -75,6 +75,95 @@ class CurateSpec extends SparkSpec {
     assert(Curate.run(spark, sfDir, dir2, rebalanceMix = true) == r)
   }
 
+  /** Synthetic corpus for the transitivity/semantic cases: a 3-doc LSH
+    * chain whose HUB holds the LARGEST id (docs 1 and 2 each pair with
+    * hub 3, but never with each other — verified against d04 below), so
+    * pairwise larger-id dropping keeps the two spurious chain ends while
+    * cluster mode keeps exactly the canonical; plus filler docs 10-15
+    * with fully disjoint token sets, of which 10 and 11 carry IDENTICAL
+    * embeddings (a paraphrase-duplicate stand-in: no shared shingles, so
+    * text dedup cannot see it). All ids avoid the doc_id % 89 == 0
+    * held-out slice so decontamination stays a no-op.
+    */
+  private lazy val chainDir: String = {
+    import spark.implicits._
+    val dir = tmpDir("curate-fixture")
+    val core = (0 until 28).map(i => s"core$i")
+    val aText = (core.dropRight(3) ++ (0 until 3).map(i => s"atail$i")).mkString(" ")
+    val cText = ((0 until 3).map(i => s"chead$i") ++ core.drop(3)).mkString(" ")
+    val bText = core.mkString(" ")
+    val fillers = (10L to 15L).map(i =>
+      i -> (0 until 12).map(j => s"fill${i}x$j").mkString(" "))
+    (Seq(1L -> aText, 2L -> cText, 3L -> bText) ++ fillers)
+      .map { case (id, text) =>
+        (id, text, "en", if (id % 2 == 0) "web" else "book", text.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ids = Seq(1L, 2L, 3L) ++ (10L to 15L)
+    ids.map { id =>
+      val dim = if (id == 11L) 10 else (id % 64).toInt // 11 duplicates 10
+      val v = Array.fill(64)(0f); v(dim) = 1f
+      (id, v.toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("cluster-mode near-dup keeps exactly one doc of a transitive chain") {
+    import graft.queries.Dedup
+    // precondition: the LSH edge set over the chain is {1~3, 2~3}, never
+    // 1~2 — the shape where pairwise dropping provably over-keeps
+    val chainPairs = Dedup.d04_lsh_pairs.run(spark, chainDir)
+      .filter(col("est_sim") >= 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chainPairs == Set((1L, 3L), (2L, 3L)),
+      s"fixture no longer produces the intended chain: $chainPairs")
+
+    val dir = tmpDir("curate-cluster")
+    val r = Curate.run(spark, chainDir, dir, qualityThreshold = 0.0)
+    val chainSurvivors = spark.read.parquet(s"$dir/curated")
+      .filter(col("doc_id") <= 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(chainSurvivors == Set(1L),
+      s"cluster mode must keep only the component canonical: $chainSurvivors")
+    assert(r.nearDupClusters.contains(1L),
+      s"manifest must report the one multi-doc cluster: ${r.nearDupClusters}")
+    assert(r.json.contains("\"neardup_clusters\":1"))
+
+    // the pairwise policy keeps BOTH chain ends (3 is the larger id of
+    // each pair) — the exact over-keep cluster mode exists to fix
+    val dirP = tmpDir("curate-pairwise")
+    Curate.run(spark, chainDir, dirP, qualityThreshold = 0.0,
+      clusterDedup = false)
+    val pairwiseSurvivors = spark.read.parquet(s"$dirP/curated")
+      .filter(col("doc_id") <= 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pairwiseSurvivors == Set(1L, 2L),
+      s"pairwise baseline changed shape: $pairwiseSurvivors")
+  }
+
+  test("semantic stage drops embedding duplicates text dedup cannot see") {
+    val dir = tmpDir("curate-semantic")
+    val r = Curate.run(spark, chainDir, dir, qualityThreshold = 0.0,
+      semanticDedup = true)
+    val nSem = r.afterSemantic.getOrElse(fail("afterSemantic missing"))
+    assert(nSem == r.afterNearDup - 1,
+      s"exactly the one embedding duplicate should drop: $r")
+    val survivors = spark.read.parquet(s"$dir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(10L) && !survivors.contains(11L),
+      s"semantic canonical must be the min surviving id: $survivors")
+    assert(r.json.contains("\"after_semantic\":" + nSem))
+    // without the stage, 11 survives — the duplicate is invisible to text
+    val dir2 = tmpDir("curate-nosem")
+    Curate.run(spark, chainDir, dir2, qualityThreshold = 0.0)
+    val noSem = spark.read.parquet(s"$dir2/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(noSem.contains(11L))
+  }
+
   test("manifest file is valid machine-readable JSON") {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
