@@ -736,8 +736,157 @@ object Dedup {
       FROM lab JOIN sz USING (cluster_id)
       ORDER BY doc_id"""))
 
+  val d13_containment = Q(
+    "d13_containment",
+    (s, dir) => {
+      // EXACT containment verification of the LSH candidate pairs:
+      // c = |sh(a) ∩ sh(b)| / min(|sh(a)|, |sh(b)|) — the asymmetric
+      // signal Jaccard hides. A quote-expansion duplicate (doc B = doc A
+      // + commentary) has low Jaccard (the union is large) but
+      // containment ~1.0, so substring-dup policies threshold on this
+      // after banding. Scale shape: the expensive part (all-pairs) never
+      // happens — candidates come from d04's band equi-join, and only
+      // THOSE pairs rejoin their shingle arrays (two equi-joins on
+      // doc_id; AQE broadcasts the pair side while it is small). The
+      // per-pair array_intersect is the standard O(candidates x doc-len)
+      // verification cost every LSH dedup pipeline pays.
+      val pairs = d04_lsh_pairs.run(s, dir).select(col("a_id"), col("b_id"))
+      val sh = withShingles(s, dir).select(col("doc_id"), col("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("size(sh_a)").cast("long").as("n_a"),
+          expr("size(sh_b)").cast("long").as("n_b"),
+          expr("size(array_intersect(sh_a, sh_b))").cast("long")
+            .as("n_common"))
+        .withColumn("containment",
+          round(col("n_common").cast("double") /
+            least(col("n_a"), col("n_b")), 6))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      $signaturesSqlDuck,
+      band AS (
+        SELECT doc_id, b,
+               md5(CAST(sig[b*4 + 1] AS VARCHAR) || ',' || CAST(sig[b*4 + 2] AS VARCHAR)
+                   || ',' || CAST(sig[b*4 + 3] AS VARCHAR) || ',' || CAST(sig[b*4 + 4] AS VARCHAR)) AS bh
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+      cpairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM band l JOIN band r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
+      SELECT a_id, b_id, n_a, n_b, n_common,
+             round(CAST(n_common AS DOUBLE) / least(n_a, n_b), 6)
+               AS containment
+      FROM (
+        SELECT a_id, b_id,
+               CAST(len(sa.sh) AS BIGINT) AS n_a,
+               CAST(len(sb.sh) AS BIGINT) AS n_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common
+        FROM cpairs
+        JOIN shs sa ON sa.doc_id = a_id
+        JOIN shs sb ON sb.doc_id = b_id)
+      ORDER BY a_id, b_id"""))
+
+  val d14_simhash_degree = Q(
+    "d14_simhash_degree",
+    (s, dir) => {
+      // Per-document SimHash near-dup DEGREE: band the 32-bit
+      // fingerprint into its two 16-bit halves (any half equal =>
+      // candidate — guaranteed recall at Hamming distance <= 1,
+      // probabilistic above), verify the EXACT Hamming distance with one
+      // xor+bit_count, and aggregate neighbors at <= 3 differing bits
+      // per document. The output contract is deliberately the per-doc
+      // density signal (n_near, min_hamming), NOT the pair list: on a
+      // near-dup-dense corpus the pair list is Omega(n^2)-sized output
+      // no matter how the join is bucketed (measured 1.3M pairs at
+      // sf0.1 even at radius 1), while the degree is what a filtering
+      // policy actually thresholds on ("drop docs with > k boilerplate
+      // neighbors") and stays |docs|-bounded at any scale. The candidate
+      // join is an equi-join on (band, 16-bit key) over 8-byte
+      // fingerprints — the d04 scale shape with a 64x smaller shuffle
+      // payload — and the candidate stream aggregates immediately
+      // (partial map-side count/min), so nothing pair-shaped is ever
+      // materialized. cache(): the fingerprint map feeds both self-join
+      // sides and the final left join.
+      import graft.functions.HashFunctions.simhash32
+      val fp = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
+        .cache()
+        .filter(col("simhash").isNotNull)
+      val bands = fp.select(col("doc_id"), col("simhash"),
+          explode(array(
+            struct(lit(0).as("b"), expr("shiftright(simhash, 16)").as("key")),
+            struct(lit(1).as("b"), expr("simhash & 65535").as("key"))))
+            .as("band"))
+        .select(col("doc_id"), col("simhash"),
+          col("band.b").as("b"), col("band.key").as("key"))
+      val cand = bands.as("l").join(bands.as("r"),
+          col("l.b") === col("r.b") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+          expr("CAST(bit_count(l.simhash ^ r.simhash) AS BIGINT)")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+      val sym = cand
+        .select(col("a_id").as("doc_id"), col("b_id").as("nbr"),
+          col("hamming"))
+        .unionByName(cand.select(col("b_id").as("doc_id"),
+          col("a_id").as("nbr"), col("hamming")))
+      val deg = sym.groupBy(col("doc_id"))
+        .agg(countDistinct(col("nbr")).as("n_near"), // both halves can match
+          min(col("hamming")).as("min_hamming"))
+      fp.select(col("doc_id")).join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("min_hamming"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(32), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+        FROM (
+          SELECT doc_id,
+                 list_transform(list_distinct(toks),
+                   t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+          FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+                FROM documents)
+          WHERE len(toks) > 0)),
+      bands AS (
+        SELECT doc_id, simhash, b,
+               CASE WHEN b = 0 THEN simhash >> 16 ELSE simhash & 65535 END AS key
+        FROM fp CROSS JOIN (SELECT unnest(range(2)) AS b)),
+      cand AS (
+        SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+        FROM bands l JOIN bands r
+          ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) <= 3),
+      sym AS (
+        SELECT a_id AS doc_id, b_id AS nbr, hamming FROM cand
+        UNION ALL
+        SELECT b_id, a_id, hamming FROM cand),
+      deg AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT nbr) AS BIGINT) AS n_near,
+               MIN(hamming) AS min_hamming
+        FROM sym GROUP BY doc_id)
+      SELECT fp.doc_id,
+             COALESCE(n_near, 0) AS n_near,
+             min_hamming
+      FROM fp LEFT JOIN deg ON fp.doc_id = deg.doc_id
+      ORDER BY fp.doc_id"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
     d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash,
     d08_decontamination, d09_semantic_neardup, d10_prefix_templates,
-    d11_dup_window_share, d12_dup_clusters)
+    d11_dup_window_share, d12_dup_clusters, d13_containment,
+    d14_simhash_degree)
 }

@@ -748,8 +748,98 @@ object Text {
       GROUP BY source, n_docs
       ORDER BY source"""))
 
+  val t17_zipf_slope = Q(
+    "t17_zipf_slope",
+    (s, dir) => {
+      // Zipf rank-frequency fit over the top-1000 vocabulary: the
+      // least-squares slope of log2(freq) on log2(rank) — the corpus-
+      // health number a data mix is sanity-checked against (natural
+      // language sits near -1; templated/synthetic text drifts shallow).
+      // Same distributed shape as t15: TakeOrderedAndProject for the
+      // candidate set, a 1000-row window for ranks, then ONE scalar
+      // aggregate. Determinism: both logs go through the t13 Mitchell
+      // exact-integer ladder (nano-bit longs), the regression moments
+      // are exact DECIMAL(38,0) sums of their products (max ~1.6e24,
+      // far inside 38 digits), and the only floating-point steps are
+      // the two final divisions of exact integers — identical on any
+      // engine and partitioning.
+      val vocab = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(expr(toksExpr)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val pts = vocab
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy().orderBy(col("cnt").desc, col("tok"))))
+        .select(
+          expr(graft.core.Exact.mitchellLog2n9("rk", "1")).as("x_n9"),
+          expr(graft.core.Exact.mitchellLog2n9("cnt", "1")).as("y_n9"))
+      pts
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(col("x_n9").cast("decimal(38,0)")).as("sx"),
+          sum(col("y_n9").cast("decimal(38,0)")).as("sy"),
+          sum(col("x_n9").cast("decimal(38,0)") *
+            col("y_n9").cast("decimal(38,0)")).as("sxy"),
+          sum(col("x_n9").cast("decimal(38,0)") *
+            col("x_n9").cast("decimal(38,0)")).as("sxx"))
+        .select(col("n_points"),
+          round(
+            (col("n_points") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n_points") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), 6).as("slope"),
+          round(
+            (col("sy").cast("double") / 1e9 -
+              ((col("n_points") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+                (col("n_points") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")) *
+                (col("sx").cast("double") / 1e9)) /
+              col("n_points").cast("double"), 6).as("intercept"))
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+              FROM documents)
+        GROUP BY tok),
+      top AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk
+        FROM vocab ORDER BY cnt DESC, tok LIMIT 1000),
+      pts AS (
+        SELECT
+          CAST(kx AS BIGINT) * 1000000000 + (rk - px) * 1000000000 // px
+            AS x_n9,
+          CAST(ky AS BIGINT) * 1000000000 + (cnt - py) * 1000000000 // py
+            AS y_n9
+        FROM (
+          SELECT rk, cnt, kx, ky,
+                 (CAST(1 AS BIGINT) << kx) AS px,
+                 (CAST(1 AS BIGINT) << ky) AS py
+          FROM (
+            SELECT rk, cnt,
+                   length(bin(CAST(rk AS BIGINT))) - 1 AS kx,
+                   length(bin(CAST(cnt AS BIGINT))) - 1 AS ky
+            FROM top))),
+      mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               SUM(CAST(x_n9 AS HUGEINT)) AS sx,
+               SUM(CAST(y_n9 AS HUGEINT)) AS sy,
+               SUM(CAST(x_n9 AS HUGEINT) * y_n9) AS sxy,
+               SUM(CAST(x_n9 AS HUGEINT) * x_n9) AS sxx
+        FROM pts)
+      SELECT n_points,
+             round(CAST(n_points * sxy - sx * sy AS DOUBLE) /
+                   CAST(n_points * sxx - sx * sx AS DOUBLE), 6) AS slope,
+             round((CAST(sy AS DOUBLE) / 1e9 -
+                    (CAST(n_points * sxy - sx * sy AS DOUBLE) /
+                     CAST(n_points * sxx - sx * sx AS DOUBLE)) *
+                    (CAST(sx AS DOUBLE) / 1e9)) / n_points, 6) AS intercept
+      FROM mom"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
     t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal,
-    t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler)
+    t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler, t17_zipf_slope)
 }
