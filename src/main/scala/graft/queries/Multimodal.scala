@@ -209,6 +209,64 @@ object Multimodal {
       FROM h
       ORDER BY doc_id"""))
 
+  val mm06_ahash_dedup = Q(
+    "mm06_ahash_dedup",
+    (s, dir) => {
+      // Perceptual near-dup for binary media: the classic average-hash —
+      // downsample the signal to 32 evenly-spaced samples, set bit j iff
+      // sample j >= the downsample MEAN — applied to the payload byte
+      // stream (the deterministic stand-in for pixel rows; a codec
+      // swap-in changes only the sampling source behind the Decode
+      // seam). The mean compare is the exact rational `sample*32 >=
+      // sum` (no float division), so the 32-bit hash is bit-identical
+      // on any engine and partitioning. Dedup then groups on the hash —
+      // d01's digest scale shape: only (hash, doc_id) ever shuffles,
+      // and equal hashes mean perceptually-identical content even when
+      // bytes differ between sample points (re-encoded/padded copies).
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+        .filter(expr("length(text) > 0"))
+        .withColumn("samples", expr(
+          """transform(sequence(0, 31), j ->
+               CAST(ascii(substr(text,
+                 CAST(1 + (CAST(j AS BIGINT) * length(text)) div 32 AS INT),
+                 1)) AS BIGINT))"""))
+        .withColumn("ssum", expr(
+          "aggregate(samples, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("ahash", expr(
+          """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
+               acc + CASE WHEN samples[j] * 32 >= ssum
+                          THEN shiftleft(CAST(1 AS BIGINT), j)
+                          ELSE CAST(0 AS BIGINT) END)"""))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("ahash"))))
+        .select(col("doc_id"), col("ahash"), col("n_same"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               list_transform(range(32), j ->
+                 CAST(ascii(substr(text,
+                   CAST(1 + (j * length(text)) // 32 AS BIGINT), 1))
+                 AS BIGINT)) AS samples
+        FROM documents WHERE length(text) > 0),
+      s2 AS (SELECT doc_id, samples,
+                    CAST(list_sum(samples) AS BIGINT) AS ssum FROM h),
+      a AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(32), j ->
+                 CASE WHEN samples[j + 1] * 32 >= ssum
+                      THEN CAST(1 AS BIGINT) << j
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+        FROM s2)
+      SELECT doc_id, ahash,
+             CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+      FROM a
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(mm01_binary_meta, mm02_feature_extract,
-    mm03_frame_sample, mm04_resize, mm05_byte_entropy)
+    mm03_frame_sample, mm04_resize, mm05_byte_entropy, mm06_ahash_dedup)
 }

@@ -181,6 +181,39 @@ object Stats {
       HAVING COUNT(DISTINCT quarter(o_orderdate)) = 4
       ORDER BY o_custkey"""))
 
+  val q50_custdist = Q(
+    "q50_custdist",
+    (s, dir) => {
+      // TPC-H Q13 shape: the distribution of per-customer order counts
+      // INCLUDING zero-order customers — a left outer join with the
+      // predicate on the ORDER side of the join (moving it to a WHERE
+      // after the join would silently delete the zero bucket), then a
+      // second aggregate over the first. Scale shape: the orders filter
+      // runs before the shuffle, the join shuffles on the customer key
+      // (AQE broadcasts the customer side while it is small), the
+      // per-customer count rides the join partitioning, and the final
+      // distribution is a |distinct c_count|-row aggregate.
+      val c = Tables(s, dir, "customer").select(col("c_custkey"))
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""))
+
   val all: Seq[Q] = Seq(q19_count_distinct, q20_stats_moments, q21_min_max_top,
-    q41_cube, q42_relational_division, q49_grouping_sets)
+    q41_cube, q42_relational_division, q49_grouping_sets, q50_custdist)
 }

@@ -77,6 +77,66 @@ object DedupStream {
     (out.result(), members)
   }
 
+  /** One digest arrival (input to [[exactDedup]]). */
+  final case class DigestDoc(doc_id: Long, fp: String)
+
+  /** Canonical holder of one content digest (state of [[exactDedup]]):
+    * 8 bytes + the digest key per DISTINCT document ever seen. */
+  final case class CanonicalState(canonical_id: Long)
+
+  /** Admission decision for one arriving document (output of
+    * [[exactDedup]]): `admitted` iff this doc established its digest;
+    * duplicates carry the canonical they collided with. */
+  final case class Admission(
+      doc_id: Long, fp: String, canonical_id: Long, admitted: Boolean)
+
+  /** Pure admission step for one digest group, factored out like
+    * [[admit]] so batch-split invariance is testable without a streaming
+    * harness: the first batch to present a digest admits its MINIMUM
+    * arriving doc_id (so one big batch and N small ones admit the same
+    * doc), every other arrival is marked duplicate against the stored
+    * canonical. */
+  private[streaming] def admitDigest(
+      canonical: Option[Long], arriving: Seq[Long]): (Seq[(Long, Long, Boolean)], Long) = {
+    val arr = arriving.distinct.sorted
+    canonical match {
+      case Some(c) => (arr.map(id => (id, c, false)), c)
+      case None =>
+        val c = arr.min
+        (arr.map(id => (id, c, id == c)), c)
+    }
+  }
+
+  /** Ingestion-time EXACT dedup — the streaming twin of batch d01: each
+    * arriving document is digested with EXACTLY the batch expression
+    * (md5 of the text — one shared formula, so streamed and batch
+    * dedup can never diverge) and admitted iff its digest is new; later
+    * copies are emitted as rejected duplicates pointing at the admitted
+    * canonical. Fed in doc_id order the admitted set is byte-identical
+    * to d01's canonical set; under arbitrary sharding the admitted set
+    * is one doc per digest group with the same group partition
+    * (`DedupStreamSpec`). State is one long per distinct document —
+    * the cheapest stateful stage of an intake pipeline, in front of
+    * [[lshCandidates]]'s per-bucket state. */
+  def exactDedup(docs: DataFrame): Dataset[Admission] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as("fp"))
+      .as[DigestDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[CanonicalState, Admission](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state: GroupState[CanonicalState]) =>
+          val (decisions, canon) = admitDigest(
+            state.getOption.map(_.canonical_id), rows.map(_.doc_id).toSeq)
+          state.update(CanonicalState(canon))
+          decisions.iterator.map { case (id, c, adm) =>
+            Admission(id, fp, c, adm)
+          }
+      }
+  }
+
   /** Stateful bucket membership: every new doc pairs against the bucket's
     * retained members, then joins them. Append-mode compatible
     * (`flatMapGroupsWithState` + NoTimeout — bucket membership has no

@@ -133,4 +133,77 @@ class DedupStreamSpec extends SparkSpec {
       assert(spark.table("lsh_cap_out").count() == before + 3)
     } finally query.stop()
   }
+
+  test("streaming exact dedup admits one doc per digest under any sharding") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    // arrival order deliberately unlike doc_id order: odds before evens
+    val (evens, odds) = docs.partition(_._1 % 2 == 0)
+
+    val input = MemoryStream[(Long, String)](spark, 1)
+    val query = DedupStream.exactDedup(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("exact_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(odds); query.processAllAvailable()
+      input.addData(evens); query.processAllAvailable()
+      val out = spark.table("exact_dedup_out")
+        .as[DedupStream.Admission].collect().toSeq
+      // every arrival got a decision
+      assert(out.map(_.doc_id).toSet == docs.map(_._1).toSet)
+      // exactly one admission per digest; every duplicate points at it
+      out.groupBy(_.fp).foreach { case (fp, as) =>
+        val admitted = as.filter(_.admitted)
+        assert(admitted.size == 1, s"digest $fp admitted ${admitted.size}")
+        assert(as.forall(_.canonical_id == admitted.head.doc_id))
+      }
+      // digest partition equals batch d01's groups
+      assert(out.map(_.fp).toSet.size ==
+        graft.queries.Dedup.d01_exact_dedup.run(spark, sfDir).count())
+    } finally query.stop()
+
+    // fed in doc_id order, the admitted set IS batch d01's canonical set
+    val ordered = MemoryStream[(Long, String)](spark, 1)
+    val q2 = DedupStream.exactDedup(ordered.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("exact_dedup_ordered")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ordered.addData(docs.sortBy(_._1)); q2.processAllAvailable()
+      val admitted = spark.table("exact_dedup_ordered")
+        .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
+      val batchCanon = graft.queries.Dedup.d01_exact_dedup.run(spark, sfDir)
+        .select("canonical_id").as[Long].collect().toSet
+      assert(admitted == batchCanon)
+    } finally q2.stop()
+  }
+
+  test("admitDigest is batch-split invariant") {
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val ids = Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(30).toLong)
+      val (oneDecisions, oneCanon) = DedupStream.admitDigest(None, ids)
+      val batches = ids.foldLeft(List(List.empty[Long])) { (acc, id) =>
+        if (rnd.nextBoolean() && acc.head.nonEmpty) List(id) :: acc
+        else (acc.head :+ id) :: acc.tail
+      }.reverse.filter(_.nonEmpty)
+      var canon: Option[Long] = None
+      val sharded = Seq.newBuilder[(Long, Long, Boolean)]
+      batches.foreach { b =>
+        val (d, c) = DedupStream.admitDigest(canon, b)
+        sharded ++= d; canon = Some(c)
+      }
+      val shardedAdmits = sharded.result().filter(_._3)
+      // exactly one admit however the arrivals were batched, and the
+      // admitted id is the min of ITS batch (the first one)
+      assert(shardedAdmits.size == 1)
+      assert(oneDecisions.count(_._3) == 1)
+      assert(oneDecisions.filter(_._3).head._1 == ids.min)
+      assert(canon.contains(shardedAdmits.head._1))
+      assert(shardedAdmits.head._1 == batches.head.min)
+      // the single-batch canonical is the global min
+      assert(oneCanon == ids.min)
+    }
+  }
 }
