@@ -639,8 +639,9 @@ object Dedup {
     *
     * Each round every node takes the min label among itself and its
     * neighbors; rounds = component diameter (LSH duplicate components
-    * are near-cliques, so 2-3 rounds; a production variant swaps in
-    * alternating star contraction for O(log n) worst case). Each round
+    * are near-cliques, so 2-3 rounds; for high-diameter graphs —
+    * boilerplate dup CHAINS — use [[connectedComponentsStar]], the
+    * O(log n)-round alternating star contraction). Each round
     * is one distributed join + aggregate over (id, label) longs; the
     * only driver-side value is the converged? flag — no row data ever
     * collects. The RESULT is localCheckpoint-ed (materialized, lineage
@@ -674,6 +675,90 @@ object Dedup {
     labels.unpersist(false)
     sym.unpersist(false)
     out
+  }
+
+  /** Alternating star contraction — the O(log n)-round connected
+    * components for graphs whose DIAMETER is not small (a boilerplate
+    * dup chain doc1~doc2~...~docN defeats [[connectedComponents]]'s
+    * min-label propagation, which needs one distributed round per hop).
+    * Public algorithm: large-star/small-star from Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC'14), in the
+    * join formulation that never materializes a neighbor list:
+    *
+    *  - large-star: every node u computes m(u) = min(u ∪ Γ(u)) with ONE
+    *    grouped min, then each edge (u,v), v > u is rewritten to
+    *    (v, m(u)) by joining m back onto the edge stream;
+    *  - small-star: the same rewrite over the v <= u edges, plus the
+    *    (u, m(u)) self-attach.
+    *
+    * Each round is therefore two aggregate+join passes over the edge
+    * set — no per-node state larger than one long, hub nodes included —
+    * and the edge set contracts toward stars rooted at each component's
+    * minimum. Convergence is detected structurally (the round changed no
+    * edges — two anti-joins); rounds are O(log n) on any shape. Per
+    * round the edge set is localCheckpoint-ed: iteration k's lineage
+    * would otherwise stack 2k joins deep and re-execute from the source
+    * on every action. Returns (id, label) like [[connectedComponents]];
+    * equality on random graphs and chains is property-tested
+    * (`CurationOpsSpec`). */
+  /** Eagerly materialize and rebase onto a FRESH LogicalRDD (new
+    * attribute ids, no origin constraints): a plain localCheckpoint
+    * keeps the source plan's constraints, and unioning such a frame
+    * with a column-swapped projection of ITSELF trips Spark's union
+    * constraint rewrite (`key not found: src#N`) — the self-union is
+    * exactly what every star-contraction round does. */
+  private def checkpointFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  private[graft] def connectedComponentsStar(
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // canonical (min, max) undirected edge set, self-loops dropped
+    var e = checkpointFresh(edges.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var converged = e.isEmpty
+    while (!converged) {
+      val sym = e.union(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      // large-star: m(u) over ALL neighbors; rewrite the v > u edges
+      val mAll = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val large = sym.filter(col("dst") > col("src"))
+        .join(mAll, col("src") === col("u"))
+        .select(least(col("dst"), col("m")).as("src"),
+          greatest(col("dst"), col("m")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star over the v <= u orientation, plus the self-attach
+      val symL = large.union(
+        large.select(col("dst").as("src"), col("src").as("dst")))
+      val mLow = symL.filter(col("dst") < col("src"))
+        .groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), col("mn").as("m"))
+      val low = symL.filter(col("dst") < col("src"))
+      val small = checkpointFresh(low
+        .join(mLow, col("src") === col("u"))
+        .select(least(col("dst"), col("m")).as("src"),
+          greatest(col("dst"), col("m")).as("dst"))
+        .unionByName(mLow.select(col("m").as("src"), col("u").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+      // fixpoint: the round rewrote no edge (symmetric difference empty)
+      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      e = small
+    }
+    // at fixpoint the edges are stars rooted at component minima
+    val rootOf = e.union(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), col("mn"))
+    nodes.select(col("id"))
+      .join(rootOf, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("mn"), col("id"))).as("label"))
   }
 
   /** Duplicate-CLUSTER assignment: connected components over the LSH

@@ -203,6 +203,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) >= 2L), "no multi-doc cluster; weak test")
   }
 
+  test("star-contraction CC equals min-label CC on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val n = rnd.nextInt(25) + 5
+      val ids = (0L until n).toSeq
+      val edges = Seq.fill(rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = ids.toDF("id")
+      val e = edges.toDF("src", "dst")
+      def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = labelMap(Dedup.connectedComponentsStar(nodes, e))
+      val prop = labelMap(Dedup.connectedComponents(nodes, e))
+      assert(star == prop,
+        s"CC mismatch on n=$n edges=$edges:\nstar=$star\nprop=$prop")
+    }
+  }
+
+  test("star-contraction CC collapses a long chain (high-diameter graph)") {
+    // a 200-hop duplicate chain: min-label propagation would need 200
+    // distributed rounds (one per hop); star contraction takes O(log n)
+    // — this is the production path d12's scaladoc points at for
+    // adversarial component shapes
+    import spark.implicits._
+    val n = 200L
+    val nodes = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Dedup.connectedComponentsStar(nodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L),
+      "chain must collapse to a single component rooted at 0")
+  }
+
   test("d10 shuffles digests, not text") {
     val plan = Dedup.d10_prefix_templates.run(spark, sfDir)
       .queryExecution.executedPlan.toString
