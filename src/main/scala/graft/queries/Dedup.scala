@@ -200,6 +200,27 @@ object Dedup {
       .select(col("doc_id"), col("x.band"), col("x.bh"))
   }
 
+  /** Like [[bandedFromText]] but carrying the signature through:
+    * (doc_id, sig, band, bh). Streaming-safe (same Generate barrier). */
+  private[graft] def bandedWithSigFromText(docs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.minhash_sig
+    docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("sh", expr(shinglesExpr))
+      .select(col("doc_id"), explode(array(minhash_sig(col("sh")))).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"), explode(expr(bandStructExpr)).as("x"))
+      .select(col("doc_id"), col("sig"), col("x.band"), col("x.bh"))
+  }
+
+  /** Corpus-wide banded signatures via the cached [[signatures]] table —
+    * the d04 join input and [[graft.operators.DedupIndex]]'s build
+    * source. */
+  private[graft] def bandedWithSig(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir).select(
+      col("doc_id"), col("sig"), explode(expr(bandStructExpr)).as("x"))
+      .select(col("doc_id"), col("sig"), col("x.band"), col("x.bh"))
+
   val d04_lsh_pairs = Q(
     "d04_lsh_pairs",
     (s, dir) => {
@@ -207,10 +228,7 @@ object Dedup {
       // band hash — an equi-join on (band, hash), never a cross join.
       // Signatures ride along through the join (16 x 32 bytes/doc), so no
       // extra lookup joins are needed for the similarity estimate.
-      val bands = signatures(s, dir).select(
-        col("doc_id"), col("sig"),
-        explode(expr(bandStructExpr)).as("x"))
-        .select(col("doc_id"), col("sig"), col("x.band"), col("x.bh"))
+      val bands = bandedWithSig(s, dir)
       bands.as("l")
         .join(bands.as("r"),
           col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -969,9 +987,48 @@ object Dedup {
       FROM fp LEFT JOIN deg ON fp.doc_id = deg.doc_id
       ORDER BY fp.doc_id"""))
 
+  val d15_lsh_probe = Q(
+    "d15_lsh_probe",
+    (s, dir) => {
+      // Incremental near-dup lookup against the PERSISTED LSH index
+      // (graft.operators.DedupIndex — built once per corpus, probed many
+      // times): the probe documents (modeled as doc_id % 20 < 2,
+      // a 10% "new arrivals" slice) compute ONLY their own signatures via the shared
+      // banding expressions, then equi-join on (band, bh) inside the
+      // index partitions their (band, prefix) keys prune to — the intake
+      // question "is this new doc a near-dup of anything ingested?"
+      // answered without rescanning the corpus. Partition pruning is
+      // pinned in DedupIndexSpec.
+      import graft.operators.DedupIndex
+      val root = DedupIndex.defaultRoot(dir)
+      DedupIndex.buildIfMissing(s, dir, root)
+      val probes = bandedWithSigFromText(
+        Tables(s, dir, "documents").filter(col("doc_id") % 20 < 2)
+          .select(col("doc_id"), col("text")))
+      DedupIndex.probe(s, root, probes)
+        .orderBy(col("q_id"), col("c_id"))
+    },
+    Some(s"""
+      $signaturesSqlDuck,
+      band AS (
+        SELECT doc_id, b,
+               md5(CAST(sig[b*4 + 1] AS VARCHAR) || ',' || CAST(sig[b*4 + 2] AS VARCHAR)
+                   || ',' || CAST(sig[b*4 + 3] AS VARCHAR) || ',' || CAST(sig[b*4 + 4] AS VARCHAR)) AS bh
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+      probes AS (SELECT doc_id, b, bh FROM band WHERE doc_id % 20 < 2)
+      SELECT DISTINCT p.doc_id AS q_id, c.doc_id AS c_id,
+             CAST(list_sum(list_transform(range(16),
+               i -> CASE WHEN sp.sig[i+1] = sc.sig[i+1] THEN 1 ELSE 0 END))
+               AS DOUBLE) / 16.0 AS est_sim
+      FROM band c
+      JOIN probes p ON c.b = p.b AND c.bh = p.bh AND c.doc_id <> p.doc_id
+      JOIN sig sp ON sp.doc_id = p.doc_id
+      JOIN sig sc ON sc.doc_id = c.doc_id
+      ORDER BY q_id, c_id"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
     d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash,
     d08_decontamination, d09_semantic_neardup, d10_prefix_templates,
     d11_dup_window_share, d12_dup_clusters, d13_containment,
-    d14_simhash_degree)
+    d14_simhash_degree, d15_lsh_probe)
 }

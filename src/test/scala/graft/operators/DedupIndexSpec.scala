@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** The persisted LSH index must answer incremental probes with exactly
+  * the batch d04 candidate semantics, while scanning only the probed
+  * (band, prefix) partitions. */
+class DedupIndexSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val root: String = {
+    val r = tmpDir("dedup-index")
+    DedupIndex.buildIfMissing(spark, sfDir, r)
+    r
+  }
+
+  private def probeDf = {
+    val probes = graft.queries.Dedup.bandedWithSigFromText(
+      Tables(spark, sfDir, "documents").filter(col("doc_id") % 20 < 2)
+        .select(col("doc_id"), col("text")))
+    DedupIndex.probe(spark, root, probes)
+  }
+
+  test("probe equals the batch d04 candidates touching the probe set") {
+    val got = probeDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch expectation: d04 pairs (a < b) re-oriented so the probe side
+    // is q — a probe doc can be either end of a batch pair
+    val d04 = graft.queries.Dedup.d04_lsh_pairs.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exp = (d04.filter(_._1 % 20 < 2).map(p => (p._1, p._2, p._3)) ++
+      d04.filter(_._2 % 20 < 2).map(p => (p._2, p._1, p._3))).toSet
+    assert(got == exp, s"probe=${got.size} batch=${exp.size}")
+    assert(got.nonEmpty, "no probe candidates at smoke scale; weak test")
+  }
+
+  test("the probe scan prunes to the probed (band, prefix) partitions") {
+    val df = probeDf
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the index scan (Location .../bands) must carry a NON-EMPTY
+    // PartitionFilters list (the IN-over-concat references only the
+    // partition columns, so it lands there, not in DataFilters)
+    assert("bands\\], PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"no partition filter on the index scan:\n$plan")
+    // the pruned scan must read strictly fewer files than the index holds
+    val idxFiles = new java.io.File(s"$root/bands").listFiles()
+    assert(idxFiles != null && idxFiles.count(_.getName.startsWith("band=")) == 4)
+  }
+
+  test("rebuild is idempotent: second build is a no-op, probes unchanged") {
+    val before = probeDf.collect().length
+    val marker = new java.io.File(s"$root/bands/_SUCCESS")
+    val mtime = marker.lastModified()
+    DedupIndex.buildIfMissing(spark, sfDir, root)
+    assert(marker.lastModified() == mtime, "index was rebuilt in place")
+    assert(probeDf.collect().length == before)
+  }
+}
