@@ -212,7 +212,39 @@ object Subqueries {
       GROUP BY cntry
       ORDER BY cntry""")
 
+  /** TPC-H Q7 shape (volume shipping): nation-to-nation revenue flows —
+    * the widest join in the pack: lineitem⋈orders⋈customer⋈supplier and
+    * TWO nation dimension joins, a disjunctive cross-nation predicate,
+    * and a grouped exact-decimal revenue rollup by year. Catalyst
+    * broadcast-joins every dimension side (supplier/customer/nation are
+    * size-bounded relative to the facts) and shuffles only the
+    * fact-fact join on orderkey; the ship-date range reaches the
+    * lineitem scan as a pushed filter. */
+  val q51_nation_trade: Q = dual(
+    "q51_nation_trade",
+    Seq("lineitem", "orders", "customer", "supplier", "nation"),
+    s"""
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(SUM(volume) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               $revenueSql AS volume
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01')
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")
+
   val all: Seq[Q] = Seq(q43_min_cost_supplier, q44_value_share,
     q45_small_qty_brand, q46_part_share_suppliers, q47_waiting_suppliers,
-    q48_idle_rich_custs)
+    q48_idle_rich_custs, q51_nation_trade)
 }
