@@ -562,7 +562,76 @@ object Similarity {
       FROM embeddings
       ORDER BY vec_id"""))
 
+  val s08_binary_sketch = Q(
+    "s08_binary_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Binary (sign-bit) sketch top-k — the extreme end of the
+      // quantization ladder after s06's int8: each 64-dim vector
+      // compresses to TWO 32-bit words (bit j = sign of dim j), a 32x
+      // reduction over float64 that scans at memory bandwidth, and
+      // similarity becomes Hamming distance = two xor+bit_count ops —
+      // pure integer work, bit-identical on any engine/partitioning.
+      // For mean-centered embeddings sign-Hamming tracks cosine (the
+      // SRP bound with coordinate planes); rank quality is graded in
+      // CurationOpsSpec against the exact s01 baseline rather than
+      // hash-gated promises. Physical shape: tiny query set broadcast,
+      // one corpus scan of the 8-byte sketches, map-side top-k window.
+      val word = (lo: Int) =>
+        s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT),
+              (acc, j) -> acc + IF(embedding[j] >= 0.0F,
+                shiftleft(CAST(1 AS BIGINT), j - $lo), CAST(0 AS BIGINT)))"""
+      // cache(): required optimizer barrier, not a speedup — the sketch
+      // aggregate is an interpreted higher-order expression, and without
+      // the barrier CollapseProject inlines it into every post-join
+      // reference, recomputing the 64-iteration fold PER CANDIDATE PAIR
+      // (measured 6x slower). The cached table is (vec_id, 2 longs).
+      val sk = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr(word(0)).as("w0"), expr(word(32)).as("w1"))
+        .cache()
+      val queries = sk.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"),
+          col("w0").as("qw0"), col("w1").as("qw1"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("hamming"), col("c_id"))
+      sk.select(col("vec_id").as("c_id"), col("w0"), col("w1"))
+        .join(broadcast(queries), col("c_id") =!= col("q_id"))
+        .withColumn("hamming", expr(
+          "CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS BIGINT)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("q_id", "c_id", "hamming", "rank")
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""
+      WITH sk AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(32), j ->
+                 CASE WHEN embedding[j + 1] >= 0.0
+                      THEN CAST(1 AS BIGINT) << j
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(range(32), j ->
+                 CASE WHEN embedding[j + 33] >= 0.0
+                      THEN CAST(1 AS BIGINT) << j
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+        FROM embeddings),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               CAST(bit_count(xor(q.w0, c.w0)) +
+                    bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+        FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      ranked AS (
+        SELECT q_id, c_id, hamming,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY hamming, c_id) AS INT) AS rank
+        FROM pairs)
+      SELECT q_id, c_id, hamming, rank FROM ranked
+      WHERE rank <= 10
+      ORDER BY q_id, rank"""))
+
   val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
     s04_kmeans_step, s05_ann_index, s06_quantized_ann,
-    s07_quantized_rerank, t09_array_ops)
+    s07_quantized_rerank, s08_binary_sketch, t09_array_ops)
 }

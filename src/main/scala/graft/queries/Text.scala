@@ -838,8 +838,57 @@ object Text {
                     (CAST(sx AS DOUBLE) / 1e9)) / n_points, 6) AS intercept
       FROM mom"""))
 
+  val t18_source_profile = Q(
+    "t18_source_profile",
+    (s, dir) => {
+      // Per-source length profile: doc count and EXACT p50/p90 of
+      // document length by nearest-rank selection (rn = ceil(q*n) over a
+      // per-source (n_chars, doc_id) ordering) — integer rank logic, so
+      // every engine agrees where interpolating percentile()
+      // implementations differ (the q32 argument, extended to an
+      // arbitrary quantile). The skew signal a mix designer reads before
+      // setting per-source token budgets: a source whose p90 is 10x its
+      // p50 needs length-stratified sampling, not doc-count quotas.
+      // One shuffle on source; windows ride that partitioning.
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .filter(expr("rn = (n + 1) div 2 OR rn = (9 * n + 9) div 10"))
+        .groupBy(col("source"), col("n"))
+        .agg(
+          min(when(expr("rn = (n + 1) div 2"), col("n_chars")))
+            .as("p50_chars"),
+          min(when(expr("rn = (9 * n + 9) div 10"), col("n_chars")))
+            .as("p90_chars"))
+        .select(col("source"), col("n").as("n_docs"),
+          col("p50_chars"),
+          // a tiny source can select the same row for both ranks
+          coalesce(col("p90_chars"), col("p50_chars")).as("p90_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, n AS n_docs,
+             MIN(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+             COALESCE(
+               MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END),
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)) AS p90_chars
+      FROM (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+      GROUP BY source, n
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
     t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal,
-    t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler, t17_zipf_slope)
+    t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler, t17_zipf_slope,
+    t18_source_profile)
 }
