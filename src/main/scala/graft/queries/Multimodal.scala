@@ -267,6 +267,49 @@ object Multimodal {
       FROM a
       ORDER BY doc_id"""))
 
+  val mm07_frame_dedup = Q(
+    "mm07_frame_dedup",
+    (s, dir) => {
+      // Cross-asset duplicate frames: the shared-asset detector (intro/
+      // outro/watermark frames reused across videos) — explode mm03's
+      // sampled frames, digest each, and keep digests seen in >= 2
+      // DISTINCT documents. d01's scale shape one level down the
+      // hierarchy: only (16-byte frame digest, doc_id) ever shuffles,
+      // never frame bytes, and the aggregate is a plain digest groupBy —
+      // at 100 TB this is how frame-level dedup stays a hash join, not
+      // a pixel comparison.
+      val payloads = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.multimodal.Decode
+        .sampleFrames(payloads, "payload", frameSize = 16, stride = 2)
+        .select(col("doc_id"), explode(col("frames")).as("frame"))
+        .select(col("doc_id"), md5(col("frame")).as("frame_md5"))
+        .groupBy(col("frame_md5"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("frame_md5"))
+    },
+    Some("""
+      SELECT md5(f) AS frame_md5,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MIN(doc_id) AS min_doc,
+             MAX(doc_id) AS max_doc
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(0, greatest(0, strlen(text) - 16) + 1, 32),
+                 o -> substr(text, o + 1, 16))) AS f
+        FROM documents)
+      GROUP BY md5(f)
+      HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY frame_md5"""))
+
   val all: Seq[Q] = Seq(mm01_binary_meta, mm02_feature_extract,
-    mm03_frame_sample, mm04_resize, mm05_byte_entropy, mm06_ahash_dedup)
+    mm03_frame_sample, mm04_resize, mm05_byte_entropy, mm06_ahash_dedup,
+    mm07_frame_dedup)
 }

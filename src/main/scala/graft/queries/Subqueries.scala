@@ -244,7 +244,44 @@ object Subqueries {
       GROUP BY supp_nation, cust_nation, l_year
       ORDER BY supp_nation, cust_nation, l_year""")
 
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's revenue in one part type, per year. The conditional-share
+    * rollup (SUM(CASE)/SUM over the same grouped pass) on top of q51's
+    * join fan — customer-side nation restricted through region, supplier
+    * nation carried into the numerator condition. The share is a ratio
+    * of two exact-decimal sums from ONE aggregate, so no second pass
+    * and no float accumulation order to reconcile. */
+  val q52_market_share: Q = dual(
+    "q52_market_share",
+    Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
+      "part"),
+    s"""
+      SELECT o_year,
+             round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                 THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS DOUBLE) /
+                   CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               n1.n_name AS supp_nation,
+               $revenueSql AS volume
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n2.n_regionkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1999-01-01')
+      GROUP BY o_year
+      ORDER BY o_year""")
+
   val all: Seq[Q] = Seq(q43_min_cost_supplier, q44_value_share,
     q45_small_qty_brand, q46_part_share_suppliers, q47_waiting_suppliers,
-    q48_idle_rich_custs, q51_nation_trade)
+    q48_idle_rich_custs, q51_nation_trade, q52_market_share)
 }
