@@ -28,30 +28,13 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
   * lets the scan prune partitions instead of reading the corpus.
   */
 object AnnIndex {
-  /** Deterministic per-dataset index location (idempotent rebuild skip).
-    *
-    * The path embeds a CONTENT fingerprint of the embeddings source — the
-    * md5 of the full source path plus every data file's (name, size,
-    * mtime) — so a changed or rewritten corpus gets a fresh index root
-    * instead of silently serving stale results, and two source dirs whose
-    * names sanitize to the same string can never collide on one index. */
-  def defaultRoot(sfDir: String): String = {
-    val src = new java.io.File(sfDir, "embeddings.parquet")
-    val files: Seq[java.io.File] =
-      if (src.isDirectory)
-        Option(src.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
-      else Seq(src)
-    val sig = (src.getAbsolutePath +:
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}"))
-      .mkString("\n")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_ann_index_" +
-        new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_") +
-        "_" + md).toString
-  }
+  /** Deterministic per-dataset index location (idempotent rebuild skip),
+    * content-fingerprinted by the embeddings source
+    * ([[graft.core.IndexRoot]] — shared rule with [[DedupIndex]]) so a
+    * rewritten corpus gets a fresh root instead of silently serving
+    * stale results. */
+  def defaultRoot(sfDir: String): String =
+    graft.core.IndexRoot.of(sfDir, "embeddings.parquet", "graft_ann_index")
 
   /** Build the index from `<sfDir>/embeddings.parquet` unless it already
     * exists (marker: centroids/_SUCCESS). One corpus pass total. */

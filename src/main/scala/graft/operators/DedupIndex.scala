@@ -37,25 +37,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
   /** Deterministic per-dataset index location (idempotent rebuild skip),
-    * fingerprinted by the documents source exactly like
-    * [[AnnIndex.defaultRoot]] so a rewritten corpus gets a fresh root. */
-  def defaultRoot(sfDir: String): String = {
-    val src = new java.io.File(sfDir, "documents.parquet")
-    val files: Seq[java.io.File] =
-      if (src.isDirectory)
-        Option(src.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
-      else Seq(src)
-    val sig = (src.getAbsolutePath +:
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}"))
-      .mkString("\n")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_dedup_index_" +
-        new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_") +
-        "_" + md).toString
-  }
+    * content-fingerprinted by the documents source
+    * ([[graft.core.IndexRoot]]) so a rewritten corpus gets a fresh
+    * root. */
+  def defaultRoot(sfDir: String): String =
+    graft.core.IndexRoot.of(sfDir, "documents.parquet", "graft_dedup_index")
 
   /** Build the banded-signature index unless it already exists (marker:
     * bands/_SUCCESS). One corpus pass total. */
@@ -85,6 +71,13 @@ object DedupIndex {
     * with a probe, scored by estimated Jaccard (matching signature
     * fraction, the d04 formula). Output: (q_id, c_id, est_sim). */
   def probe(spark: SparkSession, root: String, probes: DataFrame): DataFrame = {
+    // Materialize the banded probe set ONCE (localCheckpoint): it is
+    // consumed twice — the driver-side key collect below and the
+    // broadcast join — and the banding pipeline behind it (tokenize →
+    // shingle → MinHash → band md5) is the expensive part of a probe;
+    // without the barrier every call pays it twice. Checkpoint blocks
+    // are freed by the ContextCleaner when the probe result is dropped.
+    val banded = probes.localCheckpoint(true)
     // The probed (band, pfx) key set: <= 4 per probe doc AND bounded by
     // the layout itself (4 bands x 16 prefixes = 64 keys max), so the
     // driver-side collect and the IN-list stay tiny no matter how many
@@ -93,7 +86,7 @@ object DedupIndex {
     // directories exactly like a per-key conjunction, without the
     // 2000-deep OR tree that overflows the column-conversion stack at
     // large probe counts.
-    val keys = probes
+    val keys = banded
       .select(concat_ws("/", col("band"), substring(col("bh"), 1, 1)).as("k"))
       .distinct().collect().map(_.getString(0))
     val pruned: Column =
@@ -103,14 +96,12 @@ object DedupIndex {
       .filter(pruned)
       .select(col("doc_id").as("c_id"), col("sig").as("c_sig"),
         col("band"), col("bh"))
-      .join(broadcast(probes.select(col("doc_id").as("q_id"),
+      .join(broadcast(banded.select(col("doc_id").as("q_id"),
         col("sig").as("q_sig"), col("band"), col("bh"))),
         Seq("band", "bh"))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
-        // the d04 estimated-Jaccard formula, verbatim
-        (expr("aggregate(zip_with(q_sig, c_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / 16.0).as("est_sim"))
+        graft.queries.Dedup.estSim("q_sig", "c_sig").as("est_sim"))
       .distinct() // a pair sharing two bands collides twice
   }
 }

@@ -109,8 +109,14 @@ object Curate {
       var nClusters: Option[Long] = None
       val nearDeduped = stage(if (clusterDedup) {
         val clusters = Dedup.dupClusters(spark, sfDir, simThreshold)
-        nClusters = Some(clusters.filter(col("cluster_size") >= 2)
-          .select(col("cluster_id")).distinct().count())
+        // the manifest metric counts multi-doc clusters AMONG STAGE-1
+        // SURVIVORS — clusters whose extra members are all byte-identical
+        // copies were already fully handled by exact dedup and would
+        // inflate a "near-dup contamination" reading of the manifest
+        nClusters = Some(clusters
+          .join(exact.select(col("doc_id")), "doc_id")
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+          .filter(col("n_members") >= 2).count())
         exact.join(
           clusters.filter(col("cluster_id") === col("doc_id"))
             .select(col("doc_id")),

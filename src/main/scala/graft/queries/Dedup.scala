@@ -189,16 +189,15 @@ object Dedup {
     * signatures()). A Generate's output is an attribute the optimizer
     * cannot inline through, so the tree evaluates exactly once per
     * document on both the batch and streaming paths. */
-  private[graft] def bandedFromText(docs: DataFrame): DataFrame = {
-    import graft.functions.HashFunctions.minhash_sig
-    docs
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("sh", expr(shinglesExpr))
-      .select(col("doc_id"), explode(array(minhash_sig(col("sh")))).as("sig"))
-      .filter(col("sig").isNotNull)
-      .select(col("doc_id"), explode(expr(bandStructExpr)).as("x"))
-      .select(col("doc_id"), col("x.band"), col("x.bh"))
-  }
+  private[graft] def bandedFromText(docs: DataFrame): DataFrame =
+    bandedWithSigFromText(docs).drop("sig")
+
+  /** The d04 estimated-Jaccard: matching fraction of two 16-slot
+    * signature columns. ONE copy shared by the batch join and the
+    * persisted-index probe so the scoring formula cannot diverge. */
+  private[graft] def estSim(a: String, b: String) =
+    (expr(s"aggregate(zip_with($a, $b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+      .cast("double") / 16.0)
 
   /** Like [[bandedFromText]] but carrying the signature through:
     * (doc_id, sig, band, bh). Streaming-safe (same Generate barrier). */
@@ -237,10 +236,8 @@ object Dedup {
           col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
           col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
         .dropDuplicates("a_id", "b_id")
-        .select(
-          col("a_id"), col("b_id"),
-          (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-            .cast("double") / 16.0).as("est_sim"))
+        .select(col("a_id"), col("b_id"),
+          estSim("sig_a", "sig_b").as("est_sim"))
         .orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""
@@ -746,11 +743,18 @@ object Dedup {
       val mAll = sym.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
         .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
-      val large = sym.filter(col("dst") > col("src"))
+      // large is checkpointed too: small-star consumes it through TWO
+      // subtrees (the mLow aggregate and the low join), and without a
+      // materialization the large-star join would execute twice per
+      // round. Superseded rounds' checkpoint blocks are released by the
+      // ContextCleaner as soon as the loop drops their frames (each
+      // round rebinds e/large) — rounds are O(log n), so at most a few
+      // edge-set-sized block sets are ever in flight.
+      val large = checkpointFresh(sym.filter(col("dst") > col("src"))
         .join(mAll, col("src") === col("u"))
         .select(least(col("dst"), col("m")).as("src"),
           greatest(col("dst"), col("m")).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
+        .filter(col("src") =!= col("dst")).distinct())
       // small-star over the v <= u orientation, plus the self-attach
       val symL = large.union(
         large.select(col("dst").as("src"), col("src").as("dst")))

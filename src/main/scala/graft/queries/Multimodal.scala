@@ -224,17 +224,27 @@ object Multimodal {
       // and equal hashes mean perceptually-identical content even when
       // bytes differ between sample points (re-encoded/padded copies).
       import org.apache.spark.sql.expressions.Window
+      // `samples` is bound through explode(array(...)) — the streaming-
+      // safe Generate barrier (bandedFromText's trick): the sampling
+      // transform is an interpreted higher-order expression referenced
+      // by BOTH ssum and each of ahash's 32 subscripts, and without a
+      // barrier CollapseProject inlines (and re-evaluates) it per
+      // reference.
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text"))
         .filter(expr("length(text) > 0"))
-        .withColumn("samples", expr(
+        .select(col("doc_id"), explode(array(expr(
           """transform(sequence(0, 31), j ->
                CAST(ascii(substr(text,
                  CAST(1 + (CAST(j AS BIGINT) * length(text)) div 32 AS INT),
-                 1)) AS BIGINT))"""))
-        .withColumn("ssum", expr(
-          "aggregate(samples, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+                 1)) AS BIGINT))"""))).as("samples"))
+        // ssum gets its own Generate barrier: referenced inside ahash's
+        // 32-iteration lambda, an inlined ssum fold would re-evaluate
+        // per bit (32x32 element ops/row instead of 32+32)
+        .select(col("doc_id"), col("samples"), explode(array(expr(
+          "aggregate(samples, CAST(0 AS BIGINT), (acc, x) -> acc + x)")))
+          .as("ssum"))
         .withColumn("ahash", expr(
           """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
                acc + CASE WHEN samples[j] * 32 >= ssum

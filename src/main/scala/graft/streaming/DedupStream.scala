@@ -91,11 +91,16 @@ object DedupStream {
       doc_id: Long, fp: String, canonical_id: Long, admitted: Boolean)
 
   /** Pure admission step for one digest group, factored out like
-    * [[admit]] so batch-split invariance is testable without a streaming
-    * harness: the first batch to present a digest admits its MINIMUM
-    * arriving doc_id (so one big batch and N small ones admit the same
-    * doc), every other arrival is marked duplicate against the stored
-    * canonical. */
+    * [[admit]] so its invariants are testable without a streaming
+    * harness: the FIRST batch to present a digest admits that batch's
+    * minimum arriving doc_id; every later arrival is marked duplicate
+    * against the stored canonical. The split-invariant property is
+    * "exactly one admission per digest, all duplicates point at it" —
+    * WHICH doc is admitted depends on arrival order across batches
+    * (first-come wins, min-id only within the establishing batch), so
+    * the admitted doc equals batch d01's global-min canonical exactly
+    * when arrivals respect doc_id order (the ordered-feed case
+    * `DedupStreamSpec` pins). */
   private[streaming] def admitDigest(
       canonical: Option[Long], arriving: Seq[Long]): (Seq[(Long, Long, Boolean)], Long) = {
     val arr = arriving.distinct.sorted

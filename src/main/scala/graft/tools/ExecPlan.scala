@@ -11,7 +11,7 @@ object ExecPlan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.collect()
+    df.queryExecution.toRdd.count() // finalize AQE, no driver rows
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
