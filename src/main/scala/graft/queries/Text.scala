@@ -886,9 +886,190 @@ object Text {
       GROUP BY source, n
       ORDER BY source"""))
 
+  val t19_bigram_surprisal = Q(
+    "t19_bigram_surprisal",
+    (s, dir) => {
+      // Per-document CONDITIONAL bigram surprisal: average
+      // -log2 P(w2 | w1) = -log2(c(w1 w2) / c(w1 ·)) under the corpus's
+      // own bigram model — the next step up from t13's unigram proxy
+      // (t13 scores "are these words rare?", this scores "are these
+      // word SEQUENCES unexpected?" — boilerplate with rare words still
+      // scores low here, and word-salad with common words scores high).
+      // Same exact-integer Mitchell log2 ladder as t13 (see
+      // core/Exact.scala): c1 >= c12 >= 1 always (a bigram occurrence IS
+      // a context occurrence), so the ratio needs no sign handling.
+      //
+      // Shape: ONE corpus pass builds the (doc_id, big) bigram stream
+      // via zip_with over two slices (no sequence(1, size-1) — Spark's
+      // sequence DESCENDS when stop < start, turning a 1-token doc into
+      // a [1,0] index list; slice with greatest(·,0) length is empty
+      // instead). The stream is cached: it feeds the bigram-count
+      // aggregate, the context-count aggregate, and the scoring join.
+      // Context counts c1 derive from the SAME stream (w1 = prefix of
+      // the bigram key), so the denominator counts w1 occurrences *as a
+      // context* (every token except each doc's last) — the correct
+      // conditional-model denominator, and it collapses the pipeline to
+      // one explode instead of two.
+      //
+      // 100 TB: the bigram vocabulary is strictly LARGER than t13's
+      // unigram vocab (superlinear in |V| until saturation), so both the
+      // model join (on big) and the context join (on w1) are hinted
+      // SHUFFLE_HASH — broadcast is wrong here a fortiori, and the hint
+      // keeps AQE from promoting the bench-scale plan to a broadcast
+      // that would lie about the cluster shape. Docs with < 2 tokens
+      // have no bigrams and drop out (inner join), mirrored by the
+      // oracle's empty unnest.
+      val bigs = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+            "slice(toks, 2, greatest(size(toks) - 1, 0)), " +
+            "(a, b) -> concat(a, ' ', b))")).as("big"))
+        .cache()
+      val ctx = bigs
+        .select(expr("split_part(big, ' ', 1)").as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val model = bigs
+        .groupBy(col("big")).agg(count(lit(1)).as("c12"))
+        .withColumn("w1", expr("split_part(big, ' ', 1)"))
+        .join(ctx.hint("shuffle_hash"), "w1")
+        .select(col("big"),
+          expr(graft.core.Exact.mitchellLog2n9("c1", "c12")).as("surp_n9"))
+      bigs.join(model.hint("shuffle_hash"), "big")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("surp_n9")).as("sum_n9"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("sum_n9").cast("double") / 1000000000.0 /
+            col("n_bigrams"), 6).as("avg_bigram_surprisal"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH bigs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                 i -> ts[i] || ' ' || ts[i + 1])) AS big
+        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts
+              FROM documents)),
+      ctx AS (
+        SELECT split_part(big, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM bigs GROUP BY 1),
+      model AS (
+        SELECT big,
+               CAST(k AS BIGINT) * 1000000000 + (c1 - p) * 1000000000 // p
+                 AS surp_n9
+        FROM (
+          SELECT big, c1, c12, k,
+                 c12 * (CAST(1 AS BIGINT) << k) AS p
+          FROM (
+            SELECT b.big, ctx.c1, b.c12,
+                   length(bin(CAST(ctx.c1 // b.c12 AS BIGINT))) - 1 AS k
+            FROM (SELECT big, CAST(COUNT(*) AS BIGINT) AS c12
+                  FROM bigs GROUP BY big) b
+            JOIN ctx ON split_part(b.big, ' ', 1) = ctx.w1)))
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(surp_n9) AS DOUBLE) / 1000000000.0 / COUNT(*), 6)
+               AS avg_bigram_surprisal
+      FROM bigs b JOIN model USING (big)
+      GROUP BY b.doc_id
+      ORDER BY b.doc_id"""))
+
+  val t20_source_kl = Q(
+    "t20_source_kl",
+    (s, dir) => {
+      // Per-source distribution drift: KL(p_source || p_corpus) over the
+      // unigram distributions, in bits-per-token — the number a mix
+      // designer watches to catch a source whose content shifted
+      // (scrape drift, contamination, a template flood) before it skews
+      // the training mix. KL term: (c_st/n_s) * log2((c_st*n)/(c_t*n_s)),
+      // summed over the source's vocabulary.
+      //
+      // Determinism: the log ratio goes through the shared Mitchell
+      // exact-integer ladder. Unlike t13/t19 the ratio can be < 1
+      // (token UNDER-represented in the source ⇒ negative term), so the
+      // ladder runs on (hi, lo) = (greatest, least) with the sign split
+      // out — both engines compute identical longs. Per-term weight
+      // c_st keeps everything integer until the single final division.
+      // Long bounds: num = c_st*n <= n^2 needs n < 3e9 tokens; at real
+      // corpus scale widen num/den to DECIMAL(38,0) (same ladder, `div`
+      // and shiftleft exist for decimals via pmod arithmetic) — noted,
+      // not needed at bench SFs. |term_n9| <= c_st * 63e9 and the group
+      // sum accumulates in DECIMAL(38,0), so no overflow there.
+      //
+      // Shape: ONE explode pass collapses to (source, tok, c_st) — the
+      // sum of per-source vocabularies, the natural sparse representation
+      // of the source-token matrix. Everything downstream reaggregates
+      // or joins THAT table, never the raw token stream: n (1-row
+      // broadcast), n_s (|sources| rows, broadcast — bounded like
+      // t12/t16), c_t (|vocab| rows, hinted SHUFFLE_HASH on tok — the
+      // unbounded side, same 100TB argument as t13).
+      val st = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(expr(toksExpr)).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+        .cache()
+      val nTotal = st.agg(sum(col("c_st")).as("n"))
+      val perSrc = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val perTok = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+      st.join(perTok.hint("shuffle_hash"), "tok")
+        .join(broadcast(perSrc), "source")
+        .crossJoin(broadcast(nTotal))
+        .withColumn("num", col("c_st") * col("n"))
+        .withColumn("den", col("c_t") * col("n_s"))
+        .withColumn("hi", greatest(col("num"), col("den")))
+        .withColumn("lo", least(col("num"), col("den")))
+        .withColumn("sgn",
+          when(col("num") >= col("den"), lit(1L)).otherwise(lit(-1L)))
+        .withColumn("term_n9", col("sgn") * col("c_st") *
+          expr(graft.core.Exact.mitchellLog2n9("hi", "lo")))
+        .groupBy(col("source"), col("n_s"))
+        .agg(sum(col("term_n9").cast("decimal(38,0)")).as("t_n9"))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          round(col("t_n9").cast("double") / 1000000000.0 / col("n_s"), 6)
+            .as("kl_bits"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM (SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+                AS tok
+              FROM documents)
+        GROUP BY source, tok),
+      tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st),
+      src AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+              FROM st GROUP BY source),
+      tk AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+             FROM st GROUP BY tok),
+      terms AS (
+        SELECT st.source, st.c_st, src.n_s,
+               GREATEST(st.c_st * tot.n, tk.c_t * src.n_s) AS hi,
+               LEAST(st.c_st * tot.n, tk.c_t * src.n_s) AS lo,
+               CASE WHEN st.c_st * tot.n >= tk.c_t * src.n_s
+                    THEN 1 ELSE -1 END AS sgn
+        FROM st JOIN tk USING (tok) JOIN src USING (source) CROSS JOIN tot),
+      scored AS (
+        SELECT source, n_s,
+               sgn * c_st *
+                 (CAST(k AS BIGINT) * 1000000000 + (hi - p) * 1000000000 // p)
+                 AS term_n9
+        FROM (
+          SELECT source, c_st, n_s, sgn, hi, lo, k,
+                 lo * (CAST(1 AS BIGINT) << k) AS p
+          FROM (
+            SELECT source, c_st, n_s, sgn, hi, lo,
+                   length(bin(CAST(hi // lo AS BIGINT))) - 1 AS k
+            FROM terms)))
+      SELECT source, n_s AS n_tokens,
+             round(CAST(SUM(CAST(term_n9 AS HUGEINT)) AS DOUBLE)
+                   / 1000000000.0 / n_s, 6) AS kl_bits
+      FROM scored
+      GROUP BY source, n_s
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
     t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal,
     t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler, t17_zipf_slope,
-    t18_source_profile)
+    t18_source_profile, t19_bigram_surprisal, t20_source_kl)
 }

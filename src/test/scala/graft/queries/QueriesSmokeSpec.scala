@@ -149,6 +149,44 @@ class QueriesSmokeSpec extends SparkSpec {
       s"t15 vocab aggregate is computed twice (no exchange reuse):\n$plan")
   }
 
+  test("t19 model and context joins never broadcast (bigram vocab is unbounded)") {
+    // the bigram vocabulary is strictly larger than t13's unigram vocab,
+    // so BOTH vocab-sized joins — scoring on `big`, context counts on
+    // `w1` — must stay shuffled hash joins at every scale; a broadcast
+    // anywhere here is the bench-scale plan lying about 100 TB.
+    val df = Text.t19_bigram_surprisal.run(spark, sfDir)
+    df.collect()
+    // NOT split on "== Initial Plan ==": the cached bigram stream embeds
+    // a nested AdaptiveSparkPlan whose own Initial-Plan marker would
+    // truncate the outer tree before the context join prints. Scan the
+    // full string instead: every join in this query must be a shuffled
+    // hash join (the context join's key prints as the collapsed
+    // split_part expression, so pin the node types, not the key names).
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin \\[big".r.findFirstIn(plan).isDefined,
+      s"t19 scoring join is not a shuffled hash join:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"t19 has no shuffled hash join:\n$plan")
+    Seq("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
+      "CartesianProduct").foreach { bad =>
+      assert(!plan.contains(bad), s"t19 planned a $bad:\n$plan")
+    }
+  }
+
+  test("t20 token join never broadcasts; only bounded sides broadcast") {
+    // c_t is |vocab| rows (unbounded) — must join shuffled on tok; the
+    // per-source totals (|sources| rows) and the 1-row corpus total are
+    // the only legitimate broadcasts.
+    val df = Text.t20_source_kl.run(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("ShuffledHashJoin \\[tok".r.findFirstIn(plan).isDefined,
+      s"t20 tok join is not a shuffled hash join:\n$plan")
+    assert("BroadcastHashJoin \\[tok".r.findFirstIn(plan).isEmpty,
+      s"t20 vocab-sized c_t side got broadcast:\n$plan")
+  }
+
   test("d01 shuffles digests, not document bodies") {
     // README's scale claim, measured: exact dedup reduces each document
     // to (md5, id, n_chars) BEFORE any exchange, so total shuffle-write
