@@ -631,7 +631,176 @@ object Similarity {
       WHERE rank <= 10
       ORDER BY q_id, rank"""))
 
+  /** PQ plane constants w[m][j][d]: 8 subspaces x 4 planes x 8 dims,
+    * same md5 affine-map formula as [[planes]] under a distinct "pq"
+    * namespace — 256 driver-side literals, no Spark job. */
+  private[queries] lazy val pqPlanes: Seq[(Int, Int, Seq[Double])] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(m: Int, j: Int, d: Int): Double = {
+      val hex = md.digest(
+        s"pq${m}_${j}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0
+    }
+    for { m <- 0 until 8; j <- 0 until 4 }
+      yield (m, j, (0 until 8).map(d => w(m, j, d)).toSeq)
+  }
+
+  val s09_pq_ann = Q(
+    "s09_pq_ann",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      // Product quantization with asymmetric-distance scoring — the
+      // memory-compression endpoint of the ANN ladder (float32 s01 →
+      // int8 s06 → PQ here → sign-bits s08): split each 64-dim vector
+      // into 8 subspaces of 8 dims, quantize each subspace to one of 16
+      // cells, and a vector becomes EIGHT 4-bit codes = 4 bytes, a 64x
+      // reduction over float32. Search never touches the original
+      // vectors: per query, precompute dot(q_m, centroid[m, cell]) for
+      // all (m, cell) — at most 8 x 16 = 128 terms — and a candidate's
+      // approximate dot is just 8 table lookups summed (ADC, as in
+      // Jegou/Douze/Schmid's PQ paper). Ranking normalizes by the
+      // reconstructed norm sqrt(sum_m |cent_m|^2) — ADC-cosine, the
+      // same target s01 ranks by — from one extra column through the
+      // same joins.
+      //
+      // Codebooks are LSH-learned, not k-means-learned, to keep the
+      // whole operator deterministic and oracle-matchable: a subspace's
+      // cell id = 4 sign bits against the fixed md5-derived pqPlanes
+      // (so assignment is a pure codegen'd projection, zero shuffles),
+      // and the cell's centroid is the exact-decimal mean of its
+      // members ([[labelCentroids]]'s ladder: decimal(20,10) sums →
+      // double → one IEEE division) — identical on any engine and
+      // partitioning. CurationOpsSpec grades recall@10 against the
+      // exact s01 baseline; the hash gate pins determinism, not recall.
+      //
+      // 100 TB shape: encoding is map-only (literal planes). The
+      // codebook build shuffles to 8x16x8 = 1024 (m, cell, pos) groups
+      // with map-side partial sums — centroid state, not corpus,
+      // crosses the wire (s04's k-means-step argument). Scoring scans
+      // ONLY the 4-byte codes: explode to 8 (m, cell) rows, map-side
+      // join against the broadcast Qx128 term table, and the
+      // (q_id, c_id) re-group partial-aggregates 8 rows to 1 before
+      // shuffling — Q skinny rows per candidate, the same O(Q*N)
+      // exhaustive baseline as s01/s06 (IVF-style pruning composes via
+      // s05's partition-pruned index when Q grows). Term sums cross
+      // rows, so they accumulate in decimal(25,12) (associative) — the
+      // 8-term sum is order-independent, and a double never lands on a
+      // decimal midpoint (Exact.scala's argument), so the per-term cast
+      // rounds identically on both engines.
+      val codes = array((0 until 8).map { m =>
+        pqPlanes.filter(_._1 == m).map { case (_, j, ws) =>
+          when(vec_dot(array(ws.map(lit): _*),
+            expr(s"slice(embedding, ${m * 8 + 1}, 8)")) >= 0,
+            lit(1 << j)).otherwise(0)
+        }.reduce(_ + _)
+      }: _*)
+      // cache(): the coded corpus feeds the codebook build, the query
+      // set, and the candidate scan; also the optimizer barrier that
+      // keeps the 32-dot encode from re-running per consumer (s08's
+      // CollapseProject argument).
+      val coded = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), codes.as("codes"))
+        .cache()
+      val cents = coded
+        .select(posexplode(col("codes")).as(Seq("m", "cell")), col("embedding"))
+        .select(col("m"), col("cell"),
+          posexplode(expr("slice(embedding, m * 8 + 1, 8)")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("m"), col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cvec"))
+        .withColumn("cn2", vec_dot(col("cvec"), col("cvec")))
+      val qterms = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(cents))
+        .select(col("q_id"), col("m"), col("cell"), col("cn2"),
+          vec_dot(expr("slice(q_emb, m * 8 + 1, 8)"), col("cvec")).as("term"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_cos").desc, col("c_id"))
+      coded.select(col("vec_id").as("c_id"),
+          posexplode(col("codes")).as(Seq("m", "cell")))
+        .join(broadcast(qterms), Seq("m", "cell"))
+        .filter(col("c_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("term").cast(DecimalType(25, 12))).as("s_dec"),
+          sum(col("cn2").cast(DecimalType(25, 12))).as("n_dec"))
+        .withColumn("adc_cos",
+          when(col("n_dec") > 0,
+            round(col("s_dec").cast("double") /
+              sqrt(col("n_dec").cast("double")), 6)).otherwise(0.0))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("q_id", "c_id", "adc_cos", "rank")
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""
+      WITH pqp AS (
+        SELECT m, j, list(w ORDER BY d) AS warr
+        FROM (
+          SELECT m, j, d,
+                 CAST(CAST(concat('0x', substr(md5(concat('pq', m, '_', j, '_', d)), 1, 8)) AS BIGINT)
+                      % 2001 - 1000 AS DOUBLE) / 1000.0 AS w
+          FROM (SELECT unnest(range(8)) AS m)
+          CROSS JOIN (SELECT unnest(range(4)) AS j)
+          CROSS JOIN (SELECT unnest(range(8)) AS d))
+        GROUP BY m, j),
+      coded AS (
+        SELECT vec_id, m,
+               CAST(SUM(CASE WHEN list_sum(list_transform(range(8),
+                   d -> CAST(warr[d + 1] AS DOUBLE) *
+                        CAST(embedding[m * 8 + d + 1] AS DOUBLE))) >= 0
+                 THEN 1 << CAST(j AS INT) ELSE 0 END) AS INT) AS cell
+        FROM embeddings CROSS JOIN pqp
+        GROUP BY vec_id, m),
+      cent AS (
+        SELECT m, cell, pos,
+               CAST(SUM(CAST(v AS DECIMAL(20, 10))) AS DOUBLE) / COUNT(*) AS c
+        FROM (
+          SELECT c.m, c.cell, d AS pos,
+                 e.embedding[c.m * 8 + d + 1] AS v
+          FROM coded c
+          JOIN embeddings e USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(8)) AS d))
+        GROUP BY m, cell, pos),
+      cvecs AS (
+        SELECT m, cell, cvec,
+               list_sum(list_transform(range(8),
+                 d -> cvec[d + 1] * cvec[d + 1])) AS cn2
+        FROM (SELECT m, cell, list(c ORDER BY pos) AS cvec
+              FROM cent GROUP BY m, cell)),
+      qt AS (
+        SELECT q.vec_id AS q_id, cv.m, cv.cell, cv.cn2,
+               list_sum(list_transform(range(8),
+                 d -> CAST(q.embedding[cv.m * 8 + d + 1] AS DOUBLE) *
+                      cv.cvec[d + 1])) AS term
+        FROM embeddings q CROSS JOIN cvecs cv
+        WHERE q.vec_id < 5),
+      scored AS (
+        SELECT q_id, c_id,
+               CASE WHEN n_dec > 0
+                 THEN round(CAST(s_dec AS DOUBLE) / sqrt(CAST(n_dec AS DOUBLE)), 6)
+                 ELSE 0.0 END AS adc_cos
+        FROM (
+          SELECT qt.q_id, c.vec_id AS c_id,
+                 SUM(CAST(term AS DECIMAL(25, 12))) AS s_dec,
+                 SUM(CAST(cn2 AS DECIMAL(25, 12))) AS n_dec
+          FROM coded c JOIN qt ON c.m = qt.m AND c.cell = qt.cell
+          WHERE c.vec_id <> qt.q_id
+          GROUP BY qt.q_id, c.vec_id)),
+      ranked AS (
+        SELECT q_id, c_id, adc_cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_cos DESC, c_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, c_id, adc_cos, rank FROM ranked
+      WHERE rank <= 10
+      ORDER BY q_id, rank"""))
+
   val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
     s04_kmeans_step, s05_ann_index, s06_quantized_ann,
-    s07_quantized_rerank, s08_binary_sketch, t09_array_ops)
+    s07_quantized_rerank, s08_binary_sketch, s09_pq_ann, t09_array_ops)
 }

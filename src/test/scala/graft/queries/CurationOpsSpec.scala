@@ -50,6 +50,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(mean >= 0.2, s"mean recall@10 vs exact baseline too low: $mean")
   }
 
+  test("s09 PQ-ADC ranking carries real signal against the exact top-10") {
+    def topk(q: Q): Map[Long, Set[Long]] =
+      q.run(spark, sfDir).filter(col("rank") <= 10)
+        .select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) =>
+          k -> rs.map(_.getLong(1)).toSet
+        }
+    val exact = topk(Similarity.s01_cosine_topk)
+    val pq = topk(Similarity.s09_pq_ann)
+    assert(exact.keySet == pq.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      pq(q).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 32-bit codes are the second-coarsest rung of the quantization
+    // ladder (s06 int8 512-bit: 0.5+; s08 sign 64-bit: ~0.26; here
+    // 32-bit: measured 0.16 on this corpus vs ~0.02 for random top-10s
+    // — 8x chance). The gate pins "carries real signal", not a
+    // precision 4-byte codes cannot have; normalizing by the
+    // reconstructed centroid norm (ADC-cosine) was measured recall-
+    // neutral here (uniform-norm corpus) and is kept because it is the
+    // right ranking target. Compose with s07's exact rerank pattern
+    // when quality matters.
+    assert(mean >= 0.1, s"mean recall@10 vs exact baseline too low: $mean")
+  }
+
   test("s07 two-stage rerank: recall@10 at least s06's, exact scores") {
     def topk(q: Q): Map[Long, Set[Long]] =
       q.run(spark, sfDir).filter(col("rank") <= 10)
