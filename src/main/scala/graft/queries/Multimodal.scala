@@ -13,6 +13,35 @@ import graft.core.Tables
   * batches) so a codec swap-in touches one function.
   */
 object Multimodal {
+  /** mm05's byte-distribution statistics on ANY relation with a binary
+    * `payloadCol` — ONE copy shared by the batch operator and the
+    * streaming intake gate ([[graft.streaming.MultimodalStream]]), so
+    * the streamed and batch reject decisions can never diverge (the
+    * [[Text.withQuality]] pattern, applied to the multimodal lane).
+    * Adds n_bytes / n_buckets_used / top_bucket_share / entropy_bits;
+    * stateless per-row map (histogram via mapPartitions, entropy via
+    * the Mitchell exact-integer ladder), hence streaming-safe. */
+  private[graft] def withByteStats(
+      df: org.apache.spark.sql.DataFrame,
+      payloadCol: String): org.apache.spark.sql.DataFrame =
+    graft.multimodal.Decode.byteHistogram(df, payloadCol)
+      .withColumn("n_bytes", octet_length(col(payloadCol)).cast("long"))
+      .withColumn("n_buckets_used",
+        expr("size(filter(hist, c -> c > 0))").cast("long"))
+      .withColumn("top_bucket_share",
+        round(expr("array_max(hist)").cast("double") /
+          greatest(col("n_bytes"), lit(1L)), 6))
+      .withColumn("entropy_bits",
+        when(col("n_bytes") > 0,
+          round(expr(
+            s"""aggregate(hist, CAST(0 AS BIGINT), (acc, c) -> acc +
+                 CASE WHEN c > 0
+                   THEN c * ${graft.core.Exact.mitchellLog2n9("n_bytes", "c")}
+                   ELSE CAST(0 AS BIGINT) END)""").cast("double")
+            / col("n_bytes") / 1000000000.0, 6))
+          .otherwise(0.0))
+      .drop("hist")
+
   val mm01_binary_meta = Q(
     "mm01_binary_meta",
     (s, dir) => {
@@ -164,23 +193,9 @@ object Multimodal {
       val payloads = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      graft.multimodal.Decode.byteHistogram(payloads, "payload")
-        .withColumn("n", octet_length(col("payload")).cast("long"))
-        .select(
-          col("doc_id"),
-          col("n").as("n_bytes"),
-          expr("size(filter(hist, c -> c > 0))").cast("long")
-            .as("n_buckets_used"),
-          round(expr("array_max(hist)").cast("double") /
-            greatest(col("n"), lit(1L)), 6).as("top_bucket_share"),
-          when(col("n") > 0,
-            round(expr(
-              s"""aggregate(hist, CAST(0 AS BIGINT), (acc, c) -> acc +
-                   CASE WHEN c > 0
-                     THEN c * ${graft.core.Exact.mitchellLog2n9("n", "c")}
-                     ELSE CAST(0 AS BIGINT) END)""").cast("double")
-              / col("n") / 1000000000.0, 6))
-            .otherwise(0.0).as("entropy_bits"))
+      withByteStats(payloads, "payload")
+        .select(col("doc_id"), col("n_bytes"), col("n_buckets_used"),
+          col("top_bucket_share"), col("entropy_bits"))
         .orderBy(col("doc_id"))
     },
     Some("""

@@ -34,7 +34,7 @@ object Similarity {
     * or tie-break tweak here changes every consumer and its oracle in
     * lockstep). Order-independent (decimal sums), so identical on any
     * engine/partitioning. */
-  private[queries] def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     Tables(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -52,7 +52,7 @@ object Similarity {
     * cols) to its nearest centroid by rounded cosine (tie-break on
     * clabel — the s04 oracle's exact ordering): adds `clabel`, drops the
     * scratch columns. One broadcast of k centroids, one window. */
-  private[queries] def assignNearest(emb: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignNearest(emb: DataFrame, cent: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wBest = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("clabel"))
@@ -120,7 +120,7 @@ object Similarity {
     * need no Spark job: computed once in plain Scala on the driver and
     * folded into the bucket projection as literals — no crossJoin, no
     * shuffle, no collect. */
-  private[queries] lazy val planes: Seq[(Int, Seq[Double])] = {
+  private[graft] lazy val planes: Seq[(Int, Seq[Double])] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def w(p: Int, d: Int): Double = {
       val hex = md.digest(s"${p}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -135,7 +135,7 @@ object Similarity {
     * ANN probe and the dedup block-size cap (similar vectors share SRP
     * bits with high probability, so a sub-split on them keeps near-dup
     * candidates co-bucketed; identical vectors always collide). */
-  private[queries] def srpBucket(emb: Column): Column =
+  private[graft] def srpBucket(emb: Column): Column =
     planes.map { case (p, ws) =>
       when(vec_dot(array(ws.map(lit): _*), emb) >= 0,
         lit(1L << p)).otherwise(0L)
