@@ -1067,9 +1067,117 @@ object Text {
       GROUP BY source, n_s
       ORDER BY source"""))
 
+  val t21_token_budget = Q(
+    "t21_token_budget",
+    (s, dir) => {
+      // Exact water-filling token allocator — the mix-planning step a
+      // 100 TB pipeline runs BEFORE t16's sampler: given per-source
+      // token capacities c_i, target weights w_i, and a total token
+      // budget B, allocate B proportionally to w_i but capped at c_i,
+      // redistributing capped sources' unused share among the rest.
+      // The classic exact algorithm: sort by fill level c_i/w_i
+      // ascending; the capped set is a PREFIX of that order (a source
+      // caps iff its fill level is at or below the water line computed
+      // from the budget left after everything before it capped), so one
+      // prefix-sum window finds the boundary and the final water line
+      // t = (B - Σ_capped c) / (Σ_uncapped w); alloc_i = c_i if capped
+      // else floor(w_i * t).
+      //
+      // Determinism: the capped test and the water line stay RATIONAL —
+      // cross-multiplied long comparisons and one long floor-division,
+      // never a float threshold (longs bound: c*den <= ~1e13 tokens x
+      // ~1e3 total weight at 100 TB, inside int64). The sort key
+      // c_i/w_i is one IEEE division of identical longs on both
+      // engines (ties broken by source). Demo weight function:
+      // numeric source suffix + 1 (1..20); budget: 4/5 of total corpus
+      // tokens — chosen so heavy-weight sources cap and light ones
+      // don't, exercising both branches at every SF.
+      //
+      // Scale shape: ONE corpus pass collapses to |sources| rows; every
+      // window after that is over |sources| (bounded, the t12/t16
+      // argument) — the allocator itself costs nothing at any corpus
+      // size. Its only scale-relevant input, per-source token counts,
+      // partial-aggregates map-side.
+      import org.apache.spark.sql.expressions.Window
+      val wsAll = Window.partitionBy()
+      val byFill = Window.partitionBy()
+        .orderBy(col("ratio"), col("source"))
+      val pre = byFill.rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("source"), expr(s"size($toksExpr)").cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("cap"))
+        .withColumn("w", expr("CAST(substr(source, 4) AS BIGINT) + 1"))
+        .withColumn("ratio", col("cap").cast("double") / col("w"))
+        .withColumn("budget",
+          expr("(sum(cap) OVER ()) * 4 div 5"))
+        .withColumn("w_tot", sum(col("w")).over(wsAll))
+        .withColumn("c_pre", coalesce(sum(col("cap")).over(pre), lit(0L)))
+        .withColumn("w_pre", coalesce(sum(col("w")).over(pre), lit(0L)))
+        // capped iff fill level <= water line over what remains at this
+        // point in the order: c*(W_tot - W_pre) <= w*(B - C_pre)
+        .withColumn("capped",
+          col("cap") * (col("w_tot") - col("w_pre")) <=
+            col("w") * (col("budget") - col("c_pre")))
+        .withColumn("num",
+          col("budget") - sum(when(col("capped"), col("cap"))
+            .otherwise(lit(0L))).over(wsAll))
+        .withColumn("den",
+          col("w_tot") - sum(when(col("capped"), col("w"))
+            .otherwise(lit(0L))).over(wsAll))
+        .withColumn("alloc",
+          when(col("capped"), col("cap"))
+            .otherwise(expr("if(den > 0, w * num div den, 0)")))
+        .select(col("source"), col("cap").as("available_tokens"),
+          col("w").as("weight"), col("capped"),
+          col("alloc").as("allocated_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT source, CAST(SUM(length(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS cap
+        FROM documents GROUP BY source),
+      base AS (
+        SELECT source, cap,
+               CAST(substr(source, 4) AS BIGINT) + 1 AS w,
+               CAST(cap AS DOUBLE) / (CAST(substr(source, 4) AS BIGINT) + 1)
+                 AS ratio
+        FROM st),
+      pre AS (
+        SELECT source, cap, w,
+               (SUM(cap) OVER ()) * 4 // 5 AS budget,
+               SUM(w) OVER () AS w_tot,
+               COALESCE(SUM(cap) OVER (ORDER BY ratio, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS c_pre,
+               COALESCE(SUM(w) OVER (ORDER BY ratio, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS w_pre
+        FROM base),
+      flagged AS (
+        SELECT *,
+               cap * (w_tot - w_pre) <= w * (budget - c_pre) AS capped
+        FROM pre),
+      lined AS (
+        SELECT *,
+               budget - SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+                 AS num,
+               w_tot - SUM(CASE WHEN capped THEN w ELSE 0 END) OVER ()
+                 AS den
+        FROM flagged)
+      SELECT source,
+             cap AS available_tokens,
+             w AS weight,
+             capped,
+             CAST(CASE WHEN capped THEN cap
+                       WHEN den > 0 THEN w * num // den
+                       ELSE 0 END AS BIGINT) AS allocated_tokens
+      FROM lined
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
     t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal,
     t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler, t17_zipf_slope,
-    t18_source_profile, t19_bigram_surprisal, t20_source_kl)
+    t18_source_profile, t19_bigram_surprisal, t20_source_kl,
+    t21_token_budget)
 }

@@ -76,6 +76,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(mean >= 0.1, s"mean recall@10 vs exact baseline too low: $mean")
   }
 
+  test("t21 water-fill: feasible, budget-tight, caps respected") {
+    val rows = Text.t21_token_budget.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    val budget = rows.map(_._2).sum * 4 / 5
+    // never over-allocate a source beyond its capacity, and capped
+    // sources take exactly their capacity
+    rows.foreach { case (src, cap, _, capped, alloc) =>
+      assert(alloc <= cap, s"$src allocated over capacity")
+      if (capped) assert(alloc == cap, s"$src capped but not filled")
+    }
+    // within budget, and tight: the only loss is the per-uncapped-source
+    // floor, so the shortfall is bounded by the uncapped count
+    val total = rows.map(_._5).sum
+    val nUncapped = rows.count(!_._4)
+    assert(total <= budget, s"over budget: $total > $budget")
+    assert(budget - total < math.max(nUncapped.toLong, 1L),
+      s"water-fill left ${budget - total} tokens on the table")
+    // both branches exercised at this SF (weights 1..20 vs ~uniform
+    // capacities with B = 4/5 of total forces a mixed outcome)
+    assert(rows.exists(_._4) && nUncapped > 0, "degenerate test corpus")
+    // uncapped allocations are proportional to weight: within the same
+    // uncapped set, alloc/w spreads by at most 1 (same floor(t*w) line)
+    val lines = rows.filter(!_._4).map { case (_, _, w, _, a) => a / w }
+    assert(lines.max - lines.min <= 1,
+      s"uncapped sources sit on different water lines: $lines")
+  }
+
   test("s07 two-stage rerank: recall@10 at least s06's, exact scores") {
     def topk(q: Q): Map[Long, Set[Long]] =
       q.run(spark, sfDir).filter(col("rank") <= 10)
