@@ -1030,9 +1030,79 @@ object Dedup {
       JOIN sig sc ON sc.doc_id = c.doc_id
       ORDER BY q_id, c_id"""))
 
+  val d16_semantic_decontam = Q(
+    "d16_semantic_decontam",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+      import org.apache.spark.sql.expressions.Window
+      // Decontamination in EMBEDDING space — the sweep that catches
+      // benchmark leakage d08's shingle match misses: a paraphrased or
+      // translated eval item shares no word-3-grams with its source but
+      // sits at high cosine to it. Same contract as d08 (held-out slice
+      // = the deterministic vec_id % 89 set, in production the
+      // benchmark suite's embeddings), same output discipline: each
+      // training vector is flagged AT MOST ONCE, with its closest
+      // benchmark item (rounded-cosine rank, bench-id tie-break) — the
+      // actionable row a removal stage consumes. The 0.25 demo
+      // threshold is calibrated to this synthetic corpus (its
+      // cross-slice within-label cosines top out near 0.34, no planted
+      // near-dups); a real sweep over trained embeddings runs at
+      // ~0.9 — the threshold is the knob, the shape is the point.
+      //
+      // 100 TB shape, composing the two established arguments: the
+      // benchmark side is bounded (eval suites, not corpus-sized), so
+      // it BROADCASTS exactly like d08's shingles and the corpus
+      // streams map-only through the label-blocked hash join (d06's
+      // blocking; swap in d09's learned-cell assignment when no curated
+      // label exists). The threshold filter runs BEFORE the per-train
+      // top-1 window, so the only shuffle is the flagged pairs — a
+      // contamination-sized set, not corpus-sized — partitioned by
+      // train_id.
+      val emb = Tables(s, dir, "embeddings")
+        .withColumn("norm", vec_norm(col("embedding")))
+      val bench = emb.filter(col("vec_id") % 89 === 0)
+        .select(col("vec_id").as("bench_id"), col("label"),
+          col("embedding").as("b_emb"), col("norm").as("b_norm"))
+      val w = Window.partitionBy(col("train_id"))
+        .orderBy(col("cos_sim").desc, col("bench_id"))
+      emb.filter(col("vec_id") % 89 =!= 0)
+        .select(col("vec_id").as("train_id"), col("label"),
+          col("embedding").as("t_emb"), col("norm").as("t_norm"))
+        .join(broadcast(bench), "label")
+        .withColumn("cos_sim",
+          when(col("t_norm") > 0 && col("b_norm") > 0,
+            round(vec_dot(col("t_emb"), col("b_emb")) /
+              (col("t_norm") * col("b_norm")), 6)).otherwise(0.0))
+        .filter(col("cos_sim") >= 0.25)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("train_id"), col("bench_id"), col("cos_sim"))
+        .orderBy(col("train_id"))
+    },
+    Some(s"""
+      WITH nv AS (
+        SELECT vec_id, label, embedding,
+               sqrt(${Similarity.dotSqlDuck("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      pairs AS (
+        SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+               CASE WHEN t.norm > 0 AND b.norm > 0
+                 THEN round(${Similarity.dotSqlDuck("t.embedding", "b.embedding")}
+                   / (t.norm * b.norm), 6)
+                 ELSE 0.0 END AS cos_sim
+        FROM nv t JOIN nv b ON t.label = b.label
+        WHERE t.vec_id % 89 <> 0 AND b.vec_id % 89 = 0),
+      ranked AS (
+        SELECT train_id, bench_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY train_id
+                 ORDER BY cos_sim DESC, bench_id) AS rk
+        FROM pairs WHERE cos_sim >= 0.25)
+      SELECT train_id, bench_id, cos_sim FROM ranked WHERE rk = 1
+      ORDER BY train_id"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
     d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash,
     d08_decontamination, d09_semantic_neardup, d10_prefix_templates,
     d11_dup_window_share, d12_dup_clusters, d13_containment,
-    d14_simhash_degree, d15_lsh_probe)
+    d14_simhash_degree, d15_lsh_probe, d16_semantic_decontam)
 }
