@@ -281,7 +281,42 @@ object Subqueries {
       GROUP BY o_year
       ORDER BY o_year""")
 
+  /** TPC-H Q20 flavor (excess concentration): suppliers who shipped
+    * MORE THAN HALF of some part's total volume in a year — the
+    * supply-chain-risk readout of the "excess availability" idea,
+    * restated on the tables this lake carries (no partsupp). Shape:
+    * ONE lineitem pass with the ship-date range pushed to the scan,
+    * aggregated to (part, supplier) BEFORE any window — the dominance
+    * window rides the compact aggregate, never raw lineitem — and the
+    * majority test is exact integer arithmetic (supp_qty * 2 >
+    * part_qty, cross-multiplied — no float share, no ties ambiguity).
+    * The supplier join is a broadcast of the bounded dimension. */
+  val q53_dominant_supplier: Q = dual(
+    "q53_dominant_supplier",
+    Seq("lineitem", "supplier"),
+    """
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey),
+      dom AS (
+        SELECT l_suppkey, supp_qty
+        FROM (SELECT l_suppkey, supp_qty,
+                     SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+              FROM ps)
+        WHERE supp_qty * 2 > part_qty)
+      SELECT s_suppkey, s_name,
+             CAST(COUNT(*) AS BIGINT) AS n_parts_dominated,
+             CAST(SUM(supp_qty) AS BIGINT) AS dominated_qty
+      FROM dom JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_suppkey, s_name
+      ORDER BY n_parts_dominated DESC, s_suppkey""")
+
   val all: Seq[Q] = Seq(q43_min_cost_supplier, q44_value_share,
     q45_small_qty_brand, q46_part_share_suppliers, q47_waiting_suppliers,
-    q48_idle_rich_custs, q51_nation_trade, q52_market_share)
+    q48_idle_rich_custs, q51_nation_trade, q52_market_share,
+    q53_dominant_supplier)
 }
