@@ -70,6 +70,36 @@ object Decode {
     }(enc)
   }
 
+  /** Per-frame byte-energy of a binary column: sum of unsigned byte
+    * values over consecutive `frameLen`-byte frames (the final partial
+    * frame included) as `energies: array<long>` — the frame decomposition
+    * an audio pipeline's silence-trim/VAD stage runs before any codec
+    * (a run of NULs or constant padding has flat low energy; content
+    * does not). Partition-wise like [[decodeBinary]] and exact longs
+    * like [[byteHistogram]], so downstream segmentation stays in
+    * integer arithmetic end-to-end. */
+  def frameEnergies(df: DataFrame, binaryCol: String, frameLen: Int): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("energies", ArrayType(LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty)
+        val n = (bytes.length + frameLen - 1) / frameLen
+        val e = new Array[Long](n)
+        var i = 0
+        while (i < bytes.length) {
+          e(i / frameLen) += (bytes(i) & 0xFF).toLong
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ e.toSeq)
+      }
+    }(enc)
+  }
+
   /** Integer 16-bucket byte histogram of a binary column — the
     * exact-count sibling of [[FakeCodec.features]] (which L1-normalizes
     * to doubles). Partition-wise like [[decodeBinary]]: one imperative

@@ -334,7 +334,87 @@ object Multimodal {
       HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY frame_md5"""))
 
+  val mm08_energy_segments = Q(
+    "mm08_energy_segments",
+    (s, dir) => {
+      // Frame-energy segmentation of the opaque payload — the
+      // silence-trim/VAD primitive an audio intake runs BEFORE any
+      // codec: sum unsigned byte values over consecutive 64-byte frames
+      // (graft.multimodal.Decode.frameEnergies, the same mapPartitions
+      // seam as mm02/mm05), threshold into active/inactive, and report
+      // per asset the frame count, active count, number of contiguous
+      // active segments, and the longest run — the numbers a trimming
+      // stage consumes to cut leading/trailing silence and split on
+      // long gaps. Segment edges via index-list filters (a rising edge
+      // is an active frame whose predecessor is inactive), lengths via
+      // zip_with of the edge lists — all codegen'd integer array ops on
+      // the |frames|-sized energy vector, zero shuffle beyond the
+      // ORDER BY. greatest/least clamp the neighbor probes so ANSI
+      // element_at never sees index 0 (the OR/AND guards make the
+      // clamped probe's value irrelevant).
+      // Engine semantics: Spark sums raw BYTES; the DuckDB oracle can
+      // only sum VARCHAR codepoints — equal on this ASCII corpus
+      // (byte == codepoint < 128), the mm02/mm05 documented caveat.
+      // Threshold 6050 sits mid-distribution for 64-byte ASCII frames
+      // (p25 5907 / p75 6090 here), so segmentation is non-degenerate
+      // at every SF; real audio would threshold near the noise floor.
+      val payloads = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.multimodal.Decode.frameEnergies(payloads, "payload", 64)
+        .withColumn("n", expr("size(energies)"))
+        .withColumn("act", expr("transform(energies, x -> x >= 6050L)"))
+        .withColumn("idx", expr(
+          "CASE WHEN n = 0 THEN CAST(array() AS ARRAY<INT>) " +
+            "ELSE sequence(1, n) END"))
+        .withColumn("starts", expr(
+          """filter(idx, i -> element_at(act, i) AND
+               (i = 1 OR NOT element_at(act, greatest(i - 1, 1))))"""))
+        .withColumn("ends", expr(
+          """filter(idx, i -> element_at(act, i) AND
+               (i = n OR NOT element_at(act, least(i + 1, n))))"""))
+        .select(
+          col("doc_id"),
+          col("n").cast("long").as("n_frames"),
+          expr("size(filter(act, x -> x))").cast("long").as("n_active"),
+          expr("size(starts)").cast("long").as("n_segments"),
+          coalesce(
+            expr("array_max(zip_with(ends, starts, (e, s) -> e - s + 1))"),
+            lit(0)).cast("long").as("longest_run"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN []
+                    ELSE list_transform(range((length(text) + 63) // 64), i ->
+                      list_sum(list_transform(range(64), j ->
+                        CASE WHEN i * 64 + j + 1 <= length(text)
+                             THEN ord(substr(text, CAST(i * 64 + j + 1 AS INT), 1))
+                             ELSE 0 END))) END AS energies
+        FROM documents),
+      st AS (
+        SELECT doc_id, len(energies) AS n,
+               list_transform(energies, x -> x >= 6050) AS act
+        FROM f),
+      seg AS (
+        SELECT doc_id, n, act,
+               list_filter(range(1, n + 1), i -> act[i] AND
+                 (i = 1 OR NOT act[greatest(i - 1, 1)])) AS starts,
+               list_filter(range(1, n + 1), i -> act[i] AND
+                 (i = n OR NOT act[least(i + 1, n)])) AS ends
+        FROM st)
+      SELECT doc_id,
+             CAST(n AS BIGINT) AS n_frames,
+             CAST(len(list_filter(act, x -> x)) AS BIGINT) AS n_active,
+             CAST(len(starts) AS BIGINT) AS n_segments,
+             CAST(COALESCE(list_max(list_transform(range(len(starts)),
+               k -> ends[k + 1] - starts[k + 1] + 1)), 0) AS BIGINT)
+               AS longest_run
+      FROM seg
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(mm01_binary_meta, mm02_feature_extract,
     mm03_frame_sample, mm04_resize, mm05_byte_entropy, mm06_ahash_dedup,
-    mm07_frame_dedup)
+    mm07_frame_dedup, mm08_energy_segments)
 }
