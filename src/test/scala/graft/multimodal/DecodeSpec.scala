@@ -35,6 +35,30 @@ class DecodeSpec extends SparkSpec {
     assert(Decode.FakeCodec.sniffFormat("text".getBytes) == "bin")
   }
 
+  test("frameEnergies sums exact unsigned bytes per frame, partial frame included") {
+    val df = Seq(
+      (1L, "aabb"),   // frames of 2: [97+97, 98+98]
+      (2L, "abc"),    // partial final frame: [97+98, 99]
+      (3L, "")        // empty payload: no frames
+    ).toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("payload"))
+    val out = Decode.frameEnergies(df, "payload", 2)
+      .orderBy("id").collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("energies")))
+    assert(out(0) == Seq(194L, 196L))
+    assert(out(1) == Seq(195L, 99L))
+    assert(out(2).isEmpty)
+    // null payloads behave as empty, like the other Decode seams
+    val withNull = Seq((1L, Option.empty[Array[Byte]]))
+      .toDF("id", "payload")
+    assert(Decode.frameEnergies(withNull, "payload", 4)
+      .collect()(0).getSeq[Long](2).isEmpty)
+    // high-bit bytes count unsigned (0xFF = 255, not -1)
+    val hi = Seq((1L, Array(0xFF.toByte, 0xFE.toByte))).toDF("id", "payload")
+    assert(Decode.frameEnergies(hi, "payload", 2)
+      .collect()(0).getSeq[Long](2) == Seq(509L))
+  }
+
   test("sampleFrames slices deterministic chunks") {
     val df = Seq((1L, "abcdefghijklmnop")).toDF("id", "s")
       .select(col("id"), col("s").cast("binary").as("payload"))
