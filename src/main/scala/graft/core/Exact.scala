@@ -92,4 +92,21 @@ object Exact {
     val p = s"(($den) * shiftleft(CAST(1 AS BIGINT), $k))"
     s"(CAST($k AS BIGINT) * 1000000000 + (($num) - $p) * 1000000000 div $p)"
   }
+
+  /** Wide-fraction variant of [[mitchellLog2n9]] for arguments that are
+    * PRODUCTS of counts (t20's c_st*n vs c_t*n_s). `k` still computes in
+    * long arithmetic — num and den must fit int64 — but the fractional
+    * step's `(num - p) * 1e9` multiply runs in DECIMAL(38,0): the long
+    * path overflows that step once p exceeds ~9.2e9, which count
+    * PRODUCTS reach at ~1e7-token corpora even though plain counts
+    * (t13/t14/mm05's inputs) only get there past ~9.2e9 tokens. Same
+    * nano-bit long result where both paths are in range. DuckDB mirror:
+    * HUGEINT multiply, then `//`. */
+  def mitchellLog2n9Wide(num: String, den: String): String = {
+    val k = s"(length(bin(($num) div ($den))) - 1)"
+    val p = s"(($den) * shiftleft(CAST(1 AS BIGINT), $k))"
+    s"""(CAST($k AS BIGINT) * 1000000000 +
+        CAST(CAST((($num) - $p) AS DECIMAL(38,0)) * 1000000000 div $p
+             AS BIGINT))"""
+  }
 }

@@ -88,7 +88,9 @@ object Decode {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty)
-        val n = (bytes.length + frameLen - 1) / frameLen
+        // long ceiling-divide: the int form overflows for frameLen near
+        // Int.MaxValue and would size the array too small
+        val n = ((bytes.length.toLong + frameLen - 1) / frameLen).toInt
         val e = new Array[Long](n)
         var i = 0
         while (i < bytes.length) {

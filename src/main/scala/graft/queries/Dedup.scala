@@ -1058,8 +1058,13 @@ object Dedup {
       // top-1 window, so the only shuffle is the flagged pairs — a
       // contamination-sized set, not corpus-sized — partitioned by
       // train_id.
+      // cache(): both the bench slice and the train side split off this
+      // subtree — without the barrier the parquet scan and the 64-dim
+      // norm fold run twice (d08's shared-shingle argument, applied to
+      // the embedding table)
       val emb = Tables(s, dir, "embeddings")
         .withColumn("norm", vec_norm(col("embedding")))
+        .cache()
       val bench = emb.filter(col("vec_id") % 89 === 0)
         .select(col("vec_id").as("bench_id"), col("label"),
           col("embedding").as("b_emb"), col("norm").as("b_norm"))

@@ -984,17 +984,19 @@ object Text {
       // the training mix. KL term: (c_st/n_s) * log2((c_st*n)/(c_t*n_s)),
       // summed over the source's vocabulary.
       //
-      // Determinism: the log ratio goes through the shared Mitchell
+      // Determinism: the log ratio goes through the Mitchell
       // exact-integer ladder. Unlike t13/t19 the ratio can be < 1
       // (token UNDER-represented in the source ⇒ negative term), so the
       // ladder runs on (hi, lo) = (greatest, least) with the sign split
-      // out — both engines compute identical longs. Per-term weight
-      // c_st keeps everything integer until the single final division.
-      // Long bounds: num = c_st*n <= n^2 needs n < 3e9 tokens; at real
-      // corpus scale widen num/den to DECIMAL(38,0) (same ladder, `div`
-      // and shiftleft exist for decimals via pmod arithmetic) — noted,
-      // not needed at bench SFs. |term_n9| <= c_st * 63e9 and the group
-      // sum accumulates in DECIMAL(38,0), so no overflow there.
+      // out — both engines compute identical values. Because hi/lo are
+      // count PRODUCTS (c_st*n vs c_t*n_s), the ladder is the WIDE
+      // variant (Exact.mitchellLog2n9Wide): the long path's
+      // (hi-p)*1e9 fractional multiply overflows once p > ~9.2e9,
+      // which products reach at ~1e7-token corpora; the wide path does
+      // that one multiply in DECIMAL(38,0). The c_st term weight also
+      // multiplies in decimal, so the only remaining int64 bound is
+      // the products themselves fitting: n * c_st < 9.2e18, i.e.
+      // n < ~3e9 tokens — widen num/den to decimal past that.
       //
       // Shape: ONE explode pass collapses to (source, tok, c_st) — the
       // sum of per-source vocabularies, the natural sparse representation
@@ -1020,8 +1022,9 @@ object Text {
         .withColumn("lo", least(col("num"), col("den")))
         .withColumn("sgn",
           when(col("num") >= col("den"), lit(1L)).otherwise(lit(-1L)))
-        .withColumn("term_n9", col("sgn") * col("c_st") *
-          expr(graft.core.Exact.mitchellLog2n9("hi", "lo")))
+        .withColumn("term_n9",
+          col("sgn") * col("c_st").cast("decimal(38,0)") *
+            expr(graft.core.Exact.mitchellLog2n9Wide("hi", "lo")))
         .groupBy(col("source"), col("n_s"))
         .agg(sum(col("term_n9").cast("decimal(38,0)")).as("t_n9"))
         .select(col("source"), col("n_s").as("n_tokens"),
@@ -1050,8 +1053,9 @@ object Text {
         FROM st JOIN tk USING (tok) JOIN src USING (source) CROSS JOIN tot),
       scored AS (
         SELECT source, n_s,
-               sgn * c_st *
-                 (CAST(k AS BIGINT) * 1000000000 + (hi - p) * 1000000000 // p)
+               sgn * CAST(c_st AS HUGEINT) *
+                 (CAST(k AS BIGINT) * 1000000000 +
+                  CAST(CAST(hi - p AS HUGEINT) * 1000000000 // p AS BIGINT))
                  AS term_n9
         FROM (
           SELECT source, c_st, n_s, sgn, hi, lo, k,

@@ -165,8 +165,6 @@ class QueriesSmokeSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert("ShuffledHashJoin \\[big".r.findFirstIn(plan).isDefined,
       s"t19 scoring join is not a shuffled hash join:\n$plan")
-    assert(plan.contains("ShuffledHashJoin"),
-      s"t19 has no shuffled hash join:\n$plan")
     Seq("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
       "CartesianProduct").foreach { bad =>
       assert(!plan.contains(bad), s"t19 planned a $bad:\n$plan")
