@@ -1178,10 +1178,98 @@ object Text {
       FROM lined
       ORDER BY source"""))
 
+  val t22_length_drift = Q(
+    "t22_length_drift",
+    (s, dir) => {
+      // Per-source length-distribution DRIFT: the exact two-sample
+      // Kolmogorov–Smirnov statistic between each source's document
+      // lengths and the whole corpus — the monitoring primitive a
+      // pipeline runs per ingest batch to catch a source whose content
+      // profile silently changed (truncation bug upstream, a crawler
+      // suddenly returning stubs). Complements t18: percentiles are
+      // point summaries; KS is the max CDF gap over the WHOLE
+      // distribution, caught wherever it occurs.
+      //
+      // Determinism: all integer until one final division. Both CDFs
+      // are evaluated on the pooled value grid (corpus lengths ⊇ each
+      // source's lengths) and compared cross-multiplied:
+      // diff(v) = |cum_s(v)·n − cum(v)·n_s|, KS = max_v diff / (n_s·n).
+      // Long bound: cum·n_s ≤ n·n_s needs n·n_s < 9.2e18 — holds to
+      // ~3e9 docs in the largest source; widen to DECIMAL(38,0) past
+      // that (t20's bound note, same remedy).
+      //
+      // Shape: one corpus pass collapses to (source, n_chars) counts —
+      // value-domain-sized, NOT corpus-sized — then a |S|×|V| grid
+      // (sources × distinct lengths) built by cross-joining the k-row
+      // source-totals side as a broadcast. Every window is partitioned
+      // by source (the corpus cumulative is re-derived inside each
+      // source partition from the replicated c_v column, so no global
+      // single-partition window exists — the t15 lesson). |V| is
+      // bounded by the length value domain (~1e6 at worst), never by
+      // corpus size, so per-partition window input stays bounded at
+      // 100 TB.
+      val docs = Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+      // shared by byVal/srcTot/the grid left-join: one shuffle, 3 reads
+      val bySrc = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c_sv"))
+        .cache()
+      val byVal = bySrc.groupBy(col("n_chars"))
+        .agg(sum(col("c_sv")).as("c_v"))
+      val srcTot = bySrc.groupBy(col("source"))
+        .agg(sum(col("c_sv")).as("n_s"))
+      val tot = srcTot.agg(sum(col("n_s")).as("n"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      byVal.crossJoin(broadcast(srcTot))
+        .join(bySrc, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c_sv"))
+        .withColumn("cum_s", sum(col("c_sv")).over(w))
+        .withColumn("cum_v", sum(col("c_v")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("diff",
+          abs(col("cum_s") * col("n") - col("cum_v") * col("n_s")))
+        .groupBy(col("source"), col("n_s"), col("n"))
+        .agg(max(col("diff")).as("ks_num"))
+        .select(col("source"), col("n_s").as("n_docs"), col("ks_num"),
+          round(col("ks_num").cast("double") /
+            (col("n_s") * col("n")).cast("double"), 6).as("ks"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH bysrc AS (
+        SELECT source, n_chars, count(*) AS c_sv
+        FROM documents GROUP BY 1, 2),
+      byval AS (
+        SELECT n_chars, CAST(SUM(c_sv) AS BIGINT) AS c_v
+        FROM bysrc GROUP BY 1),
+      srctot AS (
+        SELECT source, CAST(SUM(c_sv) AS BIGINT) AS n_s
+        FROM bysrc GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM srctot),
+      cum AS (
+        SELECT g.source, g.n_s, g.n_chars,
+               CAST(SUM(COALESCE(b.c_sv, 0)) OVER (
+                 PARTITION BY g.source ORDER BY g.n_chars) AS BIGINT)
+                 AS cum_s,
+               CAST(SUM(g.c_v) OVER (
+                 PARTITION BY g.source ORDER BY g.n_chars) AS BIGINT)
+                 AS cum_v
+        FROM (SELECT s.source, s.n_s, v.n_chars, v.c_v
+              FROM srctot s CROSS JOIN byval v) g
+        LEFT JOIN bysrc b
+          ON b.source = g.source AND b.n_chars = g.n_chars)
+      SELECT source, n_s AS n_docs,
+             MAX(ABS(cum_s * n - cum_v * n_s)) AS ks_num,
+             round(CAST(MAX(ABS(cum_s * n - cum_v * n_s)) AS DOUBLE)
+                   / CAST(n_s * n AS DOUBLE), 6) AS ks
+      FROM cum CROSS JOIN tot
+      GROUP BY source, n_s, n
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
     t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal,
     t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler, t17_zipf_slope,
     t18_source_profile, t19_bigram_surprisal, t20_source_kl,
-    t21_token_budget)
+    t21_token_budget, t22_length_drift)
 }

@@ -185,6 +185,22 @@ class QueriesSmokeSpec extends SparkSpec {
       s"t20 vocab-sized c_t side got broadcast:\n$plan")
   }
 
+  test("t22 windows are all source-partitioned; no cartesian product") {
+    // the KS cumulative windows must ride the per-source partitioning
+    // (a global window would funnel the |S|x|V| grid through one task —
+    // the t15 lesson); the only cross joins are k-row broadcast sides.
+    val df = Text.t22_length_drift.run(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Window"), s"t22 lost its windows:\n$plan")
+    assert(!"windowspecdefinition\\(n_chars".r.findFirstIn(plan).isDefined &&
+      "windowspecdefinition\\(source".r.findFirstIn(plan).isDefined,
+      s"t22 window is not partitioned by source:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"t22 planned a CartesianProduct:\n$plan")
+  }
+
   test("d01 shuffles digests, not document bodies") {
     // README's scale claim, measured: exact dedup reduces each document
     // to (md5, id, n_chars) BEFORE any exchange, so total shuffle-write
