@@ -323,4 +323,26 @@ class CurationOpsSpec extends SparkSpec {
     val exchangeIdx = plan.indexOf("Exchange hashpartitioning(prefix_fp")
     assert(exchangeIdx >= 0, s"expected hash exchange on prefix_fp:\n$plan")
   }
+
+  test("t22 KS matches the by-hand computation on a controlled corpus") {
+    // srcA lengths {10,20,30,40}, srcB {10,10}; corpus n=6.
+    // Pooled grid {10,20,30,40}; cum_A=[1,2,3,4] vs cum=[3,4,5,6]:
+    // |cum_A*6 - cum*4| = [6,4,2,0] => ks_num=6, ks=6/(4*6)=0.25.
+    // cum_B=[2,2,2,2]: |cum_B*6 - cum*2| = [6,4,2,0] => ks_num=6,
+    // ks=6/(2*6)=0.5 — same max gap, half the sample, double the drift.
+    import spark.implicits._
+    val dir = tmpDir("t22fix")
+    Seq(
+      (1L, "a", "en", "srcA", 10L), (2L, "b", "en", "srcA", 20L),
+      (3L, "c", "en", "srcA", 30L), (4L, "d", "en", "srcA", 40L),
+      (5L, "e", "en", "srcB", 10L), (6L, "f", "en", "srcB", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Text.t22_length_drift.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == Map(
+      "srcA" -> ((4L, 6L, 0.25)),
+      "srcB" -> ((2L, 6L, 0.5))), s"got $got")
+  }
 }
