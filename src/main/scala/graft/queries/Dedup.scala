@@ -806,11 +806,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val d12_dup_clusters = Q(
-    "d12_dup_clusters",
-    (s, dir) => dupClusters(s, dir, 0.5),
-    Some(s"""
-      ${signaturesSqlDuck.replaceFirst("WITH", "WITH RECURSIVE")},
+  /** Shared DuckDB CTE chain for the d12/d17 oracles: LSH banding →
+    * candidate pairs → est_sim ≥ 0.5 edges (symmetrized) → recursive
+    * reachability → min-label per doc (`lab`) + cluster sizes (`sz`).
+    * Prepend `signaturesSqlDuck` with RECURSIVE; mirror of
+    * [[dupClusters]]'s label-propagation fixpoint. */
+  private val clusterLabSqlDuck = """
       band AS (
         SELECT doc_id, b,
                md5(CAST(sig[b*4 + 1] AS VARCHAR) || ',' || CAST(sig[b*4 + 2] AS VARCHAR)
@@ -838,7 +839,14 @@ object Dedup {
       lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
               FROM reach GROUP BY src),
       sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-             FROM lab GROUP BY cluster_id)
+             FROM lab GROUP BY cluster_id)"""
+
+  val d12_dup_clusters = Q(
+    "d12_dup_clusters",
+    (s, dir) => dupClusters(s, dir, 0.5),
+    Some(s"""
+      ${signaturesSqlDuck.replaceFirst("WITH", "WITH RECURSIVE")},
+      $clusterLabSqlDuck
       SELECT doc_id, cluster_id, cluster_size
       FROM lab JOIN sz USING (cluster_id)
       ORDER BY doc_id"""))
@@ -1105,9 +1113,63 @@ object Dedup {
       SELECT train_id, bench_id, cos_sim FROM ranked WHERE rk = 1
       ORDER BY train_id"""))
 
+  val d17_dup_rate_by_source = Q(
+    "d17_dup_rate_by_source",
+    (s, dir) => {
+      // Per-source duplication health: for each source, how many of its
+      // docs are NON-CANONICAL members of a d12 duplicate cluster
+      // (doc_id != the component's min id) and how many sit in any
+      // cluster of size > 1. This is the attribution step after
+      // clustering — the number that tells a curation team WHICH feed
+      // is flooding the corpus with near-copies (a mirror site, a
+      // template farm), where d12 only says how much duplication exists
+      // corpus-wide.
+      //
+      // Shape: reuses dupClusters' label table (corpus-sized) and joins
+      // documents on doc_id — an equi-join of two corpus-sized relations
+      // on their shared primary key, then a grouped rollup to |sources|
+      // rows. dupClusters' trailing ORDER BY is eliminated by Catalyst
+      // (EliminateSorts: the aggregate destroys ordering), so reuse
+      // costs nothing over inlining. dup_share is one IEEE division of
+      // identical long operands, rounded for the hash.
+      val labels = dupClusters(s, dir, 0.5)
+      labels
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+            .as("n_dups"),
+          sum(when(col("cluster_size") > 1, 1L).otherwise(0L))
+            .as("n_clustered"))
+        .select(col("source"), col("n_docs"), col("n_dups"),
+          col("n_clustered"),
+          round(col("n_dups").cast("double") / col("n_docs").cast("double"),
+            6).as("dup_share"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      ${signaturesSqlDuck.replaceFirst("WITH", "WITH RECURSIVE")},
+      $clusterLabSqlDuck
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN l.doc_id <> l.cluster_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dups,
+             CAST(SUM(CASE WHEN sz.cluster_size > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clustered,
+             round(CAST(SUM(CASE WHEN l.doc_id <> l.cluster_id
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS dup_share
+      FROM lab l
+      JOIN sz USING (cluster_id)
+      JOIN documents d ON d.doc_id = l.doc_id
+      GROUP BY d.source
+      ORDER BY d.source"""))
+
   val all: Seq[Q] = Seq(d01_exact_dedup, d02_ngram_jaccard, d03_minhash_sig,
     d04_lsh_pairs, d05_simhash, d06_embed_neardup, d07_source_minhash,
     d08_decontamination, d09_semantic_neardup, d10_prefix_templates,
     d11_dup_window_share, d12_dup_clusters, d13_containment,
-    d14_simhash_degree, d15_lsh_probe, d16_semantic_decontam)
+    d14_simhash_degree, d15_lsh_probe, d16_semantic_decontam,
+    d17_dup_rate_by_source)
 }

@@ -127,6 +127,65 @@ object EventAnalytics2 {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  val q54_event_transitions = Q(
+    "q54_event_transitions",
+    (s, dir) => {
+      // First-order Markov transition matrix over per-user event
+      // sequences: for every ordered pair of consecutive events by the
+      // same user, count (from_type -> to_type) and normalize per
+      // from_type — the behavioural fingerprint product analytics uses
+      // for next-action prediction and bot detection (a scraper's
+      // transition matrix is near-deterministic; a human's is diffuse).
+      //
+      // Shape: ONE shuffle on user_id for the lead() window (user
+      // cardinality is corpus-scale, so the window parallelizes across
+      // users; no per-user skew beyond a user's own event count), then
+      // a grouped count whose result is |event_types|^2 rows — bounded
+      // by the type vocabulary, not the event volume — so the final
+      // normalization window over from_type runs on a dimension-sized
+      // relation. Partial map-side counts do the heavy lifting.
+      //
+      // Determinism: ordering reduces ts to integer seconds first
+      // (Spark reads the ns parquet at us, DuckDB at ns — raw ts order
+      // could differ sub-second) with event_id as the unique tie-break;
+      // the probability is one IEEE division of identical long operands
+      // on both engines, rounded for the hash.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")), col("event_id"))
+      val trans = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      trans
+        .withColumn("n_from",
+          sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          round(col("n_trans").cast("double") /
+            col("n_from").cast("double"), 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_ns(ts) // 1000000000, event_id) AS to_type
+        FROM events),
+      trans AS (
+        SELECT event_type AS from_type, to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT from_type, to_type, n_trans,
+             round(CAST(n_trans AS DOUBLE) /
+                   CAST(SUM(n_trans) OVER (PARTITION BY from_type)
+                        AS DOUBLE), 6) AS p
+      FROM trans
+      ORDER BY from_type, to_type"""))
+
   val all: Seq[Q] = Seq(q29_funnel, q30_retention, q31_histogram,
-    q32_exact_median)
+    q32_exact_median, q54_event_transitions)
 }

@@ -1266,10 +1266,84 @@ object Text {
       GROUP BY source, n_s, n
       ORDER BY source"""))
 
+  val t23_lang_entropy = Q(
+    "t23_lang_entropy",
+    (s, dir) => {
+      // Per-source language-mix entropy H = Σ_l (c_l/n_s)·log2(n_s/c_l)
+      // in bits — the one-number mix-health signal a multilingual
+      // pipeline tracks per source: H ≈ 0 flags a source that silently
+      // collapsed to one language (crawler misroute, lang-ID
+      // regression), H near log2(|langs|) means a uniform mix.
+      // Complements t12 (which reports the shares themselves) and t20
+      // (token-distribution drift): this is the summary statistic over
+      // the per-source LANGUAGE histogram.
+      //
+      // Shape: one grouped count to (source, lang) — |S|·|L| rows, a
+      // dimension-sized relation at any corpus scale — then per-source
+      // totals joined back broadcast (|S| rows, the t12/t16 bound).
+      // Nothing after the first aggregate depends on corpus size.
+      //
+      // Determinism: log2 via the Mitchell exact-integer ladder
+      // (Exact.mitchellLog2n9; n_s >= c >= 1 always holds). The
+      // per-language weight multiplies in DECIMAL(38,0) (c·nanobits
+      // overflows int64 once c > ~1.5e8 docs) and floor-divides by n_s
+      // back to nano-bit longs — identical integer results on both
+      // engines; ≤ 1 nano-bit truncation per language term. The final
+      // /1e9 is one IEEE division, rounded for the hash.
+      // cache(): sl feeds BOTH the per-source totals and the term join;
+      // without the barrier the corpus scan runs twice (t13/t20's
+      // cached-collapse pattern — the cached relation is |S|·|L| rows,
+      // not corpus-sized, so executor memory cost is nil)
+      val sl = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .cache()
+      val tot = sl.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_s"), count(lit(1)).as("n_langs"))
+      sl.join(broadcast(tot), "source")
+        .withColumn("term_n9",
+          expr(s"""CAST(CAST(c AS DECIMAL(38,0)) *
+                   ${graft.core.Exact.mitchellLog2n9("n_s", "c")}
+                   div n_s AS BIGINT)"""))
+        .groupBy(col("source"), col("n_s"), col("n_langs"))
+        .agg(sum(col("term_n9")).as("h_n9"))
+        .select(col("source"), col("n_s").as("n_docs"), col("n_langs"),
+          round(col("h_n9").cast("double") / 1000000000.0, 6)
+            .as("entropy_bits"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH sl AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM sl GROUP BY 1),
+      terms AS (
+        SELECT source, n_s, n_langs,
+               CAST(CAST(c AS HUGEINT) *
+                    (CAST(k AS BIGINT) * 1000000000
+                     + (n_s - p) * 1000000000 // p)
+                    // n_s AS BIGINT) AS term_n9
+        FROM (
+          SELECT source, c, n_s, n_langs, k,
+                 c * (CAST(1 AS BIGINT) << k) AS p
+          FROM (
+            SELECT sl.source, sl.c, tot.n_s, tot.n_langs,
+                   length(bin(CAST(tot.n_s // sl.c AS BIGINT))) - 1 AS k
+            FROM sl JOIN tot USING (source))))
+      SELECT source, n_s AS n_docs, n_langs,
+             round(CAST(SUM(term_n9) AS DOUBLE) / 1000000000.0, 6)
+               AS entropy_bits
+      FROM terms
+      GROUP BY source, n_s, n_langs
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
     t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal,
     t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler, t17_zipf_slope,
     t18_source_profile, t19_bigram_surprisal, t20_source_kl,
-    t21_token_budget, t22_length_drift)
+    t21_token_budget, t22_length_drift, t23_lang_entropy)
 }

@@ -324,6 +324,62 @@ class CurationOpsSpec extends SparkSpec {
     assert(exchangeIdx >= 0, s"expected hash exchange on prefix_fp:\n$plan")
   }
 
+  test("t23 entropy: 0 for single-lang source, exactly 1 bit for a 50/50") {
+    // srcA: 4 docs all en => H = 0. srcB: 2 en + 2 fr => H = 1 bit, and
+    // the Mitchell ladder is EXACT here (log2 of a power of two), so we
+    // assert equality, not closeness.
+    import spark.implicits._
+    val dir = tmpDir("t23fix")
+    Seq(
+      (1L, "a", "en", "srcA", 1L), (2L, "b", "en", "srcA", 1L),
+      (3L, "c", "en", "srcA", 1L), (4L, "d", "en", "srcA", 1L),
+      (5L, "e", "en", "srcB", 1L), (6L, "f", "en", "srcB", 1L),
+      (7L, "g", "fr", "srcB", 1L), (8L, "h", "fr", "srcB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Text.t23_lang_entropy.run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "srcA" -> ((4L, 1L, 0.0)),
+      "srcB" -> ((4L, 2L, 1.0))), s"got $got")
+  }
+
+  test("t23 entropy is bounded by log2(n_langs) + Mitchell error at sf") {
+    val rows = Text.t23_lang_entropy.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(3)
+      val maxH = math.log(r.getLong(2).toDouble) / math.log(2.0)
+      assert(h >= 0.0 && h <= maxH + 0.086,
+        s"${r.getString(0)}: H=$h outside [0, log2(${r.getLong(2)})+eps]")
+    }
+  }
+
+  test("d17 attributes duplicates to the flooding source") {
+    // srcA repeats one document three times (one canonical + two dups);
+    // srcB holds two distinct docs. The LSH pipeline must pin the whole
+    // dup burden on srcA and none on srcB.
+    import spark.implicits._
+    val dir = tmpDir("d17fix")
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, dup, "en", "srcA", dup.length.toLong),
+      (2L, dup, "en", "srcA", dup.length.toLong),
+      (3L, dup, "en", "srcA", dup.length.toLong),
+      (4L, "spark shuffles partition data between executor stages fast",
+        "en", "srcB", 60L),
+      (5L, "ducks paddle calmly across the winter lake at dawn today",
+        "en", "srcB", 58L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.d17_dup_rate_by_source.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("srcA") == ((3L, 2L, 3L, 0.666667)), s"got $got")
+    assert(got("srcB") == ((2L, 0L, 0L, 0.0)), s"got $got")
+  }
+
   test("t22 KS matches the by-hand computation on a controlled corpus") {
     // srcA lengths {10,20,30,40}, srcB {10,10}; corpus n=6.
     // Pooled grid {10,20,30,40}; cum_A=[1,2,3,4] vs cum=[3,4,5,6]:
