@@ -800,7 +800,82 @@ object Similarity {
       WHERE rank <= 10
       ORDER BY q_id, rank"""))
 
+  val s10_norm_outliers = Q(
+    "s10_norm_outliers",
+    (s, dir) => {
+      // Embedding-space health monitor: per label, how many vectors'
+      // norms sit more than 3σ from the label mean — the cheap detector
+      // for a broken encoder run (NaN-adjacent collapse → near-zero
+      // norms; a missed normalization step → inflated norms) that
+      // corrupts a shard of the embedding table without changing its
+      // schema or row count.
+      //
+      // Determinism: the norm is quantized per row to integer
+      // MICRO-norms q = round(1e6·√⟨v,v⟩) (per-row double math is
+      // engine-identical: fixed-order dot, IEEE sqrt, away-from-zero
+      // round on a non-negative value), and every cross-row statistic
+      // is then exact integer arithmetic — the 3σ test is evaluated in
+      // the squared, n-scaled form (q·n − Σq)² > 9·(n·Σq² − (Σq)²),
+      // i.e. z² > 9 with both sides integers in DECIMAL(38,0)/HUGEINT.
+      // No distributed float sum exists anywhere, so results are
+      // identical under any partitioning. Bounds: q ≤ ~1e8 (norm ≤
+      // 100), so the decimal products stay within 38 digits up to
+      // ~1e10 vectors per label.
+      //
+      // Shape: one scan → per-row quantize → grouped integer sums
+      // (|labels| rows) → broadcast join back → grouped outlier count.
+      // The q-table feeds both aggregates via cache (t13/t20 pattern);
+      // the cached relation carries only (label, q) longs.
+      val qn = Tables(s, dir, "embeddings")
+        .select(col("label"),
+          round(sqrt(vec_dot(col("embedding"), col("embedding")))
+            * lit(1000000.0)).cast("long").as("q"))
+        .cache()
+      val st = qn.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sum_q"),
+          sum(col("q").cast("decimal(38,0)") * col("q")).as("sum_q2"))
+      qn.join(broadcast(st), "label")
+        .withColumn("dev",
+          col("q").cast("decimal(38,0)") * col("n") - col("sum_q"))
+        .withColumn("is_out",
+          when(col("dev") * col("dev") >
+            (col("n").cast("decimal(38,0)") * col("sum_q2") -
+              col("sum_q").cast("decimal(38,0)") * col("sum_q")) * 9,
+            1L).otherwise(0L))
+        .groupBy(col("label"), col("n"), col("sum_q"))
+        .agg(sum(col("is_out")).as("n_outliers"))
+        .select(col("label"), col("n").as("n_vecs"),
+          round(col("sum_q").cast("double") / col("n") / 1000000.0, 6)
+            .as("mean_norm"),
+          col("n_outliers"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH qn AS (
+        SELECT label,
+               CAST(round(sqrt(${dotSqlDuck("embedding", "embedding")})
+                    * 1000000) AS BIGINT) AS q
+        FROM embeddings),
+      st AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sum_q,
+               SUM(CAST(q AS HUGEINT) * q) AS sum_q2
+        FROM qn GROUP BY label)
+      SELECT label, n AS n_vecs,
+             round(CAST(sum_q AS DOUBLE) / n / 1000000.0, 6) AS mean_norm,
+             CAST(SUM(CASE WHEN
+                 (CAST(q AS HUGEINT) * n - sum_q)
+                   * (CAST(q AS HUGEINT) * n - sum_q)
+                 > 9 * (CAST(n AS HUGEINT) * sum_q2
+                        - CAST(sum_q AS HUGEINT) * sum_q)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM qn JOIN st USING (label)
+      GROUP BY label, n, sum_q
+      ORDER BY label"""))
+
   val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
     s04_kmeans_step, s05_ann_index, s06_quantized_ann,
-    s07_quantized_rerank, s08_binary_sketch, s09_pq_ann, t09_array_ops)
+    s07_quantized_rerank, s08_binary_sketch, s09_pq_ann,
+    s10_norm_outliers, t09_array_ops)
 }

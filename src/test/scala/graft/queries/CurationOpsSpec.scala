@@ -380,6 +380,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("srcB") == ((2L, 0L, 0L, 0.0)), s"got $got")
   }
 
+  test("s10 flags the inflated-norm vector and only it") {
+    // label 0: 49 unit-norm vectors + one at norm 10 — z = (10-1.18)/1.26
+    // ≈ 7, far past 3σ even though the outlier inflates the σ it is
+    // tested against. label 1: all unit norms, zero variance => the
+    // strict squared test (0 > 0) must flag nothing.
+    import spark.implicits._
+    val dir = tmpDir("s10fix")
+    def unitVec: Seq[Float] = 1.0f +: Seq.fill(63)(0.0f)
+    def bigVec: Seq[Float] = 10.0f +: Seq.fill(63)(0.0f)
+    val rows =
+      (0 until 49).map(i => (i.toLong, unitVec, 0)) ++
+        Seq((49L, bigVec, 0)) ++
+        (50 until 60).map(i => (i.toLong, unitVec, 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.s10_norm_outliers.run(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(got(0) == ((50L, 1.18, 1L)), s"got $got")
+    assert(got(1) == ((10L, 1.0, 0L)), s"got $got")
+  }
+
   test("t22 KS matches the by-hand computation on a controlled corpus") {
     // srcA lengths {10,20,30,40}, srcB {10,10}; corpus n=6.
     // Pooled grid {10,20,30,40}; cum_A=[1,2,3,4] vs cum=[3,4,5,6]:
