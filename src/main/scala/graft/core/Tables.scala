@@ -28,9 +28,11 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects ([PARQUET_TYPE_ILLEGAL]). The legacy conf must hold at
-      // execution time too, so (re)set it on every lookup, cached or not.
+      // If events.ts is parquet TIMESTAMP(NANOS), Spark's reader rejects
+      // it ([PARQUET_TYPE_ILLEGAL]) unless this legacy conf makes it read
+      // as a raw long; the conf is a no-op for µs/NTZ files. It must hold
+      // at execution time too, so (re)set it on every lookup, cached or
+      // not.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     cache.getOrElseUpdate(spark, (sfDir, name))(load(spark, sfDir, name))
@@ -39,16 +41,39 @@ object Tables {
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        // Read raw nanos and convert to a microsecond TimestampType with
-        // integer division — `/ 1000` in double would lose precision at
-        // 1e18 ns.
-        spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
+        normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
       case _ =>
         spark.read.parquet(s"$sfDir/$name.parquet")
     }
+
+  /** Normalize the `ts` column to session-zoned TimestampType regardless
+    * of the parquet physical type the producer wrote. Different testdata
+    * generations shipped `ts` as int64 epoch-nanos, timestamp[us] (read
+    * as TIMESTAMP_NTZ), and could legitimately ship TIMESTAMP_LTZ — the
+    * engine adapts to the data instead of pinning one physical type
+    * (the Spark analog of the reference crawler re-inferring schemas on a
+    * schedule, option_a_cdk_py/option_a/stack.py:180-193).
+    *
+    * All sessions here run UTC, so an NTZ→LTZ cast is value-preserving:
+    * the same wall-clock instant, now comparable with `unix_timestamp`.
+    */
+  def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(col).dataType match {
+      case LongType =>
+        // Raw epoch-nanos → µs TimestampType with integer division —
+        // `/ 1000` in double would lose precision at 1e18 ns.
+        df.withColumn(col, timestamp_micros(expr(s"$col div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(col, df.col(col).cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported physical type for '$col': $other — expected " +
+            "int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -15,24 +15,37 @@ import org.apache.spark.sql.types._
   * the identical plan runs continuously on a cluster.
   */
 object EventStreams {
-  /** Schema for streaming reads of the events table. ts arrives as
-    * parquet TIMESTAMP(NANOS) which Spark reads only as raw longs
-    * (see graft.core.Tables). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Schema for streaming reads of the events table, parameterized on the
+    * physical type `ts` was written with (int64 epoch-nanos → LongType;
+    * timestamp[us] → TIMESTAMP_NTZ; or TIMESTAMP_LTZ). File-source
+    * streams require an explicit schema, so the reader infers the actual
+    * type from the files already present (see [[readEvents]]). */
+  def rawSchema(tsType: DataType = TimestampNTZType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
+  /** File-source stream over a directory of events parquet.
+    *
+    * Streaming sources can't infer schemas, so peek at the files already
+    * in `dir` with a batch read and adopt their `ts` physical type; the
+    * stream then normalizes to session-zoned TimestampType exactly like
+    * the batch loader ([[graft.core.Tables.normalizeTs]]), so batch and
+    * stream can never diverge on a type branch. An empty/unreadable dir
+    * falls back to TIMESTAMP_NTZ — the current testdata generation. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // No-op for µs/NTZ files; required before either the peek or the
+    // stream can read TIMESTAMP(NANOS) files as raw longs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) => TimestampNTZType }
+    graft.core.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema(tsType)).parquet(dir))
   }
 
   /** Hourly tumbling counts per event type with a 1-hour watermark —
