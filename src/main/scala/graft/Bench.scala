@@ -40,9 +40,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/session warmup (class loading, codegen infrastructure, file
-    // index): generic work that touches every table once.
+    // index): generic work that touches every table once. Fault-isolated
+    // per table: a single unreadable/drifted table must degrade the
+    // artifact (its queries time out as -1 below), never abort the whole
+    // run before a query is timed — BENCH_r06 lost every number to one
+    // broken loader here.
     graft.core.Tables.names.foreach { t =>
-      graft.core.Tables(spark, sfDir, t).count()
+      try graft.core.Tables(spark, sfDir, t).count()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] WARNING: warmup failed for table '$t': " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
@@ -66,10 +76,22 @@ object Bench {
       s""""subset":"${picked.size}/${SparkEntry.queries.size}",""")
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
+      // A run that throws records -1 (not its elapsed time, which would
+      // launder a crash into a plausible number); any failed run marks
+      // the query -1 in the artifact and keeps it out of the total, so a
+      // broken lane degrades the contract line instead of zeroing it.
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[bench] WARNING: query '$name' failed: " +
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }.sorted
       // Intra-query cache() blocks (optimizer barriers in d08/d06/t06 …)
       // are only needed within one query's execution; drain them here so
@@ -78,9 +100,11 @@ object Bench {
       // still see a warm cache (the warmup pass repopulates it) — only
       // cross-QUERY retention goes away.
       spark.catalog.clearCache()
-      name -> times(times.length / 2) // median
+      val median =
+        if (times.head < 0) -1.0 else times(times.length / 2)
+      name -> median
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val sf = new java.io.File(sfDir).getName
 
     // number formatting for the compact line: 2dp, trailing zeros trimmed.
