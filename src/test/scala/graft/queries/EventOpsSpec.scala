@@ -14,8 +14,10 @@ class EventOpsSpec extends SparkSpec {
     // The C event closes user 1's sequence and emits nothing.
     import spark.implicits._
     val dir = tmpDir("q54fix")
-    // ts as raw int64 nanoseconds — the testdata's parquet physical type
-    // (Tables' events loader divides down to microsecond timestamps)
+    // ts as raw int64 nanoseconds — exercises the LongType branch of
+    // Tables.normalizeTs (integer-divides down to µs timestamps). The
+    // real testdata currently ships timestamp[us]; TestdataSchemaSpec is
+    // the canary that pins what the files actually contain.
     def ts(sec: Int): Long = 1704067200L * 1000000000L + sec * 1000000000L
     Seq(
       (1L, ts(1), 1L, "A", 1.0, "{}"),

@@ -219,6 +219,20 @@ class QueriesSmokeSpec extends SparkSpec {
         "— document bodies are leaking into the exchange")
   }
 
+  test("the full query pack is present — a dropped lane is a failure") {
+    // Round 6 lost the 9-query events lane SILENTLY: the correctness
+    // artifact just had fewer rows. Pin the pack size and the lane
+    // rosters so any disappearance is a named failure. Update the count
+    // deliberately when adding queries — never let it float.
+    val names = graft.SparkEntry.queries.keySet
+    assert(names.size == 110, s"query pack shrank/grew: ${names.size}")
+    val eventsLane = Set("q13_events_hourly", "q15_sessionize",
+      "q17_pivot", "q18_json_extract", "q26_asof_join", "q27_range_join",
+      "q29_funnel", "q30_retention", "q54_event_transitions")
+    assert((eventsLane -- names).isEmpty,
+      s"events lane missing: ${eventsLane -- names}")
+  }
+
   graft.SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, sfDir)
