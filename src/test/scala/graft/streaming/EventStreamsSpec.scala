@@ -106,6 +106,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch ≡ stream on every ts physical generation") {
+    // The same logical log written as int64-nanos, TIMESTAMP_NTZ, and
+    // TIMESTAMP_LTZ must produce identical hourly aggregates from BOTH
+    // the batch loader and the file-source stream — so the twins can't
+    // diverge on a branch of Tables.normalizeTs (the round-6 failure
+    // mode, where only one generation was ever tested).
+    val dirs = graft.EventFixtures.writeAll(spark, tmpDir)
+    val results = dirs.map { case (gen, dir) =>
+      val batch = Tables(spark, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+
+      val stream = EventStreams.readEvents(spark, s"$dir/events.parquet")
+      assert(stream.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"$gen: stream ts not normalized")
+      EventStreams.drainToMemory(EventStreams.hourlyCounts(stream),
+        s"hourly_gen_${gen.replace('-', '_')}", OutputMode.Complete())
+      val streamed = spark.table(s"hourly_gen_${gen.replace('-', '_')}")
+        .orderBy("hour", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+
+      assert(streamed == batch, s"$gen: stream diverged from batch")
+      gen -> batch
+    }
+    // and every generation decodes to the same instants
+    assert(results.values.toSet.size == 1,
+      s"generations disagree: ${results.keys.mkString(", ")}")
+    assert(results.values.head.nonEmpty)
+  }
+
   test("stateful sessionization equals the batch window query") {
     val stream = EventStreams.readEvents(spark, streamDir)
     EventStreams.drainToMemory(

@@ -48,6 +48,41 @@ class TransitionStreamSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("file-source transitions ≡ batch q54 on every ts generation") {
+    // Same logical log in all three ts physical generations: the
+    // streaming transition facts fed from EventStreams.readEvents must
+    // aggregate to the batch q54 matrix on EACH, so the type branches in
+    // Tables.normalizeTs can never split the twins.
+    import spark.implicits._
+    val dirs = graft.EventFixtures.writeAll(spark, tmpDir)
+    val matrices = dirs.map { case (gen, dir) =>
+      val name = s"trans_gen_${gen.replace('-', '_')}"
+      val stream = TransitionStream.transitions(
+        EventStreams.readEvents(spark, s"$dir/events.parquet")
+          .selectExpr("user_id", "ts", "event_id", "event_type"))
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      val streamed =
+        try {
+          q.processAllAvailable()
+          spark.table(name)
+            .groupBy(col("from_type"), col("to_type"))
+            .agg(count(lit(1)).as("n_trans"))
+            .as[(String, String, Long)].collect()
+            .map(r => (r._1, r._2) -> r._3).toMap
+        } finally q.stop()
+
+      val batch = graft.queries.EventAnalytics2.q54_event_transitions
+        .run(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"$gen: stream diverged from batch q54")
+      gen -> batch
+    }
+    assert(matrices.values.toSet.size == 1,
+      s"generations disagree: ${matrices.keys.mkString(", ")}")
+    assert(matrices.values.head.valuesIterator.sum > 10)
+  }
+
   test("a transition spanning two triggers is emitted exactly once") {
     import spark.implicits._
     def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
