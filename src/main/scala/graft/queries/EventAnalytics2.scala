@@ -186,6 +186,54 @@ object EventAnalytics2 {
       FROM trans
       ORDER BY from_type, to_type"""))
 
+  val q55_top_transitions = Q(
+    "q55_top_transitions",
+    (s, dir) => {
+      // q54's transition matrix is |observed (from,to) pairs| rows —
+      // bounded by |types|² but, with a parameterized event vocabulary
+      // (screen names, deep-link routes), that bound is event-volume-
+      // scale. Consumers of "what follows X" want the top-k successors
+      // per from_type, so cap the matrix with the native TopKPerKey
+      // operator: map-side partial top-k means at most k rows per
+      // (from_type, input partition) ever shuffle, and the result is
+      // |types|·k regardless of vocabulary size. Deterministic
+      // tie-break: count desc, then to_type asc.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")), col("event_id"))
+      val trans = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      org.apache.spark.sql.graft.TopKPerKey(
+        trans,
+        keys = Seq(col("from_type")),
+        order = Seq(col("n_trans").desc, col("to_type").asc),
+        k = 2)
+        .orderBy(col("from_type"), col("n_trans").desc, col("to_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_ns(ts) // 1000000000, event_id) AS to_type
+        FROM events),
+      trans AS (
+        SELECT event_type AS from_type, to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT from_type, to_type, n_trans FROM (
+        SELECT from_type, to_type, n_trans,
+               ROW_NUMBER() OVER (PARTITION BY from_type
+                 ORDER BY n_trans DESC, to_type) AS rk
+        FROM trans)
+      WHERE rk <= 2
+      ORDER BY from_type, n_trans DESC, to_type"""))
+
   val all: Seq[Q] = Seq(q29_funnel, q30_retention, q31_histogram,
-    q32_exact_median, q54_event_transitions)
+    q32_exact_median, q54_event_transitions, q55_top_transitions)
 }
