@@ -164,6 +164,27 @@ class CurateSpec extends SparkSpec {
     assert(noSem.contains(11L))
   }
 
+  test("semantic default-on A/B: no-op on the real corpus at 0.9 cosine") {
+    // The default-on evaluation (VERDICT r6 stretch 7), pinned as a
+    // canary: on the driver testdata the embedding landscape tops out at
+    // cosine ~0.60 between distinct vectors (verified by brute force at
+    // sf0.1), so at the 0.9 default threshold the stage drops NOTHING —
+    // measured FP rate 0, measured benefit 0. Default therefore stays
+    // opt-in (the stage costs a full d09 pass). If a future testdata
+    // generation grows real paraphrase pairs, this equality breaks and
+    // the default decision must be re-evaluated (tools/CurateAb is the
+    // measurement harness).
+    val dirOff = tmpDir("ab-off")
+    val dirOn = tmpDir("ab-on")
+    val off = Curate.run(spark, sfDir, dirOff)
+    val on = Curate.run(spark, sfDir, dirOn,
+      semanticDedup = true, semanticThreshold = 0.9)
+    assert(on.afterSemantic.contains(off.afterNearDup),
+      s"semantic stage dropped docs on the real corpus: off=$off on=$on")
+    assert(off.splits == on.splits,
+      "curated splits diverged between semantic off/on")
+  }
+
   test("manifest file is valid machine-readable JSON") {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
