@@ -234,6 +234,82 @@ object EventAnalytics2 {
       WHERE rk <= 2
       ORDER BY from_type, n_trans DESC, to_type"""))
 
+  val q56_session_stats = Q(
+    "q56_session_stats",
+    (s, dir) => {
+      // Session-duration distribution: q15's 30-min-gap sessionization,
+      // extended with a running session id (cumulative sum of the
+      // new-session flag inside the same user window — NO extra
+      // shuffle), per-session duration/size aggregates on the
+      // (user, session) grain, then a rollup to five fixed duration
+      // buckets. Output is 5 rows regardless of event volume.
+      //
+      // Shape at 100 TB: one user_id exchange feeds the lag window, the
+      // session-id running sum, AND the (user_id, session_id) partial
+      // aggregate (all co-partitioned); only per-session 3-long tuples
+      // reach the bucket rollup. Durations are integer seconds end to
+      // end — every engine agrees; the single division is rounded.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("te"), col("event_id"))
+      val sessions = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("te"))
+        .withColumn("gap", col("te") - lag(col("te"), 1).over(w))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg((max(col("te")) - min(col("te"))).as("dur_sec"),
+          count(lit(1)).as("n_ev"))
+      sessions
+        .withColumn("dur_bucket",
+          when(col("dur_sec") === 0, "a_single_event")
+            .when(col("dur_sec") < 60, "b_under_1m")
+            .when(col("dur_sec") < 600, "c_1m_to_10m")
+            .when(col("dur_sec") < 1800, "d_10m_to_30m")
+            .otherwise("e_over_30m"))
+        .groupBy(col("dur_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          round(sum(col("n_ev")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_events"))
+        .orderBy(col("dur_bucket"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, te,
+               CASE WHEN te - LAG(te) OVER w > 1800
+                    OR LAG(te) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)),
+      sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY te, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id,
+               te
+        FROM flagged),
+      per_session AS (
+        SELECT user_id, session_id,
+               MAX(te) - MIN(te) AS dur_sec,
+               COUNT(*) AS n_ev
+        FROM sessions GROUP BY user_id, session_id)
+      SELECT CASE WHEN dur_sec = 0 THEN 'a_single_event'
+                  WHEN dur_sec < 60 THEN 'b_under_1m'
+                  WHEN dur_sec < 600 THEN 'c_1m_to_10m'
+                  WHEN dur_sec < 1800 THEN 'd_10m_to_30m'
+                  ELSE 'e_over_30m' END AS dur_bucket,
+             COUNT(*) AS n_sessions,
+             CAST(SUM(n_ev) AS BIGINT) AS n_events,
+             round(CAST(SUM(n_ev) AS DOUBLE) / COUNT(*), 6) AS avg_events
+      FROM per_session
+      GROUP BY 1
+      ORDER BY dur_bucket"""))
+
   val all: Seq[Q] = Seq(q29_funnel, q30_retention, q31_histogram,
-    q32_exact_median, q54_event_transitions, q55_top_transitions)
+    q32_exact_median, q54_event_transitions, q55_top_transitions,
+    q56_session_stats)
 }
