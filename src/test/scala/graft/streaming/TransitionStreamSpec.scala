@@ -83,6 +83,43 @@ class TransitionStreamSpec extends SparkSpec {
     assert(matrices.values.head.valuesIterator.sum > 10)
   }
 
+  test("streaming transition facts + TopKPerKey reproduce batch q55") {
+    // The capped-matrix variant's streaming twin: drain transition facts
+    // from the real event log (shard-ordered, scrambled within shards —
+    // same protocol as the q54 twin), aggregate, then apply the native
+    // TopKPerKey exactly as batch q55 does. At scale the drained
+    // aggregate is the |observed (from,to)| relation, so the top-k pass
+    // costs the same bounded shuffle either way.
+    import spark.implicits._
+    val events = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+    val ordered = events.sortBy(e => (e._2.getTime / 1000, e._3))
+    val shards = ordered.grouped((ordered.size + 1) / 2).toSeq
+      .map(sh => scala.util.Random.shuffle(sh))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark, 1)
+    val stream = TransitionStream.transitions(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+    val q = stream.writeStream.format("memory").queryName("trans_topk")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try {
+        shards.foreach { sh => input.addData(sh); q.processAllAvailable() }
+        val agg = spark.table("trans_topk")
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_trans"))
+        org.apache.spark.sql.graft.TopKPerKey(agg,
+          keys = Seq(col("from_type")),
+          order = Seq(col("n_trans").desc, col("to_type").asc), k = 2)
+          .orderBy(col("from_type"), col("n_trans").desc, col("to_type"))
+          .as[(String, String, Long)].collect().toSeq
+      } finally q.stop()
+    val batch = graft.queries.EventAnalytics2.q55_top_transitions
+      .run(spark, sfDir).as[(String, String, Long)].collect().toSeq
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(batch.nonEmpty)
+  }
+
   test("a transition spanning two triggers is emitted exactly once") {
     import spark.implicits._
     def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
