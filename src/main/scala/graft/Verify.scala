@@ -15,11 +15,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = Seq.newBuilder[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A broken query must be a LOUD red row in the compare, not a
+        // silently absent one (round 6 lost 9 queries from the driver
+        // artifact this way — the gate shrank instead of failing).
+        // Write a one-row error marker in the query's slot: its schema
+        // can never match the oracle, so the compare reports a fail row
+        // naming the query.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        try {
+          import spark.implicits._
+          Seq(s"QUERY FAILED: ${e.getClass.getSimpleName}")
+            .toDF("graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // drop this query's intra-query cache() blocks before the next one
       spark.catalog.clearCache()
@@ -39,6 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.result()
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.result().nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.result().size} queries FAILED — see _errors.json")
     spark.stop()
   }
 }

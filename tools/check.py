@@ -61,6 +61,12 @@ def main():
     n_pass = n_fail = 0
     names = sorted(os.path.basename(p) for p in glob.glob(f"{OUT}/*")
                    if os.path.isdir(p))
+    # completeness: every oracle entry must have an output dir — a query
+    # that produced nothing is a FAILURE, not a smaller denominator
+    # (round 6's events lane vanished from the gate exactly this way)
+    for name in sorted(set(oracle) - set(names)):
+        print(f"FAIL {name}: no spark output written")
+        n_fail += 1
     for name in names:
         try:
             got = pd.read_parquet(f"{OUT}/{name}")
