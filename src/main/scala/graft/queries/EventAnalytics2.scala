@@ -309,7 +309,46 @@ object EventAnalytics2 {
       GROUP BY 1
       ORDER BY dur_bucket"""))
 
+  val q57_daily_change = Q(
+    "q57_daily_change",
+    (s, dir) => {
+      // Day-over-day volume change per event type — the ops dashboard
+      // query behind traffic-anomaly alerts. Daily counts aggregate
+      // map-side to a (|days| × |types|)-row relation, so the LAG
+      // window runs on a dimension-sized input partitioned by type;
+      // the change ratio is one rounded division of exact longs.
+      // First day per type has no baseline and is excluded (a NULL
+      // would hash differently across engines' float formatting).
+      val daily = Tables(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+        .filter(col("prev_n").isNotNull)
+        .select(col("day"), col("event_type"), col("n_events"),
+          round((col("n_events") - col("prev_n")).cast("double") /
+            col("prev_n").cast("double"), 6).as("pct_change"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2)
+      SELECT day, event_type, n_events,
+             round(CAST(n_events - prev_n AS DOUBLE) /
+                   CAST(prev_n AS DOUBLE), 6) AS pct_change
+      FROM (
+        SELECT day, event_type, n_events,
+               LAG(n_events) OVER (PARTITION BY event_type
+                 ORDER BY day) AS prev_n
+        FROM daily)
+      WHERE prev_n IS NOT NULL
+      ORDER BY day, event_type"""))
+
   val all: Seq[Q] = Seq(q29_funnel, q30_retention, q31_histogram,
     q32_exact_median, q54_event_transitions, q55_top_transitions,
-    q56_session_stats)
+    q56_session_stats, q57_daily_change)
 }

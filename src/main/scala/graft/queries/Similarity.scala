@@ -874,8 +874,100 @@ object Similarity {
       GROUP BY label, n, sum_q
       ORDER BY label"""))
 
+  val s11_cluster_quality = Q(
+    "s11_cluster_quality",
+    (s, dir) => {
+      // Cluster-quality report per label: cohesion (mean cosine of each
+      // vector to its own label centroid) vs separation (cosine to the
+      // nearest OTHER centroid) — the embedding-space health check run
+      // before trusting labels for blocking (d06/d09) or IVF routing
+      // (s03/s05). A label whose nn_cos approaches its mean_intra_cos
+      // is merging with its neighbor and will leak near-dups across
+      // blocks.
+      //
+      // Shape: ONE embeddings scan for the centroid ladder (shared
+      // decimal-exact labelCentroids), one more for the cohesion join
+      // against the broadcast k-row centroid table, and a k×k
+      // nested-loop on centroids only (bounded by |labels|², dimension-
+      // scale). Determinism: per-row cosines round to 6dp, cross-row
+      // means sum exactly in DECIMAL(18,6) — no distributed float sum.
+      import org.apache.spark.sql.types.DecimalType
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+      val cent = labelCentroids(s, dir)
+      val intra = Tables(s, dir, "embeddings")
+        .withColumn("norm", vec_norm(col("embedding")))
+        .join(broadcast(cent), col("label") === col("clabel"))
+        .withColumn("cos", when(col("norm") > 0 && col("cn") > 0,
+          round(vec_dot(col("embedding"), col("cvec")) /
+            (col("norm") * col("cn")), 6)).otherwise(0.0))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("cos").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_intra_cos"))
+      val a = cent.select(col("clabel").as("label"),
+        col("cvec").as("va"), col("cn").as("na"))
+      val b = cent.select(col("clabel").as("other"),
+        col("cvec").as("vb"), col("cn").as("nb"))
+      val wNear = Window.partitionBy(col("label"))
+        .orderBy(col("nn_cos").desc, col("other"))
+      val sep = a.join(broadcast(b), col("label") =!= col("other"))
+        .withColumn("nn_cos", when(col("na") > 0 && col("nb") > 0,
+          round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+          .otherwise(0.0))
+        .withColumn("rk", row_number().over(wNear))
+        .filter(col("rk") === 1)
+        .select(col("label"), col("other").as("nn_label"), col("nn_cos"))
+      intra.join(sep, "label")
+        .select(col("label"), col("n_vecs"), col("mean_intra_cos"),
+          col("nn_label"), col("nn_cos"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(e AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS e, unnest(range(64)) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      centroid AS (
+        SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
+      cn AS (
+        SELECT label, cvec, sqrt(${dotSqlDuck("cvec", "cvec")}) AS cn
+        FROM centroid),
+      nv AS (
+        SELECT vec_id, label, embedding,
+               sqrt(${dotSqlDuck("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      intra AS (
+        SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               round(CAST(SUM(CAST(
+                 CASE WHEN v.norm > 0 AND c.cn > 0
+                   THEN round(${dotSqlDuck("v.embedding", "c.cvec")}
+                        / (v.norm * c.cn), 6)
+                   ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_intra_cos
+        FROM nv v JOIN cn c ON v.label = c.label
+        GROUP BY v.label),
+      sep AS (
+        SELECT label, nn_label, nn_cos FROM (
+          SELECT label, nn_label, nn_cos,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY nn_cos DESC, nn_label) AS rk
+          FROM (
+            SELECT a.label, b.label AS nn_label,
+                   CASE WHEN a.cn > 0 AND b.cn > 0
+                     THEN round(${dotSqlDuck("a.cvec", "b.cvec")}
+                          / (a.cn * b.cn), 6)
+                     ELSE 0.0 END AS nn_cos
+            FROM cn a JOIN cn b ON a.label <> b.label))
+        WHERE rk = 1)
+      SELECT label, n_vecs, mean_intra_cos, nn_label, nn_cos
+      FROM intra JOIN sep USING (label)
+      ORDER BY label"""))
+
   val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
     s04_kmeans_step, s05_ann_index, s06_quantized_ann,
     s07_quantized_rerank, s08_binary_sketch, s09_pq_ann,
-    s10_norm_outliers, t09_array_ops)
+    s10_norm_outliers, s11_cluster_quality, t09_array_ops)
 }
