@@ -1340,10 +1340,77 @@ object Text {
       GROUP BY source, n_s, n_langs
       ORDER BY source"""))
 
+  val t24_vocab_gini = Q(
+    "t24_vocab_gini",
+    (s, dir) => {
+      // Per-source token-frequency Gini — the vocabulary-concentration
+      // signal: G ≈ 0 means tokens are used uniformly (template/
+      // boilerplate suspicion at scale is LOW concentration of a tiny
+      // vocab — read with n_vocab), G → 1 means a few tokens dominate
+      // (log spam, repeated headers). Complements t17 (Zipf slope fits
+      // the shape; Gini summarizes inequality in one bounded number).
+      //
+      // Shape: one corpus pass to (source, tok) counts (the unavoidable
+      // vocab shuffle, t13/t19's bound), then a per-source sort-based
+      // rank window — partitioned by source, so each source's vocab
+      // sorts in parallel and spills if huge; nothing is global — and a
+      // per-source integer rollup to |sources| rows.
+      //
+      // Determinism: with counts ascending, G = (2·Σi·cᵢ − (n+1)·N) /
+      // (n·N). Ties in c contribute c·Σi over their rank block
+      // regardless of intra-tie order, so row_number's (c, tok)
+      // tie-break affects nothing; sums run in DECIMAL(38,0) (i·cᵢ
+      // overflows int64 past ~1e9 vocab × 1e10 counts), and the single
+      // division happens once in double, rounded for the hash.
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("source")).orderBy(col("c"), col("tok"))
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(expr(toksExpr)).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("i", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("c")).as("n_tokens"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("i")).as("s_ic"))
+        .select(col("source"), col("n_vocab"), col("n_tokens"),
+          round(
+            (col("s_ic") * 2 -
+              (col("n_vocab") + 1).cast(DecimalType(38, 0)) * col("n_tokens"))
+              .cast("double") /
+              (col("n_vocab").cast("double") * col("n_tokens").cast("double")),
+            6).as("gini"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+              FROM documents)
+        GROUP BY source, tok),
+      ranked AS (
+        SELECT source, c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY c, tok) AS i
+        FROM counts),
+      agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(CAST(c AS HUGEINT) * i) AS s_ic
+        FROM ranked GROUP BY source)
+      SELECT source, n_vocab, n_tokens,
+             round(CAST(2 * s_ic - CAST(n_vocab + 1 AS HUGEINT) * n_tokens
+                        AS DOUBLE) /
+                   (CAST(n_vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+                   6) AS gini
+      FROM agg
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(t01_token_stats, t02_quality_score, t03_lang_guess,
     t04_fingerprint, t06_ngram_langid, t07_bpe_tokens, t08_rolling_hash,
     t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal,
     t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler, t17_zipf_slope,
     t18_source_profile, t19_bigram_surprisal, t20_source_kl,
-    t21_token_budget, t22_length_drift, t23_lang_entropy)
+    t21_token_budget, t22_length_drift, t23_lang_entropy, t24_vocab_gini)
 }
