@@ -57,6 +57,29 @@ object DedupIndex {
       .parquet(s"$root/bands")
   }
 
+  /** Incrementally merge NEW documents (doc_id, text) into an existing
+    * index — the intake-pipeline maintenance path: band the delta with
+    * the SAME shared signature/banding expressions the build uses and
+    * append files into the touched (band, pfx) directories only. By
+    * construction the merged index equals a full rebuild over
+    * base ∪ delta (pinned in `DedupIndexSpec`): the layout is a plain
+    * union of banded rows, and probing is an equi-join over it.
+    *
+    * Each append adds at most one file per touched directory, so
+    * file-count grows linearly in append batches, not documents —
+    * run [[graft.lake.Lake.compact]] on `<root>/bands` when probe
+    * latency starts paying too many footer reads (the same maintenance
+    * cadence any LSM-ish layout needs). */
+  def append(spark: SparkSession, root: String, newDocs: DataFrame): Unit = {
+    graft.queries.Dedup.bandedWithSigFromText(
+        newDocs.select(col("doc_id"), col("text")))
+      .withColumn("pfx", substring(col("bh"), 1, 1))
+      .repartition(64, col("band"), col("pfx"))
+      .write.mode("append").partitionBy("band", "pfx")
+      .parquet(s"$root/bands")
+    invalidate(root) // next probe must see the appended files
+  }
+
   private val readCache = new graft.core.SessionCache[String]()
 
   private def read(spark: SparkSession, path: String): DataFrame =

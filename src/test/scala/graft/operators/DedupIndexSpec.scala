@@ -59,4 +59,40 @@ class DedupIndexSpec extends SparkSpec {
     assert(marker.lastModified() == mtime, "index was rebuilt in place")
     assert(probeDf.collect().length == before)
   }
+
+  test("append merges a delta exactly like a full rebuild") {
+    // Split the corpus: base (doc_id % 10 != 0) indexed up front, delta
+    // (doc_id % 10 == 0) appended incrementally. The merged index must
+    // answer every probe identically to an index built from the full
+    // corpus in one shot — the equivalence that makes incremental
+    // maintenance safe at intake-pipeline scale.
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val baseDir = tmpDir("idx-base")
+    val fullDir = tmpDir("idx-full")
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .coalesce(1).write.parquet(s"$baseDir/documents.parquet")
+    docs.coalesce(1).write.parquet(s"$fullDir/documents.parquet")
+
+    val rootInc = tmpDir("idx-inc-root")
+    DedupIndex.buildIfMissing(spark, baseDir, rootInc)
+    DedupIndex.append(spark, rootInc, docs.filter(col("doc_id") % 10 === 0))
+    val rootFull = tmpDir("idx-full-root")
+    DedupIndex.buildIfMissing(spark, fullDir, rootFull)
+
+    // probe with a mix of base and delta docs
+    val probes = graft.queries.Dedup.bandedWithSigFromText(
+      docs.filter(col("doc_id") % 20 < 2))
+    def results(root: String) =
+      DedupIndex.probe(spark, root, probes).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = results(rootInc)
+    val full = results(rootFull)
+    assert(inc == full,
+      s"merged index diverged from rebuild: inc=${inc.size} full=${full.size}")
+    assert(inc.nonEmpty, "no candidates at smoke scale; weak test")
+    // and the delta actually contributed: some candidate is a delta doc
+    assert(inc.exists(p => p._2 % 10 == 0),
+      "no appended document ever surfaced as a candidate")
+  }
 }
