@@ -34,10 +34,22 @@ object AnnIndex {
     * rewritten corpus gets a fresh root instead of silently serving
     * stale results. */
   def defaultRoot(sfDir: String): String =
-    graft.core.IndexRoot.of(sfDir, "embeddings.parquet", "graft_ann_index")
+    // v2: the layout gained the mergeable centroid-state table (append
+    // support); the bumped prefix keeps any v1 root from a prior session
+    // from being mistaken for a complete v2 index.
+    graft.core.IndexRoot.of(sfDir, "embeddings.parquet", "graft_ann_index2")
 
   /** Build the index from `<sfDir>/embeddings.parquet` unless it already
-    * exists (marker: centroids/_SUCCESS). One corpus pass total. */
+    * exists (marker: centroids/_SUCCESS — written LAST, so a marker
+    * means every layer is complete). One corpus pass total.
+    *
+    * Alongside the probe-facing `centroids` table the build persists
+    * `centroid_state`: per (label, pos) the EXACT decimal sum and count
+    * the mean was derived from. Decimal sums are associative, so
+    * [[append]] can merge a delta's state and re-derive centroids that
+    * are bit-identical to a full rebuild — the property that makes
+    * incremental maintenance safe (a float mean could not be merged
+    * without order-dependent drift). */
   def buildIfMissing(spark: SparkSession, sfDir: String, root: String): Unit = {
     val marker = new Path(s"$root/centroids/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -45,12 +57,38 @@ object AnnIndex {
     invalidate(root) // rebuilding in place: drop any cached file listing
     val emb = graft.core.Tables(spark, sfDir, "embeddings")
 
-    // Exact-decimal elementwise means: order-independent, so identical on
-    // any engine/partitioning (same formula as the s03/s04 oracle SQL).
+    stateOf(emb)
+      .coalesce(1) // O(k x dims) rows
+      .write.mode("overwrite").parquet(s"$root/centroid_state")
+
+    emb.select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("norm"), col("label"))
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$root/vectors")
+
+    writeCentroids(spark, root,
+      spark.read.parquet(s"$root/centroid_state"))
+  }
+
+  /** Per-(label, pos) exact mean state of a (label, embedding) frame:
+    * (label, pos, s DECIMAL(38,10), n). The fixed 38,10 type keeps the
+    * schema stable across merge generations (a bare sum() widens its
+    * result precision each round). */
+  private def stateOf(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-        count(lit(1))).as("c"))
+      .agg(sum(col("v").cast(DecimalType(20, 10)))
+        .cast(DecimalType(38, 10)).as("s"),
+        count(lit(1)).as("n"))
+
+  /** Derive the probe-facing centroids from state: elementwise
+    * s/n — the same exact-decimal mean as the s03/s04 oracle SQL,
+    * order-independent under any partitioning. Written LAST: its
+    * _SUCCESS is the index-complete marker. */
+  private def writeCentroids(
+      spark: SparkSession, root: String, state: DataFrame): Unit =
+    state
+      .withColumn("c", col("s").cast("double") / col("n"))
       .groupBy(col("label"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
         .as("cvec"))
@@ -58,10 +96,29 @@ object AnnIndex {
       .coalesce(1) // O(k) rows
       .write.mode("overwrite").parquet(s"$root/centroids")
 
-    emb.select(col("vec_id"), col("embedding"),
+  /** Incrementally merge NEW vectors (vec_id, embedding, label) into an
+    * existing index: append to the touched label partitions, merge the
+    * delta's exact mean state, and re-derive centroids. Because the
+    * state sums are exact decimals, the merged index is IDENTICAL to a
+    * full rebuild over base ∪ delta — probes route and score the same
+    * (pinned in `AnnIndexSpec`). O(delta) work plus an O(k x dims)
+    * state rewrite; the base vectors are never rescanned. */
+  def append(spark: SparkSession, root: String, newVecs: DataFrame): Unit = {
+    val merged = spark.read.parquet(s"$root/centroid_state")
+      .unionByName(stateOf(newVecs))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("s")).cast(DecimalType(38, 10)).as("s"),
+        sum(col("n")).as("n"))
+      // materialize BEFORE overwriting the path being read
+      .localCheckpoint(true)
+    merged.coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/centroid_state")
+    newVecs.select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("norm"), col("label"))
-      .write.mode("overwrite").partitionBy("label")
+      .write.mode("append").partitionBy("label")
       .parquet(s"$root/vectors")
+    writeCentroids(spark, root, merged)
+    invalidate(root) // next probe must see the merged layout
   }
 
   /** Probe the persisted index: for each query row

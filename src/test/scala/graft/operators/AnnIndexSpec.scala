@@ -61,4 +61,48 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(viaIndex == viaS03)
   }
+
+  test("append merges a delta exactly like a full rebuild") {
+    // Split the embeddings: base (vec_id % 10 != 0) indexed up front,
+    // delta appended. Because centroid state persists exact decimal
+    // sums, the merged centroids are bit-identical to a rebuild's, so
+    // probes route to the same cells and score identically — the
+    // property that makes incremental IVF maintenance safe.
+    val emb = Tables(spark, sfDir, "embeddings")
+    val baseDir = tmpDir("ann-base")
+    val fullDir = tmpDir("ann-full")
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .coalesce(1).write.parquet(s"$baseDir/embeddings.parquet")
+    emb.coalesce(1).write.parquet(s"$fullDir/embeddings.parquet")
+
+    val rootInc = tmpDir("ann-inc") + "/idx"
+    AnnIndex.buildIfMissing(spark, baseDir, rootInc)
+    AnnIndex.append(spark, rootInc,
+      emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"), col("label")))
+    val rootFull = tmpDir("ann-fullidx") + "/idx"
+    AnnIndex.buildIfMissing(spark, fullDir, rootFull)
+
+    // merged centroid state must be exactly the rebuild's
+    val stInc = spark.read.parquet(s"$rootInc/centroid_state")
+      .orderBy("label", "pos").collect().map(_.toString).toSeq
+    val stFull = spark.read.parquet(s"$rootFull/centroid_state")
+      .orderBy("label", "pos").collect().map(_.toString).toSeq
+    assert(stInc == stFull, "merged centroid state diverged from rebuild")
+
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        vec_norm(col("embedding")).as("q_norm"))
+    def results(root: String) =
+      AnnIndex.probe(spark, root, queries, nProbe = 2, k = 5)
+        .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    val inc = results(rootInc)
+    assert(inc == results(rootFull),
+      "merged index probes diverged from rebuild")
+    assert(inc.nonEmpty)
+    // and some appended vector actually surfaces as a neighbour
+    assert(AnnIndex.probe(spark, rootInc, queries, 2, 5)
+      .filter(col("c_id") % 10 === 0).count() > 0,
+      "no appended vector ever surfaced as a neighbour")
+  }
 }
