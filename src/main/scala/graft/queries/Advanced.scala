@@ -221,6 +221,55 @@ object Advanced {
         ON p.user_id = s.user_id AND p.p_te >= s.s_te
       ORDER BY purchase_id"""))
 
+  val q58_asof_tolerance = Q(
+    "q58_asof_tolerance",
+    (s, dir) => {
+      // Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)):
+      // each purchase takes the user's most recent signup AT OR BEFORE
+      // it, but only if it happened within the last 24h — older matches
+      // are nulled, distinguishing "recently signed up" from "signed up
+      // long ago" in attribution. Same one-shuffle union+carry plan as
+      // q26; the tolerance is a post-carry projection, so the bound adds
+      // ZERO extra shuffles (the naive formulation is a time-range
+      // inequality join — a per-key cross product).
+      val tolMicros = 86400L * 1000000L
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("te"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("te").as("p_te"))
+      val signups = ev.filter(col("event_type") === "signup").select(
+        col("user_id"), col("event_id").as("signup_id"),
+        col("te").as("s_te"))
+      val joined = graft.operators.AsOf
+        .join(purchases, signups, Seq("user_id"), "p_te", "s_te")
+      val fresh = col("asof_s_te").isNotNull &&
+        col("p_te") - col("asof_s_te") <= tolMicros
+      joined
+        .select(col("user_id"), col("purchase_id"), col("p_te"),
+          when(fresh, col("asof_signup_id")).as("signup_id_24h"),
+          when(fresh, col("asof_s_te")).as("s_te_24h"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS te
+                 FROM events),
+      p AS (SELECT user_id, event_id AS purchase_id, te AS p_te
+            FROM e WHERE event_type = 'purchase'),
+      s AS (SELECT user_id, event_id AS signup_id, te AS s_te
+            FROM e WHERE event_type = 'signup')
+      SELECT p.user_id, p.purchase_id, p.p_te,
+             CASE WHEN s.s_te IS NOT NULL
+                   AND p.p_te - s.s_te <= 86400000000
+                  THEN s.signup_id END AS signup_id_24h,
+             CASE WHEN s.s_te IS NOT NULL
+                   AND p.p_te - s.s_te <= 86400000000
+                  THEN s.s_te END AS s_te_24h
+      FROM p ASOF LEFT JOIN s
+        ON p.user_id = s.user_id AND p.p_te >= s.s_te
+      ORDER BY purchase_id"""))
+
   val q27_range_join = Q(
     "q27_range_join",
     (s, dir) => {
@@ -496,5 +545,6 @@ object Advanced {
   val all: Seq[Q] = Seq(q22_outer_join, q23_set_ops, q24_window_suite,
     t05_string_suite, q25_distinct_median, q26_asof_join, q27_range_join,
     q28_argmin_group, q33_null_logic, q34_datetime, q36_native_topk,
-    q37_disjunctive_join, q38_returned_revenue, q39_large_volume_orders)
+    q37_disjunctive_join, q38_returned_revenue, q39_large_volume_orders,
+    q58_asof_tolerance)
 }

@@ -1340,6 +1340,73 @@ object Text {
       GROUP BY source, n_s, n_langs
       ORDER BY source"""))
 
+  val t25_char_entropy = Q(
+    "t25_char_entropy",
+    (s, dir) => {
+      // Per-source CHARACTER-distribution entropy — the encoding-health
+      // signal: a source whose char entropy collapses (one byte
+      // dominating — null-padding, repeated filler) or spikes toward
+      // log2(alphabet) uniformity (compressed/binary garbage shipped as
+      // text) is corrupt long before any token-level statistic notices.
+      // Completes the entropy family: t23 is the LANGUAGE mix, this is
+      // the raw symbol stream.
+      //
+      // Shape: one corpus pass exploding tokenizable chars to a
+      // (source, ch) histogram — |S|·|alphabet| ≤ |S|·36 rows, a
+      // dimension-sized relation — then the same exact-integer Mitchell
+      // log2 ladder as t23 (DECIMAL(38,0) weight multiply, floor-div by
+      // n_s, nano-bit longs; one IEEE division at the end).
+      val sc = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"),
+          explode(expr("regexp_extract_all(text, '[a-z0-9]', 0)")).as("ch"))
+        .groupBy(col("source"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .cache()
+      val tot = sc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_s"), count(lit(1)).as("n_chars"))
+      sc.join(broadcast(tot), "source")
+        .withColumn("term_n9",
+          expr(s"""CAST(CAST(c AS DECIMAL(38,0)) *
+                   ${graft.core.Exact.mitchellLog2n9("n_s", "c")}
+                   div n_s AS BIGINT)"""))
+        .groupBy(col("source"), col("n_s"), col("n_chars"))
+        .agg(sum(col("term_n9")).as("h_n9"))
+        .select(col("source"), col("n_s").as("n_syms"), col("n_chars"),
+          round(col("h_n9").cast("double") / 1000000000.0, 6)
+            .as("entropy_bits"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH sc AS (
+        SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]')) AS ch
+              FROM documents)
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+               CAST(COUNT(*) AS BIGINT) AS n_chars
+        FROM sc GROUP BY 1),
+      terms AS (
+        SELECT source, n_s, n_chars,
+               CAST(CAST(c AS HUGEINT) *
+                    (CAST(k AS BIGINT) * 1000000000
+                     + (n_s - p) * 1000000000 // p)
+                    // n_s AS BIGINT) AS term_n9
+        FROM (
+          SELECT source, c, n_s, n_chars, k,
+                 c * (CAST(1 AS BIGINT) << k) AS p
+          FROM (
+            SELECT sc.source, sc.c, tot.n_s, tot.n_chars,
+                   length(bin(CAST(tot.n_s // sc.c AS BIGINT))) - 1 AS k
+            FROM sc JOIN tot USING (source))))
+      SELECT source, n_s AS n_syms, n_chars,
+             round(CAST(SUM(term_n9) AS DOUBLE) / 1000000000.0, 6)
+               AS entropy_bits
+      FROM terms
+      GROUP BY source, n_s, n_chars
+      ORDER BY source"""))
+
   val t24_vocab_gini = Q(
     "t24_vocab_gini",
     (s, dir) => {
@@ -1412,5 +1479,6 @@ object Text {
     t10_hash_split, t11_repetition, t12_source_mix, t13_surprisal,
     t14_tfidf_keywords, t15_vocab_coverage, t16_mix_sampler, t17_zipf_slope,
     t18_source_profile, t19_bigram_surprisal, t20_source_kl,
-    t21_token_budget, t22_length_drift, t23_lang_entropy, t24_vocab_gini)
+    t21_token_budget, t22_length_drift, t23_lang_entropy, t24_vocab_gini,
+    t25_char_entropy)
 }
