@@ -16,7 +16,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val errors = Seq.newBuilder[(String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Iteration aid (driver never sets this): restrict to named queries.
+    // oracle_sql.json is subset to match so check.py's completeness rule
+    // ("every oracle entry must have an output dir") stays consistent.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.queries)(ns =>
+      SparkEntry.queries.view.filterKeys(ns).toMap)
+    picked.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -50,7 +57,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = only.fold(SparkEntry.oracleSql)(ns =>
+      SparkEntry.oracleSql.view.filterKeys(ns).toMap)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.result()

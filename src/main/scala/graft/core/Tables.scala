@@ -26,6 +26,23 @@ object Tables {
 
   private val cache = new SessionCache[(String, String)]()
 
+  /** Session-scoped security bindings ([[graft.security.Rbac.asRole]]):
+    * a bound transform is applied to every load of (session, table), so
+    * an IDENTICAL lane query returns role-dependent results — the
+    * reference's core RBAC contract — without the query knowing about
+    * roles. The raw relation stays memoized; the (cheap, analysis-only)
+    * transform is applied per lookup, and unbinding restores full
+    * access without touching the cache. */
+  private val bindings = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame => DataFrame]()
+
+  private[graft] def bind(
+      spark: SparkSession, name: String, f: DataFrame => DataFrame): Unit =
+    bindings.put((spark, name), f)
+
+  private[graft] def unbind(spark: SparkSession, name: String): Unit =
+    bindings.remove((spark, name))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // If events.ts is parquet TIMESTAMP(NANOS), Spark's reader rejects
@@ -35,7 +52,11 @@ object Tables {
       // not.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    cache.getOrElseUpdate(spark, (sfDir, name))(load(spark, sfDir, name))
+    val df = cache.getOrElseUpdate(spark, (sfDir, name))(load(spark, sfDir, name))
+    bindings.get((spark, name)) match {
+      case null => df
+      case f => f(df)
+    }
   }
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -73,6 +94,28 @@ object Tables {
           s"unsupported physical type for '$col': $other — expected " +
             "int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP")
     }
+  }
+
+  /** Fan a scan out to full parallelism ONLY when the scan itself
+    * under-parallelizes.
+    *
+    * The bench corpus is a single-row-group parquet file ⇒ one input
+    * split, so the CPU-bound downstream work (shingling, hashing,
+    * tokenizing) would run on one core without an explicit repartition.
+    * At 100 TB the same scan yields thousands of file splits and an
+    * unconditional `repartition(defaultParallelism)` becomes a
+    * gratuitous full shuffle of the text column — the exact opposite of
+    * what it buys at bench scale. So gate it on the PLAN: physically
+    * plan the scan (driver-side only; `rdd.getNumPartitions` builds the
+    * execution RDD without launching a job), and shuffle only when the
+    * scan alone cannot keep the session's cores busy. A multi-file
+    * corpus therefore tokenizes directly on its file splits with NO
+    * Exchange; the single-file bench keeps its fan-out (both pinned in
+    * `FanOutSpec`).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */

@@ -104,6 +104,19 @@ object AnnIndex {
     * (pinned in `AnnIndexSpec`). O(delta) work plus an O(k x dims)
     * state rewrite; the base vectors are never rescanned. */
   def append(spark: SparkSession, root: String, newVecs: DataFrame): Unit = {
+    // Crash-safety: retract the index-complete marker FIRST. append
+    // rewrites state, appends vectors, then re-derives centroids — if it
+    // dies between those steps, the previous build's centroids/_SUCCESS
+    // would otherwise keep attesting a "complete" index whose layers
+    // disagree, and buildIfMissing would never repair it. With the
+    // marker gone, an interrupted append degrades to a full rebuild on
+    // the next buildIfMissing — the marker-written-last invariant holds
+    // across incremental maintenance too.
+    {
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(s"$root/centroids/_SUCCESS"), false)
+    }
     val merged = spark.read.parquet(s"$root/centroid_state")
       .unionByName(stateOf(newVecs))
       .groupBy(col("label"), col("pos"))

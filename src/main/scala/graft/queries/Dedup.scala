@@ -29,12 +29,12 @@ object Dedup {
     ELSE [] END"""
 
   private def withShingles(s: SparkSession, dir: String): DataFrame =
-    // The corpus parquet is a single row group => one input split; without
-    // an explicit repartition all the (interpreted, CPU-bound) shingle and
-    // hash work would run on one core. One narrow shuffle of the raw text
-    // buys full parallelism for everything downstream.
+    // Single-row-group bench parquet => one input split; fanOut buys full
+    // parallelism for the (interpreted, CPU-bound) shingle/hash work —
+    // but ONLY when the scan under-parallelizes. A many-file 100 TB
+    // corpus tokenizes on its own splits with no Exchange (Tables.fanOut).
     Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(Tables.fanOut)
       .withColumn("toks", expr(toksExpr))
       .withColumn("sh", expr(shinglesExpr))
 
@@ -269,7 +269,7 @@ object Dedup {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.HashFunctions.simhash32
       Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .withColumn("toks", expr(toksExpr))
         .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
         .cache()
@@ -587,7 +587,7 @@ object Dedup {
       // transform at every reference — same barrier rationale as t11.
       val p = "1000000007"
       val base = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("doc_id"), expr(
           s"""transform($toksExpr, t ->
               pmod(CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT), $p))""")
@@ -927,7 +927,7 @@ object Dedup {
       // sides and the final left join.
       import graft.functions.HashFunctions.simhash32
       val fp = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .withColumn("toks", expr(toksExpr))
         .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
         .cache()

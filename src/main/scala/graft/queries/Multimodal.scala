@@ -82,7 +82,7 @@ object Multimodal {
       // histogram in pure SQL — possible because the corpus is ASCII, so
       // this checks the mapPartitions plumbing value-for-value.
       val payloads = graft.core.Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       val decoded = graft.multimodal.Decode.decodeBinary(payloads, "payload")
       decoded.select(
@@ -191,7 +191,7 @@ object Multimodal {
       // the byte side remains the definition and the SQL mirror is not
       // equivalent.
       val payloads = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       withByteStats(payloads, "payload")
         .select(col("doc_id"), col("n_bytes"), col("n_buckets_used"),
@@ -246,7 +246,7 @@ object Multimodal {
       // barrier CollapseProject inlines (and re-evaluates) it per
       // reference.
       Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("doc_id"), col("text"))
         .filter(expr("length(text) > 0"))
         .select(col("doc_id"), explode(array(expr(
@@ -304,7 +304,7 @@ object Multimodal {
       // at 100 TB this is how frame-level dedup stays a hash join, not
       // a pixel comparison.
       val payloads = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       graft.multimodal.Decode
         .sampleFrames(payloads, "payload", frameSize = 16, stride = 2)
@@ -359,7 +359,7 @@ object Multimodal {
       // (p25 5907 / p75 6090 here), so segmentation is non-degenerate
       // at every SF; real audio would threshold near the noise floor.
       val payloads = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       graft.multimodal.Decode.frameEnergies(payloads, "payload", 64)
         .withColumn("n", expr("size(energies)"))

@@ -171,7 +171,7 @@ object Text {
       // shape that scales to any corpus size.
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .withColumn("bgs", expr(
           """CASE WHEN length(text) >= 2 THEN
                array_distinct(transform(sequence(0, length(text) - 2),
@@ -293,7 +293,7 @@ object Text {
       // tokenHash is the md5-hex-slice formula and the fold starts at 0
       // ((0*256+h)%p = h matches DuckDB's first-element-init reduce).
       Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .withColumn("toks", expr(toksExpr))
         .select(col("doc_id"), expr(
           """CASE WHEN size(toks) > 0 THEN aggregate(
@@ -379,7 +379,7 @@ object Text {
         // single-split testdata parquet: without this the interpreted
         // array/regexp work below runs on ONE core (same mitigation as
         // t06/t07 and Dedup.withToks)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .withColumn("toks", expr(toksExpr))
         .select(
           col("doc_id"),
@@ -522,7 +522,7 @@ object Text {
       // bench-scale plan back to a broadcast that would lie about the
       // 100-TB shape.
       val toks = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
         .cache()
       // n_total (total token occurrences) as a 1-row scalar aggregate off
@@ -583,7 +583,7 @@ object Text {
       // nothing is consumed twice; the final top-3 is a per-doc window
       // over <= |distinct toks| rows.
       val tf = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
@@ -649,7 +649,7 @@ object Text {
       // (ReusedExchange — pinned in PLANS.md). All counts exact longs;
       // shares are ratios of exact integers.
       val vocab = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(explode(expr(toksExpr)).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val total = vocab.agg(sum(col("cnt")).as("total"))
@@ -764,7 +764,7 @@ object Text {
       // the two final divisions of exact integers — identical on any
       // engine and partitioning.
       val vocab = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(explode(expr(toksExpr)).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val pts = vocab
@@ -920,7 +920,7 @@ object Text {
       // have no bigrams and drop out (inner join), mirrored by the
       // oracle's empty unnest.
       val bigs = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .withColumn("toks", expr(toksExpr))
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
@@ -1006,7 +1006,7 @@ object Text {
       // t12/t16), c_t (|vocab| rows, hinted SHUFFLE_HASH on tok — the
       // unbounded side, same 100TB argument as t13).
       val st = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("source"), explode(expr(toksExpr)).as("tok"))
         .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
         .cache()
@@ -1357,7 +1357,7 @@ object Text {
       // log2 ladder as t23 (DECIMAL(38,0) weight multiply, floor-div by
       // n_s, nano-bit longs; one IEEE division at the end).
       val sc = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanOut)
         .select(col("source"),
           explode(expr("regexp_extract_all(text, '[a-z0-9]', 0)")).as("ch"))
         .groupBy(col("source"), col("ch"))
@@ -1418,29 +1418,66 @@ object Text {
       // the shape; Gini summarizes inequality in one bounded number).
       //
       // Shape: one corpus pass to (source, tok) counts (the unavoidable
-      // vocab shuffle, t13/t19's bound), then a per-source sort-based
-      // rank window — partitioned by source, so each source's vocab
-      // sorts in parallel and spills if huge; nothing is global — and a
-      // per-source integer rollup to |sources| rows.
+      // vocab shuffle, t13/t19's bound), then — instead of ranking the
+      // vocabulary itself — an EXACT frequency-of-frequencies
+      // decomposition. With counts ascending, G = (2·Σi·cᵢ − (n+1)·N)
+      // / (n·N), and ties in c contribute c·Σi over their rank block
+      // regardless of intra-tie order; so per-token ranks are never
+      // needed. For each (source, c) block of m tokens starting at
+      // global rank `start`, Σi over the block is the triangular sum
+      // m·start + m(m−1)/2 — all integer-exact.
       //
-      // Determinism: with counts ascending, G = (2·Σi·cᵢ − (n+1)·N) /
-      // (n·N). Ties in c contribute c·Σi over their rank block
-      // regardless of intra-tie order, so row_number's (c, tok)
-      // tie-break affects nothing; sums run in DECIMAL(38,0) (i·cᵢ
-      // overflows int64 past ~1e9 vocab × 1e10 counts), and the single
-      // division happens once in double, rounded for the hash.
+      // Why this scales where a rank window doesn't (round-7 verdict
+      // Wrong #2): row_number over Window.partitionBy(source) put one
+      // source's ENTIRE vocabulary (linear in corpus) in a single task.
+      // Here the only windowed relations are (a) the per-source
+      // log2-bucket grid — ≤64 rows/source, value-domain bounded like
+      // t22/t25 — and (b) within-bucket cumulative sums over the
+      // freq-of-freqs table, whose bucket-b slice has ≤ min(2^b, N/2^b)
+      // ≤ √N distinct counts (every token with count ≥ 2^b accounts for
+      // ≥ 2^b corpus tokens). Freq-of-freqs is sub-linear (≤ √(2N)
+      // rows/source total: 1+2+…+k ≤ N ⇒ k ≤ √(2N)), so caching it for
+      // the two consumers is a few hundred MB even at 100 TB, vs. the
+      // previous one-task sort of a corpus-growing vocab.
+      //
+      // Numerics: start ≤ vocab fits long; the triangular term is built
+      // from two ≤√-sized long factors lifted to DECIMAL(38,0) before
+      // multiplying (m(m−1)/2 overflows int64 past m ≈ 4.3e9), and
+      // the single division happens once in double, rounded for the
+      // hash — bit-identical to the rank formulation.
       import org.apache.spark.sql.types.DecimalType
-      val w = Window.partitionBy(col("source")).orderBy(col("c"), col("tok"))
-      Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val ff = Tables(s, dir, "documents")
+        .transform(Tables.fanOut)
         .select(col("source"), explode(expr(toksExpr)).as("tok"))
         .groupBy(col("source"), col("tok"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("i", row_number().over(w))
+        .groupBy(col("source"), col("c"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("b", expr("length(bin(c)) - 1")) // floor(log2 c), exact
+        .cache()
+      // Per-source bucket offsets: tokens in strictly smaller buckets.
+      // ≤ 64 rows per source — the window is grid-sized, not data-sized.
+      val wBucket = Window.partitionBy(col("source")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketOff = ff.groupBy(col("source"), col("b"))
+        .agg(sum(col("m")).as("bm"))
+        .withColumn("boff", coalesce(sum(col("bm")).over(wBucket), lit(0L)))
+        .select(col("source"), col("b"), col("boff"))
+      // Within-bucket offsets: tokens in the same bucket with smaller c.
+      val wInBucket = Window.partitionBy(col("source"), col("b"))
+        .orderBy(col("c")).rowsBetween(Window.unboundedPreceding, -1)
+      val tri = // Σ i over the block: m·start + m(m−1)/2, overflow-safe.
+        col("m").cast(DecimalType(38, 0)) * col("start") +
+          expr("""CAST(CASE WHEN m % 2 = 0 THEN m div 2 ELSE m END
+                       AS DECIMAL(38,0)) *
+                  CASE WHEN m % 2 = 0 THEN m - 1 ELSE (m - 1) div 2 END""")
+      ff.withColumn("woff", coalesce(sum(col("m")).over(wInBucket), lit(0L)))
+        .join(broadcast(bucketOff), Seq("source", "b"))
+        .withColumn("start", col("boff") + col("woff") + lit(1L))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_vocab"),
-          sum(col("c")).as("n_tokens"),
-          sum(col("c").cast(DecimalType(38, 0)) * col("i")).as("s_ic"))
+        .agg(sum(col("m")).as("n_vocab"),
+          sum(col("m") * col("c")).as("n_tokens"),
+          sum(col("c").cast(DecimalType(38, 0)) * tri).as("s_ic"))
         .select(col("source"), col("n_vocab"), col("n_tokens"),
           round(
             (col("s_ic") * 2 -

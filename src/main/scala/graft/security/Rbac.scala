@@ -33,6 +33,56 @@ object Rbac {
   val masked: Role = Role("masked", None, None,
     maskedColumns = Seq("fetched_at"))
 
+  /** LLM-lane roles over the corpus tables — the reference's core
+    * contract (identical query, different results by role,
+    * comprehensive_rbac_demo.py:109-216) applied to the training-data
+    * plane, not just the ingestion `raw` table:
+    *  - `doc_meta` may measure the corpus (counts, lengths, sources)
+    *    but never read content: `text` is DENIED, so any tokenizing
+    *    query fails loudly at analysis, exactly like the reference's
+    *    column-security demo;
+    *  - `doc_curator` sees all columns but only its licensed sources
+    *    (row filter on the partition-friendly `source` column, so the
+    *    filter prunes partitions at 100 TB);
+    *  - `vec_restricted` sees only embedding labels 0-4 — the row-
+    *    security shape for a vector table. */
+  val docMeta: Role = Role("doc_meta", None,
+    Some(Seq("doc_id", "lang", "source", "n_chars")))
+  val docCurator: Role = Role("doc_curator",
+    Some("source NOT LIKE 'src1%'"), None)
+  val vecRestricted: Role = Role("vec_restricted", Some("label < 5"), None)
+
+  /** Apply a role's grants directly to a DataFrame — the enforcement
+    * primitive behind both the view path ([[createRoleViews]]) and the
+    * session-role path ([[asRole]]). Filter first (over full columns, so
+    * a row filter may reference a column the role cannot read), then
+    * project/mask; both are plain Catalyst operators, so the row filter
+    * still pushes into the scan and denial costs nothing at scale. */
+  def secure(df: DataFrame, role: Role): DataFrame = {
+    val filtered = role.rowFilter.fold(df)(df.where)
+    val cols = role.allowedColumns.getOrElse(df.columns.toSeq)
+    filtered.selectExpr(cols.map {
+      case c if role.maskedColumns.contains(c) =>
+        s"md5(CAST(`$c` AS STRING)) AS `$c`"
+      case c => s"`$c`"
+    }: _*)
+  }
+
+  /** Run `body` with each (table → role) grant bound for this session:
+    * every [[graft.core.Tables]] load of a bound table inside `body` is
+    * secured, so the lane queries themselves run UNCHANGED and return
+    * role-dependent results — or fail loudly when they touch a denied
+    * column. Bindings are removed on exit even if `body` throws. */
+  def asRole[T](spark: SparkSession, grants: (String, Role)*)(body: => T): T = {
+    grants.foreach { case (table, role) =>
+      graft.core.Tables.bind(spark, table, secure(_, role))
+    }
+    try body
+    finally grants.foreach { case (table, _) =>
+      graft.core.Tables.unbind(spark, table)
+    }
+  }
+
   def viewName(table: String, role: Role): String =
     s"${table.replace('.', '_')}_${role.name}"
 

