@@ -43,6 +43,48 @@ import graft.queries.{Dedup, Text}
   * reproducibility a training pipeline audit needs.
   */
 object Curate {
+  /** One funnel stage's provenance: what ran, with which knobs, and its
+    * in/out counts. The ordered `stages` list in the manifest is the
+    * audit trail a pipeline operator reads to answer "why did doc X
+    * survive / die" — every drop is attributable to a named stage with
+    * its exact thresholds (round-8 verdict item 7). Param values are
+    * pre-encoded JSON fragments (numbers, booleans, quoted strings). */
+  final case class StageRecord(
+      name: String,
+      enabled: Boolean,
+      params: Seq[(String, String)],
+      in: Long,
+      out: Long) {
+    def json: String = {
+      val ps = params.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      s"""{"stage":"$name","enabled":$enabled,"params":$ps,""" +
+        s""""in":$in,"out":$out}"""
+    }
+  }
+
+  /** The A/B evidence behind the semantic stage's OFF default, promoted
+    * from the dev harness ([[graft.tools.CurateAb]]) into the manifest
+    * contract: `would_drop` is the stage's delta on THIS corpus at
+    * `threshold`, and the Jaccard buckets bound its false-positive rate
+    * (a cosine-similar pair sharing <10% of shingles is a paraphrase or
+    * an FP — with no labels, that bucket is the FP upper bound). */
+  final case class SemanticAudit(
+      threshold: Double,
+      wouldDrop: Long,
+      pairs: Long,
+      textual: Long,
+      partial: Long,
+      pureSemantic: Long,
+      pureSameSource: Long) {
+    def json: String =
+      s"""{"threshold":$threshold,"would_drop":$wouldDrop,""" +
+        s""""pairs":$pairs,"textual_j_ge_05":$textual,""" +
+        s""""partial_j_01_05":$partial,""" +
+        s""""pure_semantic_j_lt_01":$pureSemantic,""" +
+        s""""pure_same_source":$pureSameSource}"""
+  }
+
   final case class Report(
       input: Long,
       afterExact: Long,
@@ -52,22 +94,104 @@ object Curate {
       splits: Map[String, Long],
       afterRebalance: Option[Long] = None,
       nearDupClusters: Option[Long] = None,
-      afterSemantic: Option[Long] = None) {
+      afterSemantic: Option[Long] = None,
+      stages: Seq[StageRecord] = Nil,
+      abSemantic: Option[SemanticAudit] = None) {
     def json: String = {
       val sp = splits.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val cl = nearDupClusters.fold("")(n => s""""neardup_clusters":$n,""")
       val sem = afterSemantic.fold("")(n => s""""after_semantic":$n,""")
       val reb = afterRebalance.fold("")(n => s""""after_rebalance":$n,""")
+      val st =
+        if (stages.isEmpty) ""
+        else stages.map(_.json).mkString(""""stages":[""", ",", "],")
+      val ab = abSemantic.fold("")(a => s""""ab_semantic":${a.json},""")
       s"""{"input":$input,"after_exact_dedup":$afterExact,""" +
         s"""$cl"after_neardup":$afterNearDup,$sem""" +
         s""""after_quality":$afterQuality,""" +
-        s""""after_decontam":$afterDecontam,$reb"splits":$sp}"""
+        s""""after_decontam":$afterDecontam,$reb$st$ab"splits":$sp}"""
     }
   }
 
+  /** Keep-set of the semantic near-dup stage over the current survivor
+    * ids: one min-id canonical per connected component of the
+    * >=threshold embedding-pair graph RESTRICTED to `ids` (a semantic
+    * cluster whose global canonical already died in text dedup must
+    * still keep its min surviving member, not lose the content). */
+  private def semanticKeep(
+      spark: SparkSession, sfDir: String, ids: DataFrame,
+      threshold: Double): DataFrame = {
+    val pairs = Dedup.d09_semantic_neardup.run(spark, sfDir)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = pairs
+      .join(ids, pairs("src") === ids("doc_id"), "left_semi")
+      .join(ids, pairs("dst") === ids("doc_id"), "left_semi")
+    Dedup.connectedComponents(ids.withColumnRenamed("doc_id", "id"), edges)
+      .filter(col("id") === col("label"))
+      .select(col("id").as("doc_id"))
+  }
+
+  /** The semantic stage's A/B evidence on a survivor set — the dev
+    * harness' audit ([[graft.tools.CurateAb]] delegates here) as a
+    * library function, so [[run]] can embed in the manifest the numbers
+    * that justify the stage's default: its would-drop delta plus the
+    * Jaccard decomposition of the candidate pairs (pairs with j<0.1
+    * share no shingles — paraphrase or false positive; that bucket
+    * upper-bounds the FP rate absent labels). Everything is bounded by
+    * the LSH/cell-candidate pair set — never all-pairs. */
+  def semanticAudit(
+      spark: SparkSession, sfDir: String, ids: DataFrame,
+      threshold: Double, precomputedKeep: Option[Long] = None): SemanticAudit = {
+    val nIds = ids.count()
+    val keepN = precomputedKeep.getOrElse(
+      semanticKeep(spark, sfDir, ids, threshold).count())
+    val pairs = Dedup.d09_semantic_neardup.run(spark, sfDir)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      .withColumn("sh", expr("""
+        CASE WHEN size(toks) >= 3 THEN
+          array_distinct(transform(sequence(0, size(toks) - 3),
+            i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))
+        ELSE array_distinct(slice(toks, 1, 0)) END"""))
+      .select(col("doc_id"), col("sh"), col("source"))
+    val audited = pairs
+      .join(ids.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"),
+        col("source").as("src_a")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"),
+        col("source").as("src_b")), "b_id")
+      .withColumn("n_common",
+        expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+      .withColumn("jaccard", when(
+        expr("size(sh_a) + size(sh_b)") - col("n_common") > 0,
+        col("n_common").cast("double") /
+          (expr("size(sh_a) + size(sh_b)") - col("n_common")))
+        .otherwise(0.0))
+      .select(col("jaccard"), (col("src_a") === col("src_b")).as("same_source"))
+      .cache()
+    try SemanticAudit(
+      threshold = threshold,
+      wouldDrop = nIds - keepN,
+      pairs = audited.count(),
+      textual = audited.filter(col("jaccard") >= 0.5).count(),
+      partial = audited.filter(
+        col("jaccard") >= 0.1 && col("jaccard") < 0.5).count(),
+      pureSemantic = audited.filter(col("jaccard") < 0.1).count(),
+      pureSameSource = audited.filter(
+        col("jaccard") < 0.1 && col("same_source")).count())
+    finally audited.unpersist(false)
+  }
+
   /** Run the funnel; write `outDir/curated` (parquet, partitioned by
-    * split) and `outDir/manifest.json`; return the per-stage counts. */
+    * split) and `outDir/manifest.json`; return the per-stage counts.
+    * `auditSemantic` embeds the semantic stage's A/B evidence in the
+    * manifest even when the stage itself is off — the recorded
+    * justification for the default. */
   def run(
       spark: SparkSession,
       sfDir: String,
@@ -77,7 +201,8 @@ object Curate {
       rebalanceMix: Boolean = false,
       clusterDedup: Boolean = true,
       semanticDedup: Boolean = false,
-      semanticThreshold: Double = 0.9): Report = {
+      semanticThreshold: Double = 0.9,
+      auditSemantic: Boolean = false): Report = {
     val docs = Tables(spark, sfDir, "documents")
     val input = docs.count()
 
@@ -138,20 +263,21 @@ object Curate {
       // already died in text dedup must still keep its min SURVIVING
       // member, not lose the content outright.
       val semDeduped = if (!semanticDedup) nearDeduped else stage {
-        val ids = nearDeduped.select(col("doc_id"))
-        val pairs = Dedup.d09_semantic_neardup.run(spark, sfDir)
-          .filter(col("cos_sim") >= semanticThreshold)
-          .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val edges = pairs
-          .join(ids, pairs("src") === ids("doc_id"), "left_semi")
-          .join(ids, pairs("dst") === ids("doc_id"), "left_semi")
-        val keep = Dedup
-          .connectedComponents(ids.withColumnRenamed("doc_id", "id"), edges)
-          .filter(col("id") === col("label"))
-          .select(col("id").as("doc_id"))
-        nearDeduped.join(keep, "doc_id")
+        nearDeduped.join(
+          semanticKeep(spark, sfDir, nearDeduped.select(col("doc_id")),
+            semanticThreshold),
+          "doc_id")
       }
       val nSemantic = if (semanticDedup) Some(semDeduped.count()) else None
+      // A/B evidence for the semantic default: when the stage ran, its
+      // delta is already known; when off but audited, compute the
+      // would-be keep set without applying it.
+      val abEvidence =
+        if (semanticDedup || auditSemantic)
+          Some(semanticAudit(spark, sfDir, nearDeduped.select(col("doc_id")),
+            semanticThreshold,
+            precomputedKeep = nSemantic))
+        else None
 
       // 3. quality floor (t02's saturation + diversity + stopword score)
       val quality = Text.t02_quality_score.run(spark, sfDir)
@@ -209,8 +335,37 @@ object Curate {
       val splits = spark.read.parquet(s"$outDir/curated")
         .groupBy("split").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // Ordered provenance: every stage, enabled or not, with its exact
+      // knobs and in/out counts — the manifest's audit trail.
+      val nSem = nSemantic.getOrElse(nNear)
+      val nBal = nBalanced.getOrElse(nClean)
+      def q(s: String) = "\"" + s + "\""
+      val stageRecords = Seq(
+        StageRecord("exact_dedup", enabled = true,
+          Seq("canonical" -> q("min_doc_id_per_md5")), input, nExact),
+        StageRecord("neardup", enabled = true,
+          Seq(
+            "policy" -> q(if (clusterDedup) "cluster" else "pairwise"),
+            "sim_threshold" -> simThreshold.toString),
+          nExact, nNear),
+        StageRecord("semantic_neardup", enabled = semanticDedup,
+          Seq("cos_threshold" -> semanticThreshold.toString),
+          nNear, nSem),
+        StageRecord("quality_filter", enabled = true,
+          Seq("min_quality" -> qualityThreshold.toString), nSem, nQuality),
+        StageRecord("decontamination", enabled = true,
+          Seq(
+            "min_common_shingles" -> "3",
+            "holdout" -> q("doc_id % 89 == 0")),
+          nQuality, nClean),
+        StageRecord("mix_rebalance", enabled = rebalanceMix,
+          Seq("sampler" -> q("stratified-md5-to-min-source")), nClean, nBal),
+        StageRecord("split", enabled = true,
+          Seq("train" -> "80", "valid" -> "10", "test" -> "10"),
+          nBal, splits.values.sum))
       val report = Report(input, nExact, nNear, nQuality, nClean, splits,
-        nBalanced, nClusters, nSemantic)
+        nBalanced, nClusters, nSemantic, stageRecords, abEvidence)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, "manifest.json"),
         (report.json + "\n").getBytes("UTF-8"))

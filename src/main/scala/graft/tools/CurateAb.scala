@@ -43,57 +43,28 @@ object CurateAb {
     println(f"semantic stage drops $extra of ${off.afterNearDup} " +
       f"stage-2 survivors (${100.0 * extra / off.afterNearDup}%.2f%%)")
 
-    // Audit the candidate pairs the stage acts on: cosine ≥ thr pairs
-    // whose BOTH ends survived text dedup, bucketed by text Jaccard.
+    // Audit the candidate pairs the stage acts on, bucketed by text
+    // Jaccard — the shared library audit (the SAME function Curate.run
+    // embeds in the manifest as `ab_semantic` when asked, so this
+    // harness and a production manifest can never disagree).
     val survivors = spark.read.parquet(s"$offDir/curated")
       .select(col("doc_id"))
-    val pairs = graft.SparkEntry.queries("d09_semantic_neardup")(spark, sfDir)
-      .filter(col("cos_sim") >= thr)
-      .select(col("a_id"), col("b_id"), col("cos_sim"))
-    val docs = graft.core.Tables(spark, sfDir, "documents")
-      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
-      .withColumn("sh", expr("""
-        CASE WHEN size(toks) >= 3 THEN
-          array_distinct(transform(sequence(0, size(toks) - 3),
-            i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))
-        ELSE array_distinct(slice(toks, 1, 0)) END"""))
-      .select(col("doc_id"), col("sh"), col("source"))
-    val audited = pairs
-      .join(survivors.withColumnRenamed("doc_id", "a_id"), "a_id", "left_semi")
-      .join(survivors.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi")
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"),
-        col("source").as("src_a")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"),
-        col("source").as("src_b")), "b_id")
-      .withColumn("n_common",
-        expr("size(array_intersect(sh_a, sh_b))").cast("long"))
-      .withColumn("jaccard", when(
-        expr("size(sh_a) + size(sh_b)") - col("n_common") > 0,
-        col("n_common").cast("double") /
-          (expr("size(sh_a) + size(sh_b)") - col("n_common")))
-        .otherwise(0.0))
-      .select(col("a_id"), col("b_id"), col("cos_sim"), col("jaccard"),
-        (col("src_a") === col("src_b")).as("same_source"))
-      .cache()
-    val total = audited.count()
-    val textual = audited.filter(col("jaccard") >= 0.5).count()
-    val partial = audited.filter(
-      col("jaccard") >= 0.1 && col("jaccard") < 0.5).count()
-    val pure = audited.filter(col("jaccard") < 0.1).count()
-    val pureSame = audited.filter(
-      col("jaccard") < 0.1 && col("same_source")).count()
-    println(f"pairs @ cos>=$thr among survivors: $total")
-    println(f"  textual (j>=0.5):        $textual (${pct(textual, total)})")
-    println(f"  partial (0.1<=j<0.5):    $partial (${pct(partial, total)})")
-    println(f"  pure-semantic (j<0.1):   $pure (${pct(pure, total)})" +
-      f" — same-source $pureSame")
+    val audit = graft.pipeline.Curate.semanticAudit(
+      spark, sfDir, survivors, thr)
+    println(s"audit: ${audit.json}")
+    println(f"pairs @ cos>=$thr among survivors: ${audit.pairs}")
+    println(f"  textual (j>=0.5):        ${audit.textual} " +
+      pct(audit.textual, audit.pairs))
+    println(f"  partial (0.1<=j<0.5):    ${audit.partial} " +
+      pct(audit.partial, audit.pairs))
+    println(f"  pure-semantic (j<0.1):   ${audit.pureSemantic} " +
+      pct(audit.pureSemantic, audit.pairs) +
+      f" — same-source ${audit.pureSameSource}")
     println("pure-semantic pairs are paraphrases-or-FPs: this bucket is " +
       "the FP-rate UPPER BOUND absent human labels")
-    audited.filter(col("jaccard") < 0.1)
-      .orderBy(col("cos_sim").desc).show(10, truncate = false)
     spark.stop()
   }
 
   private def pct(n: Long, d: Long): String =
-    if (d == 0) "n/a" else f"${100.0 * n / d}%.1f%%"
+    if (d == 0) "n/a" else f"(${100.0 * n / d}%.1f%%)"
 }

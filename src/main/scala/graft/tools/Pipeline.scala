@@ -1,6 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.ingest._
 import graft.queries.{QueryRunner, ReferenceQueries}
@@ -9,11 +10,80 @@ import graft.security.Rbac
 /** End-to-end platform demo: plan -> ingest (idempotent gzip pages) ->
   * crawl (schema inference + partitions) -> secure (role views) ->
   * query per role -> curated promotion. The whole reference dataflow
-  * (SURVEY §3 E1-E3) in one run.
+  * (SURVEY §3 E1-E3) in one run — then the LLM lane ([[llmLane]]):
+  * curate the corpus, stream-bootstrap the persisted dedup index with
+  * maintenance attached, build the ANN index, and probe both.
   *
   * Usage: graft.tools.Pipeline <workDir> [date1,date2,...]
   */
 object Pipeline {
+
+  /** The training-data half of the platform, end-to-end (round-8
+    * verdict stretch #8): curation funnel -> persisted indexes ->
+    * intake probes, with the dedup index maintained by the STREAMING
+    * path rather than a one-shot batch build:
+    *
+    *  1. [[graft.pipeline.Curate.run]] writes the curated corpus +
+    *     manifest (full stage provenance) under `workDir/llm`;
+    *  2. the corpus lands in `workDir/intake` as parquet shards in two
+    *     arrivals (90% base, then the doc_id%20<2 "new arrivals"
+    *     slice); each arrival is drained into `workDir/index/dedup` by
+    *     [[graft.streaming.IndexMaintenance.maintainDedupIndex]]
+    *     (Trigger.AvailableNow + checkpoint: the second drain appends
+    *     ONLY the new shards — restart-safe incremental maintenance,
+    *     not a rebuild);
+    *  3. the ANN index builds at `workDir/index/ann` (its append path
+    *     is exact-by-construction but not replay-idempotent, so it
+    *     stays batch — see IndexMaintenance's scaladoc);
+    *  4. both indexes are probed with EXACTLY the d15/s05 probe sets.
+    *
+    * Returns (curation report, dedup probe hits, ann probe hits); the
+    * probe results are pinned row-identical to the oracle-gated
+    * d15_lsh_probe / s05_ann_index batch queries in `PipelineLlmSpec` —
+    * the stream-maintained, work-dir-local index answers intake probes
+    * byte-for-byte like the batch build.
+    */
+  def llmLane(spark: SparkSession, sfDir: String, workDir: String)
+      : (graft.pipeline.Curate.Report, DataFrame, DataFrame) = {
+    import graft.functions.VectorFunctions.vec_norm
+    import graft.operators.{AnnIndex, DedupIndex}
+
+    val report = graft.pipeline.Curate.run(spark, sfDir, s"$workDir/llm")
+
+    // Stream-bootstrapped dedup index: two arrivals, two drains of the
+    // SAME maintenance stream (shared checkpoint), one index.
+    val intake = s"$workDir/intake"
+    val dedupRoot = s"$workDir/index/dedup"
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    def drain(): Unit = {
+      val stream = graft.streaming.IndexMaintenance.maintainDedupIndex(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(intake),
+        dedupRoot)
+      stream.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 20 >= 2).write.mode("overwrite").parquet(intake)
+    drain()
+    docs.filter(col("doc_id") % 20 < 2).write.mode("append").parquet(intake)
+    drain()
+    // intake probe: are the new arrivals near-dups of anything ingested?
+    val dedupHits = DedupIndex.probe(spark, dedupRoot,
+        graft.queries.Dedup.bandedWithSigFromText(
+          docs.filter(col("doc_id") % 20 < 2)))
+      .orderBy(col("q_id"), col("c_id"))
+
+    val annRoot = s"$workDir/index/ann"
+    AnnIndex.buildIfMissing(spark, sfDir, annRoot)
+    val emb = graft.core.Tables(spark, sfDir, "embeddings")
+      .withColumn("norm", vec_norm(col("embedding")))
+    val annHits = AnnIndex.probe(spark, annRoot,
+        emb.filter(col("vec_id") < 5).select(
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm")),
+        nProbe = 2, k = 5)
+      .orderBy(col("q_id"), col("rank"))
+    (report, dedupHits, annHits)
+  }
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
@@ -60,6 +130,13 @@ object Pipeline {
     println("== curated promotion")
     val curated = Crawler.promoteCurated(spark, "raw", s"$workDir/curated")
     println(s"   curated rows: ${curated.count()}")
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    println(s"== llm lane (corpus=$sfDir)")
+    val (report2, dedupHits, annHits) = llmLane(spark, sfDir, workDir)
+    println(s"   curation: ${report2.json}")
+    println(s"   dedup-index probe hits: ${dedupHits.count()}")
+    println(s"   ann-index probe hits:   ${annHits.count()}")
 
     spark.stop()
   }

@@ -185,6 +185,45 @@ class CurateSpec extends SparkSpec {
       "curated splits diverged between semantic off/on")
   }
 
+  test("manifest carries full stage provenance and the semantic A/B evidence") {
+    val dir = tmpDir("curate-manifest")
+    val r = Curate.run(spark, sfDir, dir, auditSemantic = true)
+    // ordered stage trail: every stage present (enabled or not), knobs
+    // recorded, counts chain stage-to-stage and tie back to the report —
+    // the audit a pipeline operator needs to answer "why did doc X die"
+    assert(r.stages.map(_.name) == Seq("exact_dedup", "neardup",
+      "semantic_neardup", "quality_filter", "decontamination",
+      "mix_rebalance", "split"))
+    r.stages.sliding(2).foreach {
+      case Seq(a, b) => assert(a.out == b.in, s"${a.name}.out != ${b.name}.in")
+      case _ => ()
+    }
+    assert(r.stages.head.in == r.input)
+    assert(r.stages.last.out == r.splits.values.sum)
+    val byName = r.stages.map(s => s.name -> s).toMap
+    // disabled stages are explicit pass-throughs, never absent
+    assert(!byName("semantic_neardup").enabled)
+    assert(byName("semantic_neardup").in == byName("semantic_neardup").out)
+    assert(!byName("mix_rebalance").enabled)
+    assert(byName("neardup").params.contains("sim_threshold" -> "0.5"))
+    assert(byName("neardup").params.contains("policy" -> "\"cluster\""))
+    assert(byName("quality_filter").params.contains("min_quality" -> "0.5"))
+    // the A/B evidence behind the semantic OFF default is embedded: the
+    // stage's would-drop delta plus the FP-bounding Jaccard buckets
+    val ab = r.abSemantic.getOrElse(fail("ab_semantic evidence missing"))
+    assert(ab.threshold == 0.9)
+    assert(ab.pairs == ab.textual + ab.partial + ab.pureSemantic,
+      "jaccard buckets must partition the candidate pairs")
+    assert(ab.wouldDrop >= 0 && ab.wouldDrop <= r.afterNearDup)
+    // ... and all of it round-trips through manifest.json
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    assert(txt.contains("\"stages\":["))
+    assert(txt.contains("\"stage\":\"semantic_neardup\",\"enabled\":false"))
+    assert(txt.contains("\"ab_semantic\":{\"threshold\":0.9"))
+    assert(txt.contains("\"sim_threshold\":0.5"))
+  }
+
   test("manifest file is valid machine-readable JSON") {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
