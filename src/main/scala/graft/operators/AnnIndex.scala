@@ -134,6 +134,57 @@ object AnnIndex {
     invalidate(root) // next probe must see the merged layout
   }
 
+  /** Replay-idempotent append for STREAMING maintenance (the gap
+    * [[graft.streaming.IndexMaintenance]] documented: [[append]]'s
+    * read-merge-overwrite of `centroid_state` double-counts a replayed
+    * batch, so it must never sit behind an at-least-once foreachBatch).
+    *
+    * This variant holds a different layout invariant — every layer a
+    * batch writes is an OVERWRITE of a path derived only from the batch
+    * id, so replaying batch N rewrites byte-equivalent files instead of
+    * applying a delta twice:
+    *
+    *  - `<root>/vectors/batch=N/label=L/` — the batch's vectors
+    *    (two-level partition discovery; probes still prune on `label`
+    *    across all batch directories);
+    *  - `<root>/state_deltas/batch=N/` — the batch's OWN exact decimal
+    *    mean state (never merged in place);
+    *  - `<root>/centroids` — re-derived after each batch from the SUM
+    *    over ALL state deltas. Decimal sums are associative and
+    *    order-independent, so the result is bit-identical to a batch
+    *    build over everything ingested so far (pinned in
+    *    `AnnIndexSpec` / `AnnStreamSpec`).
+    *
+    * The marker discipline matches [[append]]: retract
+    * `centroids/_SUCCESS` first, rewrite centroids last. A root
+    * maintained this way is stream-owned (bootstrap from empty) — do
+    * not mix with [[buildIfMissing]]/[[append]], whose single
+    * `centroid_state` table this layout deliberately replaces. State
+    * deltas grow one O(k x dims) file per batch; compact by summing
+    * into a single batch directory when drain count gets large (same
+    * cadence as [[DedupIndex]]'s file compaction). */
+  def appendIdempotent(
+      spark: SparkSession, root: String, newVecs: DataFrame,
+      batchId: Long): Unit = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$root/centroids/_SUCCESS"), false)
+    invalidate(root)
+    stateOf(newVecs)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/state_deltas/batch=$batchId")
+    newVecs.select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("norm"), col("label"))
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$root/vectors/batch=$batchId")
+    val total = spark.read.parquet(s"$root/state_deltas")
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("s")).cast(DecimalType(38, 10)).as("s"),
+        sum(col("n")).as("n"))
+    writeCentroids(spark, root, total)
+    invalidate(root)
+  }
+
   /** Probe the persisted index: for each query row
     * (q_id, q_emb, q_norm), rank its `nProbe` nearest cells by centroid
     * cosine, then search ONLY those cells for the top-`k` neighbours.

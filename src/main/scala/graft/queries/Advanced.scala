@@ -270,6 +270,44 @@ object Advanced {
         ON p.user_id = s.user_id AND p.p_te >= s.s_te
       ORDER BY purchase_id"""))
 
+  val q59_asof_skewsafe = Q(
+    "q59_asof_skewsafe",
+    (s, dir) => {
+      // The SAME point-in-time semantics as q26, through the skew-safe
+      // operator (graft.operators.AsOf.joinSkewSafe): every key's carry
+      // chain is sharded over deterministic time buckets and stitched
+      // with a boundary prefix, so one hot user_id holding half the
+      // stream runs as `buckets` parallel tasks instead of one. Sharing
+      // q26's DuckDB ASOF oracle makes the equivalence ORACLE-GATED,
+      // not just spec-asserted: both formulations must hash-match the
+      // same native as-of answer at every SF.
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("te"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("te").as("p_te"))
+      val signups = ev.filter(col("event_type") === "signup").select(
+        col("user_id"), col("event_id").as("signup_id"),
+        col("te").as("s_te"))
+      graft.operators.AsOf
+        .joinSkewSafe(purchases, signups, Seq("user_id"), "p_te", "s_te",
+          buckets = 16)
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS te
+                 FROM events),
+      p AS (SELECT user_id, event_id AS purchase_id, te AS p_te
+            FROM e WHERE event_type = 'purchase'),
+      s AS (SELECT user_id, event_id AS signup_id, te AS s_te
+            FROM e WHERE event_type = 'signup')
+      SELECT p.user_id, p.purchase_id, p.p_te,
+             s.signup_id AS asof_signup_id, s.s_te AS asof_s_te
+      FROM p ASOF LEFT JOIN s
+        ON p.user_id = s.user_id AND p.p_te >= s.s_te
+      ORDER BY purchase_id"""))
+
   val q27_range_join = Q(
     "q27_range_join",
     (s, dir) => {
@@ -546,5 +584,5 @@ object Advanced {
     t05_string_suite, q25_distinct_median, q26_asof_join, q27_range_join,
     q28_argmin_group, q33_null_logic, q34_datetime, q36_native_topk,
     q37_disjunctive_join, q38_returned_revenue, q39_large_volume_orders,
-    q58_asof_tolerance)
+    q58_asof_tolerance, q59_asof_skewsafe)
 }

@@ -13,14 +13,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Delivery contract: foreachBatch is AT-LEAST-ONCE on crash-retry (the
   * checkpoint makes a completed batch never re-run, but a batch that
-  * crashed mid-append can re-append). That is safe HERE by construction:
-  * the index is a bag of (doc_id, band, bh, sig) rows and
-  * [[graft.operators.DedupIndex.probe]] ends in `.distinct()`, so
-  * duplicated rows collapse to the same candidate set. The ANN index's
-  * append is NOT exposed this way — its centroid-state merge is not
-  * idempotent (a replayed batch would double-count the delta's sums);
-  * streaming ANN maintenance needs a transactional sink or batch-id
-  * dedup first.
+  * crashed mid-append can re-append). Each index meets that contract
+  * its own way:
+  *  - dedup: safe by construction — the index is a bag of
+  *    (doc_id, band, bh, sig) rows and
+  *    [[graft.operators.DedupIndex.probe]] ends in `.distinct()`, so
+  *    duplicated rows collapse to the same candidate set;
+  *  - ANN: the batch-path [[graft.operators.AnnIndex.append]] is NOT
+  *    replay-safe (its centroid-state read-merge-overwrite would
+  *    double-count a replayed batch), so the streaming path uses
+  *    [[graft.operators.AnnIndex.appendIdempotent]] instead: every
+  *    layer a batch writes is an overwrite of a batch-id-derived path,
+  *    and centroids re-derive from the sum over all per-batch state
+  *    deltas — replaying a batch rewrites the same bytes rather than
+  *    applying a delta twice.
   */
 object IndexMaintenance {
 
@@ -34,6 +40,25 @@ object IndexMaintenance {
       .option("checkpointLocation", s"$root/_maintenance_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         graft.operators.DedupIndex.append(batch.sparkSession, root, batch)
+      }
+      .start()
+
+  /** Start draining `vecs` (a streaming (vec_id, embedding, label)
+    * relation) into the ANN index at `root` — stream-owned bootstrap:
+    * the root starts empty and every layer is built by the idempotent
+    * per-batch appends, so probes between drains are bit-identical to a
+    * batch build over everything ingested so far (pinned in
+    * `AnnStreamSpec`). Do not point this at a root created by
+    * `buildIfMissing` — the two layouts deliberately differ (see
+    * [[graft.operators.AnnIndex.appendIdempotent]]). */
+  def maintainAnnIndex(vecs: DataFrame, root: String): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/_maintenance_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        graft.operators.AnnIndex.appendIdempotent(
+          batch.sparkSession, root, batch, id)
       }
       .start()
 }

@@ -250,7 +250,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // rosters so any disappearance is a named failure. Update the count
     // deliberately when adding queries — never let it float.
     val names = graft.SparkEntry.queries.keySet
-    assert(names.size == 117, s"query pack shrank/grew: ${names.size}")
+    assert(names.size == 118, s"query pack shrank/grew: ${names.size}")
     val eventsLane = Set("q13_events_hourly", "q15_sessionize",
       "q17_pivot", "q18_json_extract", "q26_asof_join", "q27_range_join",
       "q29_funnel", "q30_retention", "q54_event_transitions",

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.AnnIndex
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming ANN maintenance must (a) converge to exactly the batch
+  * build over the same vectors, across micro-batches, and (b) survive
+  * foreachBatch's at-least-once contract: replaying a batch id must
+  * rewrite the same bytes, never double-count the centroid state —
+  * the gap that kept ANN out of IndexMaintenance until round 8. */
+class AnnStreamSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def vectors = Tables(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"), col("label"))
+
+  private def queries = {
+    import graft.functions.VectorFunctions.vec_norm
+    Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        vec_norm(col("embedding")).as("q_norm"))
+  }
+
+  private def results(root: String) =
+    AnnIndex.probe(spark, root, queries, nProbe = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+      .toSet
+
+  test("stream-maintained ANN index equals the batch build, across batches") {
+    // two delivery waves forced through separate micro-batches
+    val streamDir = tmpDir("ann-stream-in")
+    vectors.filter(col("vec_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$streamDir/wave=0")
+    vectors.filter(col("vec_id") % 2 =!= 0)
+      .coalesce(1).write.parquet(s"$streamDir/wave=1")
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", streamDir)
+      .parquet(s"$streamDir/wave=*")
+      .select(col("vec_id"), col("embedding"), col("label"))
+
+    val rootStream = tmpDir("ann-stream-root")
+    val q = IndexMaintenance.maintainAnnIndex(stream, rootStream)
+    try q.awaitTermination() finally q.stop()
+
+    val rootBatch = tmpDir("ann-batch-root")
+    AnnIndex.buildIfMissing(spark, sfDir, rootBatch)
+
+    val streamed = results(rootStream)
+    val batch = results(rootBatch)
+    assert(streamed.nonEmpty, "no probe hits at smoke scale; weak test")
+    assert(streamed == batch,
+      s"stream-maintained ANN index diverged: " +
+        s"stream=${streamed.size} batch=${batch.size}")
+  }
+
+  test("replaying a batch id is byte-idempotent — no double-counted state") {
+    val root = tmpDir("ann-replay-root")
+    val half = vectors.filter(col("vec_id") % 2 === 0)
+    AnnIndex.appendIdempotent(spark, root, half, batchId = 0L)
+    AnnIndex.appendIdempotent(spark, root, vectors.filter(col("vec_id") % 2 =!= 0),
+      batchId = 1L)
+    val before = results(root)
+    // crash-retry: batch 1 re-runs with the same id and the same data
+    AnnIndex.appendIdempotent(spark, root, vectors.filter(col("vec_id") % 2 =!= 0),
+      batchId = 1L)
+    assert(results(root) == before,
+      "replaying a completed batch changed probe results")
+    // and the index still matches a clean batch build
+    val rootBatch = tmpDir("ann-replay-batch")
+    AnnIndex.buildIfMissing(spark, sfDir, rootBatch)
+    assert(results(root) == results(rootBatch))
+  }
+}
