@@ -29,8 +29,13 @@ def spark_bench():
         ["java"] + ADD_OPENS + ["-Xmx16g", "-Dspark.ui.enabled=false",
          "-Dspark.sql.session.timeZone=UTC", "-cp", cp, "graft.Bench"],
         capture_output=True, text=True, env=env)
-    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # per-query medians live in the DETAIL line (the contract line is
+    # size-bounded and only carries the slowest-10); spread fields come
+    # along for free
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    detail = next(json.loads(l) for l in lines if '"total_detail"' in l)
+    detail["queries"] = {k: v["med"] for k, v in detail["queries"].items()}
+    return detail
 
 def duckdb_bench(oracle):
     import duckdb
