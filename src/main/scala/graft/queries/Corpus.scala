@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Pii
+import graft.operators.PrefixSum
+
+/** Corpus-preparation operators — the stages between "deduplicated text"
+  * and "tokens on a training cluster": sequence packing, PII scrubbing,
+  * exact substring-span dedup, and sketch-based cardinality accounting.
+  *
+  * Lane naming continues the existing inventories (t2x text, d1x dedup,
+  * q6x analytics) so the SURVEY §2 roster stays one flat namespace; the
+  * implementations live here because they share the corpus-prep theme
+  * and the [[PrefixSum]] / [[Pii]] primitives.
+  *
+  * Every query is oracle-gated (DuckDB SQL over the same parquet) and
+  * keeps the 100 TB shape: one corpus scan, digest-only shuffles, no
+  * per-group single-task windows (the prefix scan in t26 goes through
+  * [[PrefixSum]], not `Window.partitionBy(source)`).
+  */
+object Corpus {
+
+  /** Context window for sequence packing (tokens per training row).
+    * 256 rather than a production 2k/8k so the packing math is actually
+    * exercised at every test SF (per-source corpora are ~1.3k-14k
+    * tokens; a 2048 window would mean one bin per source and zero
+    * boundary crossings — a vacuous gate). The math is ctx-invariant. */
+  val PackCtx = 256L
+
+  /** GPT-style concat-and-chunk packing stats per source: documents are
+    * laid end-to-end in doc_id order and cut every [[PackCtx]] tokens;
+    * reports bins, boundary-crossing docs, and fill ratio. The exclusive
+    * token prefix (each doc's start offset in the stream) comes from the
+    * distributed two-pass [[PrefixSum]] — NOT a per-source window, which
+    * would funnel a dominant source through one task at 100 TB. */
+  private[queries] def seqPack(docs: DataFrame): DataFrame = {
+    val base = docs
+      .transform(Tables.fanOut)
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(size(${Text.toksExpr}) AS BIGINT)").as("n_tok"))
+    val cum = PrefixSum.exclusive(
+      base, Seq("source"), Seq("doc_id"), "n_tok", "cum")
+    cum.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        // a doc crosses a chunk boundary iff its first and last token
+        // fall in different bins (floor of the double quotient is exact
+        // well past 2^53 tokens per source)
+        sum(when(col("n_tok") > 0 &&
+            floor(col("cum") / lit(PackCtx.toDouble)) =!=
+              floor((col("cum") + col("n_tok") - 1) / lit(PackCtx.toDouble)),
+            1L)
+          .otherwise(0L)).as("crossing_docs"))
+      .withColumn("n_bins",
+        expr(s"CAST((total_tokens + ${PackCtx - 1}) DIV $PackCtx AS BIGINT)"))
+      .withColumn("fill_ratio",
+        col("total_tokens").cast("double") / (col("n_bins") * lit(PackCtx)))
+      .orderBy(col("source"))
+  }
+
+  val t26_seq_pack = Q(
+    "t26_seq_pack",
+    (s, dir) => seqPack(Tables(s, dir, "documents")),
+    Some("""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT source, n_tok,
+              COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM t),
+      g AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+              CAST(SUM(CASE WHEN n_tok > 0 AND
+                         floor(cum / 256.0) <> floor((cum + n_tok - 1) / 256.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs
+            FROM c GROUP BY source)
+      SELECT source, n_docs, total_tokens, crossing_docs,
+             (total_tokens + 255) // 256 AS n_bins,
+             CAST(total_tokens AS DOUBLE) /
+               (((total_tokens + 255) // 256) * 256) AS fill_ratio
+      FROM g ORDER BY source"""))
+
+  /** PII scrub profile per source: detection counts per class (email /
+    * IPv4 / phone — [[Pii]]), docs containing any PII, plus a nonzero
+    * generic signal (long-token count) proving the scan pipeline runs
+    * over real text. The synthetic corpus contains no PII by
+    * construction, so the PII columns gate at their true zeros here;
+    * detection AND redaction behavior on PII-bearing text is pinned in
+    * `CorpusSpec` fixtures. Map-only until the final per-source rollup —
+    * zero data shuffle at any scale. */
+  private[queries] def piiScan(docs: DataFrame): DataFrame =
+    docs.transform(Tables.fanOut)
+      .select(
+        col("source"),
+        Pii.emailHits(col("text")).as("e"),
+        Pii.ipv4Hits(col("text")).as("ip"),
+        Pii.phoneHits(col("text")).as("ph"),
+        size(filter(expr(Text.toksExpr), t => length(t) >= 8))
+          .cast("long").as("lt"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("e")).as("email_hits"),
+        sum(col("ip")).as("ipv4_hits"),
+        sum(col("ph")).as("phone_hits"),
+        sum(when(col("e") + col("ip") + col("ph") > 0, 1L).otherwise(0L))
+          .as("pii_docs"),
+        sum(col("lt")).as("long_tok_hits"))
+      .orderBy(col("source"))
+
+  val t27_pii_scan = Q(
+    "t27_pii_scan",
+    (s, dir) => piiScan(Tables(s, dir, "documents")),
+    Some("""
+      WITH p AS (SELECT source,
+        CAST(length(regexp_extract_all(text,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS e,
+        CAST(length(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ip,
+        CAST(length(regexp_extract_all(text,
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS ph,
+        CAST(length(list_filter(regexp_extract_all(text, '[a-z0-9]+'),
+          x -> length(x) >= 8)) AS BIGINT) AS lt
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(e) AS BIGINT) AS email_hits,
+             CAST(SUM(ip) AS BIGINT) AS ipv4_hits,
+             CAST(SUM(ph) AS BIGINT) AS phone_hits,
+             CAST(SUM(CASE WHEN e + ip + ph > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pii_docs,
+             CAST(SUM(lt) AS BIGINT) AS long_tok_hits
+      FROM p GROUP BY source ORDER BY source"""))
+
+  /** Exact substring-span dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data" family): every 8-token span is hashed; a span
+    * occurring in more than one document marks all its positions as
+    * duplicated text. Per doc: span positions, duplicated positions,
+    * duplicated share. Shuffles carry 16-byte binary digests
+    * (`unhex(md5)` — 128 bits so collisions stay negligible at 10^13+
+    * spans, half the bytes of the hex form), never text. The span
+    * stream is one digest per token position — linear in corpus tokens
+    * with a ~3x constant over the raw text bytes; that constant is the
+    * price of the embarrassingly-parallel formulation (the suffix-array
+    * alternative builds sequentially per shard), and partial map-side
+    * aggregation absorbs within-partition repeats before the exchange. */
+  private[queries] def spanDedup(docs: DataFrame): DataFrame = {
+    val base = docs
+      .transform(Tables.fanOut)
+      .withColumn("toks", expr(Text.toksExpr))
+      .where(expr("size(toks) >= 8"))
+      .select(col("doc_id"),
+        (size(col("toks")) - 7).cast("long").as("n_spans"),
+        expr("""transform(sequence(0, size(toks) - 8),
+                  i -> unhex(md5(concat_ws(' ', slice(toks, i + 1, 8)))))""")
+          .as("spans"))
+      // barrier: the span stream has two consumers (cross-doc dup set +
+      // per-doc join-back); without it the tokenizer and 8-token md5
+      // chain re-evaluate per consumer (same requirement as t11/d08)
+      .cache()
+    val sp = base.select(col("doc_id"), explode(col("spans")).as("h"))
+    val dup = sp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("h"))
+    val perDoc = sp.join(dup, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"))
+    base.select(col("doc_id"), col("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
+      .withColumn("dup_share",
+        col("dup_spans").cast("double") / col("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18_span_dedup = Q(
+    "d18_span_dedup",
+    (s, dir) => spanDedup(Tables(s, dir, "documents")),
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, toks,
+              CAST(length(toks) - 7 AS BIGINT) AS n_spans
+            FROM t WHERE length(toks) >= 8),
+      sp AS (SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+             FROM b, unnest(range(1, length(toks) - 6)) AS u(i)),
+      cd AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans
+             FROM sp WHERE h IN (SELECT h FROM cd) GROUP BY doc_id)
+      SELECT b.doc_id, n_spans,
+             COALESCE(dup_spans, 0) AS dup_spans,
+             CAST(COALESCE(dup_spans, 0) AS DOUBLE) / n_spans AS dup_share
+      FROM b LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""))
+
+  /** KMV sketch size (distinct hash minima retained). */
+  val KmvK = 1024
+
+  /** K-minimum-values distinct-count sketch over `keyCol`, md5-hashed so
+    * BOTH engines compute bit-identical sketches (md5 is the one hash
+    * Spark and DuckDB share). The shuffle carries one row per DISTINCT
+    * hash (map-side partial distinct), then TakeOrderedAndProject keeps
+    * the k minima per partition before the single merge — at 100 TB the
+    * sketch path never materializes more than |distinct| digests, and two
+    * sketches union by keeping the k smallest of the merged minima (the
+    * mergeability that makes KMV a per-partition/per-day accounting tool
+    * where exact COUNT(DISTINCT) would re-shuffle history). */
+  private[queries] def kmvDistinct(df: DataFrame, keyCol: String): DataFrame = {
+    val hv = df.select(
+        conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .distinct()
+    val kth = hv.orderBy(col("hv")).limit(KmvK)
+      .agg(count(lit(1)).as("k_actual"), max(col("hv")).as("kth_min"))
+    val exact = df.agg(
+      countDistinct(col(keyCol)).cast("long").as("exact_distinct"))
+    kth.crossJoin(exact) // 1 row x 1 row
+      .withColumn("est_distinct",
+        // fewer than k distinct values => the sketch IS the exact set
+        when(col("k_actual") < KmvK, col("k_actual").cast("double"))
+          .otherwise((col("k_actual").cast("double") - lit(1.0)) *
+            lit(1152921504606846976L) / col("kth_min")))
+      .withColumn("rel_err",
+        abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct"))
+      .select(col("k_actual"), col("kth_min"), col("est_distinct"),
+        col("exact_distinct"), col("rel_err"))
+  }
+
+  val q60_kmv_distinct = Q(
+    "q60_kmv_distinct",
+    (s, dir) => kmvDistinct(Tables(s, dir, "lineitem"), "l_partkey"),
+    Some("""
+      WITH h AS (SELECT DISTINCT
+              ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+            FROM lineitem),
+      kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_actual, MAX(hv) AS kth_min
+             FROM (SELECT hv FROM h ORDER BY hv LIMIT 1024)),
+      est AS (SELECT k_actual, kth_min,
+                CASE WHEN k_actual < 1024 THEN CAST(k_actual AS DOUBLE)
+                     ELSE (CAST(k_actual AS DOUBLE) - 1.0) *
+                          1152921504606846976 / kth_min
+                END AS est_distinct
+              FROM kk),
+      e AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+            FROM lineitem)
+      SELECT k_actual, kth_min, est_distinct, exact_distinct,
+             abs(est_distinct - exact_distinct) / exact_distinct AS rel_err
+      FROM est, e"""))
+
+  val all: Seq[Q] =
+    Seq(t26_seq_pack, t27_pii_scan, d18_span_dedup, q60_kmv_distinct)
+}

@@ -226,6 +226,32 @@ class QueriesSmokeSpec extends SparkSpec {
       s"t24 freq-of-freqs subtree is not cached:\n$plan")
   }
 
+  test("t26 prefix scan is pid-keyed — no per-source data window (100TB shape)") {
+    // The packing prefix must come from PrefixSum's two-pass scan: the
+    // only window over DATA rows is keyed by (__ps_pid, source), so a
+    // dominant source is split across range partitions instead of
+    // funneled through one task. A windowspecdefinition(source, doc_id)
+    // would be the t24-round-7 one-task shape sneaking back in.
+    val df = Corpus.t26_seq_pack.run(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(__ps_pid".r.findFirstIn(plan).isDefined,
+      s"t26 lost the pid-keyed local prefix window:\n$plan")
+    assert(!"windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(plan)
+      .isDefined,
+      s"t26 windows data rows per source (one-task-per-source shape):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t26 offset grid is not broadcast-joined:\n$plan")
+  }
+
+  test("q60 keeps the k minima per partition before the single merge") {
+    val df = Corpus.q60_kmv_distinct.run(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q60 sorts globally instead of per-partition top-k:\n$plan")
+  }
+
   test("d01 shuffles digests, not document bodies") {
     // README's scale claim, measured: exact dedup reduces each document
     // to (md5, id, n_chars) BEFORE any exchange, so total shuffle-write
@@ -250,7 +276,11 @@ class QueriesSmokeSpec extends SparkSpec {
     // rosters so any disappearance is a named failure. Update the count
     // deliberately when adding queries — never let it float.
     val names = graft.SparkEntry.queries.keySet
-    assert(names.size == 118, s"query pack shrank/grew: ${names.size}")
+    assert(names.size == 122, s"query pack shrank/grew: ${names.size}")
+    val corpusLane = Set("t26_seq_pack", "t27_pii_scan", "d18_span_dedup",
+      "q60_kmv_distinct")
+    assert((corpusLane -- names).isEmpty,
+      s"corpus-prep lane missing: ${corpusLane -- names}")
     val eventsLane = Set("q13_events_hourly", "q15_sessionize",
       "q17_pivot", "q18_json_extract", "q26_asof_join", "q27_range_join",
       "q29_funnel", "q30_retention", "q54_event_transitions",
