@@ -32,6 +32,12 @@ import graft.queries.{Dedup, Text}
   *     → mix rebalance      (opt-in: stratified downsample of the
   *                           survivors to the smallest source's size —
   *                           t16's exact-rational sampler, salted hash)
+  *     → PII scrub          (default-on: redact email/IPv4/phone via
+  *                           [[graft.functions.Pii]]; LAST content
+  *                           transform, so every upstream digest,
+  *                           shingle, and signature was computed on the
+  *                           raw corpus and redaction can never split a
+  *                           duplicate pair across the dedup stages)
   *     → deterministic split (t10's md5 bucketing, 80/10/10)
   *     → curated parquet partitioned by split + a JSON manifest
   *
@@ -202,7 +208,8 @@ object Curate {
       clusterDedup: Boolean = true,
       semanticDedup: Boolean = false,
       semanticThreshold: Double = 0.9,
-      auditSemantic: Boolean = false): Report = {
+      auditSemantic: Boolean = false,
+      piiScrub: Boolean = true): Report = {
     val docs = Tables(spark, sfDir, "documents")
     val input = docs.count()
 
@@ -320,8 +327,34 @@ object Curate {
       }
       val nBalanced = if (rebalanceMix) Some(balanced.count()) else None
 
+      // 4.7 (default-on) PII scrub: count per-class hits for the
+      // manifest, then redact in place. Deliberately the LAST content
+      // transform — every digest/shingle/signature upstream saw the raw
+      // text, so redaction can never split a duplicate pair, and the
+      // audit counts describe exactly what shipped. A map-only stage:
+      // no shuffle, no drop (in == out), n_chars recomputed so the
+      // curated schema stays self-consistent.
+      val piiCounts: Option[(Long, Long)] = if (!piiScrub) None else {
+        val r = balanced.select(
+          (graft.functions.Pii.emailHits(col("text")) +
+            graft.functions.Pii.ipv4Hits(col("text")) +
+            graft.functions.Pii.phoneHits(col("text"))).as("hits"))
+          .agg(
+            coalesce(sum(when(col("hits") > 0, 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(col("hits")), lit(0L)))
+          .head()
+        Some((r.getLong(0), r.getLong(1)))
+      }
+      val scrubbed = if (!piiScrub) balanced else {
+        val redacted = balanced
+          .withColumn("text", graft.functions.Pii.redact(col("text")))
+        if (redacted.columns.contains("n_chars"))
+          redacted.withColumn("n_chars", length(col("text")).cast("long"))
+        else redacted
+      }
+
       // 5. deterministic split (same md5 bucketing as t10) and write
-      val curated = balanced
+      val curated = scrubbed
         .withColumn("bucket", expr(
           graft.core.Sampling.md5Bucket("CAST(doc_id AS STRING)", 100)))
         .withColumn("split",
@@ -361,6 +394,12 @@ object Curate {
           nQuality, nClean),
         StageRecord("mix_rebalance", enabled = rebalanceMix,
           Seq("sampler" -> q("stratified-md5-to-min-source")), nClean, nBal),
+        StageRecord("pii_scrub", enabled = piiScrub,
+          Seq(
+            "classes" -> q("email,ipv4,phone"),
+            "pii_docs" -> piiCounts.fold("0")(_._1.toString),
+            "pii_hits" -> piiCounts.fold("0")(_._2.toString)),
+          nBal, nBal),
         StageRecord("split", enabled = true,
           Seq("train" -> "80", "valid" -> "10", "test" -> "10"),
           nBal, splits.values.sum))

@@ -201,22 +201,25 @@ object Corpus {
 
   /** K-minimum-values distinct-count sketch over `keyCol`, md5-hashed so
     * BOTH engines compute bit-identical sketches (md5 is the one hash
-    * Spark and DuckDB share). The shuffle carries one row per DISTINCT
-    * hash (map-side partial distinct), then TakeOrderedAndProject keeps
-    * the k minima per partition before the single merge — at 100 TB the
-    * sketch path never materializes more than |distinct| digests, and two
-    * sketches union by keeping the k smallest of the merged minima (the
-    * mergeability that makes KMV a per-partition/per-day accounting tool
-    * where exact COUNT(DISTINCT) would re-shuffle history). */
+    * Spark and DuckDB share). ONE scan: the raw keys deduplicate first
+    * (map-side partial distinct — the shuffle carries one row per
+    * distinct KEY, not per input row), then md5 runs on the distinct set
+    * only, feeding both the exact count and the sketch; the k minima
+    * fold per-partition through TakeOrderedAndProject before the single
+    * merge. At 100 TB the sketch path never materializes more than
+    * |distinct| digests, and two sketches union by keeping the k
+    * smallest of the merged minima — the mergeability that makes KMV a
+    * per-partition/per-day accounting tool where exact COUNT(DISTINCT)
+    * would re-shuffle history. */
   private[queries] def kmvDistinct(df: DataFrame, keyCol: String): DataFrame = {
-    val hv = df.select(
-        conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-          .cast("long").as("hv"))
-      .distinct()
+    val keys = df.select(col(keyCol)).distinct()
+      .cache() // barrier: exact count + sketch share the distinct pass
+    val hv = keys.select(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long").as("hv"))
     val kth = hv.orderBy(col("hv")).limit(KmvK)
       .agg(count(lit(1)).as("k_actual"), max(col("hv")).as("kth_min"))
-    val exact = df.agg(
-      countDistinct(col(keyCol)).cast("long").as("exact_distinct"))
+    val exact = keys.agg(count(lit(1)).cast("long").as("exact_distinct"))
     kth.crossJoin(exact) // 1 row x 1 row
       .withColumn("est_distinct",
         // fewer than k distinct values => the sketch IS the exact set

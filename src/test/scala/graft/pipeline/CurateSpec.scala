@@ -193,7 +193,7 @@ class CurateSpec extends SparkSpec {
     // the audit a pipeline operator needs to answer "why did doc X die"
     assert(r.stages.map(_.name) == Seq("exact_dedup", "neardup",
       "semantic_neardup", "quality_filter", "decontamination",
-      "mix_rebalance", "split"))
+      "mix_rebalance", "pii_scrub", "split"))
     r.stages.sliding(2).foreach {
       case Seq(a, b) => assert(a.out == b.in, s"${a.name}.out != ${b.name}.in")
       case _ => ()
@@ -222,6 +222,62 @@ class CurateSpec extends SparkSpec {
     assert(txt.contains("\"stage\":\"semantic_neardup\",\"enabled\":false"))
     assert(txt.contains("\"ab_semantic\":{\"threshold\":0.9"))
     assert(txt.contains("\"sim_threshold\":0.5"))
+  }
+
+  test("pii scrub redacts the curated output and records its counts") {
+    import spark.implicits._
+    // fixture corpus: diverse texts (distinct word tails keep LSH
+    // similarity below the loosened threshold), two docs carrying PII.
+    // Same schema as the testdata documents table.
+    val base = Seq(
+      "table scan merge join window batch stream value",
+      "customer order revenue nation region supplier part",
+      "vector embed cosine cluster centroid probe cell index",
+      "token shingle minhash band bucket digest signature hash",
+      "quality stopword ratio length saturation diversity score",
+      "session funnel retention pivot rollup cube grouping sets",
+      "watermark trigger state store output mode append complete",
+      "broadcast shuffle exchange partition codegen stage task",
+      "parquet footer rowgroup page dictionary encoding stats",
+      "salt skew carry asof tolerance bucket stitch boundary",
+      "gini zipf entropy surprisal bigram vocabulary coverage",
+      "pack bin context boundary crossing fill ratio prefix")
+    val rows = base.zipWithIndex.map { case (t, i) =>
+      val id = i + 1L
+      val txt =
+        if (id == 3L) t + " contact ops@example.com from 10.0.0.8"
+        else if (id == 7L) t + " dial 555-123-4567 asap"
+        else t
+      (id, txt, "en", s"src${i % 2}", txt.length.toLong)
+    }
+    val fx = tmpDir("curate-pii-fixture")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$fx/documents.parquet")
+    val dir = tmpDir("curate-pii-out")
+    // thresholds loosened so every fixture doc survives the drop stages:
+    // this test is about the scrub, not the filters
+    val r = Curate.run(spark, fx, dir,
+      simThreshold = 0.95, qualityThreshold = 0.0)
+    val pii = r.stages.find(_.name == "pii_scrub")
+      .getOrElse(fail("pii_scrub stage missing from manifest"))
+    assert(pii.enabled && pii.in == pii.out, "scrub must never drop docs")
+    assert(pii.params.contains("pii_docs" -> "2"), pii.params.toString)
+    assert(pii.params.contains("pii_hits" -> "3"), pii.params.toString)
+    val curated = spark.read.parquet(s"$dir/curated")
+    // nothing detectable ships, placeholders + n_chars are consistent
+    assert(curated.filter(graft.functions.Pii.hasPii(col("text")))
+      .count() == 0, "curated output still contains detectable PII")
+    val d3 = curated.filter(col("doc_id") === 3L).select("text", "n_chars")
+      .as[(String, Long)].head()
+    assert(d3._1.endsWith("contact [EMAIL] from [IP]"), d3._1)
+    assert(d3._2 == d3._1.length.toLong, "n_chars not recomputed after scrub")
+    // and the scrub can be disabled: raw text passes through untouched
+    val dir2 = tmpDir("curate-pii-off")
+    val r2 = Curate.run(spark, fx, dir2,
+      simThreshold = 0.95, qualityThreshold = 0.0, piiScrub = false)
+    assert(!r2.stages.find(_.name == "pii_scrub").get.enabled)
+    assert(spark.read.parquet(s"$dir2/curated")
+      .filter(col("text").contains("ops@example.com")).count() == 1)
   }
 
   test("manifest file is valid machine-readable JSON") {
