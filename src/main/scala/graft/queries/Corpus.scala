@@ -84,6 +84,48 @@ object Corpus {
                (((total_tokens + 255) // 256) * 256) AS fill_ratio
       FROM g ORDER BY source"""))
 
+  /** Per-bin packing manifest rollup — the loader-facing contract of
+    * [[graft.pipeline.Pack]]: for every (source, bin), how many doc
+    * segments compose it and how many tokens they contribute. Every bin
+    * except each source's last must land exactly [[PackCtx]] tokens
+    * (the completeness invariant `PackSpec` pins; this query gates the
+    * same segment arithmetic against the DuckDB oracle). */
+  private[queries] def packSegments(docs: DataFrame): DataFrame = {
+    val base = docs
+      .transform(Tables.fanOut)
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(size(${Text.toksExpr}) AS BIGINT)").as("n_tok"))
+    graft.pipeline.Pack.segments(base, PackCtx)
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("tok_to") - col("tok_from")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val t28_pack_segments = Q(
+    "t28_pack_segments",
+    (s, dir) => packSegments(Tables(s, dir, "documents")),
+    Some("""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tok,
+              CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+            FROM t),
+      s AS (SELECT source, doc_id, cum, n_tok, u.bin
+            FROM c, unnest(range(cum // 256, (cum + n_tok - 1) // 256 + 1)) AS u(bin)
+            WHERE n_tok > 0),
+      seg AS (SELECT source, bin,
+                greatest(bin * 256 - cum, 0) AS tok_from,
+                least((bin + 1) * 256 - cum, n_tok) AS tok_to
+              FROM s)
+      SELECT source, CAST(bin AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_segs,
+             CAST(SUM(tok_to - tok_from) AS BIGINT) AS bin_tokens
+      FROM seg GROUP BY source, bin ORDER BY source, bin"""))
+
   /** PII scrub profile per source: detection counts per class (email /
     * IPv4 / phone — [[Pii]]), docs containing any PII, plus a nonzero
     * generic signal (long-token count) proving the scan pipeline runs
@@ -255,5 +297,6 @@ object Corpus {
       FROM est, e"""))
 
   val all: Seq[Q] =
-    Seq(t26_seq_pack, t27_pii_scan, d18_span_dedup, q60_kmv_distinct)
+    Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, d18_span_dedup,
+      q60_kmv_distinct)
 }

@@ -35,7 +35,12 @@ object Pipeline {
     *  3. the ANN index builds at `workDir/index/ann` (its append path
     *     is exact-by-construction but not replay-idempotent, so it
     *     stays batch — see IndexMaintenance's scaladoc);
-    *  4. both indexes are probed with EXACTLY the d15/s05 probe sets.
+    *  4. both indexes are probed with EXACTLY the d15/s05 probe sets;
+    *  5. the curated TRAIN split gets its sequence-packing manifest
+    *     ([[graft.pipeline.Pack.writeManifest]] under
+    *     `workDir/llm/pack_manifest`) — the loader-facing hand-off
+    *     that turns the funnel's survivors into fixed-size training
+    *     rows without re-tokenizing at load time.
     *
     * Returns (curation report, dedup probe hits, ann probe hits); the
     * probe results are pinned row-identical to the oracle-gated
@@ -82,6 +87,18 @@ object Pipeline {
           col("norm").as("q_norm")),
         nProbe = 2, k = 5)
       .orderBy(col("q_id"), col("rank"))
+
+    // 5. packing manifest over the curated train split (ctx matches
+    // the t26/t28 gate so the manifest math is oracle-backed)
+    val curatedTrain = spark.read.parquet(s"$workDir/llm/curated")
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT)")
+          .as("n_tok"))
+    graft.pipeline.Pack.writeManifest(curatedTrain,
+      graft.queries.Corpus.PackCtx, binsPerShard = 8L,
+      s"$workDir/llm/pack_manifest")
+
     (report, dedupHits, annHits)
   }
   def main(args: Array[String]): Unit = {

@@ -14,8 +14,9 @@ import graft.queries.{Dedup, Similarity}
 class PipelineLlmSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.01"
 
+  private val workDir = tmpDir("pipeline-llm")
   private lazy val (report, dedupHits, annHits) =
-    graft.tools.Pipeline.llmLane(spark, sfDir, tmpDir("pipeline-llm"))
+    graft.tools.Pipeline.llmLane(spark, sfDir, workDir)
 
   test("curation ran with full provenance") {
     assert(report.afterDecontam > 0)
@@ -28,6 +29,25 @@ class PipelineLlmSpec extends SparkSpec {
     assert(batch.nonEmpty, "batch d15 returned nothing — probe set empty?")
     assert(piped == batch,
       s"pipeline dedup probe diverged: ${piped.size} vs ${batch.size} rows")
+  }
+
+  test("train split ships with a complete packing manifest") {
+    import org.apache.spark.sql.functions._
+    val _ = report // force the lane
+    val ctx = graft.queries.Corpus.PackCtx
+    val manifest = spark.read.parquet(s"$workDir/llm/pack_manifest")
+    assert(manifest.count() > 0)
+    // interior bins full; manifest covers exactly the curated train docs
+    val perBin = manifest.groupBy(col("source"), col("bin"))
+      .agg(sum(col("tok_to") - col("tok_from")).as("toks"))
+    val last = perBin.groupBy(col("source")).agg(max(col("bin")).as("mx"))
+    assert(perBin.join(last, "source")
+      .filter(col("bin") < col("mx") && col("toks") =!= ctx).count() == 0,
+      "interior bins of the curated train manifest are not full")
+    val trainDocs = spark.read.parquet(s"$workDir/llm/curated")
+      .filter(col("split") === "train").select("doc_id").distinct().count()
+    assert(manifest.select("doc_id").distinct().count() == trainDocs,
+      "manifest does not cover exactly the curated train docs")
   }
 
   test("work-dir ANN index answers probes like the batch query") {
