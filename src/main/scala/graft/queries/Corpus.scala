@@ -177,6 +177,130 @@ object Corpus {
              CAST(SUM(lt) AS BIGINT) AS long_tok_hits
       FROM p GROUP BY source ORDER BY source"""))
 
+  /** The published Gopher document-quality ruleset (Rae et al. 2021,
+    * appendix A1.1), adapted to this corpus's token model: word-count
+    * band, mean-word-length band, and a stopword-presence floor, each
+    * reported per document with the composite verdict. t02 scores
+    * quality on a continuous scale; THIS operator pins the canonical
+    * cited rule thresholds a pipeline audit references. Map-only until
+    * the deterministic final sort — per-doc array arithmetic over one
+    * corpus scan, no shuffle of text. */
+  /** Append the Gopher rule verdict to any `(…, text, …)` relation —
+    * input columns pass through (the form [[graft.streaming
+    * .CurationStream.gopherGate]] gates on at ingestion time). */
+  def withGopherVerdict(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", expr(Text.toksExpr))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          round(expr("aggregate(__toks, 0L, (a, x) -> a + length(x))")
+            .cast("double") / col("n_words"), 6))
+          .otherwise(0.0))
+      .withColumn("stop_hits",
+        expr("""size(array_intersect(__toks,
+            array('the', 'a', 'of', 'to', 'and', 'in', 'that', 'with')))""")
+          .cast("long"))
+      .withColumn("passes",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("stop_hits") >= 2)
+      .drop("__toks")
+
+  private[queries] def gopherFilter(docs: DataFrame): DataFrame =
+    withGopherVerdict(docs.transform(Tables.fanOut))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("mean_word_len"), col("stop_hits"), col("passes"))
+      .orderBy(col("doc_id"))
+
+  val t29_gopher_filter = Q(
+    "t29_gopher_filter",
+    (s, dir) => gopherFilter(Tables(s, dir, "documents")),
+    Some("""
+      WITH t AS (SELECT doc_id, source,
+                   regexp_extract_all(text, '[a-z0-9]+') AS toks
+                 FROM documents)
+      SELECT doc_id, source,
+             CAST(length(toks) AS BIGINT) AS n_words,
+             CASE WHEN length(toks) > 0 THEN
+               round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                 AS DOUBLE) / length(toks), 6)
+             ELSE 0.0 END AS mean_word_len,
+             CAST(length(list_intersect(toks,
+               ['the', 'a', 'of', 'to', 'and', 'in', 'that', 'with']))
+               AS BIGINT) AS stop_hits,
+             (length(toks) BETWEEN 50 AND 100000) AND
+               (CASE WHEN length(toks) > 0 THEN
+                  round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / length(toks), 6)
+                ELSE 0.0 END BETWEEN 3.0 AND 10.0) AND
+               (length(list_intersect(toks,
+                 ['the', 'a', 'of', 'to', 'and', 'in', 'that', 'with'])) >= 2)
+               AS passes
+      FROM t ORDER BY doc_id"""))
+
+  /** Temperature-scaled source mixing (the α=0.5 exponent of
+    * XLM-R-style multilingual sampling): keep rate per source is
+    * `sqrt(min_docs / n_docs)` — flattens the mix HALFWAY (in log
+    * space) between the raw corpus and t16's full equalization, so big
+    * sources keep more diversity while small ones still gain share.
+    * Membership is the EXACT integer test `bucket² · n < 10¹² · min`
+    * (squaring the md5-bucket rate comparison removes the sqrt — and
+    * with it every float — from the accept decision; decimal-widened so
+    * it cannot overflow at any corpus size), making the sample a pure
+    * function of doc_id and the per-source counts: reproducible across
+    * engines, partitionings, and appends to other sources. Same
+    * physical shape as t16 — tiny count broadcast, one corpus pass. */
+  private[queries] def temperatureMix(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"))
+    val stats = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("min_docs", min(col("n_docs")).over(Window.partitionBy()))
+    base
+      .withColumn("bucket", expr(graft.core.Sampling.md5Bucket(
+        "CAST(doc_id AS STRING)", 1000000, salt = "temp:")))
+      .join(broadcast(stats), "source")
+      .withColumn("keep", expr(
+        """CAST(bucket AS DECIMAL(38,0)) * bucket * n_docs <
+           CAST(min_docs AS DECIMAL(38,0)) * 1000000000000"""))
+      .groupBy(col("source"), col("n_docs"), col("min_docs"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_docs"), 6)
+          .as("achieved_rate"),
+        round(sqrt(col("min_docs").cast("double") / col("n_docs")), 6)
+          .as("target_rate"))
+      .orderBy(col("source"))
+  }
+
+  val t30_temperature_mix = Q(
+    "t30_temperature_mix",
+    (s, dir) => temperatureMix(Tables(s, dir, "documents")),
+    Some("""
+      WITH stats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(COUNT(*)) OVER () AS BIGINT) AS min_docs
+        FROM documents GROUP BY source),
+      tagged AS (
+        SELECT d.source, s.n_docs, s.min_docs,
+               CAST(concat('0x', substr(md5(concat('temp:',
+                 CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                 % 1000000 AS bucket
+        FROM documents d JOIN stats s USING (source))
+      SELECT source, n_docs,
+             CAST(SUM(CASE WHEN CAST(bucket AS HUGEINT) * bucket * n_docs <
+                    CAST(min_docs AS HUGEINT) * 1000000000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             round(CAST(SUM(CASE WHEN CAST(bucket AS HUGEINT) * bucket * n_docs <
+                    CAST(min_docs AS HUGEINT) * 1000000000000
+                  THEN 1 ELSE 0 END) AS DOUBLE) / n_docs, 6) AS achieved_rate,
+             round(sqrt(CAST(ANY_VALUE(min_docs) AS DOUBLE) / n_docs), 6)
+               AS target_rate
+      FROM tagged
+      GROUP BY source, n_docs
+      ORDER BY source"""))
+
   /** Exact substring-span dedup (the Lee et al. 2022 "Deduplicating
     * Training Data" family): every 8-token span is hashed; a span
     * occurring in more than one document marks all its positions as
@@ -297,6 +421,6 @@ object Corpus {
       FROM est, e"""))
 
   val all: Seq[Q] =
-    Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, d18_span_dedup,
-      q60_kmv_distinct)
+    Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
+      t30_temperature_mix, d18_span_dedup, q60_kmv_distinct)
 }

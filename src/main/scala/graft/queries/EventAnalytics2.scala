@@ -348,7 +348,76 @@ object EventAnalytics2 {
       WHERE prev_n IS NOT NULL
       ORDER BY day, event_type"""))
 
+  val q61_hourly_anomaly = Q(
+    "q61_hourly_anomaly",
+    (s, dir) => {
+      // Hour-of-day volume anomaly per event type — the alerting query
+      // behind q57's dashboard: each type's 24-slot diurnal profile is
+      // z-scored against its own mean/sd, so a traffic spike (or a dead
+      // hour) surfaces as |z| > 2 regardless of the type's base rate.
+      // Counts aggregate map-side to a dense (|types| x 24) grid (the
+      // missing-hour zeros matter: a silent hour IS the anomaly), the
+      // per-type moments are a 24-row aggregate, and both grid and
+      // stats come back as broadcasts — after the one count shuffle,
+      // everything downstream is dimension-sized at any corpus scale.
+      val counts = Tables(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n_events"))
+      val hours = s.range(0, 24).select(col("id").as("hod"))
+      val dense = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(hours)) // |types| x 24
+        .join(counts, Seq("event_type", "hod"), "left")
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      val stats = dense.groupBy(col("event_type"))
+        .agg(sum(col("n_events")).as("s"),
+          sum(col("n_events") * col("n_events")).as("sq"))
+        .withColumn("mean", col("s").cast("double") / lit(24))
+        .withColumn("sd", sqrt(greatest(
+          col("sq").cast("double") / lit(24) - col("mean") * col("mean"),
+          lit(0.0))))
+        .select(col("event_type"), col("mean"), col("sd"))
+      dense.join(broadcast(stats), "event_type")
+        .withColumn("z", when(col("sd") > 0,
+          round((col("n_events").cast("double") - col("mean")) / col("sd"), 6))
+          .otherwise(0.0))
+        .select(col("event_type"), col("hod"), col("n_events"),
+          round(col("mean"), 6).as("mean_events"), col("z"),
+          (abs(col("z")) > 2.0).as("is_anomaly"))
+        .orderBy(col("event_type"), col("hod"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT t.event_type, CAST(g.r AS BIGINT) AS hod
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             unnest(range(0, 24)) AS g(r)),
+      dense AS (
+        SELECT g.event_type, g.hod,
+               CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+        FROM grid g LEFT JOIN counts c USING (event_type, hod)),
+      stats AS (
+        SELECT event_type,
+               CAST(SUM(n_events) AS DOUBLE) / 24 AS mean,
+               sqrt(greatest(
+                 CAST(SUM(n_events * n_events) AS DOUBLE) / 24 -
+                   (CAST(SUM(n_events) AS DOUBLE) / 24) *
+                   (CAST(SUM(n_events) AS DOUBLE) / 24), 0.0)) AS sd
+        FROM dense GROUP BY 1),
+      scored AS (
+        SELECT d.event_type, d.hod, d.n_events,
+               round(s.mean, 6) AS mean_events,
+               CASE WHEN s.sd > 0 THEN
+                 round((CAST(d.n_events AS DOUBLE) - s.mean) / s.sd, 6)
+               ELSE 0.0 END AS z
+        FROM dense d JOIN stats s USING (event_type))
+      SELECT event_type, hod, n_events, mean_events, z,
+             abs(z) > 2.0 AS is_anomaly
+      FROM scored ORDER BY event_type, hod"""))
+
   val all: Seq[Q] = Seq(q29_funnel, q30_retention, q31_histogram,
     q32_exact_median, q54_event_transitions, q55_top_transitions,
-    q56_session_stats, q57_daily_change)
+    q56_session_stats, q57_daily_change, q61_hourly_anomaly)
 }

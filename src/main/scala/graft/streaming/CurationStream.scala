@@ -30,6 +30,18 @@ object CurationStream {
       .filter(col("quality") >= threshold)
       .select((docs.columns.map(col) :+ col("quality")): _*)
 
+  /** Admit documents passing the published Gopher ruleset — the
+    * rule-based sibling of [[qualityGate]]'s continuous score, sharing
+    * [[graft.queries.Corpus.withGopherVerdict]] (one copy — streamed
+    * and batch verdicts can never diverge; t29 oracle-gates the same
+    * expression). Stateless map+filter; admitted rows carry the rule
+    * columns (n_words, mean_word_len, stop_hits) for audit sinks. */
+  def gopherGate(docs: DataFrame): DataFrame =
+    graft.queries.Corpus.withGopherVerdict(docs)
+      .filter(col("passes"))
+      .select((docs.columns.map(col) ++
+        Seq(col("n_words"), col("mean_word_len"), col("stop_hits"))): _*)
+
   /** Running per-source intake statistics over admitted documents:
     * docs admitted, characters admitted (exact longs — engine- and
     * order-independent). Complete-mode streaming aggregate; state is

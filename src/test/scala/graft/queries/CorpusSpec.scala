@@ -104,6 +104,58 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules fire for the right reasons on fixture docs") {
+    val good = ("the quick brown fox jumps over a lazy dog and then " * 6).trim
+    val short_ = "the quick a fox"                       // < 50 words
+    val noStops = ("lorem ipsum dolor sit amet consectetur " * 9).trim // no stopword
+    val longWords = ("the a " +
+      "internationalization incomprehensibilities " * 30).trim // mean len > 10
+    val df = Seq((1L, good, "s"), (2L, short_, "s"), (3L, noStops, "s"),
+      (4L, longWords, "s")).toDF("doc_id", "text", "source")
+    val got = Corpus.gopherFilter(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("passes")).toMap
+    assert(got(1L), "well-formed doc should pass")
+    assert(!got(2L), "sub-50-word doc should fail")
+    assert(!got(3L), "stopword-free doc should fail")
+    assert(!got(4L), "long-word doc should fail the mean-length band")
+  }
+
+  test("q61 grid is dense: every event type has exactly 24 hour slots") {
+    val rows = EventAnalytics2.q61_hourly_anomaly
+      .run(spark, "/root/testdata/sf0.001").collect()
+    val perType = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perType.nonEmpty && perType.values.forall(_ == 24),
+      s"grid not dense: $perType")
+    // z-scores are centered: per type they sum to ~0
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val zsum = rs.map(_.getAs[Double]("z")).sum
+      assert(math.abs(zsum) < 1e-3, s"z not centered for $t: $zsum")
+    }
+  }
+
+  test("temperature mix: sqrt-rate on a skewed fixture, exact accept test") {
+    // 400:100:25 docs -> target rates 0.25, 0.5, 1.0 (sqrt of 25/n).
+    // The testdata corpus is source-uniform (rate 1.0 everywhere), so
+    // the oracle gate alone never exercises a biting rate — this does.
+    val rows = (1 to 400).map(i => (i.toLong, s"doc $i", "big")) ++
+      (1 to 100).map(i => (1000L + i, s"doc b$i", "mid")) ++
+      (1 to 25).map(i => (2000L + i, s"doc c$i", "small"))
+    val got = Corpus.temperatureMix(
+      rows.toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled"),
+          r.getAs[Double]("target_rate"))).toMap
+    assert(got("small") == ((25L, 25L, 1.0)), "smallest source must keep all")
+    assert(got("mid")._3 == 0.5 && got("big")._3 == 0.25)
+    // achieved tracks target within binomial noise (md5 is uniform)
+    val midRate = got("mid")._2.toDouble / 100
+    val bigRate = got("big")._2.toDouble / 400
+    assert(math.abs(midRate - 0.5) < 0.15, s"mid achieved $midRate")
+    assert(math.abs(bigRate - 0.25) < 0.1, s"big achieved $bigRate")
+    // temperature keeps MORE of the big source than full equalization
+    assert(got("big")._2 > 25, "sqrt scaling should keep > min_docs of big")
+  }
+
   test("span dedup ground truth on a constructed corpus") {
     // doc 1 and 2 share exactly one aligned 8-token run; doc 3 is unique;
     // doc 4 is an exact copy of doc 1 (every span duplicated)

@@ -276,9 +276,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // rosters so any disappearance is a named failure. Update the count
     // deliberately when adding queries — never let it float.
     val names = graft.SparkEntry.queries.keySet
-    assert(names.size == 123, s"query pack shrank/grew: ${names.size}")
+    assert(names.size == 126, s"query pack shrank/grew: ${names.size}")
     val corpusLane = Set("t26_seq_pack", "t27_pii_scan", "t28_pack_segments",
-      "d18_span_dedup", "q60_kmv_distinct")
+      "t29_gopher_filter", "t30_temperature_mix", "d18_span_dedup",
+      "q60_kmv_distinct")
     assert((corpusLane -- names).isEmpty,
       s"corpus-prep lane missing: ${corpusLane -- names}")
     val eventsLane = Set("q13_events_hourly", "q15_sessionize",

@@ -67,4 +67,34 @@ class CurationStreamSpec extends SparkSpec {
       assert(minQ >= threshold)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("sharded streaming gopher gate admits exactly the batch rule-passing set") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().toSeq
+    val shards = docs.groupBy(d => (d._1 % 4).toInt).toSeq
+      .sortBy(-_._1).map(_._2)
+
+    val input = MemoryStream[(Long, String, String)](spark, 1)
+    val gated = CurationStream.gopherGate(
+      input.toDF().toDF("doc_id", "text", "source"))
+    val q = gated.writeStream
+      .format("memory").queryName("gopher_gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      shards.foreach { sh => input.addData(sh); q.processAllAvailable() }
+      val admitted = spark.table("gopher_gate_out")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = graft.queries.Corpus.t29_gopher_filter.run(spark, sfDir)
+        .filter(col("passes")).select("doc_id").as[Long].collect().toSet
+      assert(admitted == batch,
+        s"gopher gate: streamed ${admitted.size}, batch ${batch.size}")
+      assert(admitted.nonEmpty && admitted.size < docs.size,
+        "gopher rules did not discriminate; weak test")
+      // audit columns survive the gate
+      assert(spark.table("gopher_gate_out")
+        .filter(col("stop_hits") < 2).count() == 0)
+    } finally q.stop()
+  }
 }
