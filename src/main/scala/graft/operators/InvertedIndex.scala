@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted (postings) index for BM25 keyword retrieval — the
+  * text-search sibling of [[DedupIndex]] (MinHash bands) and
+  * [[AnnIndex]] (IVF cells).
+  *
+  * The inline t31 query re-tokenizes the corpus per search; a retrieval
+  * workload (decontamination-by-retrieval, quality-ranked sampling)
+  * asks thousands of term queries against a corpus that must not be
+  * rescanned per query. Layout:
+  *
+  *  - `<root>/postings` — one row per (token, document): tok, doc_id,
+  *    dl (doc length in tokens), tf — PARTITIONED BY `pfx`, the first
+  *    hex char of md5(tok), so a probe for |terms| tokens prunes to at
+  *    most |terms| of 16 directories before any row is read. One hex
+  *    char keeps the bench-scale index at 16 well-sized files (the
+  *    [[DedupIndex]] tiny-file measurement applies unchanged); at
+  *    100 TB widen to 2-3 chars so each directory stays
+  *    hundreds-of-MB-sized and a probe reads ~1/4096 of the index.
+  *  - `<root>/corpus` — ONE row of corpus-level stats (n_docs,
+  *    total_dl) that BM25 needs for idf/avgdl. `corpus/_SUCCESS` is
+  *    the index-complete marker, written LAST, so a marker always
+  *    means every layer is complete (the [[AnnIndex]] crash-ordering
+  *    invariant).
+  *
+  * Tokenization and scoring are the SHARED rules in
+  * [[graft.queries.Search]] — index answers provably cannot diverge
+  * from the inline ranking (t31 and t32 share one oracle).
+  */
+object InvertedIndex {
+  /** Deterministic content-fingerprinted index location
+    * ([[graft.core.IndexRoot]] — rewritten corpus => fresh root). */
+  def defaultRoot(sfDir: String): String =
+    graft.core.IndexRoot.of(sfDir, "documents.parquet", "graft_inv_index")
+
+  private def postings(docs: DataFrame): DataFrame =
+    graft.queries.Search.tokenized(docs)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("pfx", substring(md5(col("tok")), 1, 1))
+
+  private def corpusStats(docs: DataFrame): DataFrame =
+    graft.queries.Search.tokenized(docs)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+
+  /** Build the postings index unless the complete-marker exists. One
+    * corpus pass for postings plus one for the 1-row stats. */
+  def buildIfMissing(spark: SparkSession, sfDir: String, root: String): Unit = {
+    val marker = new Path(s"$root/corpus/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    invalidate(root)
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    postings(docs)
+      .repartition(16, col("pfx")) // one file per directory
+      .write.mode("overwrite").partitionBy("pfx")
+      .parquet(s"$root/postings")
+    // stats layer LAST: its _SUCCESS is the index-complete marker
+    corpusStats(docs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/corpus")
+  }
+
+  /** Incrementally merge NEW documents (doc_id, text) — append postings
+    * rows into the touched `pfx` directories and fold the delta into
+    * the corpus stats row. Merged index == full rebuild over
+    * base ∪ delta by construction (plain union of postings rows;
+    * pinned in `InvertedIndexSpec`).
+    *
+    * Crash ordering: the marker is deleted FIRST, so an append that
+    * dies mid-way leaves an unmarked index that the next
+    * [[buildIfMissing]] rebuilds from scratch — never a
+    * complete-looking index whose layers disagree. */
+  def append(spark: SparkSession, root: String, newDocs: DataFrame): Unit = {
+    val markerDir = s"$root/corpus"
+    val fs = new Path(markerDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // 1-row read BEFORE invalidating the marker (it lives in that dir)
+    val old = spark.read.parquet(markerDir)
+      .select(col("n_docs"), col("total_dl")).collect()(0)
+    fs.delete(new Path(s"$markerDir/_SUCCESS"), false)
+    invalidate(root)
+    postings(newDocs)
+      .repartition(16, col("pfx"))
+      .write.mode("append").partitionBy("pfx")
+      .parquet(s"$root/postings")
+    corpusStats(newDocs)
+      .select((col("n_docs") + old.getLong(0)).as("n_docs"),
+        (col("total_dl") + old.getLong(1)).as("total_dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(markerDir)
+  }
+
+  /** Replay-safe per-batch append for streaming maintenance
+    * (foreachBatch is AT-LEAST-ONCE: a crashed-then-retried batch id
+    * re-runs). [[append]]'s bag-append + stats read-add-overwrite would
+    * double-count a replay, so the streaming path writes every layer to
+    * a BATCH-ID-DERIVED path with overwrite semantics: replaying batch
+    * N rewrites the same bytes. Layout (stream-owned roots only — do
+    * not mix with [[buildIfMissing]] roots):
+    *  - `<root>/postings_batches/batch=N/pfx=X/` — probe reads the
+    *    whole tree with partition discovery, so the `pfx` filter still
+    *    prunes directories inside every batch;
+    *  - `<root>/corpus_batches/batch=N/` — one stats row per batch;
+    *    corpus totals are the SUM over batch rows (associative, replay
+    *    overwrites its own addend instead of applying it twice). */
+  def appendIdempotent(
+      spark: SparkSession, root: String, newDocs: DataFrame,
+      batchId: Long): Unit = {
+    postings(newDocs)
+      .repartition(16, col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx")
+      .parquet(s"$root/postings_batches/batch=$batchId")
+    corpusStats(newDocs).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$root/corpus_batches/batch=$batchId")
+    invalidate(root)
+  }
+
+  private def isBatchLayout(spark: SparkSession, root: String): Boolean =
+    new Path(s"$root/postings").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(s"$root/postings"))
+
+  private def postingsDf(spark: SparkSession, root: String): DataFrame =
+    if (isBatchLayout(spark, root)) read(spark, s"$root/postings")
+    else read(spark, s"$root/postings_batches")
+      .select(col("tok"), col("doc_id"), col("dl"), col("tf"), col("pfx"))
+
+  private def corpusDf(spark: SparkSession, root: String): DataFrame =
+    if (isBatchLayout(spark, root)) read(spark, s"$root/corpus")
+    else read(spark, s"$root/corpus_batches")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
+
+  private val readCache = new graft.core.SessionCache[String]()
+
+  private def read(spark: SparkSession, path: String): DataFrame =
+    readCache.getOrElseUpdate(spark, path)(spark.read.parquet(path))
+
+  private def invalidate(root: String): Unit =
+    readCache.invalidateWhere(p => p.startsWith(root))
+
+  /** BM25 top-k for a term set, served from the index: the `pfx`
+    * partition filter prunes the postings scan to |terms| directories,
+    * term df comes from the pruned rows themselves, and the shared
+    * [[graft.queries.Search.bm25Score]] does the ranking — identical
+    * math, identical results to the inline t31. */
+  def probe(spark: SparkSession, root: String, terms: Seq[String]): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = terms
+      .map(t => md.digest(t.getBytes("UTF-8")).take(1).map("%02x".format(_))
+        .mkString.take(1))
+      .distinct
+    val tf = postingsDf(spark, root)
+      .filter(col("pfx").isin(prefixes: _*)) // directory pruning
+      .filter(col("tok").isin(terms: _*))
+      .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+    val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val corpus = corpusDf(spark, root)
+    graft.queries.Search.bm25Score(tf, dfStats, corpus)
+  }
+}

@@ -811,7 +811,10 @@ object Dedup {
     * reachability → min-label per doc (`lab`) + cluster sizes (`sz`).
     * Prepend `signaturesSqlDuck` with RECURSIVE; mirror of
     * [[dupClusters]]'s label-propagation fixpoint. */
-  private val clusterLabSqlDuck = """
+  /** Banding → candidate pairs → est_sim ≥ 0.5 symmetrized edge set —
+    * the dup-graph fragment shared by the d12/d17 cluster oracles AND
+    * d19's PageRank oracle (one copy of the edge-set rule). */
+  private val symEdgesSqlDuck = """
       band AS (
         SELECT doc_id, b,
                md5(CAST(sig[b*4 + 1] AS VARCHAR) || ',' || CAST(sig[b*4 + 2] AS VARCHAR)
@@ -831,7 +834,10 @@ object Dedup {
       sym AS (
         SELECT a_id AS src, b_id AS dst FROM cand WHERE est_sim >= 0.5
         UNION ALL
-        SELECT b_id, a_id FROM cand WHERE est_sim >= 0.5),
+        SELECT b_id, a_id FROM cand WHERE est_sim >= 0.5)"""
+
+  private val clusterLabSqlDuck = s"""
+      $symEdgesSqlDuck,
       reach(src, dst) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
@@ -849,6 +855,91 @@ object Dedup {
       $clusterLabSqlDuck
       SELECT doc_id, cluster_id, cluster_size
       FROM lab JOIN sz USING (cluster_id)
+      ORDER BY doc_id"""))
+
+  /** PageRank centrality over the near-dup graph — "which documents sit
+    * at the center of duplication webs". d12's components say WHICH
+    * group a doc belongs to; PageRank ranks docs WITHIN the web: a
+    * boilerplate template copied with variations everywhere scores far
+    * above a doc with one accidental near-twin, so the score is the
+    * triage order for manual template review and the canonical-doc
+    * prior (highest-rank = most-connected variant).
+    *
+    * Fixed 5 damped iterations (d = 0.85), unnormalized form (every
+    * node starts at 1e9 "nano-mass"; dangling mass is dropped — the
+    * standard simplified variant, identical on both engines). All
+    * arithmetic is exact integers: contribution = r div outdeg,
+    * update = 0.15e9 + (85·Σcontrib) div 100 with the multiply in
+    * DECIMAL(38,0)/HUGEINT (Σ over in-neighbors can pass int64 once
+    * in-degrees reach ~1e9-scale mass times thousands of neighbors).
+    *
+    * Scale shape: each iteration is ONE equi-join of the edge set with
+    * the rank vector on a long key plus ONE grouped sum — the d12
+    * label-propagation shape, measured decade-FLAT — times a FIXED
+    * iteration count; the rank vector is |docs|-sized, never edges².
+    * Edges and ranks are localCheckpoint-ed per round so the 5-round
+    * lineage never restacks (the d12 hygiene); superseded blocks are
+    * released by the ContextCleaner. */
+  private[queries] def dupPageRank(
+      s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val pairs = d04_lsh_pairs.run(s, dir)
+      .filter(col("est_sim") >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = Tables(s, dir, "documents").select(col("doc_id"))
+      .localCheckpoint(true)
+    var r = nodes.select(col("doc_id"), lit(1000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(r.withColumnRenamed("doc_id", "u"), col("src") === col("u"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("in_sum"))
+      r = nodes
+        .join(contrib, nodes("doc_id") === contrib("dst"), "left")
+        .select(col("doc_id"),
+          expr("""CAST(150000000 + (CAST(85 AS DECIMAL(38,0)) *
+                    coalesce(in_sum, CAST(0 AS DECIMAL(38,0)))) div 100
+                  AS BIGINT)""").as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("doc_id"),
+        round(col("r").cast("double") / 1e9, 6).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pageRankItersSqlDuck = (1 to 5).map { k =>
+    s"""
+      it$k AS (
+        SELECT n.doc_id,
+               CAST(150000000 + (CAST(85 AS HUGEINT) *
+                      COALESCE(SUM(i.r // g.outdeg), 0)) // 100
+                 AS BIGINT) AS r
+        FROM documents n
+        LEFT JOIN sym s ON s.dst = n.doc_id
+        LEFT JOIN it${k - 1} i ON i.doc_id = s.src
+        LEFT JOIN deg g ON g.src = s.src
+        GROUP BY n.doc_id)"""
+  }.mkString(",")
+
+  val d19_dup_pagerank = Q(
+    "d19_dup_pagerank",
+    (s, dir) => dupPageRank(s, dir),
+    Some(s"""
+      $signaturesSqlDuck,
+      $symEdgesSqlDuck,
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+              FROM sym GROUP BY src),
+      it0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS r
+              FROM documents),
+      $pageRankItersSqlDuck
+      SELECT doc_id, round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS pagerank
+      FROM it5
       ORDER BY doc_id"""))
 
   val d13_containment = Q(
@@ -1171,5 +1262,5 @@ object Dedup {
     d08_decontamination, d09_semantic_neardup, d10_prefix_templates,
     d11_dup_window_share, d12_dup_clusters, d13_containment,
     d14_simhash_degree, d15_lsh_probe, d16_semantic_decontam,
-    d17_dup_rate_by_source)
+    d17_dup_rate_by_source, d19_dup_pagerank)
 }

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, Tables}
+
+/** Search & order-statistics lane: exact distributed quantiles and
+  * BM25 keyword ranking (inline and over the persisted
+  * [[graft.operators.InvertedIndex]]).
+  *
+  * Both capabilities are staples of a training-data pipeline the other
+  * lanes don't cover yet: length quantiles drive truncation/packing
+  * policy choices (t26's ctx window is picked off this distribution),
+  * and BM25 retrieval is how decontamination-by-retrieval and
+  * quality-ranked sampling select documents at corpus scale.
+  *
+  * Scale shapes:
+  *  - q62 aggregates the corpus to a (source, n_chars) frequency
+  *    histogram FIRST — the only corpus-sized shuffle — then runs the
+  *    cumulative window over that histogram, which is value-domain
+  *    bounded (|S| x |distinct lengths|), the same argument that makes
+  *    t22's grid safe: the window input does not grow with corpus rows.
+  *  - t31/t32 reduce the corpus to per-(doc, term) postings for a
+  *    HANDFUL of query terms before any join; term stats (df) and the
+  *    1-row corpus stats broadcast; the final top-k is a
+  *    TakeOrderedAndProject (map-side partial top-k), so nothing after
+  *    the postings aggregation is corpus-sized.
+  *
+  * Determinism: all ranking math runs in exact integer arithmetic —
+  * Mitchell log2 ([[Exact.mitchellLog2n9Wide]]) for idf, a
+  * DECIMAL(38,0) rational form for the tf-saturation term — so scores
+  * are bit-identical across engines and partitionings; the DuckDB
+  * oracles mirror the same integer ops with HUGEINT and `//`.
+  */
+object Search {
+
+  // ---- q62: exact per-source length quantiles ------------------------
+
+  /** Exact discrete quantiles (p25/p50/p75/p95) of document length per
+    * source, plus max. "Exact" as in rank-exact — no approx_percentile
+    * sketch error — yet fully distributed: quantile q is the smallest
+    * value whose cumulative frequency reaches ceil(q·n), read off the
+    * per-source cumulative histogram. approx_percentile trades accuracy
+    * for one pass; this trades nothing, because the second "pass" runs
+    * over the dimension-sized histogram, not the corpus. */
+  private[queries] def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val hist = docs
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      // barrier: the histogram feeds both the cumulative window and the
+      // per-source totals; without it the corpus aggregates twice. The
+      // cached relation is |S| x |distinct lengths| — dimension-sized.
+      .cache()
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+    val tot = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    // cum*100 >= n*q  <=>  cum >= ceil(q*n/100) in integer arithmetic
+    // (cum <= n <= 1e13 docs/source at 100 TB keeps cum*100 in long)
+    def q(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("n_chars")))
+        .as(s"p$p")
+    cum.join(broadcast(tot), "source")
+      .groupBy(col("source"), col("n"))
+      .agg(q(25), q(50), q(75), q(95), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q62_length_quantiles = Q(
+    "q62_length_quantiles",
+    (s, dir) => lengthQuantiles(Tables(s, dir, "documents")),
+    Some("""
+      WITH h AS (
+        SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      cum AS (
+        SELECT source, n_chars, c,
+               CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars)
+                 AS BIGINT) AS cum
+        FROM h),
+      tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1)
+      SELECT source, n,
+             MIN(CASE WHEN cum * 100 >= n * 25 THEN n_chars END) AS p25,
+             MIN(CASE WHEN cum * 100 >= n * 50 THEN n_chars END) AS p50,
+             MIN(CASE WHEN cum * 100 >= n * 75 THEN n_chars END) AS p75,
+             MIN(CASE WHEN cum * 100 >= n * 95 THEN n_chars END) AS p95,
+             MAX(n_chars) AS max_chars
+      FROM cum JOIN tot USING (source)
+      GROUP BY source, n
+      ORDER BY source"""))
+
+  // ---- t31/t32: BM25 keyword ranking ---------------------------------
+
+  /** Fixed query-term set (all present in the synthetic vocabulary) and
+    * result depth for the oracle-gated BM25 queries. */
+  val Bm25Terms = Seq("spark", "window", "filter")
+  val Bm25K = 20
+
+  /** Tokenized corpus view shared by the inline query and the
+    * [[graft.operators.InvertedIndex]] build — ONE copy of the
+    * tokenize + doc-length rule, so index and batch rankings can never
+    * diverge on tokenization. */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.transform(Tables.fanOut)
+      .withColumn("toks", expr(Text.toksExpr))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .where(col("dl") > 0)
+
+  /** BM25 (k1 = 1.2, b = 0.75) over postings in exact integer
+    * arithmetic. Inputs: `tf` = (doc_id, dl, tok, tf) postings for the
+    * query terms only; `dfStats` = (tok, df); `corpus` = one row
+    * (n_docs, total_dl). Shared verbatim by t31 (inline) and the index
+    * probe (t32) — the scoring rule exists once.
+    *
+    *  - idf = log2((N+1)/(df+0.5)), doubled to integers as
+    *    (2N+2)/(2df+1) — always >= 1, satisfying the Mitchell
+    *    precondition, and never negative (the +1 "plus-one" smoothing
+    *    variant; classic BM25 idf goes negative once df > N/2, which
+    *    this synthetic vocabulary hits).
+    *  - tf-term = tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) with
+    *    avgdl = total_dl/N, multiplied through by 20·total_dl into the
+    *    integer rational 44·tf·total_dl / (20·tf·total_dl + 6·total_dl
+    *    + 18·dl·N); numerator×1e9 runs in DECIMAL(38,0) (HUGEINT in the
+    *    oracle) — at 100 TB total_dl ~ 1e13 overflows int64 here.
+    *  - score = Σ idf_n9·tfterm_n9 (DECIMAL(38,0)), truncated to n6
+    *    BEFORE the one exact double division, so every engine sees the
+    *    same 6-decimal score; top-k orders by the INTEGER score with a
+    *    doc_id tie-break — deterministic selection at the cutoff. */
+  def bm25Score(
+      tf: DataFrame, dfStats: DataFrame, corpus: DataFrame): DataFrame =
+    tf.join(broadcast(dfStats), "tok")
+      .crossJoin(broadcast(corpus)) // 1 row: corpus-level N, total_dl
+      .withColumn("idf_n9",
+        expr(Exact.mitchellLog2n9Wide("2 * n_docs + 2", "2 * df + 1")))
+      .withColumn("tfterm_n9", expr(
+        """CAST(CAST(44 AS DECIMAL(38,0)) * tf * total_dl * 1000000000 div
+                (CAST(20 AS DECIMAL(38,0)) * tf * total_dl
+                 + 6 * total_dl + 18 * dl * n_docs)
+           AS BIGINT)"""))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("CAST(idf_n9 AS DECIMAL(38,0)) * tfterm_n9"))
+          .as("score_n18"))
+      .withColumn("score_n6",
+        expr("CAST(score_n18 div 1000000000000 AS BIGINT)"))
+      .orderBy(col("score_n6").desc, col("doc_id"))
+      .limit(Bm25K)
+      .select(col("doc_id"), col("n_terms"),
+        (col("score_n6").cast("double") / 1e6).as("score"))
+
+  /** Inline BM25: postings computed from the corpus on the fly. The
+    * term filter lands BEFORE the grouping, so the postings exchange
+    * carries only rows for the |terms| query tokens — the corpus text
+    * itself never shuffles. */
+  private[queries] def bm25(docs: DataFrame): DataFrame = {
+    val base = tokenized(docs)
+      .select(col("doc_id"), col("dl"), col("toks"))
+      // barrier: corpus stats + postings both read the tokenized view;
+      // without it the regex tokenizer runs twice over the corpus
+      .cache()
+    val corpus = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    bm25Score(tf, dfStats, corpus)
+  }
+
+  /** ONE oracle text for t31 and t32: the persisted-index probe must
+    * produce byte-identical results to the inline ranking, so they
+    * share the gate the way d15 shares d04's semantics. */
+  private val bm25OracleSql = s"""
+      WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS dl, toks
+            FROM t WHERE length(toks) > 0),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_dl FROM b),
+      tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM b)
+             WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+             GROUP BY doc_id, dl, tok),
+      d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      m AS (SELECT tf.doc_id, tf.tf, tf.dl, c.n_docs, c.total_dl,
+                   2 * c.n_docs + 2 AS num, 2 * d.df + 1 AS den,
+                   length(bin(CAST((2 * c.n_docs + 2) // (2 * d.df + 1)
+                     AS BIGINT))) - 1 AS k
+            FROM tf JOIN d USING (tok), c),
+      m2 AS (SELECT *, den * (CAST(1 AS BIGINT) << k) AS p FROM m),
+      scored AS (
+        SELECT doc_id,
+               CAST(k AS BIGINT) * 1000000000
+                 + CAST(CAST(num - p AS HUGEINT) * 1000000000 // p
+                     AS BIGINT) AS idf_n9,
+               CAST(CAST(44 AS HUGEINT) * tf * total_dl * 1000000000 //
+                    (CAST(20 AS HUGEINT) * tf * total_dl
+                     + 6 * total_dl + 18 * dl * n_docs)
+                 AS BIGINT) AS tfterm_n9
+        FROM m2),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                     SUM(CAST(idf_n9 AS HUGEINT) * tfterm_n9) AS score_n18
+              FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_terms,
+             CAST(CAST(score_n18 // 1000000000000 AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS score
+      FROM agg
+      ORDER BY score_n18 DESC, doc_id
+      LIMIT $Bm25K"""
+
+  val t31_bm25 = Q(
+    "t31_bm25",
+    (s, dir) => bm25(Tables(s, dir, "documents")),
+    Some(bm25OracleSql))
+
+  /** Same ranking served from the persisted inverted index: build (or
+    * reuse) the index, probe with the fixed term set. The shared
+    * scoring/tokenization rules plus the shared oracle make "index
+    * answers = batch answers" an externally-gated invariant, not just a
+    * spec assertion. */
+  val t32_bm25_probe = Q(
+    "t32_bm25_probe",
+    (s, dir) => {
+      val root = graft.operators.InvertedIndex.defaultRoot(dir)
+      graft.operators.InvertedIndex.buildIfMissing(s, dir, root)
+      graft.operators.InvertedIndex.probe(s, root, Bm25Terms)
+    },
+    Some(bm25OracleSql))
+
+  val all: Seq[Q] = Seq(q62_length_quantiles, t31_bm25, t32_bm25_probe)
+}

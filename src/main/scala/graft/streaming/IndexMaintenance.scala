@@ -26,7 +26,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    layer a batch writes is an overwrite of a batch-id-derived path,
   *    and centroids re-derive from the sum over all per-batch state
   *    deltas — replaying a batch rewrites the same bytes rather than
-  *    applying a delta twice.
+  *    applying a delta twice;
+  *  - inverted (BM25): same recipe as ANN — the batch-path
+  *    [[graft.operators.InvertedIndex.append]] bag-appends postings
+  *    AND read-add-overwrites the corpus stats row, both unsafe under
+  *    replay, so the streaming path uses
+  *    [[graft.operators.InvertedIndex.appendIdempotent]]: postings and
+  *    the per-batch stats addend land at batch-id-derived paths, and
+  *    corpus totals are a sum over batch rows.
   */
 object IndexMaintenance {
 
@@ -58,6 +65,25 @@ object IndexMaintenance {
       .option("checkpointLocation", s"$root/_maintenance_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         graft.operators.AnnIndex.appendIdempotent(
+          batch.sparkSession, root, batch, id)
+      }
+      .start()
+
+  /** Start draining `docs` (a streaming (doc_id, text) relation) into a
+    * stream-owned BM25 postings index at `root` — bootstrap and
+    * maintenance in one query; probes between drains match the inline
+    * t31 ranking over everything ingested so far (pinned in
+    * `InvertedStreamSpec`). Do not point this at a
+    * [[graft.operators.InvertedIndex.buildIfMissing]] root — the
+    * batch and stream layouts deliberately differ (see
+    * [[graft.operators.InvertedIndex.appendIdempotent]]). */
+  def maintainInvertedIndex(docs: DataFrame, root: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/_maintenance_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        graft.operators.InvertedIndex.appendIdempotent(
           batch.sparkSession, root, batch, id)
       }
       .start()

@@ -35,23 +35,28 @@ object Pipeline {
     *  3. the ANN index builds at `workDir/index/ann` (its append path
     *     is exact-by-construction but not replay-idempotent, so it
     *     stays batch — see IndexMaintenance's scaladoc);
-    *  4. both indexes are probed with EXACTLY the d15/s05 probe sets;
+    *  4. the BM25 postings index stream-bootstraps from the SAME
+    *     intake directory (its own checkpoint at
+    *     `workDir/index/inverted`) — one AvailableNow drain over both
+    *     arrivals — and all three indexes are probed with EXACTLY the
+    *     d15/s05/t31 probe sets;
     *  5. the curated TRAIN split gets its sequence-packing manifest
     *     ([[graft.pipeline.Pack.writeManifest]] under
     *     `workDir/llm/pack_manifest`) — the loader-facing hand-off
     *     that turns the funnel's survivors into fixed-size training
     *     rows without re-tokenizing at load time.
     *
-    * Returns (curation report, dedup probe hits, ann probe hits); the
-    * probe results are pinned row-identical to the oracle-gated
-    * d15_lsh_probe / s05_ann_index batch queries in `PipelineLlmSpec` —
-    * the stream-maintained, work-dir-local index answers intake probes
-    * byte-for-byte like the batch build.
+    * Returns (curation report, dedup probe hits, ann probe hits, bm25
+    * probe ranking); the probe results are pinned row-identical to the
+    * oracle-gated d15_lsh_probe / s05_ann_index / t31_bm25 batch
+    * queries in `PipelineLlmSpec` — the stream-maintained,
+    * work-dir-local indexes answer intake probes byte-for-byte like
+    * the batch builds.
     */
   def llmLane(spark: SparkSession, sfDir: String, workDir: String)
-      : (graft.pipeline.Curate.Report, DataFrame, DataFrame) = {
+      : (graft.pipeline.Curate.Report, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.vec_norm
-    import graft.operators.{AnnIndex, DedupIndex}
+    import graft.operators.{AnnIndex, DedupIndex, InvertedIndex}
 
     val report = graft.pipeline.Curate.run(spark, sfDir, s"$workDir/llm")
 
@@ -88,6 +93,16 @@ object Pipeline {
         nProbe = 2, k = 5)
       .orderBy(col("q_id"), col("rank"))
 
+    // BM25 postings index: stream-owned bootstrap over the same intake
+    // shards (replay-safe per-batch layout), probed with the t31 terms
+    val invRoot = s"$workDir/index/inverted"
+    val invStream = graft.streaming.IndexMaintenance.maintainInvertedIndex(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(intake),
+      invRoot)
+    invStream.awaitTermination()
+    val bm25Hits = InvertedIndex.probe(spark, invRoot,
+      graft.queries.Search.Bm25Terms)
+
     // 5. packing manifest over the curated train split (ctx matches
     // the t26/t28 gate so the manifest math is oracle-backed)
     val curatedTrain = spark.read.parquet(s"$workDir/llm/curated")
@@ -99,7 +114,7 @@ object Pipeline {
       graft.queries.Corpus.PackCtx, binsPerShard = 8L,
       s"$workDir/llm/pack_manifest")
 
-    (report, dedupHits, annHits)
+    (report, dedupHits, annHits, bm25Hits)
   }
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse(
@@ -150,10 +165,12 @@ object Pipeline {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     println(s"== llm lane (corpus=$sfDir)")
-    val (report2, dedupHits, annHits) = llmLane(spark, sfDir, workDir)
+    val (report2, dedupHits, annHits, bm25Hits) =
+      llmLane(spark, sfDir, workDir)
     println(s"   curation: ${report2.json}")
     println(s"   dedup-index probe hits: ${dedupHits.count()}")
     println(s"   ann-index probe hits:   ${annHits.count()}")
+    println(s"   bm25-index top-k rows:  ${bm25Hits.count()}")
 
     spark.stop()
   }

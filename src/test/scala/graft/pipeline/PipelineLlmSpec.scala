@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
-import graft.queries.{Dedup, Similarity}
+import graft.queries.{Dedup, Search, Similarity}
 
 /** The end-to-end LLM lane (round-8 verdict stretch #8): ingest ->
   * curate -> stream-maintained dedup index + batch-built ANN index ->
@@ -15,7 +15,7 @@ class PipelineLlmSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.01"
 
   private val workDir = tmpDir("pipeline-llm")
-  private lazy val (report, dedupHits, annHits) =
+  private lazy val (report, dedupHits, annHits, bm25Hits) =
     graft.tools.Pipeline.llmLane(spark, sfDir, workDir)
 
   test("curation ran with full provenance") {
@@ -48,6 +48,14 @@ class PipelineLlmSpec extends SparkSpec {
       .filter(col("split") === "train").select("doc_id").distinct().count()
     assert(manifest.select("doc_id").distinct().count() == trainDocs,
       "manifest does not cover exactly the curated train docs")
+  }
+
+  test("stream-bootstrapped BM25 index ranks like the inline query") {
+    val batch = Search.t31_bm25.run(spark, sfDir).collect().toSeq
+    val piped = bm25Hits.collect().toSeq
+    assert(batch.nonEmpty)
+    assert(piped == batch,
+      s"pipeline bm25 probe diverged: ${piped.size} vs ${batch.size} rows")
   }
 
   test("work-dir ANN index answers probes like the batch query") {
