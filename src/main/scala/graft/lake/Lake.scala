@@ -209,6 +209,124 @@ object Lake {
       .write.mode("overwrite").parquet(root)
   }
 
+  // ---- partition-pruned upsert / delete -----------------------------
+  //
+  // Plain parquet has no MERGE INTO: the naive upsert rewrites the
+  // whole dataset. At 100 TB that is the difference between a CDC batch
+  // finishing in minutes and in a day — an upsert batch touches a
+  // handful of partitions, so only THOSE directories should be read or
+  // written. Same for GDPR-style deletes: the predicate names a
+  // partition-pruned subset; everything else must not even be opened.
+  //
+  // Atomicity unit is the PARTITION DIRECTORY (the honest limit of a
+  // log-less format: Delta/Iceberg buy multi-partition atomicity with a
+  // commit log). Each touched directory goes through the compact()
+  // swap — new data fully written to a temp root, live dir renamed
+  // aside, temp renamed in, aside deleted — so a crash leaves every
+  // partition either old, new, or recoverable via [[recoverUpsert]];
+  // never half-written, never lost.
+
+  /** Upsert `updates` into a dataset partitioned by `partitionBy`:
+    * rows whose `key` exists are replaced, new keys are inserted. Only
+    * partitions present IN THE UPDATE BATCH are read or rewritten —
+    * the driver-side collect is the touched-partition value list,
+    * bounded by the batch's partition spread, never the dataset's.
+    * Updates must carry the dataset's full schema. Returns the touched
+    * partition count. */
+  def upsert(
+      spark: SparkSession,
+      root: String,
+      updates: DataFrame,
+      key: String,
+      partitionBy: String,
+      crashAfterSwapOut: Boolean = false): Long = {
+    val touched = updates.select(col(partitionBy)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val live = spark.read.parquet(root)
+      .filter(col(partitionBy).isin(touched: _*)) // partition pruning
+    val merged = live
+      .join(updates.select(col(key).as("_graft_k")),
+        col(key) === col("_graft_k"), "left_anti")
+      .unionByName(updates.select(live.columns.map(col): _*))
+    rewriteTouched(spark, root, merged, partitionBy, touched,
+      crashAfterSwapOut)
+  }
+
+  /** Delete rows matching `predicate`. Partitions with no matching row
+    * are not read beyond the pruning scan and never rewritten. */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      partitionBy: String): Long = {
+    val all = spark.read.parquet(root)
+    val touched = all.filter(predicate).select(col(partitionBy))
+      .distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return 0L
+    val kept = all
+      .filter(col(partitionBy).isin(touched: _*))
+      .filter(!predicate)
+    rewriteTouched(spark, root, kept, partitionBy, touched,
+      crashAfterSwapOut = false)
+  }
+
+  /** Restore any partition whose swap crashed between rename-aside and
+    * rename-in: the live dir is missing but the aside copy exists.
+    * Returns the number of partitions recovered. */
+  def recoverUpsert(
+      spark: SparkSession, root: String, partitionBy: String): Long = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val aside = new Path(root.stripSuffix("/") + ".upsert_old")
+    if (!fs.exists(aside)) return 0L
+    var n = 0L
+    fs.listStatus(aside).foreach { st =>
+      val live = new Path(root, st.getPath.getName)
+      if (!fs.exists(live) && fs.rename(st.getPath, live)) n += 1
+    }
+    fs.delete(aside, true)
+    n
+  }
+
+  private def rewriteTouched(
+      spark: SparkSession,
+      root: String,
+      newData: DataFrame,
+      partitionBy: String,
+      touched: Seq[Any],
+      crashAfterSwapOut: Boolean): Long = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = root.stripSuffix("/") + ".upserting"
+    val asideRoot = root.stripSuffix("/") + ".upsert_old"
+    fs.delete(new Path(tmpRoot), true)
+    fs.delete(new Path(asideRoot), true) // leftovers of a crashed run
+    newData
+      .repartition(touched.size.max(1), col(partitionBy))
+      .write.mode("overwrite").partitionBy(partitionBy).parquet(tmpRoot)
+    fs.mkdirs(new Path(asideRoot))
+    // swap each touched directory; an update batch can contain a
+    // partition value with zero surviving rows (all deleted) — then the
+    // tmp dir is absent and the live dir is simply retired
+    touched.foreach { v =>
+      val dir = s"$partitionBy=$v"
+      val live = new Path(root, dir)
+      val tmp = new Path(tmpRoot, dir)
+      val old = new Path(asideRoot, dir)
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(s"upsert: cannot move $live aside")
+      if (crashAfterSwapOut) // test seam: crash inside the swap window
+        throw new java.io.IOException("simulated crash between swap phases")
+      if (fs.exists(tmp) && !fs.rename(tmp, live)) {
+        fs.rename(old, live) // roll back this partition
+        throw new java.io.IOException(s"upsert: cannot move $tmp into place")
+      }
+    }
+    fs.delete(new Path(asideRoot), true)
+    fs.delete(new Path(tmpRoot), true)
+    touched.size.toLong
+  }
+
   def countDataFiles(spark: SparkSession, root: String): Long = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(new Path(root), true)

@@ -46,6 +46,7 @@ object Search {
     * over the dimension-sized histogram, not the corpus. */
   private[queries] def lengthQuantiles(docs: DataFrame): DataFrame = {
     val hist = docs
+      .transform(Tables.fanOut) // single-file bench corpus => 1 scan split
       .groupBy(col("source"), col("n_chars"))
       .agg(count(lit(1)).as("c"))
       // barrier: the histogram feeds both the cumulative window and the

@@ -966,8 +966,98 @@ object Similarity {
       FROM intra JOIN sep USING (label)
       ORDER BY label"""))
 
+  /** Upper-triangle covariance (and raw second-moment) matrix of the
+    * embedding distribution — the statistics PCA/whitening starts from,
+    * and the standard health check for a trained embedding space (a
+    * dimension with near-zero variance is dead; strong off-diagonal
+    * mass means the space wastes capacity on correlated axes).
+    *
+    * Exactness: per-cell products x_i·x_j are float·float in double —
+    * EXACT (each float is exactly representable; the product fits a
+    * double) — then summed in DECIMAL(18,6) (order-independent, the
+    * Exact ladder); n and per-dim sums are exact; the final
+    * cov = (S - s_i·s_j/n)/n is a fixed chain of IEEE ops over
+    * identical operands on both engines, rounded to 6 decimals.
+    *
+    * Scale shape: ONE embeddings scan; each row expands to its 2080
+    * upper-triangle cells via a single nested-transform + explode (no
+    * self-join of the exploded stream — that would be a 64N x 64N
+    * equi-join), and hash partial aggregation collapses every
+    * partition to <= 2080 rows before the ONLY exchange. Per-dim sums
+    * ride a second dimension-sized aggregate off the same scan; both
+    * join broadcast. Output is 2080 rows at ANY corpus size. The
+    * 2080x row expansion is the intrinsic FLOP count of a Gram matrix,
+    * not overhead. DECIMAL(18,6) cell sums keep the unscaled value
+    * under 2^53 through ~1e13 vectors (|x_i·x_j| < 1; see
+    * Exact.money's double-rounding note), so the final double cast
+    * stays a single correctly-rounded step. */
+  val s12_embed_covariance = Q(
+    "s12_embed_covariance",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val emb = Tables(s, dir, "embeddings").transform(Tables.fanOut)
+        .cache() // feeds the cell stream AND the per-dim sums
+      val cells = emb.select(
+        expr("""explode(flatten(transform(sequence(0, 63), i ->
+                  transform(sequence(i, 63), j ->
+                    struct(i AS i, j AS j,
+                      CAST(CAST(embedding[i] AS DOUBLE) *
+                           CAST(embedding[j] AS DOUBLE)
+                        AS DECIMAL(18,6)) AS prod)))))""").as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.prod"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("prod")).as("sm"))
+      val dims = emb.select(
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(sum(col("v").cast("double").cast(DecimalType(18, 6))).as("sd"))
+      val n = emb.agg(count(lit(1)).as("n"))
+      cells
+        .join(broadcast(dims.select(col("pos").as("i"), col("sd").as("si"))),
+          "i")
+        .join(broadcast(dims.select(col("pos").as("j"), col("sd").as("sj"))),
+          "j")
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("j"),
+          round(col("sm").cast("double"), 6).as("second_moment"),
+          round((col("sm").cast("double") -
+            col("si").cast("double") * col("sj").cast("double") /
+              col("n")) / col("n"), 6).as("cov"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""
+      WITH e AS (SELECT embedding FROM embeddings),
+      cells AS (
+        SELECT i, j,
+               SUM(CAST(CAST(embedding[i+1] AS DOUBLE) *
+                        CAST(embedding[j+1] AS DOUBLE)
+                     AS DECIMAL(18,6))) AS sm
+        FROM e
+        CROSS JOIN (SELECT unnest(range(64)) AS i)
+        CROSS JOIN (SELECT unnest(range(64)) AS j)
+        WHERE j >= i
+        GROUP BY i, j),
+      dims AS (
+        SELECT i AS pos,
+               SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,6)))
+                 AS sd
+        FROM e CROSS JOIN (SELECT unnest(range(64)) AS i)
+        GROUP BY i),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+      SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
+             round(CAST(sm AS DOUBLE), 6) AS second_moment,
+             round((CAST(sm AS DOUBLE) -
+               CAST(a.sd AS DOUBLE) * CAST(b.sd AS DOUBLE) / n) / n, 6)
+               AS cov
+      FROM cells c
+      JOIN dims a ON a.pos = c.i
+      JOIN dims b ON b.pos = c.j
+      CROSS JOIN nn
+      ORDER BY i, j"""))
+
   val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
     s04_kmeans_step, s05_ann_index, s06_quantized_ann,
     s07_quantized_rerank, s08_binary_sketch, s09_pq_ann,
-    s10_norm_outliers, s11_cluster_quality, t09_array_ops)
+    s10_norm_outliers, s11_cluster_quality, s12_embed_covariance,
+    t09_array_ops)
 }

@@ -1,0 +1,104 @@
+package graft.lake
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partition-pruned upsert/delete: correctness of the merge, proof that
+  * untouched partitions are not rewritten (their files stay
+  * byte-for-byte in place), and crash-window recovery. */
+class UpsertSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def freshDataset(): String = {
+    val root = tmpDir("upsert-ds")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+      .repartition(4, col("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(root)
+    root
+  }
+
+  private def listing(root: String): Map[String, Set[(String, Long)]] = {
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("source="))
+    dirs.map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }.toMap
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("upsert replaces matched keys, inserts new ones, in one batch") {
+    val root = freshDataset()
+    val updates = spark.createDataFrame(Seq(
+      (3L, "replaced three", "en", 14L, "src3"),
+      (7L, "replaced seven", "en", 14L, "src7"),
+      (100003L, "brand new", "en", 9L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val touched = Lake.upsert(spark, root, updates, "doc_id", "source")
+    assert(touched == 2, s"expected 2 touched partitions, got $touched")
+    val after = spark.read.parquet(root)
+    assert(rows(after.filter(col("doc_id").isin(3L, 7L, 100003L))) ==
+      Set((3L, "replaced three", 14L), (7L, "replaced seven", 14L),
+        (100003L, "brand new", 9L)))
+    // total rows: one net insert
+    val before = Tables(spark, sfDir, "documents").count()
+    assert(after.count() == before + 1)
+  }
+
+  test("untouched partitions are not rewritten — files stay in place") {
+    val root = freshDataset()
+    val before = listing(root)
+    val updates = spark.createDataFrame(Seq(
+      (3L, "replaced", "en", 8L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    Lake.upsert(spark, root, updates, "doc_id", "source")
+    val after = listing(root)
+    val untouchedBefore = before - "source=src3"
+    val untouchedAfter = after - "source=src3"
+    assert(untouchedAfter == untouchedBefore,
+      "an untouched partition's files changed — pruning is broken")
+    assert(after("source=src3") != before("source=src3"))
+  }
+
+  test("deleteWhere rewrites only partitions containing matches") {
+    val root = freshDataset()
+    val before = listing(root)
+    val n0 = spark.read.parquet(root).count()
+    val victims = spark.read.parquet(root)
+      .filter(col("source") === "src5" && col("doc_id") % 3 === 0).count()
+    assert(victims > 0, "no rows match at smoke scale; weak test")
+    val touched = Lake.deleteWhere(spark, root,
+      col("source") === "src5" && col("doc_id") % 3 === 0, "source")
+    assert(touched == 1)
+    val after = spark.read.parquet(root)
+    assert(after.count() == n0 - victims)
+    assert(after.filter(col("source") === "src5" && col("doc_id") % 3 === 0)
+      .isEmpty)
+    assert((listing(root) - "source=src5") == (before - "source=src5"))
+  }
+
+  test("a crash inside the swap window is recoverable, losing nothing") {
+    val root = freshDataset()
+    val expected = rows(spark.read.parquet(root))
+    val updates = spark.createDataFrame(Seq(
+      (3L, "never lands", "en", 11L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    intercept[java.io.IOException] {
+      Lake.upsert(spark, root, updates, "doc_id", "source",
+        crashAfterSwapOut = true)
+    }
+    // src3 is now aside; the dataset is missing a partition until
+    // recovery puts the old copy back
+    val recovered = Lake.recoverUpsert(spark, root, "source")
+    assert(recovered == 1, s"expected 1 recovered partition, got $recovered")
+    assert(rows(spark.read.parquet(root)) == expected,
+      "recovery did not restore the pre-upsert dataset")
+  }
+}

@@ -270,13 +270,44 @@ class QueriesSmokeSpec extends SparkSpec {
         "— document bodies are leaking into the exchange")
   }
 
+  test("t31 shuffles term postings, not document text (100TB shape)") {
+    // BM25's term filter lands BEFORE the postings groupBy, so the
+    // exchange carries rows for the |terms| query tokens only — at
+    // 100 TB the corpus text must never cross the wire. Measured on a
+    // MULTI-FILE corpus (the 100 TB shape, FanOutSpec's 64-file bound)
+    // so Tables.fanOut is the identity: the single-file bench corpus
+    // would legitimately round-robin the text once to parallelize
+    // tokenization, which is exactly the shuffle fanOut gates off at
+    // scale.
+    // Text is scaled 20x (docs ~5 KB, the web-document shape) while the
+    // posting-row count stays fixed — if shuffle bytes track text
+    // volume at all, the ratio bound below cannot hold.
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("bm25-multifile")
+    graft.core.Tables(spark, sfDir, "documents")
+      .withColumn("text", expr("repeat(text, 20)"))
+      .repartition(64).write.parquet(s"$dir/documents.parquet")
+    val docs = graft.core.Tables(spark, dir, "documents")
+    assert(docs.rdd.getNumPartitions >=
+      spark.sparkContext.defaultParallelism,
+      "precondition: the copy must plan as a many-split scan")
+    val textBytes = docs
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val (_, shuffle) = graft.tools.ShuffleMeter.measure(spark) {
+      graft.queries.Search.t31_bm25.run(spark, dir).count()
+    }
+    assert(shuffle.bytesWritten < textBytes / 3,
+      s"t31 shuffled ${shuffle.bytesWritten}B against ${textBytes}B of " +
+        "text — the corpus is leaking into the exchange")
+  }
+
   test("the full query pack is present — a dropped lane is a failure") {
     // Round 6 lost the 9-query events lane SILENTLY: the correctness
     // artifact just had fewer rows. Pin the pack size and the lane
     // rosters so any disappearance is a named failure. Update the count
     // deliberately when adding queries — never let it float.
     val names = graft.SparkEntry.queries.keySet
-    assert(names.size == 130, s"query pack shrank/grew: ${names.size}")
+    assert(names.size == 131, s"query pack shrank/grew: ${names.size}")
     val corpusLane = Set("t26_seq_pack", "t27_pii_scan", "t28_pack_segments",
       "t29_gopher_filter", "t30_temperature_mix", "d18_span_dedup",
       "q60_kmv_distinct")
