@@ -1018,11 +1018,15 @@ object Similarity {
         .join(broadcast(dims.select(col("pos").as("j"), col("sd").as("sj"))),
           "j")
         .crossJoin(broadcast(n))
+        // `+ 0.0` collapses IEEE negative zero (round(-1e-9, 6) is -0.0
+        // in DuckDB, 0.0 here; -0.0 + 0.0 = +0.0 on every engine), so
+        // the hash compare can't split on zero's sign bit
         .select(col("i"), col("j"),
-          round(col("sm").cast("double"), 6).as("second_moment"),
-          round((col("sm").cast("double") -
+          (round(col("sm").cast("double"), 6) + lit(0.0))
+            .as("second_moment"),
+          (round((col("sm").cast("double") -
             col("si").cast("double") * col("sj").cast("double") /
-              col("n")) / col("n"), 6).as("cov"))
+              col("n")) / col("n"), 6) + lit(0.0)).as("cov"))
         .orderBy(col("i"), col("j"))
     },
     Some("""
@@ -1045,10 +1049,10 @@ object Similarity {
         GROUP BY i),
       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
       SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
-             round(CAST(sm AS DOUBLE), 6) AS second_moment,
+             round(CAST(sm AS DOUBLE), 6) + 0.0 AS second_moment,
              round((CAST(sm AS DOUBLE) -
                CAST(a.sd AS DOUBLE) * CAST(b.sd AS DOUBLE) / n) / n, 6)
-               AS cov
+               + 0.0 AS cov
       FROM cells c
       JOIN dims a ON a.pos = c.i
       JOIN dims b ON b.pos = c.j

@@ -2,7 +2,7 @@ package graft.security
 
 import graft.SparkSpec
 import graft.core.Tables
-import graft.queries.{Dedup, Similarity, Text}
+import graft.queries.{Dedup, Search, Similarity, Text}
 import org.apache.spark.sql.AnalysisException
 
 /** RBAC over the LLM-lane tables (round-8 verdict item 5): the
@@ -51,6 +51,33 @@ class LlmRbacSpec extends SparkSpec {
     val curDocs = cur.map(_.getAs[Long]("n_docs")).sum
     assert(curDocs < fullDocs,
       s"doc_curator sees $curDocs docs vs $fullDocs — filter did not apply")
+  }
+
+  test("search lane: BM25 re-ranks within the role's licensed world") {
+    // Retrieval under RBAC is not a post-filter of the full ranking:
+    // df, avgdl and N are computed over the role's VISIBLE corpus, so
+    // scores differ, not just the row set — the property that makes
+    // per-role retrieval sound (a doc's rank can RISE when unlicensed
+    // competitors vanish).
+    val full = Search.t31_bm25.run(spark, sfDir).collect()
+    val cur = Rbac.asRole(spark, "documents" -> Rbac.docCurator) {
+      Search.t31_bm25.run(spark, sfDir).collect()
+    }
+    assert(full.nonEmpty && cur.nonEmpty)
+    // source == src(doc_id % 20) in the testdata; licensed = src0,
+    // src2..src9 (the NOT LIKE 'src1%' grant)
+    assert(cur.forall { r =>
+      val m = r.getAs[Long]("doc_id") % 20
+      m != 1 && m < 10
+    }, "an unlicensed source's document surfaced in the role's ranking")
+    // scores are model-level different (df/N shrink), not a subset copy
+    val fullScores = full.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val rescored = cur.filter(r => fullScores.contains(r.getAs[Long]("doc_id")))
+      .count(r => fullScores(r.getAs[Long]("doc_id")) !=
+        r.getAs[Double]("score"))
+    assert(rescored > 0,
+      "role-scoped BM25 must re-score against the role's corpus stats")
   }
 
   test("column denial fails loudly: doc_meta cannot run tokenizing queries") {
