@@ -1,0 +1,127 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshots over plain parquet — the reproducibility
+  * contract a training pipeline needs ("model X trained on corpus
+  * snapshot v12") without adopting a table format.
+  *
+  * Layout:
+  *  - `<root>/data/b<batch>-<uuid>/` — immutable parquet file sets; a
+  *    writer NEVER mutates an existing data directory;
+  *  - `<root>/_versions/v%08d.manifest` — one line per live data
+  *    directory. THE MANIFEST IS THE COMMIT: it is written to a temp
+  *    name and renamed into place (atomic on any POSIX-ish store), so
+  *    readers either see a version completely or not at all. Data
+  *    directories written by a crashed commit are invisible garbage
+  *    (no manifest references them) until [[vacuum]] collects them.
+  *
+  * Semantics:
+  *  - [[append]] — new version = previous file set + the new
+  *    directory; no data is rewritten (the cheap, usual path);
+  *  - [[overwrite]] — new version = exactly the new directory
+  *    (compaction, re-curation, upsert results);
+  *  - [[read]] — union of a version's directories; `version = -1`
+  *    reads the latest. Old versions stay readable until vacuumed, so
+  *    "train on v12" is reproducible while the corpus moves on.
+  *
+  * At 100 TB this is manifest-sized metadata over immutable data — the
+  * same shape Delta/Iceberg commit logs use; what is deliberately NOT
+  * here is multi-writer coordination (one writer at a time; the rename
+  * makes concurrent commits last-writer-wins, never corrupt).
+  */
+object Snapshots {
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(root: String) = new Path(root, "_versions")
+
+  /** Committed version numbers, ascending (empty if none). */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+      .sorted.toSeq
+  }
+
+  private def readManifest(
+      spark: SparkSession, root: String, v: Int): Seq[String] = {
+    val p = new Path(manifestDir(root), f"v$v%08d.manifest")
+    val in = fs(spark, root).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeData(
+      spark: SparkSession, root: String, df: DataFrame): String = {
+    val dir = s"b${System.nanoTime()}-${java.util.UUID.randomUUID()}"
+    df.write.parquet(new Path(root, s"data/$dir").toString)
+    s"data/$dir"
+  }
+
+  private def commit(
+      spark: SparkSession, root: String, dirs: Seq[String]): Int = {
+    val f = fs(spark, root)
+    f.mkdirs(manifestDir(root))
+    val v = versions(spark, root).lastOption.getOrElse(0) + 1
+    val tmp = new Path(manifestDir(root), f".v$v%08d.tmp")
+    val out = f.create(tmp, true)
+    try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(manifestDir(root), f"v$v%08d.manifest")
+    if (!f.rename(tmp, fin))
+      throw new java.io.IOException(s"snapshot commit lost the race: $fin")
+    v
+  }
+
+  /** New version = previous file set + `df`'s files. Returns it. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val prev = versions(spark, root).lastOption
+      .map(readManifest(spark, root, _)).getOrElse(Nil)
+    commit(spark, root, prev :+ writeData(spark, root, df))
+  }
+
+  /** New version = exactly `df`'s files (replace semantics). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Int =
+    commit(spark, root, Seq(writeData(spark, root, df)))
+
+  /** Read a version (latest when `version < 0`). */
+  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot committed under $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"unknown snapshot v$v (have ${vs.mkString(",")})")
+    val dirs = readManifest(spark, root, v)
+      .map(d => new Path(root, d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Drop all but the newest `keepVersions` manifests and delete every
+    * data directory no kept manifest references — including directories
+    * orphaned by crashed commits. Returns (manifests dropped, data dirs
+    * deleted). */
+  def vacuum(
+      spark: SparkSession, root: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
+    val live = keep.flatMap(readManifest(spark, root, _)).toSet
+    drop.foreach(v =>
+      f.delete(new Path(manifestDir(root), f"v$v%08d.manifest"), false))
+    val dataDir = new Path(root, "data")
+    var removed = 0
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
+      if (!live.contains(s"data/${st.getPath.getName}")) {
+        f.delete(st.getPath, true)
+        removed += 1
+      }
+    }
+    (drop.size, removed)
+  }
+}

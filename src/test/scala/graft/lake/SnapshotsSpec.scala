@@ -1,0 +1,62 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Snapshot versioning: every committed version stays byte-reproducible
+  * while the corpus moves on; crashed commits are invisible; vacuum
+  * collects exactly the unreferenced data. */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(root: String, v: Int = -1): Set[Long] =
+    Snapshots.read(spark, root, v).select(col("id"))
+      .as[Long].collect().toSet
+
+  test("append and overwrite versions are each exactly reproducible") {
+    val root = tmpDir("snap")
+    val v1 = Snapshots.append(spark, root, spark.range(0, 10).toDF())
+    val v2 = Snapshots.append(spark, root, spark.range(10, 15).toDF())
+    val v3 = Snapshots.overwrite(spark, root, spark.range(100, 103).toDF())
+    assert(Seq(v1, v2, v3) == Seq(1, 2, 3))
+    assert(ids(root, 1) == (0L until 10L).toSet)
+    assert(ids(root, 2) == (0L until 15L).toSet,
+      "append must layer on the previous version's files")
+    assert(ids(root, 3) == (100L until 103L).toSet,
+      "overwrite must replace the file set")
+    assert(ids(root) == ids(root, 3), "latest == newest version")
+    // v1 is STILL v1 after later commits — the reproducibility contract
+    assert(ids(root, 1) == (0L until 10L).toSet)
+  }
+
+  test("a crashed commit (data without manifest) is invisible to readers") {
+    val root = tmpDir("snap-crash")
+    Snapshots.append(spark, root, spark.range(0, 5).toDF())
+    // simulate a writer that died after writing data, before the
+    // manifest rename: bare data directory, no manifest references it
+    spark.range(50, 60).toDF().write
+      .parquet(s"$root/data/b0-orphan")
+    assert(ids(root) == (0L until 5L).toSet,
+      "an uncommitted data directory leaked into a read")
+    // the next commit is unaffected and numbers continue
+    val v = Snapshots.append(spark, root, spark.range(5, 7).toDF())
+    assert(v == 2 && ids(root) == (0L until 7L).toSet)
+    // vacuum collects the orphan
+    val (dropped, removed) = Snapshots.vacuum(spark, root, keepVersions = 2)
+    assert(dropped == 0 && removed == 1,
+      s"vacuum should collect exactly the orphan, got ($dropped, $removed)")
+    assert(ids(root) == (0L until 7L).toSet)
+  }
+
+  test("vacuum keeps the newest versions readable, drops the rest") {
+    val root = tmpDir("snap-vac")
+    Snapshots.overwrite(spark, root, spark.range(0, 3).toDF())
+    Snapshots.overwrite(spark, root, spark.range(3, 6).toDF())
+    Snapshots.overwrite(spark, root, spark.range(6, 9).toDF())
+    val (dropped, removed) = Snapshots.vacuum(spark, root, keepVersions = 1)
+    assert(dropped == 2 && removed == 2)
+    assert(Snapshots.versions(spark, root) == Seq(3))
+    assert(ids(root, 3) == (6L until 9L).toSet)
+    intercept[IllegalArgumentException] { ids(root, 1) }
+  }
+}
