@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *    [[DedupIndex]] tiny-file measurement applies unchanged); at
   *    100 TB widen to 2-3 chars so each directory stays
   *    hundreds-of-MB-sized and a probe reads ~1/4096 of the index.
-  *  - `<root>/corpus` — ONE row of corpus-level stats (n_docs,
-  *    total_dl) that BM25 needs for idf/avgdl. `corpus/_SUCCESS` is
-  *    the index-complete marker, written LAST, so a marker always
-  *    means every layer is complete (the [[AnnIndex]] crash-ordering
+  *  - `<root>/corpus` — PER-SOURCE stats rows (source, n_docs,
+  *    total_dl) that BM25 needs for idf/avgdl: a |sources|-row
+  *    relation so [[probeAs]] can recompute a role's stats by summing
+  *    only its visible sources. `corpus/_SUCCESS` is the
+  *    index-complete marker, written LAST, so a marker always means
+  *    every layer is complete (the [[AnnIndex]] crash-ordering
   *    invariant).
   *
   * Tokenization and scoring are the SHARED rules in
@@ -35,17 +37,37 @@ object InvertedIndex {
   /** Deterministic content-fingerprinted index location
     * ([[graft.core.IndexRoot]] — rewritten corpus => fresh root). */
   def defaultRoot(sfDir: String): String =
-    graft.core.IndexRoot.of(sfDir, "documents.parquet", "graft_inv_index")
+    // _v2: postings carry `source` and corpus stats are per-source
+    // (the probeAs layout) — the version bump keeps a pre-change index
+    // cached under the old root from being read with the new schema
+    graft.core.IndexRoot.of(sfDir, "documents.parquet", "graft_inv_index_v2")
+
+  /** Postings carry the row-security attribute (`source`) so ONE shared
+    * physical index can serve per-role logical views ([[probeAs]]) —
+    * without it, an index probe would silently bypass the table-level
+    * RBAC the inline query enforces. Docs without a source column
+    * (plain (doc_id, text) intake) get a single catch-all bucket. */
+  private def withSource(docs: DataFrame): DataFrame =
+    if (docs.columns.contains("source")) docs
+    else docs.withColumn("source", lit("_all"))
 
   private def postings(docs: DataFrame): DataFrame =
-    graft.queries.Search.tokenized(docs)
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .groupBy(col("tok"), col("doc_id"), col("dl"))
+    graft.queries.Search.tokenized(withSource(docs))
+      .select(col("doc_id"), col("source"), col("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("source"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("pfx", substring(md5(col("tok")), 1, 1))
 
+  /** Corpus stats per source (a |sources|-row relation, not 1 row):
+    * a role-scoped probe sums only the visible sources, so df/avgdl/N
+    * are exactly the role's world — the property that makes per-role
+    * retrieval sound (LlmRbacSpec proves scores CHANGE, not post-
+    * filter). The unscoped probe sums all rows — identical totals to
+    * the old single-row layout (exact integer sums). */
   private def corpusStats(docs: DataFrame): DataFrame =
-    graft.queries.Search.tokenized(docs)
+    graft.queries.Search.tokenized(withSource(docs))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
 
   /** Build the postings index unless the complete-marker exists. One
@@ -79,18 +101,30 @@ object InvertedIndex {
     val markerDir = s"$root/corpus"
     val fs = new Path(markerDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // 1-row read BEFORE invalidating the marker (it lives in that dir)
-    val old = spark.read.parquet(markerDir)
-      .select(col("n_docs"), col("total_dl")).collect()(0)
+    // snapshot the per-source stats BEFORE invalidating the marker —
+    // a |sources|-bounded collect (the t12/t16 bound), since the
+    // overwrite below replaces the directory being read
+    val oldRows = spark.read.parquet(markerDir)
+      .select(col("source"), col("n_docs"), col("total_dl")).collect()
     fs.delete(new Path(s"$markerDir/_SUCCESS"), false)
     invalidate(root)
     postings(newDocs)
       .repartition(16, col("pfx"))
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$root/postings")
-    corpusStats(newDocs)
-      .select((col("n_docs") + old.getLong(0)).as("n_docs"),
-        (col("total_dl") + old.getLong(1)).as("total_dl"))
+    val oldDf = spark.createDataFrame(
+      java.util.Arrays.asList(oldRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total_dl",
+          org.apache.spark.sql.types.LongType))))
+    corpusStats(newDocs).unionByName(oldDf)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
       .coalesce(1)
       .write.mode("overwrite").parquet(markerDir)
   }
@@ -129,13 +163,15 @@ object InvertedIndex {
   private def postingsDf(spark: SparkSession, root: String): DataFrame =
     if (isBatchLayout(spark, root)) read(spark, s"$root/postings")
     else read(spark, s"$root/postings_batches")
-      .select(col("tok"), col("doc_id"), col("dl"), col("tf"), col("pfx"))
+      .select(col("tok"), col("doc_id"), col("source"), col("dl"),
+        col("tf"), col("pfx"))
 
+  /** Per-source stats rows (NOT yet aggregated — the probe applies its
+    * visibility predicate first, then sums). */
   private def corpusDf(spark: SparkSession, root: String): DataFrame =
     if (isBatchLayout(spark, root)) read(spark, s"$root/corpus")
     else read(spark, s"$root/corpus_batches")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_dl")).as("total_dl"))
+      .select(col("source"), col("n_docs"), col("total_dl"))
 
   private val readCache = new graft.core.SessionCache[String]()
 
@@ -150,7 +186,25 @@ object InvertedIndex {
     * term df comes from the pruned rows themselves, and the shared
     * [[graft.queries.Search.bm25Score]] does the ranking — identical
     * math, identical results to the inline t31. */
-  def probe(spark: SparkSession, root: String, terms: Seq[String]): DataFrame = {
+  def probe(spark: SparkSession, root: String, terms: Seq[String]): DataFrame =
+    probeWhere(spark, root, terms, lit(true))
+
+  /** Role-scoped probe over the SHARED physical index: the role's row
+    * filter applies to postings AND to the per-source corpus stats, so
+    * df/avgdl/N recompute over exactly the role's visible world —
+    * identical semantics to running the inline t31 under `Rbac.asRole`
+    * (pinned in LlmRbacSpec), with none of the per-role index copies.
+    * A filter referencing a column the index does not carry fails at
+    * analysis — loud, like the column-security contract. */
+  def probeAs(
+      spark: SparkSession, root: String, terms: Seq[String],
+      role: graft.security.Rbac.Role): DataFrame =
+    probeWhere(spark, root, terms,
+      role.rowFilter.map(expr).getOrElse(lit(true)))
+
+  private def probeWhere(
+      spark: SparkSession, root: String, terms: Seq[String],
+      visible: org.apache.spark.sql.Column): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val prefixes = terms
       .map(t => md.digest(t.getBytes("UTF-8")).take(1).map("%02x".format(_))
@@ -159,9 +213,12 @@ object InvertedIndex {
     val tf = postingsDf(spark, root)
       .filter(col("pfx").isin(prefixes: _*)) // directory pruning
       .filter(col("tok").isin(terms: _*))
+      .filter(visible)
       .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val corpus = corpusDf(spark, root)
+    val corpus = corpusDf(spark, root).filter(visible)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
     graft.queries.Search.bm25Score(tf, dfStats, corpus)
   }
 }

@@ -80,6 +80,26 @@ class LlmRbacSpec extends SparkSpec {
       "role-scoped BM25 must re-score against the role's corpus stats")
   }
 
+  test("shared index, per-role view: probeAs == the role's inline ranking") {
+    // ONE physical postings index serves every role: probeAs applies
+    // the role's row filter to postings AND the per-source stats, so
+    // the ranking equals running inline t31 under Rbac.asRole — no
+    // per-role index copies, no RBAC bypass through derived data.
+    val root = graft.operators.InvertedIndex.defaultRoot(sfDir)
+    graft.operators.InvertedIndex.buildIfMissing(spark, sfDir, root)
+    val viaIndex = graft.operators.InvertedIndex
+      .probeAs(spark, root, Search.Bm25Terms, Rbac.docCurator)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = Rbac.asRole(spark, "documents" -> Rbac.docCurator) {
+      Search.t31_bm25.run(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex == inline,
+      s"role-scoped index probe diverged from the role's inline ranking:" +
+        s"\n idx=$viaIndex\n inl=$inline")
+  }
+
   test("column denial fails loudly: doc_meta cannot run tokenizing queries") {
     // doc_meta may measure the corpus but `text` is denied — a query
     // that tokenizes must fail at ANALYSIS, matching the reference's
