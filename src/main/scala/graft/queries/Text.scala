@@ -14,7 +14,7 @@ import graft.core.Tables
 object Text {
   /** Tokenize into lowercase word runs (shared by several operators,
     * including the [[Corpus]] lane — ONE token model engine-wide). */
-  private[queries] val toksExpr = "regexp_extract_all(text, '[a-z0-9]+', 0)"
+  val toksExpr = "regexp_extract_all(text, '[a-z0-9]+', 0)"
 
   val t01_token_stats = Q(
     "t01_token_stats",

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** The distributed BPE trainer must reproduce the reference algorithm
+  * (Sennrich et al. 2016) exactly: same merges in the same order, same
+  * final segmentation, deterministic under any partitioning. */
+class BpeSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---- single-node reference implementation ------------------------
+  private type Vocab = Map[List[String], Long]
+
+  private def refPairs(v: Vocab): Map[(String, String), Long] =
+    v.toSeq.flatMap { case (syms, c) =>
+      syms.zip(syms.tail).map(p => p -> c)
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+
+  private def refMerge(syms: List[String], a: String, b: String)
+      : List[String] = syms match {
+    case x :: y :: rest if x == a && y == b =>
+      (a + b) :: refMerge(rest, a, b)
+    case x :: rest => x :: refMerge(rest, a, b)
+    case Nil => Nil
+  }
+
+  private def refLearn(words: Map[String, Long], n: Int)
+      : (Seq[(String, String)], Vocab) = {
+    var v: Vocab = words.map { case (w, c) => w.toList.map(_.toString) -> c }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.size < n) {
+      val ps = refPairs(v).filter(_._2 > 1)
+      if (ps.isEmpty) continue = false
+      else {
+        val (a, b) = ps.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += ((a, b))
+        v = v.toSeq.map { case (s, c) => refMerge(s, a, b) -> c }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    (merges.toSeq, v)
+  }
+
+  private def corpusWords: Map[String, Long] =
+    Tables(spark, sfDir, "documents")
+      .select(explode(expr(graft.queries.Text.toksExpr)).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("learned merges equal the reference algorithm, in order") {
+    val got = Bpe.learnMerges(Tables(spark, sfDir, "documents"), 12)
+    val (exp, _) = refLearn(corpusWords, 12)
+    assert(got == exp, s"\n got=$got\n exp=$exp")
+    assert(got.size == 12, "corpus should support 12 merges at this SF")
+  }
+
+  test("applyMerges reproduces the trainer's segmentation on every word") {
+    val merges = Bpe.learnMerges(Tables(spark, sfDir, "documents"), 8)
+    val (_, refVocab) = refLearn(corpusWords, 8)
+    import spark.implicits._
+    val words = corpusWords.keys.toSeq.toDF("w")
+    val got = Bpe.applyMerges(words, "w", "syms", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    val exp = refVocab.keys.map(s => s.mkString -> s).toMap
+    // refVocab keys are segmentations; map back by joined word
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (w, syms) =>
+      assert(syms == exp(w), s"word '$w': got $syms expected ${exp(w)}")
+    }
+  }
+
+  test("training is deterministic (tie-break pinned)") {
+    val a = Bpe.learnMerges(Tables(spark, sfDir, "documents"), 6)
+    val b = Bpe.learnMerges(
+      Tables(spark, sfDir, "documents").repartition(7), 6)
+    assert(a == b, "merge order must not depend on partitioning")
+  }
+
+  test("stops early when no pair repeats") {
+    import spark.implicits._
+    val docs = Seq("a b c", "d e f").toDF("text")
+    assert(Bpe.learnMerges(docs, 10).isEmpty)
+  }
+}
