@@ -40,11 +40,14 @@ object Pipeline {
     *     `workDir/index/inverted`) — one AvailableNow drain over both
     *     arrivals — and all three indexes are probed with EXACTLY the
     *     d15/s05/t31 probe sets;
-    *  5. the curated TRAIN split gets its sequence-packing manifest
+    *  5. the curated corpus commits as an immutable snapshot version
+    *     ([[graft.lake.Snapshots]] under `workDir/llm/snapshots`) and
+    *     the TRAIN split's sequence-packing manifest
     *     ([[graft.pipeline.Pack.writeManifest]] under
-    *     `workDir/llm/pack_manifest`) — the loader-facing hand-off
-    *     that turns the funnel's survivors into fixed-size training
-    *     rows without re-tokenizing at load time.
+    *     `workDir/llm/pack_manifest`) is derived FROM that snapshot —
+    *     the loader-facing hand-off that turns the funnel's survivors
+    *     into fixed-size training rows stays reproducible after later
+    *     re-curations (time-travel read pinned in `PipelineLlmSpec`).
     *
     * Returns (curation report, dedup probe hits, ann probe hits, bm25
     * probe ranking); the probe results are pinned row-identical to the
@@ -103,9 +106,21 @@ object Pipeline {
     val bm25Hits = InvertedIndex.probe(spark, invRoot,
       graft.queries.Search.Bm25Terms)
 
+    // Snapshot the curated corpus BEFORE deriving loader artifacts:
+    // the packing manifest below is computed from this immutable
+    // version, so "the run that produced pack_manifest" stays
+    // reproducible even after the curated zone is re-curated
+    // (Snapshots.read(root, v) returns these exact files forever —
+    // pinned in PipelineLlmSpec).
+    val snapVersion = graft.lake.Snapshots.overwrite(spark,
+      s"$workDir/llm/snapshots",
+      spark.read.parquet(s"$workDir/llm/curated"))
+
     // 5. packing manifest over the curated train split (ctx matches
-    // the t26/t28 gate so the manifest math is oracle-backed)
-    val curatedTrain = spark.read.parquet(s"$workDir/llm/curated")
+    // the t26/t28 gate so the manifest math is oracle-backed), read
+    // from the snapshot just committed
+    val curatedTrain = graft.lake.Snapshots
+      .read(spark, s"$workDir/llm/snapshots", snapVersion)
       .filter(col("split") === "train")
       .select(col("doc_id"), col("source"),
         expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT)")

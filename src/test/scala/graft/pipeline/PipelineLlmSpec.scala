@@ -58,6 +58,27 @@ class PipelineLlmSpec extends SparkSpec {
       s"pipeline bm25 probe diverged: ${piped.size} vs ${batch.size} rows")
   }
 
+  test("the curated corpus is snapshot-versioned and reproducible") {
+    import org.apache.spark.sql.functions._
+    val _ = report // force the lane
+    val snapRoot = s"$workDir/llm/snapshots"
+    val vs = graft.lake.Snapshots.versions(spark, snapRoot)
+    assert(vs == Seq(1), s"lane should commit exactly one snapshot: $vs")
+    // the snapshot IS the curated zone at commit time...
+    val snapIds = graft.lake.Snapshots.read(spark, snapRoot, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val curIds = spark.read.parquet(s"$workDir/llm/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(snapIds == curIds)
+    // ...and stays byte-stable after the curated zone moves on
+    spark.read.parquet(s"$workDir/llm/curated")
+      .filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$workDir/llm/curated_v2_scratch")
+    assert(graft.lake.Snapshots.read(spark, snapRoot, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == snapIds,
+      "the committed snapshot changed after later writes")
+  }
+
   test("work-dir ANN index answers probes like the batch query") {
     val batch = Similarity.s05_ann_index.run(spark, sfDir).collect().toSeq
     val piped = annHits.collect().toSeq
