@@ -231,8 +231,13 @@ object Lake {
     * partitions present IN THE UPDATE BATCH are read or rewritten —
     * the driver-side collect is the touched-partition value list,
     * bounded by the batch's partition spread, never the dataset's.
-    * Updates must carry the dataset's full schema. Returns the touched
-    * partition count. */
+    * Updates must carry the dataset's full schema, and each key's
+    * partition value must be stable across updates (the standard
+    * partition-pruned-MERGE constraint: a key that MOVES partitions
+    * leaves its old row in an untouched directory — to move a key,
+    * include its old partition in the batch, e.g. via a tombstone row,
+    * or run [[deleteWhere]] first). Returns the touched partition
+    * count. */
   def upsert(
       spark: SparkSession,
       root: String,

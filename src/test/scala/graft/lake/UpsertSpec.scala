@@ -84,6 +84,42 @@ class UpsertSpec extends SparkSpec {
     assert((listing(root) - "source=src5") == (before - "source=src5"))
   }
 
+  test("property: random upsert/delete sequences match a map model") {
+    import org.scalacheck.Gen
+    val rowGen = for {
+      k <- Gen.choose(0L, 30L)
+      v <- Gen.alphaLowerStr.map(_.take(6))
+    } yield (k, v, "en", v.length.toLong, s"src${k % 4}")
+    val batchGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, rowGen))
+    (0 until 3).foreach { seed =>
+      val root = tmpDir(s"upsert-prop-$seed")
+      val base = batchGen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed * 10L)).get
+        .distinctBy(_._1) // unique keys in the base dataset
+      spark.createDataFrame(base)
+        .toDF("doc_id", "text", "lang", "n_chars", "source")
+        .write.mode("overwrite").partitionBy("source").parquet(root)
+      var model: Map[Long, (Long, String)] =
+        base.map(r => r._1 -> (r._1, r._2)).toMap
+      (1 to 3).foreach { b =>
+        val batch = batchGen(Gen.Parameters.default,
+          Seed(seed * 10L + b)).get.distinctBy(_._1)
+        Lake.upsert(spark,
+          root,
+          spark.createDataFrame(batch)
+            .toDF("doc_id", "text", "lang", "n_chars", "source"),
+          "doc_id", "source")
+        model = model ++ batch.map(r => r._1 -> (r._1, r._2)).toMap
+      }
+      val got = spark.read.parquet(root)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(0), r.getString(1))).toMap
+      assert(got == model, s"seed=$seed: dataset diverged from the model")
+    }
+  }
+
+  private def Seed(l: Long) = org.scalacheck.rng.Seed(l)
+
   test("a crash inside the swap window is recoverable, losing nothing") {
     val root = freshDataset()
     val expected = rows(spark.read.parquet(root))

@@ -85,4 +85,30 @@ class BpeSpec extends SparkSpec {
     val docs = Seq("a b c", "d e f").toDF("text")
     assert(Bpe.learnMerges(docs, 10).isEmpty)
   }
+
+  test("property: random corpora match the reference algorithm") {
+    // adversarial small alphabets force heavy merge collisions and
+    // overlapping-pair cases (aaa, abab) that the fixed corpus may miss
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.choose(5, 20).flatMap(n => Gen.listOfN(n, wordGen))
+    (0 until 4).foreach { seed =>
+      val words = corpusGen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).get
+      val docs = words.grouped(5).map(_.mkString(" ")).toSeq.toDF("text")
+      val got = Bpe.learnMerges(docs, 4)
+      val counts = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val (exp, refVocab) = refLearn(counts, 4)
+      assert(got == exp, s"seed=$seed corpus=$words\n got=$got\n exp=$exp")
+      // encode path agrees on every distinct word too
+      val enc = Bpe.applyMerges(counts.keys.toSeq.toDF("w"), "w", "s", got)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+        .toMap
+      refVocab.keys.foreach(s =>
+        assert(enc(s.mkString) == s, s"seed=$seed word=${s.mkString}"))
+    }
+  }
 }
