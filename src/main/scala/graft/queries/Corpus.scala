@@ -420,7 +420,52 @@ object Corpus {
              abs(est_distinct - exact_distinct) / exact_distinct AS rel_err
       FROM est, e"""))
 
+  /** Top adjacent character pairs weighted by word frequency — EXACTLY
+    * the statistic [[graft.operators.Bpe.learnMerges]] ranks in its
+    * first round, as an externally-gated query: the trainer's rounds
+    * 2+ are spec-gated against the single-node reference (`BpeSpec`),
+    * and this anchors round 1 to the DuckDB oracle. The tie-break
+    * (count desc, pair asc) is the trainer's, so row 1 IS the first
+    * merge the trainer learns.
+    *
+    * Shape: one corpus pass collapses to the weighted (word, count)
+    * vocabulary (map-side partial counts), the pair explode runs over
+    * vocabulary-sized data, and the top-20 is a
+    * TakeOrderedAndProject. */
+  private[queries] def bpePairs(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .transform(Tables.fanOut)
+      .select(explode(expr(Text.toksExpr)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    vocab
+      .select(posexplode(split(col("w"), "")).as(Seq("i", "a")),
+        col("w"), col("c"))
+      .where(col("i") < length(col("w")) - 1)
+      .select(col("a"), expr("substr(w, i + 2, 1)").as("b"), col("c"))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(20)
+      .select(col("a"), col("b"), col("n"))
+  }
+
+  val t33_bpe_pairs = Q(
+    "t33_bpe_pairs",
+    (s, dir) => bpePairs(Tables(s, dir, "documents")),
+    Some("""
+      WITH w AS (
+        SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+              FROM documents)
+        GROUP BY tok),
+      p AS (
+        SELECT substr(w, i + 1, 1) AS a, substr(w, i + 2, 1) AS b, c
+        FROM w, unnest(range(length(w) - 1)) AS u(i))
+      SELECT a, b, CAST(SUM(c) AS BIGINT) AS n
+      FROM p GROUP BY a, b
+      ORDER BY n DESC, a, b
+      LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
-      t30_temperature_mix, d18_span_dedup, q60_kmv_distinct)
+      t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs)
 }

@@ -1059,9 +1059,106 @@ object Similarity {
       CROSS JOIN nn
       ORDER BY i, j"""))
 
+  /** Recall@10 of the SRP-LSH ANN path (s02's bucketing) against the
+    * exact brute-force ranking (s01's), per query — retrieval
+    * EVALUATION as an externally-gated query, not just a spec
+    * assertion: the engine grades its own ANN quality and the oracle
+    * recomputes the same grade. A recall regression (plane formula
+    * drift, bucket-width change) breaks this query's hash before any
+    * downstream consumer notices degraded neighbors.
+    *
+    * Shape: the bucketed corpus is ONE cached projection feeding both
+    * sides; queries broadcast; the exact side is the documented
+    * O(Q·N) baseline sweep (Q = 50 broadcast rows), the approx side a
+    * bucket equi-join; both rankings end in per-query top-10 windows
+    * over their bounded candidate sets, and the recall join runs on
+    * (q_id, c_id) pairs — 10·Q rows. */
+  val s13_ann_recall = Q(
+    "s13_ann_recall",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = withNorm(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          srpBucket(col("embedding")).as("bucket"))
+        .cache() // feeds queries + both candidate sides
+      val queries = emb.filter(col("vec_id") < 50).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+      def cands = emb.select(
+        col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"), col("bucket").as("c_bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      def top10(df: DataFrame): DataFrame = df
+        .withColumn("cos_sim",
+          when(col("q_norm") > 0 && col("c_norm") > 0,
+            round(vec_dot(col("q_emb"), col("c_emb")) /
+              (col("q_norm") * col("c_norm")), 6))
+            .otherwise(0.0))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("c_id"))
+      val exact = top10(cands.join(broadcast(queries),
+        col("c_id") =!= col("q_id")))
+      val approx = top10(cands.join(broadcast(queries),
+        col("c_bucket") === col("q_bucket") && col("c_id") =!= col("q_id")))
+      exact
+        .join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .withColumn("recall_at_10",
+          round(col("hits").cast("double") / 10.0, 6))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH $planesSqlDuck,
+      nv AS (
+        SELECT vec_id, embedding,
+               sqrt(${dotSqlDuck("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      bucketed AS (
+        SELECT vec_id, embedding, norm,
+               CAST(SUM(CASE WHEN ${dotSqlDuck("warr", "embedding")} >= 0
+                 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END)
+                 AS BIGINT) AS bucket
+        FROM nv CROSS JOIN planes
+        GROUP BY vec_id, embedding, norm),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               q.bucket AS q_bucket, c.bucket AS c_bucket,
+               CASE WHEN q.norm > 0 AND c.norm > 0
+                 THEN round(${dotSqlDuck("q.embedding", "c.embedding")}
+                   / (q.norm * c.norm), 6)
+                 ELSE 0.0 END AS cos_sim
+        FROM bucketed q JOIN bucketed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 50),
+      exact AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, c_id) AS rk
+          FROM scored) WHERE rk <= 10),
+      approx AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, c_id) AS rk
+          FROM scored WHERE q_bucket = c_bucket) WHERE rk <= 10)
+      SELECT e.q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits,
+             round(CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / 10.0, 6) AS recall_at_10
+      FROM exact e LEFT JOIN approx a
+        ON a.q_id = e.q_id AND a.c_id = e.c_id
+      GROUP BY e.q_id
+      ORDER BY e.q_id"""))
+
   val all: Seq[Q] = Seq(s01_cosine_topk, s02_ann_lsh, s03_ivf_ann,
     s04_kmeans_step, s05_ann_index, s06_quantized_ann,
     s07_quantized_rerank, s08_binary_sketch, s09_pq_ann,
     s10_norm_outliers, s11_cluster_quality, s12_embed_covariance,
-    t09_array_ops)
+    s13_ann_recall, t09_array_ops)
 }
