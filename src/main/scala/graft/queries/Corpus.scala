@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Pii
@@ -465,7 +465,122 @@ object Corpus {
       ORDER BY n DESC, a, b
       LIMIT 20"""))
 
+  /** Pairwise agreement matrix of the three document-quality filters
+    * the funnel could gate on: t02's continuous score at the Curate
+    * default threshold (0.5), t29's Gopher composite, and a
+    * duplicate-token-ratio rule. The question a pipeline operator
+    * actually asks before adding a filter: does it REMOVE anything the
+    * existing gates don't already catch? High agreement = redundant
+    * stage (cost, no coverage); the only_a/only_b split shows which
+    * filter carries unique signal.
+    *
+    * Shape: the three verdicts are stateless per-doc expressions (the
+    * SAME shared `withQuality` / `withGopherVerdict` the batch queries
+    * and streaming gates use) over one corpus scan; everything after
+    * is a single 13-sum global aggregate reshaped to 3 rows with
+    * `stack` — output is filter-pair-sized at any corpus scale. */
+  private[queries] def filterAgreement(docs: DataFrame): DataFrame = {
+    val flags = Corpus.withGopherVerdict(
+        Text.withQuality(docs.transform(Tables.fanOut)))
+      .select(
+        (col("quality") >= 0.5).as("q"),
+        col("passes").as("g"),
+        (col("n_tok") > 0 &&
+          (lit(1.0) - col("n_uniq").cast("double") / col("n_tok")) <= 0.5)
+          .as("r"))
+    def cell(p: Column, name: String) =
+      sum(when(p, 1L).otherwise(0L)).as(name)
+    val m = flags.agg(
+      count(lit(1)).as("n"),
+      cell(col("q") && col("g"), "qg_both"),
+      cell(col("q") && !col("g"), "qg_a"),
+      cell(!col("q") && col("g"), "qg_b"),
+      cell(col("q") && col("r"), "qr_both"),
+      cell(col("q") && !col("r"), "qr_a"),
+      cell(!col("q") && col("r"), "qr_b"),
+      cell(col("g") && col("r"), "gr_both"),
+      cell(col("g") && !col("r"), "gr_a"),
+      cell(!col("g") && col("r"), "gr_b"))
+    m.selectExpr("n",
+        """stack(3,
+          'quality',  'gopher',   qg_both, qg_a, qg_b,
+          'quality',  'duptoken', qr_both, qr_a, qr_b,
+          'gopher',   'duptoken', gr_both, gr_a, gr_b)
+          AS (filter_a, filter_b, n_both, n_only_a, n_only_b)""")
+      .withColumn("n_neither",
+        col("n") - col("n_both") - col("n_only_a") - col("n_only_b"))
+      .withColumn("agree_rate",
+        round((col("n_both") + col("n_neither")).cast("double") / col("n"),
+          6))
+      .select(col("filter_a"), col("filter_b"), col("n_both"),
+        col("n_only_a"), col("n_only_b"), col("n_neither"),
+        col("agree_rate"))
+      .orderBy(col("filter_a"), col("filter_b"))
+  }
+
+  val t34_filter_agreement = Q(
+    "t34_filter_agreement",
+    (s, dir) => filterAgreement(Tables(s, dir, "documents")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   regexp_extract_all(text, '[a-z0-9]+') AS toks
+                 FROM documents),
+      f AS (
+        SELECT
+          (CASE WHEN n_tok > 0
+             THEN 0.4 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+                + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+                + 0.3 * (CAST(n_uniq AS DOUBLE) / n_tok)
+             ELSE 0.0 END) >= 0.5 AS q,
+          (n_words BETWEEN 50 AND 100000) AND
+            (CASE WHEN n_words > 0 THEN
+               round(CAST(sum_len AS DOUBLE) / n_words, 6)
+             ELSE 0.0 END BETWEEN 3.0 AND 10.0) AND
+            (stop_hits >= 2) AS g,
+          n_tok > 0 AND
+            (1.0 - CAST(n_uniq AS DOUBLE) / n_tok) <= 0.5 AS r
+        FROM (
+          SELECT
+            CAST(length(toks) AS BIGINT) AS n_tok,
+            CAST(length(list_filter(toks,
+              x -> x IN ('the','a','of','and','to','in','is')))
+              AS BIGINT) AS n_stop,
+            CAST(length(list_distinct(toks)) AS BIGINT) AS n_uniq,
+            CAST(length(toks) AS BIGINT) AS n_words,
+            list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+            CAST(length(list_intersect(toks,
+              ['the', 'a', 'of', 'to', 'and', 'in', 'that', 'with']))
+              AS BIGINT) AS stop_hits
+          FROM t)),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN q AND g THEN 1 ELSE 0 END) AS BIGINT) AS qg_both,
+          CAST(SUM(CASE WHEN q AND NOT g THEN 1 ELSE 0 END) AS BIGINT) AS qg_a,
+          CAST(SUM(CASE WHEN NOT q AND g THEN 1 ELSE 0 END) AS BIGINT) AS qg_b,
+          CAST(SUM(CASE WHEN q AND r THEN 1 ELSE 0 END) AS BIGINT) AS qr_both,
+          CAST(SUM(CASE WHEN q AND NOT r THEN 1 ELSE 0 END) AS BIGINT) AS qr_a,
+          CAST(SUM(CASE WHEN NOT q AND r THEN 1 ELSE 0 END) AS BIGINT) AS qr_b,
+          CAST(SUM(CASE WHEN g AND r THEN 1 ELSE 0 END) AS BIGINT) AS gr_both,
+          CAST(SUM(CASE WHEN g AND NOT r THEN 1 ELSE 0 END) AS BIGINT) AS gr_a,
+          CAST(SUM(CASE WHEN NOT g AND r THEN 1 ELSE 0 END) AS BIGINT) AS gr_b
+        FROM f),
+      rows AS (
+        SELECT 'quality' AS filter_a, 'gopher' AS filter_b,
+               qg_both AS n_both, qg_a AS n_only_a, qg_b AS n_only_b, n
+        FROM m
+        UNION ALL
+        SELECT 'quality', 'duptoken', qr_both, qr_a, qr_b, n FROM m
+        UNION ALL
+        SELECT 'gopher', 'duptoken', gr_both, gr_a, gr_b, n FROM m)
+      SELECT filter_a, filter_b, n_both, n_only_a, n_only_b,
+             n - n_both - n_only_a - n_only_b AS n_neither,
+             round(CAST(n_both + (n - n_both - n_only_a - n_only_b)
+               AS DOUBLE) / n, 6) AS agree_rate
+      FROM rows
+      ORDER BY filter_a, filter_b"""))
+
   val all: Seq[Q] =
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
-      t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs)
+      t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
+      t34_filter_agreement)
 }
