@@ -28,6 +28,12 @@ import org.apache.spark.sql.SparkSession
   * when only a median is recorded). A wide (max-min) spread or a high
   * load average says "noise", a tight spread at a high median says
   * "plan cost".
+  *
+  * Scale accountability: each query's cold-computation shuffle-write
+  * bytes (measured on the warmup run via ShuffleMeter — warm runs skip
+  * exchanges feeding cached subtrees) ride the detail line as
+  * `shuffle_bytes`, so "digest-only / dimension-sized shuffles" is a
+  * per-round measured number, comparable across SFs and rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -96,7 +102,15 @@ object Bench {
       s""""subset":"${picked.size}/${SparkEntry.queries.size}",""")
     val loadStart = loadAvg()
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
+      // The warmup run is ALSO the shuffle measurement: it starts from a
+      // cleared cache, so its shuffle-write bytes are the query's full
+      // cold-computation traffic (later warm runs skip exchanges feeding
+      // cached subtrees, which would under-report). This turns the
+      // "digest-only / dimension-sized shuffles" scale claims into a
+      // per-round measured number in the artifact, not prose.
+      val (_, shuf) = graft.tools.ShuffleMeter.measure(spark) {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
       // A run that throws records -1 (not its elapsed time, which would
       // launder a crash into a plausible number); any failed run marks
       // the query -1 in the artifact and keeps it out of the total, so a
@@ -127,11 +141,12 @@ object Bench {
       val (mn, med, mx) =
         if (times.head < 0) (-1.0, -1.0, -1.0)
         else (times.head, times(times.length / 2), times.last)
-      (name, mn, med, mx)
+      (name, mn, med, mx, shuf.bytesWritten)
     }
     val loadEnd = loadAvg()
     val failed = results.filter(_._3 < 0).map(_._1)
     val total = results.map(_._3).filter(_ >= 0).sum
+    val totalShuf = results.map(_._5).sum
     val sf = new java.io.File(sfDir).getName
 
     // number formatting for the compact line: 2dp, trailing zeros trimmed.
@@ -145,16 +160,16 @@ object Bench {
     // Detail line: full-precision per-query spread. min≈median with a
     // spiked max = one contaminated run; median≫min = sustained
     // interference or a genuinely expensive plan (cross-check loadavg).
-    val detail = results.map { case (k, mn, med, mx) =>
-      "\"" + k + s"""":{"min":$mn,"med":$med,"max":$mx}"""
+    val detail = results.map { case (k, mn, med, mx, shuf) =>
+      "\"" + k + s"""":{"min":$mn,"med":$med,"max":$mx,"shuffle_bytes":$shuf}"""
     }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"shuffle_bytes":$totalShuf,"queries":$detail,"sf":"$sfDir"}"""
     println(detailLine)
     // Contract line: bounded by construction — 10 slowest medians only
     // (the plausible-regression set), never the full pack.
     val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(10)
-      .map { case (k, _, med, _) => "\"" + k + "\":" + fmt(med) }
+      .map { case (k, _, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     // `failed` is an AGGREGATE marker: a consumer reading only the
     // contract line sees a degraded run as failed>0 + names, instead of
