@@ -195,7 +195,12 @@ object InvertedIndex {
     * identical semantics to running the inline t31 under `Rbac.asRole`
     * (pinned in LlmRbacSpec), with none of the per-role index copies.
     * A filter referencing a column the index does not carry fails at
-    * analysis — loud, like the column-security contract. */
+    * analysis — loud, like the column-security contract. Documents
+    * indexed WITHOUT provenance (plain (doc_id, text) intake — they
+    * land in the `_all` source bucket) pass any source-shaped filter:
+    * row security requires the attribute to exist at index time, so a
+    * secured deployment must feed [[appendIdempotent]]/[[append]]
+    * source-tagged rows. */
   def probeAs(
       spark: SparkSession, root: String, terms: Seq[String],
       role: graft.security.Rbac.Role): DataFrame =
