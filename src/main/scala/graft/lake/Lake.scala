@@ -151,17 +151,6 @@ object Lake {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Quantize a numeric column to [0, 2^bits) given its (min, max) —
-    * rank-free linear scaling, so no extra shuffle beyond the one
-    * min/max aggregate the caller computes. */
-  def quantize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
-    val steps = (1L << bits) - 1
-    if (hi <= lo) lit(0L)
-    else least(lit(steps),
-      greatest(lit(0L),
-        ((c.cast("double") - lit(lo)) / lit(hi - lo) * steps).cast("long")))
-  }
-
   /** Equal-frequency quantization: code = #(boundaries <= value), with
     * 2^bits - 1 interior quantile boundaries. Unlike linear min/max
     * scaling, codes stay uniform under ANY value skew — a heavy-tailed
@@ -245,16 +234,36 @@ object Lake {
       key: String,
       partitionBy: String,
       crashAfterSwapOut: Boolean = false): Long = {
+    // A batch with two rows for one key has no defined winner — the
+    // anti-join+union would keep BOTH forever. Fail loudly; reduce
+    // upstream (CdcStream does, with a documented version order).
+    val (nRows, nKeys) = {
+      val a = updates.agg(count(lit(1)), countDistinct(col(key))).collect()(0)
+      (a.getLong(0), a.getLong(1))
+    }
+    require(nRows == nKeys,
+      s"upsert batch carries ${nRows - nKeys} duplicate-key rows; " +
+        "reduce to one change per key first")
     val touched = updates.select(col(partitionBy)).distinct()
       .collect().map(_.get(0)).toSeq
     val live = spark.read.parquet(root)
-      .filter(col(partitionBy).isin(touched: _*)) // partition pruning
+      .filter(touchedPredicate(col(partitionBy), touched)) // pruning
     val merged = live
       .join(updates.select(col(key).as("_graft_k")),
         col(key) === col("_graft_k"), "left_anti")
       .unionByName(updates.select(live.columns.map(col): _*))
     rewriteTouched(spark, root, merged, partitionBy, touched,
       crashAfterSwapOut)
+  }
+
+  /** Membership predicate over the touched partition values. `isin`
+    * alone silently never matches NULL (SQL three-valued logic), so a
+    * null partition value gets its own IS NULL disjunct. */
+  private def touchedPredicate(c: Column, touched: Seq[Any]): Column = {
+    val nonNull = touched.filter(_ != null)
+    val base =
+      if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
+    if (touched.exists(_ == null)) base || c.isNull else base
   }
 
   /** Delete rows matching `predicate`. Partitions with no matching row
@@ -269,8 +278,11 @@ object Lake {
       .distinct().collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return 0L
     val kept = all
-      .filter(col(partitionBy).isin(touched: _*))
-      .filter(!predicate)
+      .filter(touchedPredicate(col(partitionBy), touched))
+      // keep every row where the predicate is NOT TRUE: a bare
+      // !predicate drops NULL-valued rows too (three-valued logic),
+      // silently deleting rows the predicate never matched
+      .filter(coalesce(!predicate, lit(true)))
     rewriteTouched(spark, root, kept, partitionBy, touched,
       crashAfterSwapOut = false)
   }
@@ -287,9 +299,15 @@ object Lake {
     var n = 0L
     fs.listStatus(aside).foreach { st =>
       val live = new Path(root, st.getPath.getName)
-      if (!fs.exists(live) && fs.rename(st.getPath, live)) n += 1
+      if (fs.exists(live))
+        fs.delete(st.getPath, true) // stale duplicate: live copy exists
+      else if (fs.rename(st.getPath, live)) n += 1
+      // rename failed: LEAVE the aside entry — it is the only copy of
+      // that partition; deleting the whole aside dir here would turn a
+      // transient FS error into permanent data loss
     }
-    fs.delete(aside, true)
+    if (fs.exists(aside) && fs.listStatus(aside).isEmpty)
+      fs.delete(aside, true)
     n
   }
 
@@ -312,9 +330,13 @@ object Lake {
     fs.mkdirs(new Path(asideRoot))
     // swap each touched directory; an update batch can contain a
     // partition value with zero surviving rows (all deleted) — then the
-    // tmp dir is absent and the live dir is simply retired
+    // tmp dir is absent and the live dir is simply retired. Directory
+    // names use Spark's OWN Hive escaping (source=a:b is written as
+    // source=a%3Ab; null as __HIVE_DEFAULT_PARTITION__) — a raw
+    // "$col=$v" would miss those directories entirely and silently
+    // discard the merged data for them.
     touched.foreach { v =>
-      val dir = s"$partitionBy=$v"
+      val dir = partitionDirName(partitionBy, v)
       val live = new Path(root, dir)
       val tmp = new Path(tmpRoot, dir)
       val old = new Path(asideRoot, dir)
@@ -330,6 +352,15 @@ object Lake {
     fs.delete(new Path(asideRoot), true)
     fs.delete(new Path(tmpRoot), true)
     touched.size.toLong
+  }
+
+  /** The directory name Spark itself writes for a partition value. */
+  private def partitionDirName(colName: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val value =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v.toString)
+    s"${ExternalCatalogUtils.escapePathName(colName)}=$value"
   }
 
   def countDataFiles(spark: SparkSession, root: String): Long = {

@@ -69,7 +69,12 @@ object Snapshots {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val v = versions(spark, root).lastOption.getOrElse(0) + 1
-    val tmp = new Path(manifestDir(root), f".v$v%08d.tmp")
+    // per-writer-unique tmp name: a SHARED tmp path would let a racing
+    // writer's create(overwrite=true) truncate the file this writer is
+    // about to rename, breaking the "never corrupt" half of
+    // last-writer-wins
+    val tmp = new Path(manifestDir(root),
+      f".v$v%08d.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()

@@ -61,28 +61,39 @@ object Bpe {
           acc -> acc.out)"""
   }
 
-  /** Learn `nMerges` merges from a corpus of `text`. Returns the merge
-    * list in training order. Stops early when no pair repeats. */
-  def learnMerges(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
-    val spark = docs.sparkSession
-    // the one corpus-sized pass: weighted vocabulary
-    var vocab = docs
+  /** The corpus collapsed to its weighted character-split vocabulary —
+    * the trainer's round-0 state: (syms, c) rows. */
+  def initialVocab(docs: DataFrame): DataFrame =
+    docs
       .transform(graft.core.Tables.fanOut)
       .select(explode(expr(graft.queries.Text.toksExpr)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(chars(col("w")).as("syms"), col("c"))
-      .localCheckpoint(true)
+
+  /** Weighted adjacent-pair counts of a (syms, c) vocabulary, with the
+    * trainer's candidate filter (a pair must REPEAT to be mergeable).
+    * ONE copy of round statistics: every training round ranks this
+    * relation, and t33_bpe_pairs gates the round-1 instance against
+    * the DuckDB oracle — the trainer's first merge IS t33's first
+    * row by construction. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(posexplode(col("syms")).as(Seq("i", "a")), col("syms"),
+        col("c"))
+      .where(col("i") < size(col("syms")) - 1)
+      .select(col("a"),
+        element_at(col("syms"), col("i") + 2).as("b"), col("c"))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
+      .where(col("n") > 1)
+
+  /** Learn `nMerges` merges from a corpus of `text`. Returns the merge
+    * list in training order. Stops early when no pair repeats. */
+  def learnMerges(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var vocab = initialVocab(docs).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
     while (continue && merges.size < nMerges) {
-      val top = vocab
-        .select(posexplode(col("syms")).as(Seq("i", "a")), col("syms"),
-          col("c"))
-        .where(col("i") < size(col("syms")) - 1)
-        .select(col("a"),
-          element_at(col("syms"), col("i") + 2).as("b"), col("c"))
-        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
-        .where(col("n") > 1)
+      val top = pairCounts(vocab)
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1)
         .collect()

@@ -51,8 +51,15 @@ object InvertedIndex {
     if (docs.columns.contains("source")) docs
     else docs.withColumn("source", lit("_all"))
 
-  private def postings(docs: DataFrame): DataFrame =
-    graft.queries.Search.tokenized(withSource(docs))
+  /** Tokenize ONCE per build/append: postings and corpus stats both
+    * derive from this cached view (the same barrier Search.bm25 uses —
+    * without it the regex tokenizer runs twice over the corpus).
+    * Callers unpersist after their writes. */
+  private def tokenizedOnce(docs: DataFrame): DataFrame =
+    graft.queries.Search.tokenized(withSource(docs)).cache()
+
+  private def postings(tok: DataFrame): DataFrame =
+    tok
       .select(col("doc_id"), col("source"), col("dl"),
         explode(col("toks")).as("tok"))
       .groupBy(col("tok"), col("doc_id"), col("source"), col("dl"))
@@ -65,26 +72,29 @@ object InvertedIndex {
     * retrieval sound (LlmRbacSpec proves scores CHANGE, not post-
     * filter). The unscoped probe sums all rows — identical totals to
     * the old single-row layout (exact integer sums). */
-  private def corpusStats(docs: DataFrame): DataFrame =
-    graft.queries.Search.tokenized(withSource(docs))
+  private def corpusStats(tok: DataFrame): DataFrame =
+    tok
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
 
-  /** Build the postings index unless the complete-marker exists. One
-    * corpus pass for postings plus one for the 1-row stats. */
+  /** Build the postings index unless the complete-marker exists. ONE
+    * tokenized corpus pass (cached) feeds both the postings and the
+    * per-source stats layers. */
   def buildIfMissing(spark: SparkSession, sfDir: String, root: String): Unit = {
     val marker = new Path(s"$root/corpus/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
     invalidate(root)
-    val docs = graft.core.Tables(spark, sfDir, "documents")
-    postings(docs)
-      .repartition(16, col("pfx")) // one file per directory
-      .write.mode("overwrite").partitionBy("pfx")
-      .parquet(s"$root/postings")
-    // stats layer LAST: its _SUCCESS is the index-complete marker
-    corpusStats(docs).coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/corpus")
+    val tok = tokenizedOnce(graft.core.Tables(spark, sfDir, "documents"))
+    try {
+      postings(tok)
+        .repartition(16, col("pfx")) // one file per directory
+        .write.mode("overwrite").partitionBy("pfx")
+        .parquet(s"$root/postings")
+      // stats layer LAST: its _SUCCESS is the index-complete marker
+      corpusStats(tok).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/corpus")
+    } finally tok.unpersist(false)
   }
 
   /** Incrementally merge NEW documents (doc_id, text) — append postings
@@ -108,7 +118,9 @@ object InvertedIndex {
       .select(col("source"), col("n_docs"), col("total_dl")).collect()
     fs.delete(new Path(s"$markerDir/_SUCCESS"), false)
     invalidate(root)
-    postings(newDocs)
+    val tok = tokenizedOnce(newDocs)
+    try {
+    postings(tok)
       .repartition(16, col("pfx"))
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$root/postings")
@@ -121,12 +133,13 @@ object InvertedIndex {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("total_dl",
           org.apache.spark.sql.types.LongType))))
-    corpusStats(newDocs).unionByName(oldDf)
+    corpusStats(tok).unionByName(oldDf)
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_dl")).as("total_dl"))
       .coalesce(1)
       .write.mode("overwrite").parquet(markerDir)
+    } finally tok.unpersist(false)
   }
 
   /** Replay-safe per-batch append for streaming maintenance
@@ -145,23 +158,26 @@ object InvertedIndex {
   def appendIdempotent(
       spark: SparkSession, root: String, newDocs: DataFrame,
       batchId: Long): Unit = {
-    postings(newDocs)
-      .repartition(16, col("pfx"))
-      .write.mode("overwrite").partitionBy("pfx")
-      .parquet(s"$root/postings_batches/batch=$batchId")
-    corpusStats(newDocs).coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"$root/corpus_batches/batch=$batchId")
+    val tok = tokenizedOnce(newDocs)
+    try {
+      postings(tok)
+        .repartition(16, col("pfx"))
+        .write.mode("overwrite").partitionBy("pfx")
+        .parquet(s"$root/postings_batches/batch=$batchId")
+      corpusStats(tok).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$root/corpus_batches/batch=$batchId")
+    } finally tok.unpersist(false)
     invalidate(root)
   }
 
-  private def isBatchLayout(spark: SparkSession, root: String): Boolean =
+  private def hasBatchBuildLayout(spark: SparkSession, root: String): Boolean =
     new Path(s"$root/postings").getFileSystem(
       spark.sparkContext.hadoopConfiguration)
       .exists(new Path(s"$root/postings"))
 
   private def postingsDf(spark: SparkSession, root: String): DataFrame =
-    if (isBatchLayout(spark, root)) read(spark, s"$root/postings")
+    if (hasBatchBuildLayout(spark, root)) read(spark, s"$root/postings")
     else read(spark, s"$root/postings_batches")
       .select(col("tok"), col("doc_id"), col("source"), col("dl"),
         col("tf"), col("pfx"))
@@ -169,7 +185,7 @@ object InvertedIndex {
   /** Per-source stats rows (NOT yet aggregated — the probe applies its
     * visibility predicate first, then sums). */
   private def corpusDf(spark: SparkSession, root: String): DataFrame =
-    if (isBatchLayout(spark, root)) read(spark, s"$root/corpus")
+    if (hasBatchBuildLayout(spark, root)) read(spark, s"$root/corpus")
     else read(spark, s"$root/corpus_batches")
       .select(col("source"), col("n_docs"), col("total_dl"))
 

@@ -433,16 +433,12 @@ object Corpus {
     * vocabulary-sized data, and the top-20 is a
     * TakeOrderedAndProject. */
   private[queries] def bpePairs(docs: DataFrame): DataFrame = {
-    val vocab = docs
-      .transform(Tables.fanOut)
-      .select(explode(expr(Text.toksExpr)).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    vocab
-      .select(posexplode(split(col("w"), "")).as(Seq("i", "a")),
-        col("w"), col("c"))
-      .where(col("i") < length(col("w")) - 1)
-      .select(col("a"), expr("substr(w, i + 2, 1)").as("b"), col("c"))
-      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
+    import graft.operators.Bpe
+    // the trainer's OWN round-statistic helpers — one copy of the
+    // vocab/pair/candidate-filter rules, so this gate and the trainer
+    // cannot drift (a pair must repeat to be mergeable; row 1 below IS
+    // the first merge learnMerges picks)
+    Bpe.pairCounts(Bpe.initialVocab(docs))
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(20)
       .select(col("a"), col("b"), col("n"))
@@ -462,6 +458,7 @@ object Corpus {
         FROM w, unnest(range(length(w) - 1)) AS u(i))
       SELECT a, b, CAST(SUM(c) AS BIGINT) AS n
       FROM p GROUP BY a, b
+      HAVING SUM(c) > 1
       ORDER BY n DESC, a, b
       LIMIT 20"""))
 

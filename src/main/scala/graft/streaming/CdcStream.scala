@@ -23,17 +23,45 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * underscore prefix keeps Spark's file index from reading it as data.
   */
 object CdcStream {
+  /** `versionCol`: the change-order column (a CDC sequence number /
+    * commit timestamp). A micro-batch can carry SEVERAL changes for
+    * one key (AvailableNow drains every pending file into one batch);
+    * the batch reduces to the row with the greatest version per key
+    * before the upsert — without the reduction, Lake.upsert's
+    * anti-join+union would keep every variant as duplicate-key rows.
+    * When the feed has no version column, pass None: the reduction
+    * then orders by ALL non-key columns (deterministic, but an
+    * ARBITRARY winner among genuinely different changes — fine for
+    * replays of identical rows, wrong for conflicting ones; give real
+    * CDC feeds a version). */
   def maintainUpserts(
       updates: DataFrame,
       root: String,
       key: String,
-      partitionBy: String): StreamingQuery =
+      partitionBy: String,
+      versionCol: Option[String] = None): StreamingQuery =
     updates.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$root/_cdc_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        graft.lake.Lake.upsert(batch.sparkSession, root, batch,
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val order = versionCol match {
+          case Some(vc) => col(vc).desc
+          case None => struct(
+            batch.columns.filter(_ != key).map(col).toSeq: _*).desc
+        }
+        val reduced = batch
+          .withColumn("__cdc_rn",
+            row_number().over(Window.partitionBy(col(key)).orderBy(order)))
+          .filter(col("__cdc_rn") === 1)
+          .drop("__cdc_rn")
+        // versionCol stays in the frame: Lake.upsert projects updates
+        // to the dataset's columns, so an extra feed-only column is
+        // ignored there, while a version that IS a dataset column
+        // lands like any other field
+        graft.lake.Lake.upsert(batch.sparkSession, root, reduced,
           key, partitionBy)
         ()
       }

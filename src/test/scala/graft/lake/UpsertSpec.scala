@@ -120,6 +120,50 @@ class UpsertSpec extends SparkSpec {
 
   private def Seed(l: Long) = org.scalacheck.rng.Seed(l)
 
+  test("upsert finds partitions whose values need Hive path-escaping") {
+    // Spark writes source="a:b" as source=a%3Ab; a raw "$col=$v" dir
+    // name misses it and the swap silently discards the merged data
+    val root = tmpDir("upsert-escape")
+    spark.createDataFrame(Seq(
+      (1L, "one", "en", 3L, "a:b"), (2L, "two", "en", 3L, "plain")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.mode("overwrite").partitionBy("source").parquet(root)
+    val updates = spark.createDataFrame(Seq(
+      (1L, "one v2", "en", 6L, "a:b")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    assert(Lake.upsert(spark, root, updates, "doc_id", "source") == 1)
+    val got = spark.read.parquet(root).filter(col("doc_id") === 1L)
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("one v2"),
+      s"escaped-partition update was lost: $got")
+  }
+
+  test("deleteWhere keeps rows where the predicate is NULL") {
+    val root = tmpDir("delete-null")
+    spark.createDataFrame(Seq(
+      (1L, Some("en"), "src0"), (2L, None: Option[String], "src0"),
+      (3L, Some("de"), "src0")))
+      .toDF("doc_id", "lang", "source")
+      .write.mode("overwrite").partitionBy("source").parquet(root)
+    Lake.deleteWhere(spark, root, col("lang") === "en", "source")
+    val left = spark.read.parquet(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 2 (lang NULL) never matched the predicate — it must survive
+    assert(left == Set(2L, 3L),
+      s"NULL-predicate rows were silently deleted: kept $left")
+  }
+
+  test("a duplicate-key update batch is rejected loudly") {
+    val root = freshDataset()
+    val dup = spark.createDataFrame(Seq(
+      (3L, "v1", "en", 2L, "src3"), (3L, "v2", "en", 2L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val e = intercept[IllegalArgumentException] {
+      Lake.upsert(spark, root, dup, "doc_id", "source")
+    }
+    assert(e.getMessage.contains("duplicate-key"))
+  }
+
   test("a crash inside the swap window is recoverable, losing nothing") {
     val root = freshDataset()
     val expected = rows(spark.read.parquet(root))

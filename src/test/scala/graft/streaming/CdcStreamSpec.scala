@@ -59,6 +59,29 @@ class CdcStreamSpec extends SparkSpec {
       == before, "an untouched partition changed row count")
   }
 
+  test("multiple changes for one key in ONE batch: greatest version wins") {
+    // AvailableNow with no maxFilesPerTrigger drains every pending file
+    // into a single micro-batch — the per-key reduction must pick the
+    // highest-version change, not hand Lake.upsert duplicate keys
+    val root = baseDataset()
+    val changes = tmpDir("cdc-onebatch")
+    spark.createDataFrame(Seq(
+      (3L, "v1 of three", "en", 11L, "src3", 1L),
+      (3L, "v2 of three", "en", 11L, "src3", 2L)))
+      .toDF("doc_id", "text", "lang", "n_chars", "source", "version")
+      .coalesce(1).write.parquet(s"$changes/all")
+    val vschema = StructType(schema.fields :+ StructField("version", LongType))
+    val stream = spark.readStream.schema(vschema)
+      .parquet(s"$changes/all")
+    val q = CdcStream.maintainUpserts(stream, root, "doc_id", "source",
+      versionCol = Some("version"))
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.read.parquet(root).filter(col("doc_id") === 3L)
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("v2 of three"),
+      s"expected exactly the latest change to land, got $rows")
+  }
+
   test("re-applying a change batch converges (at-least-once contract)") {
     val root = baseDataset()
     val updates = spark.createDataFrame(Seq(
