@@ -235,19 +235,31 @@ object Lake {
       partitionBy: String,
       crashAfterSwapOut: Boolean = false): Long = {
     // A batch with two rows for one key has no defined winner — the
-    // anti-join+union would keep BOTH forever. Fail loudly; reduce
-    // upstream (CdcStream does, with a documented version order).
-    val (nRows, nKeys) = {
-      val a = updates.agg(count(lit(1)), countDistinct(col(key))).collect()(0)
-      (a.getLong(0), a.getLong(1))
+    // anti-join+union would keep BOTH forever — and a NULL key can
+    // never be replaced (the anti-join's equality never matches NULL).
+    // Fail loudly on both, with the accurate message for each; reduce
+    // duplicates upstream (CdcStream does, with a documented version
+    // order). count(key) vs count(*) separates the two causes —
+    // countDistinct alone ignores NULLs and would misreport a null-key
+    // row as a duplicate.
+    val (nRows, nNonNullKeys, nKeys) = {
+      val a = updates.agg(count(lit(1)), count(col(key)),
+        countDistinct(col(key))).collect()(0)
+      (a.getLong(0), a.getLong(1), a.getLong(2))
     }
-    require(nRows == nKeys,
-      s"upsert batch carries ${nRows - nKeys} duplicate-key rows; " +
+    require(nRows == nNonNullKeys,
+      s"upsert batch carries ${nRows - nNonNullKeys} NULL-key rows; " +
+        "a null key cannot be matched for replacement")
+    require(nNonNullKeys == nKeys,
+      s"upsert batch carries ${nNonNullKeys - nKeys} duplicate-key rows; " +
         "reduce to one change per key first")
-    val touched = updates.select(col(partitionBy)).distinct()
-      .collect().map(_.get(0)).toSeq
+    // BEFORE the dataset read: spark.read.parquet captures the file
+    // listing eagerly, so recovery after the read would still compute
+    // the merge from a root missing the crashed-swap partition
+    ensureRecovered(spark, root)
+    val touched = touchedPartitions(updates, partitionBy)
     val live = spark.read.parquet(root)
-      .filter(touchedPredicate(col(partitionBy), touched)) // pruning
+      .filter(touchedPredicate(col(partitionBy), touched.map(_._1)))
     val merged = live
       .join(updates.select(col(key).as("_graft_k")),
         col(key) === col("_graft_k"), "left_anti")
@@ -255,6 +267,39 @@ object Lake {
     rewriteTouched(spark, root, merged, partitionBy, touched,
       crashAfterSwapOut)
   }
+
+  /** Restore any crashed-swap state and refuse to continue if a
+    * partition could not be put back — a NON-EMPTY aside dir means some
+    * partition may exist ONLY there, and proceeding would overwrite or
+    * delete its sole copy. Idempotent and cheap when there is nothing
+    * to recover. */
+  private def ensureRecovered(spark: SparkSession, root: String): Unit = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val aside = new Path(root.stripSuffix("/") + ".upsert_old")
+    if (fs.exists(aside)) {
+      recoverUpsert(spark, root, partitionBy = "")
+      if (fs.exists(aside))
+        throw new java.io.IOException(
+          s"unrecovered crashed-swap partitions remain under $aside; " +
+            "refusing to overwrite the only surviving copy")
+    }
+  }
+
+  /** Touched partition values as (native value, Spark-rendered string):
+    * the NATIVE value drives the membership predicate (so partition
+    * pruning stays type-exact), while the STRING — produced by Spark's
+    * own cast-to-string with the session timezone, the exact rendering
+    * the partition-path writer uses — drives directory names. A JVM
+    * toString would diverge for timestamp/date/decimal partition values
+    * ('2026-01-01 00:00:00.0' vs the written '2026-01-01 00:00:00') and
+    * the swap loop would miss or destroy those directories. */
+  private def touchedPartitions(
+      df: DataFrame, partitionBy: String): Seq[(Any, String)] =
+    df.select(col(partitionBy), col(partitionBy).cast("string"))
+      .distinct().collect()
+      .map(r => (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq
 
   /** Membership predicate over the touched partition values. `isin`
     * alone silently never matches NULL (SQL three-valued logic), so a
@@ -273,12 +318,12 @@ object Lake {
       root: String,
       predicate: Column,
       partitionBy: String): Long = {
+    ensureRecovered(spark, root) // see upsert: recover BEFORE the read
     val all = spark.read.parquet(root)
-    val touched = all.filter(predicate).select(col(partitionBy))
-      .distinct().collect().map(_.get(0)).toSeq
+    val touched = touchedPartitions(all.filter(predicate), partitionBy)
     if (touched.isEmpty) return 0L
     val kept = all
-      .filter(touchedPredicate(col(partitionBy), touched))
+      .filter(touchedPredicate(col(partitionBy), touched.map(_._1)))
       // keep every row where the predicate is NOT TRUE: a bare
       // !predicate drops NULL-valued rows too (three-valued logic),
       // silently deleting rows the predicate never matched
@@ -316,14 +361,17 @@ object Lake {
       root: String,
       newData: DataFrame,
       partitionBy: String,
-      touched: Seq[Any],
+      touched: Seq[(Any, String)],
       crashAfterSwapOut: Boolean): Long = {
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val tmpRoot = root.stripSuffix("/") + ".upserting"
     val asideRoot = root.stripSuffix("/") + ".upsert_old"
     fs.delete(new Path(tmpRoot), true)
-    fs.delete(new Path(asideRoot), true) // leftovers of a crashed run
+    // Callers ran ensureRecovered BEFORE reading the dataset; by here
+    // the aside dir must be gone — if it reappeared (concurrent
+    // writer), refuse rather than delete the only copy of a partition.
+    ensureRecovered(spark, root)
     newData
       .repartition(touched.size.max(1), col(partitionBy))
       .write.mode("overwrite").partitionBy(partitionBy).parquet(tmpRoot)
@@ -335,8 +383,8 @@ object Lake {
     // source=a%3Ab; null as __HIVE_DEFAULT_PARTITION__) — a raw
     // "$col=$v" would miss those directories entirely and silently
     // discard the merged data for them.
-    touched.foreach { v =>
-      val dir = partitionDirName(partitionBy, v)
+    touched.foreach { case (_, rendered) =>
+      val dir = partitionDirName(partitionBy, rendered)
       val live = new Path(root, dir)
       val tmp = new Path(tmpRoot, dir)
       val old = new Path(asideRoot, dir)
@@ -354,12 +402,14 @@ object Lake {
     touched.size.toLong
   }
 
-  /** The directory name Spark itself writes for a partition value. */
-  private def partitionDirName(colName: String, v: Any): String = {
+  /** The directory name Spark itself writes for a partition value —
+    * `rendered` must come from [[touchedPartitions]]' cast-to-string
+    * (Spark's own rendering), never JVM toString. */
+  private def partitionDirName(colName: String, rendered: String): String = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val value =
-      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-      else ExternalCatalogUtils.escapePathName(v.toString)
+      if (rendered == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(rendered)
     s"${ExternalCatalogUtils.escapePathName(colName)}=$value"
   }
 

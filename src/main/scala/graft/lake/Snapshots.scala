@@ -127,6 +127,14 @@ object Snapshots {
         removed += 1
       }
     }
+    // tmp manifests from crashed commits (".vNNNNNNNN.<uuid>.tmp") are
+    // the metadata analog of orphaned data dirs — collect them too.
+    // Safe because the commit contract is single-writer: vacuum must
+    // not run concurrently with a committer anyway.
+    f.listStatus(manifestDir(root)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".") && n.endsWith(".tmp")) f.delete(st.getPath, false)
+    }
     (drop.size, removed)
   }
 }

@@ -49,7 +49,7 @@ object InvertedIndex {
     * (plain (doc_id, text) intake) get a single catch-all bucket. */
   private def withSource(docs: DataFrame): DataFrame =
     if (docs.columns.contains("source")) docs
-    else docs.withColumn("source", lit("_all"))
+    else docs.withColumn("source", lit(UntaggedSource))
 
   /** Tokenize ONCE per build/append: postings and corpus stats both
     * derive from this cached view (the same barrier Search.bm25 uses —
@@ -211,17 +211,22 @@ object InvertedIndex {
     * identical semantics to running the inline t31 under `Rbac.asRole`
     * (pinned in LlmRbacSpec), with none of the per-role index copies.
     * A filter referencing a column the index does not carry fails at
-    * analysis — loud, like the column-security contract. Documents
-    * indexed WITHOUT provenance (plain (doc_id, text) intake — they
-    * land in the `_all` source bucket) pass any source-shaped filter:
-    * row security requires the attribute to exist at index time, so a
-    * secured deployment must feed [[appendIdempotent]]/[[append]]
-    * source-tagged rows. */
+    * analysis — loud, like the column-security contract. FAIL-CLOSED
+    * for untagged rows: documents indexed WITHOUT provenance (plain
+    * (doc_id, text) intake — the `_all` bucket) would satisfy any
+    * source-shaped filter, so a role-scoped probe EXCLUDES them (and
+    * their stats) outright — one mis-shaped append cannot leak
+    * unlicensed documents into every role's ranking. Unscoped
+    * [[probe]] still sees them. */
   def probeAs(
       spark: SparkSession, root: String, terms: Seq[String],
       role: graft.security.Rbac.Role): DataFrame =
     probeWhere(spark, root, terms,
-      role.rowFilter.map(expr).getOrElse(lit(true)))
+      role.rowFilter.map(f => expr(f) && col("source") =!= UntaggedSource)
+        .getOrElse(lit(true)))
+
+  /** Bucket for rows indexed without a source column. */
+  val UntaggedSource = "_all"
 
   private def probeWhere(
       spark: SparkSession, root: String, terms: Seq[String],

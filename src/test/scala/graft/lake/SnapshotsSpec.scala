@@ -48,6 +48,17 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(root) == (0L until 7L).toSet)
   }
 
+  test("vacuum collects tmp manifests left by crashed commits") {
+    val root = tmpDir("snap-tmp")
+    Snapshots.overwrite(spark, root, spark.range(0, 3).toDF())
+    // simulate a writer that died between create(tmp) and rename
+    val orphan = new java.io.File(s"$root/_versions/.v00000002.dead.tmp")
+    java.nio.file.Files.writeString(orphan.toPath, "data/never-landed\n")
+    Snapshots.vacuum(spark, root, keepVersions = 1)
+    assert(!orphan.exists(), "crashed-commit tmp manifest not collected")
+    assert(ids(root, 1) == (0L until 3L).toSet)
+  }
+
   test("vacuum keeps the newest versions readable, drops the rest") {
     val root = tmpDir("snap-vac")
     Snapshots.overwrite(spark, root, spark.range(0, 3).toDF())

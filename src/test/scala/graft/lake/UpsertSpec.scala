@@ -164,6 +164,59 @@ class UpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate-key"))
   }
 
+  test("upsert works on a timestamp-partitioned dataset (rendered paths)") {
+    // java.sql.Timestamp.toString is '... 00:00:00.0' while Spark
+    // writes 'ts=2026-01-01 00%3A00%3A00' — the dir name must come from
+    // Spark's own cast-to-string rendering or the swap misses (and then
+    // destroys) the partition
+    val root = tmpDir("upsert-ts")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    spark.createDataFrame(Seq((1L, "one", t0), (2L, "two", t1)))
+      .toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").partitionBy("ts").parquet(root)
+    val updates = spark.createDataFrame(Seq((1L, "one v2", t0)))
+      .toDF("doc_id", "text", "ts")
+    assert(Lake.upsert(spark, root, updates, "doc_id", "ts") == 1)
+    val after = spark.read.parquet(root)
+    assert(after.count() == 2, "a partition was lost in the swap")
+    assert(after.filter(col("doc_id") === 1L).select("text")
+      .collect()(0).getString(0) == "one v2")
+  }
+
+  test("null-key rows are rejected with the accurate message") {
+    val root = freshDataset()
+    val nullKey = spark.createDataFrame(Seq(
+      (Option.empty[Long], "ghost", "en", 5L, "src3"),
+      (Some(4L), "ok", "en", 2L, "src4")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val e = intercept[IllegalArgumentException] {
+      Lake.upsert(spark, root, nullKey, "doc_id", "source")
+    }
+    assert(e.getMessage.contains("NULL-key"),
+      s"wrong rejection cause: ${e.getMessage}")
+  }
+
+  test("an upsert after an unrecovered crash restores state first") {
+    // The checkpoint-replay path calls upsert directly, never
+    // recoverUpsert — the swap must auto-recover crashed aside state
+    // instead of deleting the only copy of a partition
+    val root = freshDataset()
+    val expected = rows(spark.read.parquet(root))
+    val u1 = spark.createDataFrame(Seq((3L, "crashes", "en", 7L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    intercept[java.io.IOException] {
+      Lake.upsert(spark, root, u1, "doc_id", "source",
+        crashAfterSwapOut = true)
+    }
+    // no recoverUpsert here — replay applies the same change again
+    Lake.upsert(spark, root, u1, "doc_id", "source")
+    val after = rows(spark.read.parquet(root))
+    val expectedAfter = expected.filterNot(_._1 == 3L) + ((3L, "crashes", 7L))
+    assert(after == expectedAfter,
+      "replay after a crashed swap lost pre-existing rows")
+  }
+
   test("a crash inside the swap window is recoverable, losing nothing") {
     val root = freshDataset()
     val expected = rows(spark.read.parquet(root))
