@@ -183,6 +183,18 @@ object Lake {
         expr(s"percentile_approx(CAST($c AS DOUBLE), array($probs), 10000)")
           .as(s"b_$c")): _*)
       .collect()(0)
+    // An entirely-NULL z column yields NULL quantile boundaries and the
+    // layout silently degenerates; fail loudly instead — the caller
+    // picked a clustering column with no values to cluster on. Rows
+    // with a NULL in a z column (partial nulls) quantize to code 0 by
+    // construction (no boundary is <= NULL), i.e. NULLs cluster with
+    // the lowest quantile box — documented behavior, analogous to
+    // NULLS FIRST in a linear sort.
+    zCols.zipWithIndex.foreach { case (c, i) =>
+      require(!cuts.isNullAt(i),
+        s"z column '$c' is entirely NULL — no quantile boundaries; " +
+          "pick a populated clustering column")
+    }
     val z = zValue(
       zCols.zipWithIndex.map { case (c, i) =>
         quantizeByFrequency(col(c), cuts.getSeq[Double](i))
@@ -233,7 +245,8 @@ object Lake {
       updates: DataFrame,
       key: String,
       partitionBy: String,
-      crashAfterSwapOut: Boolean = false): Long = {
+      crashAfterSwapOut: Boolean = false,
+      filesPerPartition: Int = 1): Long = {
     // A batch with two rows for one key has no defined winner — the
     // anti-join+union would keep BOTH forever — and a NULL key can
     // never be replaced (the anti-join's equality never matches NULL).
@@ -265,7 +278,7 @@ object Lake {
         col(key) === col("_graft_k"), "left_anti")
       .unionByName(updates.select(live.columns.map(col): _*))
     rewriteTouched(spark, root, merged, partitionBy, touched,
-      crashAfterSwapOut)
+      crashAfterSwapOut, filesPerPartition)
   }
 
   /** Restore any crashed-swap state and refuse to continue if a
@@ -317,7 +330,8 @@ object Lake {
       spark: SparkSession,
       root: String,
       predicate: Column,
-      partitionBy: String): Long = {
+      partitionBy: String,
+      filesPerPartition: Int = 1): Long = {
     ensureRecovered(spark, root) // see upsert: recover BEFORE the read
     val all = spark.read.parquet(root)
     val touched = touchedPartitions(all.filter(predicate), partitionBy)
@@ -329,7 +343,7 @@ object Lake {
       // silently deleting rows the predicate never matched
       .filter(coalesce(!predicate, lit(true)))
     rewriteTouched(spark, root, kept, partitionBy, touched,
-      crashAfterSwapOut = false)
+      crashAfterSwapOut = false, filesPerPartition)
   }
 
   /** Restore any partition whose swap crashed between rename-aside and
@@ -362,7 +376,8 @@ object Lake {
       newData: DataFrame,
       partitionBy: String,
       touched: Seq[(Any, String)],
-      crashAfterSwapOut: Boolean): Long = {
+      crashAfterSwapOut: Boolean,
+      filesPerPartition: Int = 1): Long = {
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val tmpRoot = root.stripSuffix("/") + ".upserting"
@@ -372,8 +387,16 @@ object Lake {
     // the aside dir must be gone — if it reappeared (concurrent
     // writer), refuse rather than delete the only copy of a partition.
     ensureRecovered(spark, root)
-    newData
-      .repartition(touched.size.max(1), col(partitionBy))
+    // filesPerPartition > 1 threads writePartitioned's row-hash salt
+    // through the rewrite: without it a CDC batch touching ONE hot
+    // partition (the common skew case) rewrites that whole directory
+    // through a single task and emits one file — at 100 TB the rewrite
+    // serializes on one core (round-8 verdict #3). The salt keeps the
+    // directory layout identical (partitionBy drives the directories;
+    // the salt only spreads rows across up to `filesPerPartition`
+    // writer tasks per directory).
+    repartitionForLayout(newData, Seq(partitionBy), filesPerPartition,
+      touched.size.max(1) * filesPerPartition.max(1))
       .write.mode("overwrite").partitionBy(partitionBy).parquet(tmpRoot)
     fs.mkdirs(new Path(asideRoot))
     // swap each touched directory; an update batch can contain a

@@ -79,8 +79,19 @@ object Snapshots {
     try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(manifestDir(root), f"v$v%08d.manifest")
-    if (!f.rename(tmp, fin))
+    // On HDFS/object stores rename-onto-existing fails and the loser
+    // throws; on POSIX/local FS Hadoop's rename OVERWRITES an existing
+    // destination, so a lost race would silently replace a
+    // just-committed manifest of the same version (orphaning its data
+    // dirs without any error). The exists-check catches the common case
+    // there too; the remaining check-then-rename window is the honest
+    // limit of a log-less local FS — the contract stays single-writer,
+    // and a lost version's data dirs become vacuum-able garbage, never
+    // corrupt reads.
+    if (f.exists(fin) || !f.rename(tmp, fin)) {
+      f.delete(tmp, false)
       throw new java.io.IOException(s"snapshot commit lost the race: $fin")
+    }
     v
   }
 
@@ -130,11 +141,15 @@ object Snapshots {
     // tmp manifests from crashed commits (".vNNNNNNNN.<uuid>.tmp") are
     // the metadata analog of orphaned data dirs — collect them too.
     // Safe because the commit contract is single-writer: vacuum must
-    // not run concurrently with a committer anyway.
-    f.listStatus(manifestDir(root)).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(".") && n.endsWith(".tmp")) f.delete(st.getPath, false)
-    }
+    // not run concurrently with a committer anyway. Guarded: on a root
+    // where no snapshot was ever committed (_versions missing),
+    // listStatus would throw FileNotFoundException instead of the
+    // (0, 0) no-op every other branch of vacuum returns.
+    if (f.exists(manifestDir(root)))
+      f.listStatus(manifestDir(root)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") && n.endsWith(".tmp")) f.delete(st.getPath, false)
+      }
     (drop.size, removed)
   }
 }

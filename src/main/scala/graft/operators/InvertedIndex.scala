@@ -37,10 +37,28 @@ object InvertedIndex {
   /** Deterministic content-fingerprinted index location
     * ([[graft.core.IndexRoot]] — rewritten corpus => fresh root). */
   def defaultRoot(sfDir: String): String =
-    // _v2: postings carry `source` and corpus stats are per-source
-    // (the probeAs layout) — the version bump keeps a pre-change index
-    // cached under the old root from being read with the new schema
-    graft.core.IndexRoot.of(sfDir, "documents.parquet", "graft_inv_index_v2")
+    // _v3: pfx values are letter-prefixed ("xb", not "b") — see
+    // [[pfxOf]]; the version bump keeps a pre-change index cached under
+    // the old root from being read with the new directory layout
+    // (_v2 added per-source corpus stats, the probeAs layout)
+    graft.core.IndexRoot.of(sfDir, "documents.parquet", "graft_inv_index_v3")
+
+  /** Partition value for a token: "x" + first hex char of md5(tok).
+    * The letter prefix is load-bearing: a corpus whose tokens happen to
+    * hash only to DIGIT chars would get all-numeric partition
+    * directories, Spark's partition-column type inference would type
+    * `pfx` as INT, and the probe's string `isin` would throw
+    * CAST_INVALID_INPUT (found by the bm25-cutoff fixture corpus, whose
+    * two tokens both hash to digits). A constant letter keeps the
+    * inferred type STRING for every possible corpus. */
+  private def pfxCol: org.apache.spark.sql.Column =
+    concat(lit("x"), substring(md5(col("tok")), 1, 1))
+
+  private[graft] def pfxOf(term: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "x" + md.digest(term.getBytes("UTF-8")).take(1)
+      .map("%02x".format(_)).mkString.take(1)
+  }
 
   /** Postings carry the row-security attribute (`source`) so ONE shared
     * physical index can serve per-role logical views ([[probeAs]]) —
@@ -64,7 +82,7 @@ object InvertedIndex {
         explode(col("toks")).as("tok"))
       .groupBy(col("tok"), col("doc_id"), col("source"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("pfx", substring(md5(col("tok")), 1, 1))
+      .withColumn("pfx", pfxCol)
 
   /** Corpus stats per source (a |sources|-row relation, not 1 row):
     * a role-scoped probe sums only the visible sources, so df/avgdl/N
@@ -231,11 +249,7 @@ object InvertedIndex {
   private def probeWhere(
       spark: SparkSession, root: String, terms: Seq[String],
       visible: org.apache.spark.sql.Column): DataFrame = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val prefixes = terms
-      .map(t => md.digest(t.getBytes("UTF-8")).take(1).map("%02x".format(_))
-        .mkString.take(1))
-      .distinct
+    val prefixes = terms.map(pfxOf).distinct
     val tf = postingsDf(spark, root)
       .filter(col("pfx").isin(prefixes: _*)) // directory pruning
       .filter(col("tok").isin(terms: _*))

@@ -126,10 +126,48 @@ object Search {
     *    oracle) — at 100 TB total_dl ~ 1e13 overflows int64 here.
     *  - score = Σ idf_n9·tfterm_n9 (DECIMAL(38,0)), truncated to n6
     *    BEFORE the one exact double division, so every engine sees the
-    *    same 6-decimal score; top-k orders by the INTEGER score with a
-    *    doc_id tie-break — deterministic selection at the cutoff. */
+    *    same 6-decimal score; top-k orders by the UNTRUNCATED integer
+    *    score_n18 with a doc_id tie-break — the SAME key the oracle
+    *    sorts by. Ordering by the truncated n6 instead was a latent
+    *    cross-engine hazard (round-8 verdict #1): two documents whose
+    *    n18 scores differ only below the 1e-12 truncation tie on n6 but
+    *    not on n18, so at the LIMIT boundary the engines would select or
+    *    order different rows. The fixture corpus in QueriesSmokeSpec
+    *    ("bm25 cutoff...") constructs exactly that collision and pins
+    *    the n18-keyed selection. */
   def bm25Score(
       tf: DataFrame, dfStats: DataFrame, corpus: DataFrame): DataFrame =
+    scoreTerms(tf, dfStats, corpus, Seq(col("doc_id")))
+      .orderBy(col("score_n18").desc, col("doc_id"))
+      .limit(Bm25K)
+      .select(col("doc_id"), col("n_terms"),
+        (col("score_n6").cast("double") / 1e6).as("score"))
+
+  /** Batched variant: `tfq` additionally carries `query_id` — one
+    * grouped aggregate per (query, doc), then top-k PER QUERY via the
+    * native [[org.apache.spark.sql.graft.TopKPerKey]] (map-side partial
+    * top-k per query_id — the whole workload ranks in ONE postings
+    * join + one aggregation, never a driver loop of single probes).
+    * Selection key is the untruncated score_n18 + doc_id, same as the
+    * single-query path and the oracle. */
+  def bm25ScoreBatch(
+      tfq: DataFrame, dfStats: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame =
+    org.apache.spark.sql.graft.TopKPerKey(
+        scoreTerms(tfq, dfStats, corpus,
+          Seq(col("query_id"), col("doc_id"))),
+        keys = Seq(col("query_id")),
+        order = Seq(col("score_n18").desc, col("doc_id")), k = k)
+      .orderBy(col("query_id"), col("score_n18").desc, col("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        (col("score_n6").cast("double") / 1e6).as("score"))
+
+  /** ONE copy of the BM25 scoring arithmetic, shared by the single-query
+    * and batched paths (and through them by the persisted-index probes):
+    * the grouping key is the only difference between the two shapes. */
+  private def scoreTerms(
+      tf: DataFrame, dfStats: DataFrame, corpus: DataFrame,
+      groupKeys: Seq[org.apache.spark.sql.Column]): DataFrame =
     tf.join(broadcast(dfStats), "tok")
       .crossJoin(broadcast(corpus)) // 1 row: corpus-level N, total_dl
       .withColumn("idf_n9",
@@ -139,16 +177,12 @@ object Search {
                 (CAST(20 AS DECIMAL(38,0)) * tf * total_dl
                  + 6 * total_dl + 18 * dl * n_docs)
            AS BIGINT)"""))
-      .groupBy(col("doc_id"))
+      .groupBy(groupKeys: _*)
       .agg(count(lit(1)).as("n_terms"),
         sum(expr("CAST(idf_n9 AS DECIMAL(38,0)) * tfterm_n9"))
           .as("score_n18"))
       .withColumn("score_n6",
         expr("CAST(score_n18 div 1000000000000 AS BIGINT)"))
-      .orderBy(col("score_n6").desc, col("doc_id"))
-      .limit(Bm25K)
-      .select(col("doc_id"), col("n_terms"),
-        (col("score_n6").cast("double") / 1e6).as("score"))
 
   /** Inline BM25: postings computed from the corpus on the fly. The
     * term filter lands BEFORE the grouping, so the postings exchange

@@ -59,6 +59,14 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(root, 1) == (0L until 3L).toSet)
   }
 
+  test("vacuum of a never-committed root is a (0, 0) no-op") {
+    // _versions does not exist yet — the tmp-manifest sweep used to
+    // listStatus it unconditionally and throw FileNotFoundException,
+    // unlike versions() which guards with exists() (round-8 advice).
+    val root = tmpDir("snap-empty")
+    assert(Snapshots.vacuum(spark, root, keepVersions = 1) == (0, 0))
+  }
+
   test("vacuum keeps the newest versions readable, drops the rest") {
     val root = tmpDir("snap-vac")
     Snapshots.overwrite(spark, root, spark.range(0, 3).toDF())

@@ -84,6 +84,30 @@ class UpsertSpec extends SparkSpec {
     assert((listing(root) - "source=src5") == (before - "source=src5"))
   }
 
+  test("filesPerPartition parallelizes a hot-partition rewrite") {
+    // Round-8 verdict #3: a CDC batch touching ONE hot partition used to
+    // rewrite that directory through a single task (one file). With the
+    // salt threaded through, the same merge fans out across up to
+    // `filesPerPartition` writer tasks — >1 file proves >1 task wrote
+    // the directory — and the merged rows are identical either way.
+    val rootSalted = freshDataset()
+    val rootSerial = freshDataset()
+    val updates = spark.createDataFrame(Seq(
+      (3L, "replaced three", "en", 14L, "src3"),
+      (100003L, "brand new", "en", 9L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    Lake.upsert(spark, rootSalted, updates, "doc_id", "source",
+      filesPerPartition = 4)
+    Lake.upsert(spark, rootSerial, updates, "doc_id", "source")
+    val saltedFiles = listing(rootSalted)("source=src3").size
+    assert(saltedFiles > 1,
+      s"hot partition still wrote $saltedFiles file(s) — rewrite is serial")
+    assert(listing(rootSerial)("source=src3").size == 1)
+    assert(rows(spark.read.parquet(rootSalted)) ==
+      rows(spark.read.parquet(rootSerial)),
+      "salted rewrite changed the merge result")
+  }
+
   test("property: random upsert/delete sequences match a map model") {
     import org.scalacheck.Gen
     val rowGen = for {

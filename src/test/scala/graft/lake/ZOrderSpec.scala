@@ -86,6 +86,18 @@ class ZOrderSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L, 3L, 4L, 8L, 15L))
   }
 
+  test("an entirely-NULL z column is rejected loudly") {
+    // percentile_approx of an all-NULL column returns NULL boundaries;
+    // the old code NPE'd deep in getSeq (round-8 advice). Partial NULLs
+    // are documented: they quantize to code 0 (the lowest box).
+    val df = events.withColumn("dead", lit(null).cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      Lake.writeZOrdered(df, tmpDir("layout-null"),
+        Seq("user_id", "dead"), 4)
+    }
+    assert(e.getMessage.contains("entirely NULL"), e.getMessage)
+  }
+
   test("the layout preserves every row (same multiset of rows)") {
     def sig(df: DataFrame) = df.groupBy(col("user_id"))
       .agg(count(lit(1)).as("c"),

@@ -301,6 +301,67 @@ class QueriesSmokeSpec extends SparkSpec {
         "text — the corpus is leaking into the exchange")
   }
 
+  test("bm25 cutoff selects by the UNTRUNCATED score — n6-tie fixture") {
+    // Round-8 verdict #1: Spark used to order its top-k by the truncated
+    // score_n6 while the DuckDB oracle orders by the untruncated
+    // score_n18 — green on data without sub-truncation collisions,
+    // broken on the first corpus with one. This corpus manufactures the
+    // collision: 10k docs all containing the query term (df = N makes
+    // idf tiny), docs 0..39 with DISTINCT lengths dl = 10 + (39 - i)
+    // (higher doc_id => shorter doc => strictly higher n18 score) and
+    // the rest dl = 100 (rank far below). Adjacent top scores then
+    // differ by < 1e12 — n6-equal but n18-distinct — so an n6-keyed
+    // top-20 (doc_id tie-break) picks a DIFFERENT set and order than
+    // the oracle's n18 key. The in-test BigInt model replicates both
+    // engines' integer math end-to-end.
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("bm25-cutoff")
+    val n = 10000
+    spark.range(n)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id < 40 THEN 10 + (39 - id) ELSE 100 END AS dl")
+      .selectExpr("doc_id",
+        "concat('spark', repeat(' pad', dl - 1)) AS text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // Self-contained integer model of the shared scoring rule.
+    def mitchellN9(num: BigInt, den: BigInt): BigInt = {
+      val k = (num / den).bitLength - 1
+      val p = den << k
+      BigInt(k) * 1000000000L + (num - p) * BigInt(1000000000L) / p
+    }
+    val dls = (0 until n).map(i => if (i < 40) 10 + (39 - i) else 100)
+    val total = BigInt(dls.sum)
+    val bigN = BigInt(n)
+    val idf = mitchellN9(2 * bigN + 2, 2 * bigN + 1) // df = N
+    val scored = dls.zipWithIndex.map { case (dl, i) =>
+      val tfterm = (BigInt(44) * total * BigInt(1000000000L)) /
+        (BigInt(26) * total + BigInt(18) * dl * bigN)
+      (i.toLong, idf * tfterm)
+    }
+    val byN18 = scored.sortBy { case (id, s) => (-s, id) }
+      .take(graft.queries.Search.Bm25K).map(_._1)
+    val byN6 = scored
+      .sortBy { case (id, s) => (-(s / BigInt(1000000000000L)), id) }
+      .take(graft.queries.Search.Bm25K).map(_._1)
+    assert(byN18 != byN6 && byN18.toSet != byN6.toSet,
+      "fixture failed to manufacture an n6 collision at the boundary — " +
+        "re-tune N/dl (the hazard is then untested, not absent)")
+
+    // Inline t31 AND the persisted-index probe must both select by n18.
+    val gotInline = graft.queries.Search.t31_bm25.run(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(gotInline == byN18,
+      s"t31 selected by the truncated key:\n got=$gotInline\n exp=$byN18")
+    val root = tmpDir("bm25-cutoff-idx")
+    graft.operators.InvertedIndex.buildIfMissing(spark, dir, root)
+    val gotIdx = graft.operators.InvertedIndex
+      .probe(spark, root, graft.queries.Search.Bm25Terms)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(gotIdx == byN18,
+      s"t32 probe selected by the truncated key:\n got=$gotIdx\n exp=$byN18")
+  }
+
   test("the full query pack is present — a dropped lane is a failure") {
     // Round 6 lost the 9-query events lane SILENTLY: the correctness
     // artifact just had fewer rows. Pin the pack size and the lane
