@@ -33,7 +33,12 @@ import org.apache.spark.sql.SparkSession
   * bytes (measured on the warmup run via ShuffleMeter — warm runs skip
   * exchanges feeding cached subtrees) ride the detail line as
   * `shuffle_bytes`, so "digest-only / dimension-sized shuffles" is a
-  * per-round measured number, comparable across SFs and rounds.
+  * per-round measured number, comparable across SFs and rounds. The
+  * three persisted indexes are deleted and rebuilt cold BEFORE the
+  * query loop, timed into `index_build` (contract + detail lines):
+  * build-cost regressions become visible, and the probe queries'
+  * shuffle_bytes measure pure probe traffic independent of what a
+  * prior run left on disk.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -81,6 +86,45 @@ object Bench {
       }
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    // Persisted-index BUILD cost, measured explicitly (round-8 verdict
+    // item 7): the pack's probe queries (d15/s05/t32/t36) reuse the
+    // persisted indexes, so a build-time regression was invisible in
+    // every BENCH artifact. Each index is deleted and rebuilt COLD here,
+    // timed, BEFORE the per-query loop — which also pins the probes'
+    // warmup-measured shuffle_bytes to pure probe traffic regardless of
+    // whether a prior run left an index on disk (round-8 advice: the
+    // old behavior made those bytes order- and state-dependent). A
+    // build that throws records -1, same contract as a failed query.
+    val indexBuilds: Seq[(String, Double)] = Seq[(String, () => Unit)](
+      ("dedup", () => {
+        val r = graft.operators.DedupIndex.defaultRoot(sfDir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+        graft.operators.DedupIndex.buildIfMissing(spark, sfDir, r)
+      }),
+      ("ann", () => {
+        val r = graft.operators.AnnIndex.defaultRoot(sfDir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+        graft.operators.AnnIndex.buildIfMissing(spark, sfDir, r)
+      }),
+      ("inverted", () => {
+        val r = graft.operators.InvertedIndex.defaultRoot(sfDir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+        graft.operators.InvertedIndex.buildIfMissing(spark, sfDir, r)
+      })).map { case (name, build) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { build(); true }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[bench] WARNING: index build '$name' failed: " +
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    spark.catalog.clearCache()
 
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY="t14_tfidf_keywords,q01_..."
     // restricts the run to the named queries (full pack when unset).
@@ -163,8 +207,10 @@ object Bench {
     val detail = results.map { case (k, mn, med, mx, shuf) =>
       "\"" + k + s"""":{"min":$mn,"med":$med,"max":$mx,"shuffle_bytes":$shuf}"""
     }.mkString("{", ",", "}")
+    val ib = indexBuilds.map { case (n, s) => "\"" + n + s"""":$s""" }
+      .mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"shuffle_bytes":$totalShuf,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"shuffle_bytes":$totalShuf,"index_build":$ib,"queries":$detail,"sf":"$sfDir"}"""
     println(detailLine)
     // Contract line: bounded by construction — 10 slowest medians only
     // (the plausible-regression set), never the full pack.
@@ -206,8 +252,13 @@ object Bench {
       }
       s""""bench_file":"$escaped","""
     }
+    // index builds ride the CONTRACT line too (3 numbers, bounded): a
+    // build regression must be visible to a consumer reading only the
+    // bounded tail, not just the detail line
+    val ibShort = indexBuilds.map { case (n, s) => "\"" + n + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
     val contract =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failedMark$subsetMark"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},$benchFileMark"slowest":$slowest,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failedMark$subsetMark"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},$benchFileMark"index_build":$ibShort,"slowest":$slowest,"sf":"$sf"}"""
     // The file carries BOTH lines (full spread + contract) — it is the
     // complete artifact; stdout's bounded tail only needs the contract.
     benchFile.foreach { out =>

@@ -52,7 +52,30 @@ object Tables {
       // not.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    val df = cache.getOrElseUpdate(spark, (sfDir, name))(load(spark, sfDir, name))
+    // Snapshot binding (round-8 verdict stretch 8): conf
+    // `spark.graft.snapshot.<table> = <snapshotRoot>@v<N>` (or `@latest`)
+    // resolves the table through [[graft.lake.Snapshots]] instead of the
+    // sfDir parquet, so "train on corpus v12" is a CONFIG, not a code
+    // change — every lane query then reads that immutable version and
+    // stays byte-stable while the live table moves on (pinned in
+    // `SnapshotReadSpec`). The cache key carries the full binding spec:
+    // pinning, re-pinning, or unpinning never serves a stale relation.
+    val spec = spark.conf.getOption(s"spark.graft.snapshot.$name")
+    val df = spec match {
+      case Some(s) =>
+        cache.getOrElseUpdate(spark, (s"snapshot:$s", name)) {
+          val at = s.lastIndexOf('@')
+          require(at > 0, s"snapshot binding must be <root>@v<N>|latest: $s")
+          val (root, v) = (s.substring(0, at), s.substring(at + 1))
+          val version =
+            if (v == "latest") -1
+            else v.stripPrefix("v").toInt
+          val raw = graft.lake.Snapshots.read(spark, root, version)
+          if (name == "events") normalizeTs(raw) else raw
+        }
+      case None =>
+        cache.getOrElseUpdate(spark, (sfDir, name))(load(spark, sfDir, name))
+    }
     bindings.get((spark, name)) match {
       case null => df
       case f => f(df)

@@ -43,7 +43,7 @@ object Lake {
       .parquet(root)
   }
 
-  private def repartitionForLayout(
+  private[lake] def repartitionForLayout(
       df: DataFrame,
       partitionBy: Seq[String],
       filesPerPartition: Int,
@@ -255,17 +255,7 @@ object Lake {
     // order). count(key) vs count(*) separates the two causes —
     // countDistinct alone ignores NULLs and would misreport a null-key
     // row as a duplicate.
-    val (nRows, nNonNullKeys, nKeys) = {
-      val a = updates.agg(count(lit(1)), count(col(key)),
-        countDistinct(col(key))).collect()(0)
-      (a.getLong(0), a.getLong(1), a.getLong(2))
-    }
-    require(nRows == nNonNullKeys,
-      s"upsert batch carries ${nRows - nNonNullKeys} NULL-key rows; " +
-        "a null key cannot be matched for replacement")
-    require(nNonNullKeys == nKeys,
-      s"upsert batch carries ${nNonNullKeys - nKeys} duplicate-key rows; " +
-        "reduce to one change per key first")
+    validateUpdateBatch(updates, key)
     // BEFORE the dataset read: spark.read.parquet captures the file
     // listing eagerly, so recovery after the read would still compute
     // the merge from a root missing the crashed-swap partition
@@ -307,7 +297,23 @@ object Lake {
     * toString would diverge for timestamp/date/decimal partition values
     * ('2026-01-01 00:00:00.0' vs the written '2026-01-01 00:00:00') and
     * the swap loop would miss or destroy those directories. */
-  private def touchedPartitions(
+  /** Shared by [[upsert]] and [[SnapshotTable.upsert]] — one copy of the
+    * NULL-key / duplicate-key batch contract. */
+  private[lake] def validateUpdateBatch(updates: DataFrame, key: String): Unit = {
+    val (nRows, nNonNullKeys, nKeys) = {
+      val a = updates.agg(count(lit(1)), count(col(key)),
+        countDistinct(col(key))).collect()(0)
+      (a.getLong(0), a.getLong(1), a.getLong(2))
+    }
+    require(nRows == nNonNullKeys,
+      s"upsert batch carries ${nRows - nNonNullKeys} NULL-key rows; " +
+        "a null key cannot be matched for replacement")
+    require(nNonNullKeys == nKeys,
+      s"upsert batch carries ${nNonNullKeys - nKeys} duplicate-key rows; " +
+        "reduce to one change per key first")
+  }
+
+  private[lake] def touchedPartitions(
       df: DataFrame, partitionBy: String): Seq[(Any, String)] =
     df.select(col(partitionBy), col(partitionBy).cast("string"))
       .distinct().collect()

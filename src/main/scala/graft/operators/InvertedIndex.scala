@@ -246,6 +246,60 @@ object InvertedIndex {
   /** Bucket for rows indexed without a source column. */
   val UntaggedSource = "_all"
 
+  /** Batched probe: rank a whole (query_id, tok) WORKLOAD per query in
+    * one pass — one pfx-pruned postings scan, one broadcast join against
+    * the workload, per-term df computed once (shared across queries),
+    * and a native TopKPerKey per query_id. This is the
+    * decontamination-by-retrieval / quality-ranked-sampling shape: a
+    * driver loop of single [[probe]]s would re-plan and re-scan per
+    * query; here cost scales with matched postings rows, not
+    * |queries| × plan overhead.
+    *
+    * `queries` is workload-sized (it broadcasts — thousands of queries,
+    * not billions); duplicate (query_id, tok) rows are collapsed first,
+    * so a term listed twice in one query counts once (set semantics,
+    * matching the fixed-term probe). The only driver-side value is the
+    * distinct pfx list — bounded by the 16-value pfx domain. */
+  def probeBatch(
+      spark: SparkSession, root: String, queries: DataFrame,
+      k: Int): DataFrame =
+    probeBatchWhere(spark, root, queries, lit(true), k)
+
+  /** Role-scoped batched probe — [[probeAs]]'s guarantees (df/avgdl/N
+    * recompute over the role's visible world; fail-closed for untagged
+    * rows) applied to the whole workload at once. */
+  def probeBatchAs(
+      spark: SparkSession, root: String, queries: DataFrame, k: Int,
+      role: graft.security.Rbac.Role): DataFrame =
+    probeBatchWhere(spark, root, queries,
+      role.rowFilter.map(f => expr(f) && col("source") =!= UntaggedSource)
+        .getOrElse(lit(true)), k)
+
+  private def probeBatchWhere(
+      spark: SparkSession, root: String, queries: DataFrame,
+      visible: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("tok")).distinct()
+    val qterms = q.select(col("tok")).distinct()
+      .withColumn("pfx", pfxCol)
+      .cache() // tiny; feeds the pfx collect AND two joins below
+    // the ONLY collect: distinct pfx values, ≤ 16 by construction
+    val prefixes = qterms.select(col("pfx")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val tf = postingsDf(spark, root)
+      .filter(col("pfx").isin(prefixes: _*)) // directory pruning
+      .filter(visible)
+      .join(broadcast(qterms.select(col("tok"))), "tok")
+      .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+    // per-TERM df over the (visible) corpus, BEFORE the query join —
+    // two queries sharing a term see one df, not one per query
+    val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val corpus = corpusDf(spark, root).filter(visible)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
+    graft.queries.Search.bm25ScoreBatch(
+      tf.join(broadcast(q), "tok"), dfStats, corpus, k)
+  }
+
   private def probeWhere(
       spark: SparkSession, root: String, terms: Seq[String],
       visible: org.apache.spark.sql.Column): DataFrame = {

@@ -265,5 +265,160 @@ object Search {
     },
     Some(bm25OracleSql))
 
-  val all: Seq[Q] = Seq(q62_length_quantiles, t31_bm25, t32_bm25_probe)
+  // ---- t35/t36: batched multi-query BM25 -----------------------------
+  //
+  // The retrieval workloads the lane itself names — decontamination-by-
+  // retrieval, quality-ranked sampling — score THOUSANDS of queries, not
+  // one. A driver loop of single probes would plan/scan per query; the
+  // batched shape ranks the whole workload in one postings join + one
+  // grouped aggregate + one TopKPerKey: cost scales with matched
+  // postings rows, not with |queries| × plan overhead.
+
+  /** Result depth per query for the batched ranking. */
+  val Bm25BatchK = 5
+
+  /** 50 deterministic query term sets (2-3 terms each) over the corpus
+    * vocabulary — the same workload on both engines; the oracle inlines
+    * it as VALUES from this single definition. */
+  val Bm25BatchQueries: Seq[(Long, Seq[String])] = {
+    val vocab = Vector(
+      "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+      "filter", "group", "hash", "join", "key", "line", "merge", "order",
+      "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+      "stream", "table", "value", "vector", "window", "the")
+    (0 until 50).map { i =>
+      val idx =
+        Seq(i % vocab.size, (i * 7 + 3) % vocab.size,
+          (i * 13 + 11) % vocab.size).distinct
+      (i.toLong, idx.map(vocab))
+    }
+  }
+
+  /** The workload as a (query_id, tok) DataFrame — the shape
+    * [[graft.operators.InvertedIndex.probeBatch]] takes. */
+  def bm25BatchQueriesDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Bm25BatchQueries
+      .flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .toDF("query_id", "tok")
+  }
+
+  /** Inline batched BM25: postings for the UNION of all query terms are
+    * computed once; per-term df once; the per-query fan-out happens via
+    * one broadcast join against the (query_id, tok) workload. Term and
+    * query relations are workload-sized (broadcast); only postings are
+    * corpus-derived — and they are filtered to the query vocabulary
+    * BEFORE the grouping, so (as in t31) document text never shuffles. */
+  private[queries] def bm25Batch(docs: DataFrame): DataFrame =
+    bm25BatchOver(docs, bm25BatchQueriesDf(docs.sparkSession), Bm25BatchK)
+
+  /** The same inline batch ranking over an ARBITRARY (query_id, tok)
+    * workload — the reference semantics [[graft.operators.InvertedIndex
+    * .probeBatch]] must reproduce (pinned in `PipelineLlmSpec` for the
+    * pipeline's retrieval-decontamination pass). */
+  def bm25BatchOver(
+      docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("tok")).distinct()
+    val qterms = q.select(col("tok")).distinct()
+    val base = tokenized(docs)
+      .select(col("doc_id"), col("dl"), col("toks"))
+      .cache() // same barrier as bm25: stats + postings share the tokenize
+    val corpus = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .join(broadcast(qterms), "tok") // term filter BEFORE the grouping
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // df is per TERM over the whole corpus — computed before the query
+    // join, so two queries sharing a term cannot double-count it
+    val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tfq = postings.join(broadcast(q), "tok")
+    bm25ScoreBatch(tfq, dfStats, corpus, k)
+  }
+
+  /** Deterministic salient-term extraction for retrieval-based
+    * decontamination: a document's query = its 3 lexicographically
+    * smallest distinct tokens of length >= 4 (drops closed-class short
+    * words without a stopword list; deterministic so the index-served
+    * and inline passes provably share one workload). ONE copy of the
+    * rule, used by `tools.Pipeline.llmLane` and its spec pin. */
+  def decontamQueries(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id").as("query_id"),
+        expr(s"slice(array_sort(array_distinct(filter(" +
+          s"${Text.toksExpr}, t -> length(t) >= 4))), 1, 3)").as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("query_id"), explode(col("ts")).as("tok"))
+
+  /** ONE oracle for t35 and t36 (the t31/t32 pattern): the index-served
+    * batch ranking must equal the inline one byte-for-byte. */
+  private val bm25BatchOracleSql = {
+    val values = Bm25BatchQueries
+      .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
+      .mkString(", ")
+    s"""
+      WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS dl, toks
+            FROM t WHERE length(toks) > 0),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_dl FROM b),
+      q AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok
+            FROM (VALUES $values) AS v(query_id, tok)),
+      tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM b)
+             WHERE tok IN (SELECT DISTINCT tok FROM q)
+             GROUP BY doc_id, dl, tok),
+      d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      m AS (SELECT q.query_id, tf.doc_id, tf.tf, tf.dl, c.n_docs, c.total_dl,
+                   2 * c.n_docs + 2 AS num, 2 * d.df + 1 AS den,
+                   length(bin(CAST((2 * c.n_docs + 2) // (2 * d.df + 1)
+                     AS BIGINT))) - 1 AS k
+            FROM tf JOIN d USING (tok) JOIN q USING (tok), c),
+      m2 AS (SELECT *, den * (CAST(1 AS BIGINT) << k) AS p FROM m),
+      scored AS (
+        SELECT query_id, doc_id,
+               CAST(k AS BIGINT) * 1000000000
+                 + CAST(CAST(num - p AS HUGEINT) * 1000000000 // p
+                     AS BIGINT) AS idf_n9,
+               CAST(CAST(44 AS HUGEINT) * tf * total_dl * 1000000000 //
+                    (CAST(20 AS HUGEINT) * tf * total_dl
+                     + 6 * total_dl + 18 * dl * n_docs)
+                 AS BIGINT) AS tfterm_n9
+        FROM m2),
+      agg AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                     SUM(CAST(idf_n9 AS HUGEINT) * tfterm_n9) AS score_n18
+              FROM scored GROUP BY query_id, doc_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_n18 DESC, doc_id) AS rn
+                 FROM agg)
+      SELECT query_id, doc_id, n_terms,
+             CAST(CAST(score_n18 // 1000000000000 AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS score
+      FROM ranked WHERE rn <= $Bm25BatchK
+      ORDER BY query_id, score_n18 DESC, doc_id"""
+  }
+
+  val t35_bm25_batch = Q(
+    "t35_bm25_batch",
+    (s, dir) => bm25Batch(Tables(s, dir, "documents")),
+    Some(bm25BatchOracleSql))
+
+  /** The same 50-query workload served from the persisted postings
+    * index — the decontamination-by-retrieval shape: one shared physical
+    * index, a whole workload ranked per query in one pass. */
+  val t36_bm25_batch_probe = Q(
+    "t36_bm25_batch_probe",
+    (s, dir) => {
+      val root = graft.operators.InvertedIndex.defaultRoot(dir)
+      graft.operators.InvertedIndex.buildIfMissing(s, dir, root)
+      graft.operators.InvertedIndex.probeBatch(
+        s, root, bm25BatchQueriesDf(s), Bm25BatchK)
+    },
+    Some(bm25BatchOracleSql))
+
+  val all: Seq[Q] = Seq(q62_length_quantiles, t31_bm25, t32_bm25_probe,
+    t35_bm25_batch, t36_bm25_batch_probe)
 }

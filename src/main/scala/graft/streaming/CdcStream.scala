@@ -40,6 +40,41 @@ object CdcStream {
       key: String,
       partitionBy: String,
       versionCol: Option[String] = None): StreamingQuery =
+    maintain(updates, root, key, versionCol) { (batch, reduced) =>
+      graft.lake.Lake.upsert(batch.sparkSession, root, reduced,
+        key, partitionBy)
+      ()
+    }
+
+  /** The same CDC drain applied ATOMICALLY per micro-batch via
+    * [[graft.lake.SnapshotTable.upsert]]: every batch commits as one
+    * snapshot version, so a crash mid-batch leaves readers on the
+    * previous version (no partially-swapped partitions to recover —
+    * crashed batches are invisible garbage, collected by vacuum) and
+    * the checkpoint replays the batch to a clean new commit. Replay
+    * convergence is by CONTENT: a re-applied batch produces an extra
+    * version whose rows equal the first application's (pinned in
+    * `CdcStreamSpec`). Pre-create the table with `SnapshotTable.write`
+    * to pin its schema; a stream that bootstraps the table itself lets
+    * the first batch define the schema, INCLUDING feed-only columns
+    * like the CDC version. */
+  def maintainUpsertsAtomic(
+      updates: DataFrame,
+      root: String,
+      key: String,
+      partitionBy: String,
+      versionCol: Option[String] = None): StreamingQuery =
+    maintain(updates, root, key, versionCol) { (batch, reduced) =>
+      graft.lake.SnapshotTable.upsert(batch.sparkSession, root, reduced,
+        key, partitionBy)
+      ()
+    }
+
+  private def maintain(
+      updates: DataFrame, root: String, key: String,
+      versionCol: Option[String])(
+      apply: (org.apache.spark.sql.Dataset[Row], DataFrame) => Unit)
+      : StreamingQuery =
     updates.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -57,13 +92,11 @@ object CdcStream {
             row_number().over(Window.partitionBy(col(key)).orderBy(order)))
           .filter(col("__cdc_rn") === 1)
           .drop("__cdc_rn")
-        // versionCol stays in the frame: Lake.upsert projects updates
+        // versionCol stays in the frame: the upsert projects updates
         // to the dataset's columns, so an extra feed-only column is
         // ignored there, while a version that IS a dataset column
         // lands like any other field
-        graft.lake.Lake.upsert(batch.sparkSession, root, reduced,
-          key, partitionBy)
-        ()
+        apply(batch, reduced)
       }
       .start()
 }

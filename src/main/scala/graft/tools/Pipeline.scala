@@ -50,14 +50,16 @@ object Pipeline {
     *     re-curations (time-travel read pinned in `PipelineLlmSpec`).
     *
     * Returns (curation report, dedup probe hits, ann probe hits, bm25
-    * probe ranking); the probe results are pinned row-identical to the
-    * oracle-gated d15_lsh_probe / s05_ann_index / t31_bm25 batch
-    * queries in `PipelineLlmSpec` — the stream-maintained,
-    * work-dir-local indexes answer intake probes byte-for-byte like
-    * the batch builds.
+    * probe ranking, retrieval-decontamination hits); the probe results
+    * are pinned row-identical to the oracle-gated d15_lsh_probe /
+    * s05_ann_index / t31_bm25 batch queries (and the decontamination
+    * sweep to the inline `Search.bm25BatchOver`) in `PipelineLlmSpec`
+    * — the stream-maintained, work-dir-local indexes answer intake
+    * probes byte-for-byte like the batch builds.
     */
   def llmLane(spark: SparkSession, sfDir: String, workDir: String)
-      : (graft.pipeline.Curate.Report, DataFrame, DataFrame, DataFrame) = {
+      : (graft.pipeline.Curate.Report, DataFrame, DataFrame, DataFrame,
+         DataFrame) = {
     import graft.functions.VectorFunctions.vec_norm
     import graft.operators.{AnnIndex, DedupIndex, InvertedIndex}
 
@@ -106,6 +108,19 @@ object Pipeline {
     val bm25Hits = InvertedIndex.probe(spark, invRoot,
       graft.queries.Search.Bm25Terms)
 
+    // Retrieval-based decontamination from the SAME postings index
+    // (round-8 verdict item 6): every held-out eval document (the d08
+    // slice, doc_id % 89 == 0) queries the index with its salient terms
+    // in ONE batched probe; the top hits minus the doc itself are its
+    // candidate contaminated training documents. Pinned row-identical
+    // to the inline Search.bm25BatchOver ranking in PipelineLlmSpec —
+    // the index-served sweep provably equals the batch computation.
+    val evalQueries = graft.queries.Search.decontamQueries(
+      docs.filter(col("doc_id") % 89 === 0))
+    val decontamHits = InvertedIndex
+      .probeBatch(spark, invRoot, evalQueries, k = 5)
+      .filter(col("doc_id") =!= col("query_id")) // drop the self-hit
+
     // Snapshot the curated corpus BEFORE deriving loader artifacts:
     // the packing manifest below is computed from this immutable
     // version, so "the run that produced pack_manifest" stays
@@ -129,7 +144,7 @@ object Pipeline {
       graft.queries.Corpus.PackCtx, binsPerShard = 8L,
       s"$workDir/llm/pack_manifest")
 
-    (report, dedupHits, annHits, bm25Hits)
+    (report, dedupHits, annHits, bm25Hits, decontamHits)
   }
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse(
@@ -180,12 +195,13 @@ object Pipeline {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     println(s"== llm lane (corpus=$sfDir)")
-    val (report2, dedupHits, annHits, bm25Hits) =
+    val (report2, dedupHits, annHits, bm25Hits, decontamHits) =
       llmLane(spark, sfDir, workDir)
     println(s"   curation: ${report2.json}")
     println(s"   dedup-index probe hits: ${dedupHits.count()}")
     println(s"   ann-index probe hits:   ${annHits.count()}")
     println(s"   bm25-index top-k rows:  ${bm25Hits.count()}")
+    println(s"   retrieval-decontam hits: ${decontamHits.count()}")
 
     spark.stop()
   }

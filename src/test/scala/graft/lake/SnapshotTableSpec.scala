@@ -1,0 +1,144 @@
+package graft.lake
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-partition ATOMIC upsert: a batch touching many partitions
+  * becomes visible in one manifest commit — a crash after the data
+  * write but before the commit leaves readers on the old version
+  * exactly (the gap [[Lake.upsert]] honestly documents). */
+class SnapshotTableSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def baseDocs: DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+
+  private def freshTable(): String = {
+    val root = tmpDir("snaptable")
+    SnapshotTable.write(spark, root, baseDocs, "source")
+    root
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("upsert merges like Lake.upsert and commits one new version") {
+    val root = freshTable()
+    val updates = spark.createDataFrame(Seq(
+      (3L, "replaced three", "en", 14L, "src3"),
+      (7L, "replaced seven", "en", 14L, "src7"),
+      (100003L, "brand new", "en", 9L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val v = SnapshotTable.upsert(spark, root, updates, "doc_id", "source")
+    assert(v == 2)
+    val after = SnapshotTable.read(spark, root)
+    assert(rows(after.filter(col("doc_id").isin(3L, 7L, 100003L))) ==
+      Set((3L, "replaced three", 14L), (7L, "replaced seven", 14L),
+        (100003L, "brand new", 9L)))
+    assert(after.count() == baseDocs.count() + 1)
+    // v1 is STILL the pre-upsert table (time travel over CDC)
+    assert(rows(SnapshotTable.read(spark, root, 1)) == rows(baseDocs))
+  }
+
+  test("a crash between data write and manifest commit is INVISIBLE") {
+    // The atomicity claim itself: the batch touches two partitions, all
+    // its data directories are fully written, and then the writer dies
+    // before the manifest rename. Readers must see the previous version
+    // exactly — not one partition updated and the other not (the
+    // partially-swapped state Lake.upsert can only make recoverable).
+    val root = freshTable()
+    val before = rows(SnapshotTable.read(spark, root))
+    val updates = spark.createDataFrame(Seq(
+      (3L, "replaced three", "en", 14L, "src3"),
+      (7L, "replaced seven", "en", 14L, "src7")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    intercept[java.io.IOException] {
+      SnapshotTable.upsert(spark, root, updates, "doc_id", "source",
+        crashBeforeCommit = true)
+    }
+    assert(SnapshotTable.versions(spark, root) == Seq(1),
+      "a crashed batch must not commit a version")
+    assert(rows(SnapshotTable.read(spark, root)) == before,
+      "a crashed multi-partition batch leaked into a read")
+    // the orphaned directories are garbage vacuum collects; the retried
+    // upsert then lands cleanly as v2
+    val (_, removed) = SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    assert(removed == 2, s"expected the 2 orphaned dirs collected: $removed")
+    val v = SnapshotTable.upsert(spark, root, updates, "doc_id", "source")
+    assert(v == 2)
+    assert(rows(SnapshotTable.read(spark, root)
+      .filter(col("doc_id").isin(3L, 7L))) ==
+      Set((3L, "replaced three", 14L), (7L, "replaced seven", 14L)))
+  }
+
+  test("only touched partitions are rewritten; untouched dirs are shared") {
+    val root = freshTable()
+    val v1Entries = scala.io.Source.fromFile(
+      s"$root/_versions/v00000001.manifest").getLines().toSeq
+    val updates = spark.createDataFrame(Seq(
+      (3L, "replaced", "en", 8L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    SnapshotTable.upsert(spark, root, updates, "doc_id", "source")
+    val v2Entries = scala.io.Source.fromFile(
+      s"$root/_versions/v00000002.manifest").getLines().toSeq
+    val changed = v2Entries.toSet -- v1Entries.toSet
+    assert(changed.size == 1 && changed.head.startsWith("src3\t"),
+      s"exactly the touched partition should get a new dir: $changed")
+    assert((v1Entries.toSet -- v2Entries.toSet).size == 1,
+      "untouched partitions must carry their v1 directories forward")
+  }
+
+  test("deleteWhere drops rows and empties partitions atomically") {
+    val root = freshTable()
+    val n0 = SnapshotTable.read(spark, root).count()
+    val victims = SnapshotTable.read(spark, root)
+      .filter(col("source") === "src5").count()
+    assert(victims > 0)
+    val v = SnapshotTable.deleteWhere(spark, root,
+      col("source") === "src5", "source")
+    assert(v == 2)
+    val after = SnapshotTable.read(spark, root)
+    assert(after.count() == n0 - victims)
+    assert(after.filter(col("source") === "src5").isEmpty)
+    // the emptied partition left the manifest entirely
+    val v2Entries = scala.io.Source.fromFile(
+      s"$root/_versions/v00000002.manifest").getLines().toSeq
+    assert(!v2Entries.exists(_.startsWith("src5\t")))
+    // NULL-predicate rows are kept (three-valued logic)
+    val v3 = SnapshotTable.deleteWhere(spark, root,
+      when(col("doc_id") < 0, lit(null).cast("boolean")), "source")
+    assert(SnapshotTable.read(spark, root, v3).count() == n0 - victims)
+  }
+
+  test("readPartitions opens only the manifest-selected directories") {
+    val root = freshTable()
+    val got = SnapshotTable.readPartitions(spark, root, Seq("src3", "src7"))
+    assert(got.select(col("source")).distinct().collect()
+      .map(_.getString(0)).toSet == Set("src3", "src7"))
+    val none = SnapshotTable.readPartitions(spark, root, Seq("nope"))
+    assert(none.isEmpty && none.columns.sameElements(got.columns))
+    // pruning is structural: the plan reads 2 of the 20 data dirs
+    val files = got.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val dirs = files.map(f => f.substring(0, f.lastIndexOf('/')))
+    assert(dirs.size == 2, s"expected 2 dirs opened, got ${dirs.size}")
+  }
+
+  test("hot-partition fan-out: filesPerPartition > 1 writes > 1 file") {
+    val root = tmpDir("snaptable-fan")
+    SnapshotTable.write(spark, root, baseDocs, "source",
+      filesPerPartition = 4)
+    val entries = scala.io.Source.fromFile(
+      s"$root/_versions/v00000001.manifest").getLines().toSeq
+    val src3dir = entries.find(_.startsWith("src3\t")).get.split('\t')(1)
+    val nFiles = new java.io.File(s"$root/$src3dir").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 1, s"hot partition wrote $nFiles file(s) — serial")
+    assert(rows(SnapshotTable.read(spark, root)) == rows(baseDocs))
+  }
+}

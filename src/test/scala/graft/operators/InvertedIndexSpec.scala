@@ -77,6 +77,32 @@ class InvertedIndexSpec extends SparkSpec {
       "no appended document ever ranked; weak test")
   }
 
+  test("probeBatch ranks each workload query exactly like a single probe") {
+    // The batched path must be a pure batching of the single-probe
+    // semantics: for any query in the workload, its per-query ranking
+    // equals a standalone probe of the same terms (same k). Workload:
+    // the t31 term set plus two smaller sets, with a shared term so the
+    // per-term df computed once across queries is actually exercised.
+    import spark.implicits._
+    val workload = Seq(
+      (0L, terms), (1L, Seq("spark")), (2L, Seq("filter", "spark")))
+    val qdf = workload.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .toDF("query_id", "tok")
+    val batch = InvertedIndex
+      .probeBatch(spark, root, qdf, graft.queries.Search.Bm25K)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(rows =>
+        rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq)
+      .toMap
+    workload.foreach { case (id, ts) =>
+      val single = asTriples(InvertedIndex.probe(spark, root, ts).collect())
+      assert(batch(id) == single,
+        s"batched ranking for query $id diverged:\n" +
+          s" batch=${batch(id)}\n single=$single")
+    }
+  }
+
   test("role-scoped probes fail closed for untagged appended documents") {
     // a mis-shaped append (no source column) lands in the _all bucket,
     // which would satisfy any source filter — probeAs must EXCLUDE

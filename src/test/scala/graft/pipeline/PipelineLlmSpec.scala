@@ -15,7 +15,7 @@ class PipelineLlmSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.01"
 
   private val workDir = tmpDir("pipeline-llm")
-  private lazy val (report, dedupHits, annHits, bm25Hits) =
+  private lazy val (report, dedupHits, annHits, bm25Hits, decontamHits) =
     graft.tools.Pipeline.llmLane(spark, sfDir, workDir)
 
   test("curation ran with full provenance") {
@@ -56,6 +56,28 @@ class PipelineLlmSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(piped == batch,
       s"pipeline bm25 probe diverged: ${piped.size} vs ${batch.size} rows")
+  }
+
+  test("index-served retrieval decontamination equals the inline sweep") {
+    import org.apache.spark.sql.functions._
+    // The pipeline's decontamination pass probes the stream-bootstrapped
+    // postings index with every held-out doc's salient terms in one
+    // batched probe; it must rank EXACTLY like the inline
+    // Search.bm25BatchOver over the same intake corpus and workload —
+    // index-served sweep ≡ batch computation, the d15/t31 pin extended
+    // to the whole-workload shape.
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val queries = Search.decontamQueries(docs.filter(col("doc_id") % 89 === 0))
+    val inline = Search.bm25BatchOver(docs, queries, 5)
+      .filter(col("doc_id") =!= col("query_id"))
+      .collect().toSeq
+    val piped = decontamHits.collect().toSeq
+    assert(inline.nonEmpty, "inline sweep returned nothing — weak test")
+    assert(piped == inline,
+      s"pipeline decontamination diverged: ${piped.size} vs ${inline.size}")
+    // and it finds a cross-document candidate (not only self-hits)
+    assert(piped.exists(_.getLong(1) != piped.head.getLong(0)))
   }
 
   test("the curated corpus is snapshot-versioned and reproducible") {

@@ -100,6 +100,34 @@ class LlmRbacSpec extends SparkSpec {
         s"\n idx=$viaIndex\n inl=$inline")
   }
 
+  test("batched probe under a role == the role's inline batch ranking") {
+    // probeBatchAs extends the shared-index/per-role-view guarantee to
+    // a whole (query_id, tok) workload: the role's filter applies to
+    // postings AND per-source stats before any df/score computes, so
+    // all 50 queries rank against exactly the role's world — equal to
+    // running the inline t35 under Rbac.asRole, in one pass.
+    val root = graft.operators.InvertedIndex.defaultRoot(sfDir)
+    graft.operators.InvertedIndex.buildIfMissing(spark, sfDir, root)
+    def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val viaIndex = asTuples(graft.operators.InvertedIndex
+      .probeBatchAs(spark, root, Search.bm25BatchQueriesDf(spark),
+        Search.Bm25BatchK, Rbac.docCurator)
+      .collect())
+    val inline = Rbac.asRole(spark, "documents" -> Rbac.docCurator) {
+      asTuples(Search.t35_bm25_batch.run(spark, sfDir).collect())
+    }
+    assert(viaIndex.nonEmpty && viaIndex == inline,
+      "role-scoped batched probe diverged from the role's inline ranking")
+    // and it is genuinely role-scoped, not the full ranking
+    val unscoped = asTuples(graft.operators.InvertedIndex
+      .probeBatch(spark, root, Search.bm25BatchQueriesDf(spark),
+        Search.Bm25BatchK).collect())
+    assert(viaIndex != unscoped,
+      "role scoping had no effect on the batched ranking")
+  }
+
   test("column denial fails loudly: doc_meta cannot run tokenizing queries") {
     // doc_meta may measure the corpus but `text` is denied — a query
     // that tokenizes must fail at ANALYSIS, matching the reference's

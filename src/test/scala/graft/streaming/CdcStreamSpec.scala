@@ -82,6 +82,47 @@ class CdcStreamSpec extends SparkSpec {
       s"expected exactly the latest change to land, got $rows")
   }
 
+  test("atomic CDC: per-batch snapshot commits, replay converges by content") {
+    // maintainUpsertsAtomic drains the same waves through
+    // SnapshotTable.upsert: each micro-batch is ONE manifest commit, so
+    // readers can never observe a half-applied batch; a replayed batch
+    // commits an extra version whose CONTENT equals the first
+    // application's.
+    import graft.lake.SnapshotTable
+    val root = tmpDir("cdc-atomic")
+    SnapshotTable.write(spark,
+      root,
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("source")),
+      "source")
+    val changes = tmpDir("cdc-atomic-in")
+    spark.createDataFrame(Seq(
+      (3L, "v2 of three", "en", 11L, "src3"),
+      (100007L, "new seven", "en", 9L, "src7")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .coalesce(1).write.parquet(s"$changes/all")
+    val stream = spark.readStream.schema(schema).parquet(s"$changes/all")
+    val q = CdcStream.maintainUpsertsAtomic(stream, root, "doc_id", "source")
+    try q.awaitTermination() finally q.stop()
+    def content(v: Int) = SnapshotTable.read(spark, root, v)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+    assert(content(2).contains((3L, "v2 of three", 11L)))
+    assert(content(2).contains((100007L, "new seven", 9L)))
+    // replay: a fresh checkpoint re-delivers the same files (the
+    // crashed-before-checkpoint-advance case) — content converges
+    new java.io.File(s"$root/_cdc_checkpoint").listFiles()
+      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+    val stream2 = spark.readStream.schema(schema).parquet(s"$changes/all")
+    val q2 = CdcStream.maintainUpsertsAtomic(stream2, root, "doc_id", "source")
+    try q2.awaitTermination() finally q2.stop()
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3))
+    assert(content(3) == content(2),
+      "replaying a CDC batch changed the table content")
+  }
+
   test("re-applying a change batch converges (at-least-once contract)") {
     val root = baseDataset()
     val updates = spark.createDataFrame(Seq(
