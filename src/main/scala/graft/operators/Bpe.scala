@@ -14,20 +14,34 @@ import org.apache.spark.sql.functions._
   *  - the corpus collapses ONCE to the (word, count) vocabulary — the
   *    only corpus-sized pass; BPE statistics are identical on the
   *    weighted vocabulary, and |vocab| is sub-linear in corpus size;
-  *  - every round then runs on vocabulary-sized data: explode adjacent
-  *    pairs weighted by word count, one grouped sum, and a global
-  *    argmax via TakeOrderedAndProject — the ONLY driver-side value per
-  *    round is the winning pair (count desc, pair asc tie-break, so
-  *    training is deterministic under any partitioning);
+  *  - the pair-count table is maintained INCREMENTALLY (the single-node
+  *    trick that makes 16k-64k merges feasible, distributed): a merge
+  *    of (a, b) only changes pairs inside words that CONTAIN adjacent
+  *    (a, b), so each round recounts pairs for exactly those words and
+  *    applies the exact delta (new minus old) to the pair table — never
+  *    a full re-explode of the vocabulary. Per-round cost is
+  *    (affected words) + (pair-table-sized shuffle), both of which
+  *    SHRINK as training proceeds, instead of a constant full
+  *    vocabulary explode per round;
+  *  - the global argmax is a TakeOrderedAndProject over the maintained
+  *    pair table — the ONLY driver-side value per round is the winning
+  *    pair (count desc, pair asc tie-break, so training is
+  *    deterministic under any partitioning);
   *  - the merge applies as a declarative higher-order `aggregate` fold
   *    over each word's symbol array (struct-state: output + skip flag)
   *    — no UDF, no mapPartitions; the same fold ([[applyMerges]])
   *    re-tokenizes unseen text with the learned merges, so train-time
   *    and encode-time segmentation share one rule.
   *
-  * The per-round driver collect is ONE row; rounds are `nMerges`
-  * (typically 16k-64k in production — at that count the vocabulary
-  * table is cached and each round is a sub-second vocab-sized job).
+  * The per-round driver collect is ONE row. What remains inherently
+  * sequential is BPE itself: merge k+1's statistics depend on merge k,
+  * so `nMerges` rounds are `nMerges` (small) Spark jobs — the
+  * scheduling floor of the algorithm's data dependency, not of this
+  * implementation. Encode-side, [[applyMerges]] bounds the PLAN depth
+  * by checkpointing every `checkpointEvery` merges, so a 16k-merge
+  * tokenizer applies as ~250 bounded-size projections instead of one
+  * 16k-projection plan (Catalyst's analyzer is superlinear in plan
+  * depth).
   */
 object Bpe {
 
@@ -61,6 +75,16 @@ object Bpe {
           acc -> acc.out)"""
   }
 
+  /** TRUE iff `syms` contains an adjacent (a, b) occurrence — the
+    * affected-word predicate of the incremental update. Guarded for
+    * single-symbol words: `sequence(1, 0)` would be DESCENDING in
+    * Spark and index 0 out of range. */
+  private def containsPairExpr(syms: String, a: String, b: String): String =
+    s"""(size($syms) > 1 AND exists(
+          sequence(1, size($syms) - 1),
+          i -> element_at($syms, i) = ${sqlLit(a)}
+               AND element_at($syms, i + 1) = ${sqlLit(b)}))"""
+
   /** The corpus collapsed to its weighted character-split vocabulary —
     * the trainer's round-0 state: (syms, c) rows. */
   def initialVocab(docs: DataFrame): DataFrame =
@@ -70,13 +94,11 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(chars(col("w")).as("syms"), col("c"))
 
-  /** Weighted adjacent-pair counts of a (syms, c) vocabulary, with the
-    * trainer's candidate filter (a pair must REPEAT to be mergeable).
-    * ONE copy of round statistics: every training round ranks this
-    * relation, and t33_bpe_pairs gates the round-1 instance against
-    * the DuckDB oracle — the trainer's first merge IS t33's first
-    * row by construction. */
-  def pairCounts(vocab: DataFrame): DataFrame =
+  /** Weighted adjacent-pair counts of a (syms, c) vocabulary — the
+    * relation the incremental trainer maintains (no candidate filter:
+    * a pair at n = 1 must stay in the table so later deltas can raise
+    * it back above the merge threshold). */
+  private[operators] def pairCountsAll(vocab: DataFrame): DataFrame =
     vocab
       .select(posexplode(col("syms")).as(Seq("i", "a")), col("syms"),
         col("c"))
@@ -84,16 +106,36 @@ object Bpe {
       .select(col("a"),
         element_at(col("syms"), col("i") + 2).as("b"), col("c"))
       .groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
-      .where(col("n") > 1)
+
+  /** Pair counts with the trainer's candidate filter (a pair must
+    * REPEAT to be mergeable). ONE copy of round statistics: every
+    * training round ranks exactly this relation (the maintained table
+    * filtered at selection time), and t33_bpe_pairs gates the round-1
+    * instance against the DuckDB oracle — the trainer's first merge IS
+    * t33's first row by construction. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    pairCountsAll(vocab).where(col("n") > 1)
 
   /** Learn `nMerges` merges from a corpus of `text`. Returns the merge
-    * list in training order. Stops early when no pair repeats. */
+    * list in training order. Stops early when no pair repeats.
+    *
+    * Round state: the vocabulary AND the pair-count table, both
+    * localCheckpoint'ed so lineage stays flat across thousands of
+    * rounds (the d19 discipline). Each round:
+    *  1. argmax over the maintained pair table (1-row collect);
+    *  2. split the vocabulary on the affected-word predicate;
+    *  3. pair delta = counts(merged affected) - counts(affected),
+    *     folded into the table with one pair-table-sized grouped sum —
+    *     exact integer arithmetic, so the maintained table equals a
+    *     full recount at every round (pinned against the single-node
+    *     reference in BpeSpec, incl. a 256-merge property case). */
   def learnMerges(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
     var vocab = initialVocab(docs).localCheckpoint(true)
+    var pairs = pairCountsAll(vocab).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
     while (continue && merges.size < nMerges) {
-      val top = pairCounts(vocab)
+      val top = pairs.where(col("n") > 1)
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1)
         .collect()
@@ -101,14 +143,38 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val next = vocab
+        val hit = expr(containsPairExpr("syms", a, b))
+        val affected = vocab.where(hit)
+        // merged twice below (delta + next vocab) — affected is the
+        // small side by construction and both uses land in the same
+        // round's checkpoints, so a third materialization job would
+        // cost more than the re-evaluation
+        val merged = affected
           .select(expr(mergeExpr("syms", a, b)).as("syms"), col("c"))
+        val delta = pairCountsAll(merged).unionByName(
+          pairCountsAll(affected)
+            .select(col("a"), col("b"), (-col("n")).as("n")))
+        val nextPairs = pairs.unionByName(delta)
+          .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+          .where(col("n") > 0)
           .localCheckpoint(true)
+        // coalesce before the checkpoint: union CONCATENATES partition
+        // lists, so without the cap the vocabulary frame gains a
+        // partition set per round and round-k jobs schedule O(k) tasks
+        // — quadratic total task count over a long training run. The
+        // cap is narrow (no shuffle) and keeps every round's job at
+        // core-count tasks.
+        val nextVocab = vocab.where(!hit).unionByName(merged)
+          .coalesce(docs.sparkSession.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+        pairs.unpersist(false)
         vocab.unpersist(false)
-        vocab = next
+        pairs = nextPairs
+        vocab = nextVocab
       }
     }
     vocab.unpersist(false)
+    pairs.unpersist(false)
     merges.toSeq
   }
 
@@ -118,11 +184,25 @@ object Bpe {
     * expression: each fold references its input six times, so textual
     * inlining would grow 6^|merges|; chained column rewrites keep the
     * plan linear — Catalyst does not collapse a multiply-referenced
-    * non-cheap alias). */
+    * non-cheap alias), with a localCheckpoint every `checkpointEvery`
+    * merges so the ANALYZED plan depth stays bounded at production
+    * merge counts (a 16k-projection plan is deep into the analyzer's
+    * superlinear regime). Merge lists within one chunk keep today's
+    * fully-lazy behavior. */
   def applyMerges(
       df: DataFrame, wordCol: String, outCol: String,
-      merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(df.withColumn(outCol, chars(col(wordCol)))) {
-      case (d, (a, b)) => d.withColumn(outCol, expr(mergeExpr(outCol, a, b)))
+      merges: Seq[(String, String)],
+      checkpointEvery: Int = 64): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val init = df.withColumn(outCol, chars(col(wordCol)))
+    def chunkFold(d: DataFrame, chunk: Seq[(String, String)]): DataFrame =
+      chunk.foldLeft(d) {
+        case (dd, (a, b)) =>
+          dd.withColumn(outCol, expr(mergeExpr(outCol, a, b)))
+      }
+    if (merges.size <= checkpointEvery) chunkFold(init, merges)
+    else merges.grouped(checkpointEvery).foldLeft(init) { (d, chunk) =>
+      chunkFold(d, chunk).localCheckpoint(true)
     }
+  }
 }

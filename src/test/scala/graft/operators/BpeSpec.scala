@@ -86,6 +86,41 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.learnMerges(docs, 10).isEmpty)
   }
 
+  test("256 merges: incremental pair maintenance equals a full recount") {
+    // The production-scale claim (round-8 verdict item 5): per-round
+    // cost is pair-delta-bounded, so hundreds of merges are feasible —
+    // and the maintained pair table must equal what a full per-round
+    // recount (the single-node reference) computes at EVERY round, or
+    // the merge sequence diverges at the first drift. A rich random
+    // corpus (2000 draws over a 6-letter alphabet, words of 4-12
+    // chars) drives deep merge chains where a wrong delta — e.g. an
+    // overlap case, or a pair dropped at n=1 that a later delta should
+    // have revived — surfaces as a wrong merge.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(2000)(
+      Seq.fill(4 + rnd.nextInt(9))("abcdef" (rnd.nextInt(6))).mkString)
+    val docs = words.grouped(20).map(_.mkString(" ")).toSeq.toDF("text")
+    val counts = words.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = Bpe.learnMerges(docs, 256)
+    val (exp, refVocab) = refLearn(counts, 256)
+    assert(got.size == 256,
+      s"corpus too small for the 256-merge property (${got.size}) — enlarge it")
+    assert(got == exp,
+      s"incremental trainer diverged from the reference at merge " +
+        s"${got.zip(exp).indexWhere { case (g, e) => g != e }}")
+    // chunked encode (bounded plan depth) reproduces the trainer's
+    // segmentation through multiple checkpoint chunks
+    val enc = Bpe.applyMerges(counts.keys.toSeq.toDF("w"), "w", "s", got,
+        checkpointEvery = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    refVocab.keys.foreach(s =>
+      assert(enc(s.mkString) == s,
+        s"chunked encode diverged on '${s.mkString}'"))
+  }
+
   test("property: random corpora match the reference algorithm") {
     // adversarial small alphabets force heavy merge collisions and
     // overlapping-pair cases (aaa, abab) that the fixed corpus may miss
