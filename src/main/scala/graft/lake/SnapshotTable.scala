@@ -271,6 +271,7 @@ object SnapshotTable {
       spark: SparkSession, root: String, keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val f = fs(spark, root)
+    if (!f.exists(new Path(root))) return (0, 0) // never-written root
     val vs = versions(spark, root)
     val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
     val live = keep.flatMap(readManifest(spark, root, _)).map(_._2).toSet

@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * rescanned per query. Layout:
   *
   *  - `<root>/postings` — one row per (token, document): tok, doc_id,
-  *    dl (doc length in tokens), tf — PARTITIONED BY `pfx`, the first
-  *    hex char of md5(tok), so a probe for |terms| tokens prunes to at
-  *    most |terms| of 16 directories before any row is read. One hex
-  *    char keeps the bench-scale index at 16 well-sized files (the
-  *    [[DedupIndex]] tiny-file measurement applies unchanged); at
-  *    100 TB widen to 2-3 chars so each directory stays
-  *    hundreds-of-MB-sized and a probe reads ~1/4096 of the index.
+  *    dl (doc length in tokens), tf — PARTITIONED BY `pfx`, a
+  *    letter-prefixed hex prefix of md5(tok), so a probe for |terms|
+  *    tokens prunes to at most |terms| of 16^width directories before
+  *    any row is read. The width is a REAL build knob (`pfxChars`,
+  *    persisted in `<root>/pfx_width` so probes and appends always use
+  *    the build's fan-out): 1 hex char keeps the bench-scale index at
+  *    16 well-sized files (the [[DedupIndex]] tiny-file measurement
+  *    applies unchanged); at 100 TB build with 2-3 so each directory
+  *    stays hundreds-of-MB-sized and a probe reads ~1/4096 of the
+  *    index (width-2 probes pinned identical to width-1 in
+  *    `InvertedIndexSpec`).
   *  - `<root>/corpus` — PER-SOURCE stats rows (source, n_docs,
   *    total_dl) that BM25 needs for idf/avgdl: a |sources|-row
   *    relation so [[probeAs]] can recompute a role's stats by summing
@@ -43,21 +47,46 @@ object InvertedIndex {
     // (_v2 added per-source corpus stats, the probeAs layout)
     graft.core.IndexRoot.of(sfDir, "documents.parquet", "graft_inv_index_v3")
 
-  /** Partition value for a token: "x" + first hex char of md5(tok).
-    * The letter prefix is load-bearing: a corpus whose tokens happen to
-    * hash only to DIGIT chars would get all-numeric partition
+  /** Partition value for a token: "x" + first `width` hex chars of
+    * md5(tok). The letter prefix is load-bearing: a corpus whose tokens
+    * happen to hash only to DIGIT chars would get all-numeric partition
     * directories, Spark's partition-column type inference would type
     * `pfx` as INT, and the probe's string `isin` would throw
     * CAST_INVALID_INPUT (found by the bm25-cutoff fixture corpus, whose
     * two tokens both hash to digits). A constant letter keeps the
     * inferred type STRING for every possible corpus. */
-  private def pfxCol: org.apache.spark.sql.Column =
-    concat(lit("x"), substring(md5(col("tok")), 1, 1))
+  private def pfxCol(width: Int): org.apache.spark.sql.Column =
+    concat(lit("x"), substring(md5(col("tok")), 1, width))
 
-  private[graft] def pfxOf(term: String): String = {
+  private[graft] def pfxOf(term: String, width: Int = 1): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    "x" + md.digest(term.getBytes("UTF-8")).take(1)
-      .map("%02x".format(_)).mkString.take(1)
+    "x" + md.digest(term.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(width)
+  }
+
+  /** Valid pfx widths: 16^w directories; 4 = 65536 is already past any
+    * sane directory fan-out. */
+  private def requireWidth(w: Int): Unit =
+    require(w >= 1 && w <= 3, s"pfxChars must be 1..3, got $w")
+
+  /** The build's persisted fan-out width (defaults to 1 for indexes
+    * written before the knob existed). */
+  private def pfxWidth(spark: SparkSession, root: String): Int = {
+    val p = new Path(s"$root/pfx_width")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) 1
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  private def writePfxWidth(spark: SparkSession, root: String, w: Int): Unit = {
+    val p = new Path(s"$root/pfx_width")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(s"$w\n".getBytes("UTF-8")) finally out.close()
   }
 
   /** Postings carry the row-security attribute (`source`) so ONE shared
@@ -76,13 +105,13 @@ object InvertedIndex {
   private def tokenizedOnce(docs: DataFrame): DataFrame =
     graft.queries.Search.tokenized(withSource(docs)).cache()
 
-  private def postings(tok: DataFrame): DataFrame =
+  private def postings(tok: DataFrame, width: Int): DataFrame =
     tok
       .select(col("doc_id"), col("source"), col("dl"),
         explode(col("toks")).as("tok"))
       .groupBy(col("tok"), col("doc_id"), col("source"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("pfx", pfxCol)
+      .withColumn("pfx", pfxCol(width))
 
   /** Corpus stats per source (a |sources|-row relation, not 1 row):
     * a role-scoped probe sums only the visible sources, so df/avgdl/N
@@ -97,16 +126,21 @@ object InvertedIndex {
 
   /** Build the postings index unless the complete-marker exists. ONE
     * tokenized corpus pass (cached) feeds both the postings and the
-    * per-source stats layers. */
-  def buildIfMissing(spark: SparkSession, sfDir: String, root: String): Unit = {
+    * per-source stats layers. `pfxChars` sets the directory fan-out
+    * (16^pfxChars dirs — 1 at bench scale, 2-3 at 100 TB). */
+  def buildIfMissing(
+      spark: SparkSession, sfDir: String, root: String,
+      pfxChars: Int = 1): Unit = {
+    requireWidth(pfxChars)
     val marker = new Path(s"$root/corpus/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
     invalidate(root)
+    writePfxWidth(spark, root, pfxChars) // before the marker, like postings
     val tok = tokenizedOnce(graft.core.Tables(spark, sfDir, "documents"))
     try {
-      postings(tok)
-        .repartition(16, col("pfx")) // one file per directory
+      postings(tok, pfxChars)
+        .repartition(1 << (4 * pfxChars), col("pfx")) // 1 file per dir
         .write.mode("overwrite").partitionBy("pfx")
         .parquet(s"$root/postings")
       // stats layer LAST: its _SUCCESS is the index-complete marker
@@ -136,10 +170,11 @@ object InvertedIndex {
       .select(col("source"), col("n_docs"), col("total_dl")).collect()
     fs.delete(new Path(s"$markerDir/_SUCCESS"), false)
     invalidate(root)
+    val width = pfxWidth(spark, root) // append with the BUILD's fan-out
     val tok = tokenizedOnce(newDocs)
     try {
-    postings(tok)
-      .repartition(16, col("pfx"))
+    postings(tok, width)
+      .repartition(1 << (4 * width), col("pfx"))
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$root/postings")
     val oldDf = spark.createDataFrame(
@@ -176,10 +211,13 @@ object InvertedIndex {
   def appendIdempotent(
       spark: SparkSession, root: String, newDocs: DataFrame,
       batchId: Long): Unit = {
+    // stream-owned roots default to width 1; pre-writing <root>/pfx_width
+    // before the first drain widens every batch consistently
+    val width = pfxWidth(spark, root)
     val tok = tokenizedOnce(newDocs)
     try {
-      postings(tok)
-        .repartition(16, col("pfx"))
+      postings(tok, width)
+        .repartition(1 << (4 * width), col("pfx"))
         .write.mode("overwrite").partitionBy("pfx")
         .parquet(s"$root/postings_batches/batch=$batchId")
       corpusStats(tok).coalesce(1)
@@ -278,11 +316,13 @@ object InvertedIndex {
   private def probeBatchWhere(
       spark: SparkSession, root: String, queries: DataFrame,
       visible: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val width = pfxWidth(spark, root)
     val q = queries.select(col("query_id"), col("tok")).distinct()
     val qterms = q.select(col("tok")).distinct()
-      .withColumn("pfx", pfxCol)
+      .withColumn("pfx", pfxCol(width))
       .cache() // tiny; feeds the pfx collect AND two joins below
-    // the ONLY collect: distinct pfx values, ≤ 16 by construction
+    // the ONLY collect: distinct pfx values, ≤ 16^width by construction
+    // (and ≤ |distinct terms|, which is workload-bounded)
     val prefixes = qterms.select(col("pfx")).distinct()
       .collect().map(_.getString(0)).toSeq
     val tf = postingsDf(spark, root)
@@ -303,7 +343,8 @@ object InvertedIndex {
   private def probeWhere(
       spark: SparkSession, root: String, terms: Seq[String],
       visible: org.apache.spark.sql.Column): DataFrame = {
-    val prefixes = terms.map(pfxOf).distinct
+    val width = pfxWidth(spark, root)
+    val prefixes = terms.map(pfxOf(_, width)).distinct
     val tf = postingsDf(spark, root)
       .filter(col("pfx").isin(prefixes: _*)) // directory pruning
       .filter(col("tok").isin(terms: _*))

@@ -576,8 +576,52 @@ object Corpus {
       FROM rows
       ORDER BY filter_a, filter_b"""))
 
+  // ---- t37: reproducible global training shuffle ---------------------
+
+  /** Shard size of the shuffled loader order. */
+  val ShuffleShard = 512L
+
+  val t37_train_shuffle = Q(
+    "t37_train_shuffle",
+    (s, dir) => {
+      // The last loader-facing step after packing: a SEEDED global
+      // shuffle of the corpus — every run, every engine, every
+      // parallelism produces the same permutation ("epoch 0 order" is
+      // reproducible). Key = md5 of a seed-tagged doc_id: a
+      // deterministic pseudorandom total order both engines compute
+      // bit-identically. The naive `row_number() OVER (ORDER BY key)`
+      // is a single-task global window at 100 TB; here the contiguous
+      // 0-based position comes from [[graft.operators.PrefixSum]] —
+      // range-partitioned local scans + a task-count-sized offset grid
+      // — so every task is bounded by its range partition, never the
+      // corpus (the t26/t28 machinery reused for its second loader
+      // artifact). Shards are position-contiguous blocks: shard k =
+      // positions [k·512, (k+1)·512), what a data loader maps to one
+      // file handle.
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("k",
+          md5(concat(lit("shuffle42:"), col("doc_id").cast("string"))))
+        .withColumn("one", lit(1L))
+      graft.operators.PrefixSum
+        .exclusive(keyed, Nil, Seq("k", "doc_id"), "one", "pos")
+        .select(col("pos"), col("doc_id"),
+          expr(s"CAST(pos DIV $ShuffleShard AS BIGINT)").as("shard"))
+        .orderBy(col("pos"))
+    },
+    Some(s"""
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)), doc_id)
+             - 1 AS BIGINT) AS pos,
+             doc_id,
+             CAST((ROW_NUMBER() OVER (
+               ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)), doc_id)
+             - 1) // $ShuffleShard AS BIGINT) AS shard
+      FROM documents
+      ORDER BY pos"""))
+
   val all: Seq[Q] =
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
       t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
-      t34_filter_agreement)
+      t34_filter_agreement, t37_train_shuffle)
 }

@@ -77,6 +77,30 @@ class InvertedIndexSpec extends SparkSpec {
       "no appended document ever ranked; weak test")
   }
 
+  test("a wider pfx fan-out (the 100TB layout) ranks identically") {
+    // pfxChars=2 = 256 directories — the scale knob the scaladoc
+    // promises. Same corpus, same probes, byte-identical rankings; the
+    // probe still prunes structurally (PartitionFilters on pfx), now to
+    // |terms| of 256 directories, and appends/batches inherit the
+    // build's persisted width.
+    val r2 = tmpDir("inv-width2")
+    InvertedIndex.buildIfMissing(spark, sfDir, r2, pfxChars = 2)
+    val wide = asTriples(InvertedIndex.probe(spark, r2, terms).collect())
+    val narrow = asTriples(InvertedIndex.probe(spark, root, terms).collect())
+    assert(wide == narrow, "pfx width changed a ranking")
+    val dirs = new java.io.File(s"$r2/postings").listFiles()
+      .filter(_.getName.startsWith("pfx=")).map(_.getName)
+    assert(dirs.forall(_.matches("pfx=x[0-9a-f]{2}")),
+      s"expected 2-hex-char pfx values: ${dirs.take(3).mkString(",")}")
+    val df = InvertedIndex.probe(spark, r2, terms)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(
+      "postings\\], PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"no partition filter on the wide postings scan:\n$plan")
+  }
+
   test("probeBatch ranks each workload query exactly like a single probe") {
     // The batched path must be a pure batching of the single-probe
     // semantics: for any query in the workload, its per-query ranking
