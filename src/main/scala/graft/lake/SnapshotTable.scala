@@ -206,7 +206,9 @@ object SnapshotTable {
     val touchedKeys = touched.map(t => escapeKey(t._2)).toSet
     val (liveTouched, untouched) =
       entries.partition(e => touchedKeys(e._1))
-    if (liveTouched.isEmpty) return commitManifest(spark, root, entries)
+    // nothing matched: the current version IS the result — an identical
+    // re-commit would only mint garbage for vacuum
+    if (liveTouched.isEmpty) return versions(spark, root).last
     val kept = spark.read.parquet(
         liveTouched.map(e => new Path(root, e._2).toString): _*)
       .filter(coalesce(!predicate, lit(true)))

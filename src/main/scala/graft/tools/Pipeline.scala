@@ -32,9 +32,11 @@ object Pipeline {
     *     (Trigger.AvailableNow + checkpoint: the second drain appends
     *     ONLY the new shards — restart-safe incremental maintenance,
     *     not a rebuild);
-    *  3. the ANN index builds at `workDir/index/ann` (its append path
-    *     is exact-by-construction but not replay-idempotent, so it
-    *     stays batch — see IndexMaintenance's scaladoc);
+    *  3. the ANN index stream-bootstraps at `workDir/index/ann` from an
+    *     embeddings intake directory via
+    *     [[graft.streaming.IndexMaintenance.maintainAnnIndex]] (the
+    *     replay-safe per-batch layout) — all three indexes are
+    *     stream-maintained, none hand-built;
     *  4. the BM25 postings index stream-bootstraps from the SAME
     *     intake directory (its own checkpoint at
     *     `workDir/index/inverted`) — one AvailableNow drain over both
@@ -87,8 +89,20 @@ object Pipeline {
           docs.filter(col("doc_id") % 20 < 2)))
       .orderBy(col("q_id"), col("c_id"))
 
+    // ANN index: stream-bootstrapped like the other two — embeddings
+    // land as intake shards, drained by the replay-safe per-batch
+    // appends (AnnStreamSpec pins stream layout ≡ batch build probes)
     val annRoot = s"$workDir/index/ann"
-    AnnIndex.buildIfMissing(spark, sfDir, annRoot)
+    val vecIntake = s"$workDir/intake_vecs"
+    graft.core.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(vecIntake)
+    val annStream = graft.streaming.IndexMaintenance.maintainAnnIndex(
+      spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .parquet(vecIntake),
+      annRoot)
+    annStream.awaitTermination()
     val emb = graft.core.Tables(spark, sfDir, "embeddings")
       .withColumn("norm", vec_norm(col("embedding")))
     val annHits = AnnIndex.probe(spark, annRoot,

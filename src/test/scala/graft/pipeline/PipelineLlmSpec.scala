@@ -4,13 +4,14 @@ import graft.SparkSpec
 import graft.queries.{Dedup, Search, Similarity}
 
 /** The end-to-end LLM lane (round-8 verdict stretch #8): ingest ->
-  * curate -> stream-maintained dedup index + batch-built ANN index ->
-  * probe, all in one `tools.Pipeline.llmLane` run — whose probe results
-  * must be ROW-IDENTICAL to the oracle-gated batch queries
-  * (d15_lsh_probe / s05_ann_index). The dedup index here is built by
-  * TWO streaming drains (90% base + late arrivals) into a work-dir
-  * root, so the pin also proves incremental maintenance converges to
-  * the batch build's answers. */
+  * curate -> THREE stream-maintained indexes (dedup / ANN / BM25
+  * postings) -> probes + retrieval decontamination, all in one
+  * `tools.Pipeline.llmLane` run — whose probe results must be
+  * ROW-IDENTICAL to the oracle-gated batch queries (d15_lsh_probe /
+  * s05_ann_index / t31_bm25). The dedup index here is built by TWO
+  * streaming drains (90% base + late arrivals) into a work-dir root,
+  * so the pin also proves incremental maintenance converges to the
+  * batch build's answers. */
 class PipelineLlmSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.01"
 
