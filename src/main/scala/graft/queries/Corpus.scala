@@ -620,8 +620,70 @@ object Corpus {
       FROM documents
       ORDER BY pos"""))
 
+  // ---- t38: quality-ranked sampling under a token budget -------------
+
+  /** Per-source token budget for the quality-ranked sample. */
+  val QualityBudget = 600L
+
+  val t38_quality_budget_sample = Q(
+    "t38_quality_budget_sample",
+    (s, dir) => {
+      // The curation op the batched-retrieval lane names but no query
+      // exercised yet: keep each source's BEST documents until a token
+      // budget is spent — rank by the shared t02 quality score, admit
+      // in rank order while cumulative tokens fit. The naive form is a
+      // per-source ordered window (one task per source at 100 TB — the
+      // t24 lesson); here the cumulative sum is
+      // [[graft.operators.PrefixSum]] again (range partitions split a
+      // dominant source across tasks; the offset grid is
+      // task-count-sized), so the scan is bounded by partition size,
+      // never source size. Output is BUDGET-bounded per source
+      // (~budget/avg_dl docs), independent of corpus scale — the
+      // sample you hand to annotation or a small-model ablation.
+      val scored = graft.queries.Text
+        .withQuality(Tables(s, dir, "documents").transform(Tables.fanOut))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("quality"))
+        // PrefixSum orders ascending; rank DESC via the negated score
+        .withColumn("nq", -col("quality"))
+      graft.operators.PrefixSum
+        .exclusive(scored, Seq("source"), Seq("nq", "doc_id"),
+          "n_tok", "cum_ex")
+        .withColumn("cum_tok", col("cum_ex") + col("n_tok"))
+        .where(col("cum_tok") <= QualityBudget)
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("quality"), col("cum_tok"))
+        .orderBy(col("source"), col("cum_tok"), col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                        regexp_extract_all(text, '[a-z0-9]+') AS toks
+                 FROM documents),
+      q AS (SELECT doc_id, source,
+                   CAST(length(toks) AS BIGINT) AS n_tok,
+                   CAST(length(list_filter(toks,
+                     t -> t IN ('the','a','of','and','to','in','is')))
+                     AS BIGINT) AS n_stop,
+                   CAST(length(list_distinct(toks)) AS BIGINT) AS n_uniq
+            FROM t),
+      sc AS (SELECT doc_id, source, n_tok,
+                    CASE WHEN n_tok > 0
+                         THEN 0.4 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+                            + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+                            + 0.3 * (CAST(n_uniq AS DOUBLE) / n_tok)
+                         ELSE 0.0 END AS quality
+             FROM q),
+      c AS (SELECT *,
+                   CAST(SUM(n_tok) OVER (
+                     PARTITION BY source
+                     ORDER BY quality DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+            FROM sc)
+      SELECT source, doc_id, n_tok, quality, cum_tok
+      FROM c WHERE cum_tok <= $QualityBudget
+      ORDER BY source, cum_tok, doc_id"""))
+
   val all: Seq[Q] =
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
       t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
-      t34_filter_agreement, t37_train_shuffle)
+      t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample)
 }

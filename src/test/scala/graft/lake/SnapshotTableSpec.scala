@@ -129,6 +129,36 @@ class SnapshotTableSpec extends SparkSpec {
     assert(dirs.size == 2, s"expected 2 dirs opened, got ${dirs.size}")
   }
 
+  test("typed (non-string) partition values round-trip through the manifest") {
+    // The manifest key is Spark's rendering of the partition value via
+    // the staged string cast — a LONG partition column must merge,
+    // prune, and time-travel exactly like a string one (the Lake
+    // timestamp-partition lesson applied to the manifest layout).
+    val root = tmpDir("snaptable-typed")
+    val base = spark.createDataFrame(Seq(
+      (1L, "a", 10L), (2L, "b", 10L), (3L, "c", 20L), (4L, "d", 30L)))
+      .toDF("id", "v", "bucket")
+    SnapshotTable.write(spark, root, base, "bucket")
+    val updates = spark.createDataFrame(Seq(
+      (2L, "b2", 10L), (9L, "new", 30L)))
+      .toDF("id", "v", "bucket")
+    val v = SnapshotTable.upsert(spark, root, updates, "id", "bucket")
+    assert(v == 2)
+    val got = SnapshotTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b2", 10L), (3L, "c", 20L),
+      (4L, "d", 30L), (9L, "new", 30L)))
+    // untouched bucket=20 carried its v1 directory forward
+    val v1e = scala.io.Source.fromFile(
+      s"$root/_versions/v00000001.manifest").getLines().toSet
+    val v2e = scala.io.Source.fromFile(
+      s"$root/_versions/v00000002.manifest").getLines().toSet
+    assert((v1e & v2e).exists(_.startsWith("20\t")))
+    // manifest-pruned read by the rendered value
+    assert(SnapshotTable.readPartitions(spark, root, Seq("20"))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("hot-partition fan-out: filesPerPartition > 1 writes > 1 file") {
     val root = tmpDir("snaptable-fan")
     SnapshotTable.write(spark, root, baseDocs, "source",

@@ -127,6 +127,23 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("probeBatch degenerate workloads: unmatched terms and empty input") {
+    import spark.implicits._
+    // a query whose terms never occur simply produces no rows for that
+    // query_id (BM25 over an empty postings set), without disturbing
+    // the other queries in the same batch
+    val qdf = Seq((0L, "spark"), (1L, "zzznotaterm"))
+      .toDF("query_id", "tok")
+    val got = InvertedIndex.probeBatch(spark, root, qdf, 5).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) == 0L),
+      "an unmatched query must vanish, not poison the batch")
+    // an empty workload returns an empty (well-typed) result
+    val empty = InvertedIndex.probeBatch(spark, root,
+      Seq.empty[(Long, String)].toDF("query_id", "tok"), 5)
+    assert(empty.isEmpty &&
+      empty.columns.toSeq == Seq("query_id", "doc_id", "n_terms", "score"))
+  }
+
   test("role-scoped probes fail closed for untagged appended documents") {
     // a mis-shaped append (no source column) lands in the _all bucket,
     // which would satisfy any source filter — probeAs must EXCLUDE
