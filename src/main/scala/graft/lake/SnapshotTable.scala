@@ -14,23 +14,31 @@ import org.apache.spark.sql.functions._
   * observe some partitions updated and others not. This table closes
   * that gap the way Delta/Iceberg do, with machinery already in the
   * repo: data directories are IMMUTABLE (one directory per partition
-  * value per rewrite, never mutated), and a version = one manifest
-  * mapping partition value -> live directory, renamed into place
+  * tuple per rewrite, never mutated), and a version = one manifest
+  * mapping partition tuple -> live directory, renamed into place
   * atomically. A batch that touches 50 partitions writes 50 new
   * directories and then commits ONE manifest: readers see all 50 or
   * none. A crash before the commit leaves invisible garbage directories
   * ([[vacuum]] collects them) — never a half-applied batch.
   *
+  * Partitioning is HIERARCHICAL (`partitionBy` is a column list — the
+  * real-lake (ingestion_date, source) shape): the manifest key is the
+  * "/"-joined Hive-escaped rendering of the tuple, so
+  * [[readPartitionPrefix]] prunes a whole leading-dimension slice
+  * ("everything for 2026-01-11") from the manifest alone, and an
+  * upsert touches only the exact tuples in the batch.
+  *
   * Layout:
-  *  - `<root>/data/p<nano>-<n>-<uuid>/` — one partition value's rows,
-  *    full schema INCLUDING the partition column (directories are
-  *    manifest-addressed, not Hive-path-addressed, so the column lives
+  *  - `<root>/data/p<nano>-<n>-<uuid>/` — one partition tuple's rows,
+  *    full schema INCLUDING the partition columns (directories are
+  *    manifest-addressed, not Hive-path-addressed, so the columns live
   *    in the files and reads need no partition-path reconstruction);
   *  - `<root>/_versions/v%08d.manifest` — lines `key<TAB>dir`, where
-  *    `key` is Spark's OWN Hive-escaped rendering of the partition
-  *    value (the exact string `partitionBy(...)` writes after `=`, so
-  *    every value Spark can write is round-trippable, including nulls
-  *    as `__HIVE_DEFAULT_PARTITION__` and values needing escaping).
+  *    `key` joins each partition value's Hive-escaped rendering with
+  *    "/" (the exact strings Spark's own `partitionBy(...)` writer
+  *    produces, so every value Spark can write is round-trippable,
+  *    including nulls as `__HIVE_DEFAULT_PARTITION__` and values
+  *    needing escaping — escaping makes "/" unambiguous).
   *
   * Scale shape: an upsert reads and rewrites ONLY the touched
   * partitions' directories (manifest-pruned — untouched directories are
@@ -115,16 +123,38 @@ object SnapshotTable {
     spark.read.parquet(dirs: _*)
   }
 
-  /** Manifest-pruned read of selected partitions: `keys` are the
-    * Spark-rendered partition values (cast-to-string; null selects the
-    * null partition). Directories of other partitions are not listed,
-    * let alone opened. */
+  /** Manifest-pruned read of selected partition TUPLES: each key lists
+    * the Spark-rendered value per partition column, in `partitionBy`
+    * order (cast-to-string; null selects the null partition).
+    * Directories of other partitions are not listed, let alone
+    * opened. */
   def readPartitions(
-      spark: SparkSession, root: String, keys: Seq[String],
+      spark: SparkSession, root: String, keys: Seq[Seq[String]],
       version: Int = -1): DataFrame = {
-    val wanted = keys.map(escapeKey).toSet
+    val wanted = keys.map(_.map(escapeKey).mkString("/")).toSet
+    selectDirs(spark, root, version, wanted.contains)
+  }
+
+  /** Manifest-pruned read of a whole leading-dimension slice: rows whose
+    * first |prefix| partition values render to `prefix` — e.g.
+    * `readPartitionPrefix(root, Seq("2026-01-11"))` on a
+    * (date, source)-partitioned table reads every source's directory
+    * for that date and nothing else. The hierarchical-pruning read a
+    * Hive layout gives via directory nesting, served from the manifest
+    * instead. */
+  def readPartitionPrefix(
+      spark: SparkSession, root: String, prefix: Seq[String],
+      version: Int = -1): DataFrame = {
+    val p = prefix.map(escapeKey).mkString("/")
+    selectDirs(spark, root, version,
+      k => k == p || k.startsWith(p + "/"))
+  }
+
+  private def selectDirs(
+      spark: SparkSession, root: String, version: Int,
+      want: String => Boolean): DataFrame = {
     val dirs = entriesAt(spark, root, version)
-      .collect { case (k, d) if wanted(k) => new Path(root, d).toString }
+      .collect { case (k, d) if want(k) => new Path(root, d).toString }
     if (dirs.isEmpty)
       // empty frame with the table's schema (read one dir for schema)
       read(spark, root, version).limit(0)
@@ -137,19 +167,33 @@ object SnapshotTable {
     else ExternalCatalogUtils.escapePathName(rendered)
   }
 
+  /** Distinct composite keys of `df`'s partition tuples — each column
+    * rendered by Spark's own cast-to-string, escaped, "/"-joined: the
+    * exact strings [[commitRewrite]] reads off the staged directory
+    * names, so key matching is byte-exact for every type Spark can
+    * partition by. Driver-side size is the batch's partition spread. */
+  private def touchedCompositeKeys(
+      df: DataFrame, partitionBy: Seq[String]): Set[String] =
+    df.select(partitionBy.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partitionBy.indices
+        .map(i => escapeKey(if (r.isNullAt(i)) null else r.getString(i)))
+        .mkString("/"))
+      .toSet
+
   /** Initial (or full-replace) commit: new version = exactly `df`,
-    * one immutable directory per partition value. */
+    * one immutable directory per partition tuple. */
   def write(
-      spark: SparkSession, root: String, df: DataFrame, partitionBy: String,
-      filesPerPartition: Int = 1): Int =
+      spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String], filesPerPartition: Int = 1): Int =
     commitRewrite(spark, root, df, partitionBy, untouched = Nil,
       filesPerPartition, crashBeforeCommit = false)
 
   /** Upsert `updates` (same contract as [[Lake.upsert]]: full schema,
     * unique non-null keys, stable partition per key): rows whose `key`
-    * exists are replaced, new keys inserted. Only partitions present in
-    * the batch are read or rewritten, and the whole batch becomes
-    * visible in ONE manifest commit. Returns the new version.
+    * exists are replaced, new keys inserted. Only partition tuples
+    * present in the batch are read or rewritten, and the whole batch
+    * becomes visible in ONE manifest commit. Returns the new version.
     *
     * `crashBeforeCommit` is the test seam for the atomicity claim: it
     * aborts after every data directory is fully written, before the
@@ -157,7 +201,7 @@ object SnapshotTable {
     * exactly. */
   def upsert(
       spark: SparkSession, root: String, updates: DataFrame, key: String,
-      partitionBy: String, filesPerPartition: Int = 1,
+      partitionBy: Seq[String], filesPerPartition: Int = 1,
       crashBeforeCommit: Boolean = false): Int = {
     Lake.validateUpdateBatch(updates, key)
     // bootstrap: an upsert into a never-written table is the initial
@@ -165,8 +209,7 @@ object SnapshotTable {
     val entries =
       if (versions(spark, root).isEmpty) Nil
       else entriesAt(spark, root, -1)
-    val touched = Lake.touchedPartitions(updates, partitionBy)
-    val touchedKeys = touched.map(t => escapeKey(t._2)).toSet
+    val touchedKeys = touchedCompositeKeys(updates, partitionBy)
     val (liveTouched, untouched) =
       entries.partition(e => touchedKeys(e._1))
     // updates are always projected to the TABLE's column set (feed-only
@@ -199,11 +242,10 @@ object SnapshotTable {
     * new version. */
   def deleteWhere(
       spark: SparkSession, root: String, predicate: Column,
-      partitionBy: String, filesPerPartition: Int = 1): Int = {
+      partitionBy: Seq[String], filesPerPartition: Int = 1): Int = {
     val entries = entriesAt(spark, root, -1)
     val all = read(spark, root)
-    val touched = Lake.touchedPartitions(all.filter(predicate), partitionBy)
-    val touchedKeys = touched.map(t => escapeKey(t._2)).toSet
+    val touchedKeys = touchedCompositeKeys(all.filter(predicate), partitionBy)
     val (liveTouched, untouched) =
       entries.partition(e => touchedKeys(e._1))
     // nothing matched: the current version IS the result — an identical
@@ -216,46 +258,59 @@ object SnapshotTable {
       filesPerPartition, crashBeforeCommit = false)
   }
 
-  /** Write `newRows` as fresh immutable per-partition directories, then
-    * commit `untouched ++ new` as one manifest. The staging write
-    * duplicates the partition column into a throwaway directory key, so
-    * the real column SURVIVES in the data files while Spark's own
+  /** Write `newRows` as fresh immutable per-partition-tuple directories,
+    * then commit `untouched ++ new` as one manifest. The staging write
+    * duplicates each partition column into a throwaway directory key,
+    * so the real columns SURVIVE in the data files while Spark's own
     * partitioned write (with [[Lake]]'s salt for per-partition writer
-    * fan-out) produces one cleanly separated directory per value with
-    * Spark's own Hive escaping — the manifest key is read off the
-    * directory name, byte-identical to what a Hive-layout writer would
-    * have produced. */
+    * fan-out) produces one cleanly separated nested directory per tuple
+    * with Spark's own Hive escaping — the manifest key is read off the
+    * nested directory names, byte-identical to what a Hive-layout
+    * writer would have produced. */
   private def commitRewrite(
       spark: SparkSession, root: String, newRows: DataFrame,
-      partitionBy: String, untouched: Seq[(String, String)],
+      partitionBy: Seq[String], untouched: Seq[(String, String)],
       filesPerPartition: Int, crashBeforeCommit: Boolean): Int = {
+    require(partitionBy.nonEmpty, "partitionBy must name at least one column")
     val f = fs(spark, root)
-    val stagingName = s".staging-${java.util.UUID.randomUUID()}"
-    val staging = new Path(root, stagingName)
-    val stagingCol = Iterator.from(0).map {
+    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID()}")
+    val base = Iterator.from(0).map {
       case 0 => "_graft_p"
       case i => s"_graft_p_$i"
-    }.find(n => !newRows.columns.contains(n)).get
-    Lake.repartitionForLayout(
-        newRows.withColumn(stagingCol, col(partitionBy).cast("string")),
-        Seq(partitionBy), filesPerPartition,
+    }.find(b => partitionBy.indices
+      .forall(j => !newRows.columns.contains(s"${b}$j"))).get
+    val stagingCols = partitionBy.indices.map(j => s"$base$j")
+    val staged = partitionBy.zip(stagingCols).foldLeft(newRows) {
+      case (d, (c, sc)) => d.withColumn(sc, col(c).cast("string"))
+    }
+    Lake.repartitionForLayout(staged, partitionBy, filesPerPartition,
         spark.sessionState.conf.numShufflePartitions.min(64) *
           filesPerPartition.max(1))
-      .write.mode("overwrite").partitionBy(stagingCol)
+      .write.mode("overwrite").partitionBy(stagingCols: _*)
       .parquet(staging.toString)
     f.mkdirs(new Path(root, "data"))
-    val prefix = s"$stagingCol="
-    val moved = f.listStatus(staging)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .zipWithIndex.map { case (st, i) =>
-        val k = st.getPath.getName.stripPrefix(prefix)
-        val dir = s"data/p${System.nanoTime()}-$i-" +
-          java.util.UUID.randomUUID()
-        if (!f.rename(st.getPath, new Path(root, dir)))
-          throw new java.io.IOException(
-            s"cannot move staged partition ${st.getPath} into $dir")
-        (k, dir)
-      }.toSeq
+    // walk the nested staging layout: level j's directories are
+    // `_graft_pJ=<escaped>`; a LEAF (deepest level) holds one tuple's
+    // files and its path fragments join into the manifest key
+    def leaves(p: Path, level: Int): Seq[(String, Path)] = {
+      val pfx = s"${stagingCols(level)}="
+      f.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(pfx))
+        .flatMap { st =>
+          val frag = st.getPath.getName.stripPrefix(pfx)
+          if (level == partitionBy.size - 1) Seq((frag, st.getPath))
+          else leaves(st.getPath, level + 1)
+            .map { case (k, d) => (s"$frag/$k", d) }
+        }
+    }
+    val moved = leaves(staging, 0).zipWithIndex.map { case ((k, src), i) =>
+      val dir = s"data/p${System.nanoTime()}-$i-" +
+        java.util.UUID.randomUUID()
+      if (!f.rename(src, new Path(root, dir)))
+        throw new java.io.IOException(
+          s"cannot move staged partition $src into $dir")
+      (k, dir)
+    }
     f.delete(staging, true)
     if (crashBeforeCommit)
       throw new java.io.IOException(

@@ -66,7 +66,7 @@ object CdcStream {
       versionCol: Option[String] = None): StreamingQuery =
     maintain(updates, root, key, versionCol) { (batch, reduced) =>
       graft.lake.SnapshotTable.upsert(batch.sparkSession, root, reduced,
-        key, partitionBy)
+        key, Seq(partitionBy))
       ()
     }
 

@@ -19,7 +19,7 @@ class SnapshotTableSpec extends SparkSpec {
 
   private def freshTable(): String = {
     val root = tmpDir("snaptable")
-    SnapshotTable.write(spark, root, baseDocs, "source")
+    SnapshotTable.write(spark, root, baseDocs, Seq("source"))
     root
   }
 
@@ -34,7 +34,7 @@ class SnapshotTableSpec extends SparkSpec {
       (7L, "replaced seven", "en", 14L, "src7"),
       (100003L, "brand new", "en", 9L, "src3")))
       .toDF("doc_id", "text", "lang", "n_chars", "source")
-    val v = SnapshotTable.upsert(spark, root, updates, "doc_id", "source")
+    val v = SnapshotTable.upsert(spark, root, updates, "doc_id", Seq("source"))
     assert(v == 2)
     val after = SnapshotTable.read(spark, root)
     assert(rows(after.filter(col("doc_id").isin(3L, 7L, 100003L))) ==
@@ -58,7 +58,7 @@ class SnapshotTableSpec extends SparkSpec {
       (7L, "replaced seven", "en", 14L, "src7")))
       .toDF("doc_id", "text", "lang", "n_chars", "source")
     intercept[java.io.IOException] {
-      SnapshotTable.upsert(spark, root, updates, "doc_id", "source",
+      SnapshotTable.upsert(spark, root, updates, "doc_id", Seq("source"),
         crashBeforeCommit = true)
     }
     assert(SnapshotTable.versions(spark, root) == Seq(1),
@@ -69,7 +69,7 @@ class SnapshotTableSpec extends SparkSpec {
     // upsert then lands cleanly as v2
     val (_, removed) = SnapshotTable.vacuum(spark, root, keepVersions = 1)
     assert(removed == 2, s"expected the 2 orphaned dirs collected: $removed")
-    val v = SnapshotTable.upsert(spark, root, updates, "doc_id", "source")
+    val v = SnapshotTable.upsert(spark, root, updates, "doc_id", Seq("source"))
     assert(v == 2)
     assert(rows(SnapshotTable.read(spark, root)
       .filter(col("doc_id").isin(3L, 7L))) ==
@@ -83,7 +83,7 @@ class SnapshotTableSpec extends SparkSpec {
     val updates = spark.createDataFrame(Seq(
       (3L, "replaced", "en", 8L, "src3")))
       .toDF("doc_id", "text", "lang", "n_chars", "source")
-    SnapshotTable.upsert(spark, root, updates, "doc_id", "source")
+    SnapshotTable.upsert(spark, root, updates, "doc_id", Seq("source"))
     val v2Entries = scala.io.Source.fromFile(
       s"$root/_versions/v00000002.manifest").getLines().toSeq
     val changed = v2Entries.toSet -- v1Entries.toSet
@@ -100,7 +100,7 @@ class SnapshotTableSpec extends SparkSpec {
       .filter(col("source") === "src5").count()
     assert(victims > 0)
     val v = SnapshotTable.deleteWhere(spark, root,
-      col("source") === "src5", "source")
+      col("source") === "src5", Seq("source"))
     assert(v == 2)
     val after = SnapshotTable.read(spark, root)
     assert(after.count() == n0 - victims)
@@ -111,22 +111,66 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!v2Entries.exists(_.startsWith("src5\t")))
     // NULL-predicate rows are kept (three-valued logic)
     val v3 = SnapshotTable.deleteWhere(spark, root,
-      when(col("doc_id") < 0, lit(null).cast("boolean")), "source")
+      when(col("doc_id") < 0, lit(null).cast("boolean")), Seq("source"))
     assert(SnapshotTable.read(spark, root, v3).count() == n0 - victims)
   }
 
   test("readPartitions opens only the manifest-selected directories") {
     val root = freshTable()
-    val got = SnapshotTable.readPartitions(spark, root, Seq("src3", "src7"))
+    val got = SnapshotTable.readPartitions(spark, root, Seq(Seq("src3"), Seq("src7")))
     assert(got.select(col("source")).distinct().collect()
       .map(_.getString(0)).toSet == Set("src3", "src7"))
-    val none = SnapshotTable.readPartitions(spark, root, Seq("nope"))
+    val none = SnapshotTable.readPartitions(spark, root, Seq(Seq("nope")))
     assert(none.isEmpty && none.columns.sameElements(got.columns))
     // pruning is structural: the plan reads 2 of the 20 data dirs
     val files = got.select(input_file_name()).distinct()
       .collect().map(_.getString(0)).toSet
     val dirs = files.map(f => f.substring(0, f.lastIndexOf('/')))
     assert(dirs.size == 2, s"expected 2 dirs opened, got ${dirs.size}")
+  }
+
+  test("hierarchical (date, source) partitioning: tuple upserts + prefix reads") {
+    // The real-lake two-level layout: partition tuples are
+    // (ingestion_date, source); an upsert touches exact TUPLES (one
+    // date-source cell, not a whole date), and readPartitionPrefix
+    // prunes a leading-dimension slice from the manifest alone.
+    val root = tmpDir("snaptable-2col")
+    val base = spark.createDataFrame(Seq(
+      (1L, "a", "2026-01-11", "api-a"), (2L, "b", "2026-01-11", "api-b"),
+      (3L, "c", "2026-01-12", "api-a"), (4L, "d", "2026-01-12", "api-b")))
+      .toDF("id", "v", "d", "src")
+    SnapshotTable.write(spark, root, base, Seq("d", "src"))
+    val v1e = scala.io.Source.fromFile(
+      s"$root/_versions/v00000001.manifest").getLines().toSet
+    assert(v1e.size == 4 && v1e.exists(_.startsWith("2026-01-11/api-a\t")),
+      s"expected 4 composite-key entries: $v1e")
+    // upsert one (date, source) cell + insert into a brand-new cell
+    val updates = spark.createDataFrame(Seq(
+      (2L, "b2", "2026-01-11", "api-b"), (9L, "new", "2026-01-12", "api-c")))
+      .toDF("id", "v", "d", "src")
+    val v = SnapshotTable.upsert(spark, root, updates, "id", Seq("d", "src"))
+    assert(v == 2)
+    val v2e = scala.io.Source.fromFile(
+      s"$root/_versions/v00000002.manifest").getLines().toSet
+    // exactly the touched cell rewrote; 3 untouched entries carried over
+    assert((v1e & v2e).size == 3, s"untouched cells must carry over: $v2e")
+    assert(v2e.exists(_.startsWith("2026-01-12/api-c\t")))
+    val got = SnapshotTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d"),
+      (9L, "new")))
+    // tuple-exact read
+    assert(SnapshotTable
+      .readPartitions(spark, root, Seq(Seq("2026-01-11", "api-b")))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // leading-dimension slice: one date, every source, nothing else
+    val day = SnapshotTable.readPartitionPrefix(spark, root,
+      Seq("2026-01-12"))
+    assert(day.collect().map(_.getLong(0)).toSet == Set(3L, 4L, 9L))
+    val files = day.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+    assert(files.size == 3, s"prefix read opened ${files.size} dirs, not 3")
   }
 
   test("typed (non-string) partition values round-trip through the manifest") {
@@ -138,11 +182,11 @@ class SnapshotTableSpec extends SparkSpec {
     val base = spark.createDataFrame(Seq(
       (1L, "a", 10L), (2L, "b", 10L), (3L, "c", 20L), (4L, "d", 30L)))
       .toDF("id", "v", "bucket")
-    SnapshotTable.write(spark, root, base, "bucket")
+    SnapshotTable.write(spark, root, base, Seq("bucket"))
     val updates = spark.createDataFrame(Seq(
       (2L, "b2", 10L), (9L, "new", 30L)))
       .toDF("id", "v", "bucket")
-    val v = SnapshotTable.upsert(spark, root, updates, "id", "bucket")
+    val v = SnapshotTable.upsert(spark, root, updates, "id", Seq("bucket"))
     assert(v == 2)
     val got = SnapshotTable.read(spark, root)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
@@ -155,13 +199,13 @@ class SnapshotTableSpec extends SparkSpec {
       s"$root/_versions/v00000002.manifest").getLines().toSet
     assert((v1e & v2e).exists(_.startsWith("20\t")))
     // manifest-pruned read by the rendered value
-    assert(SnapshotTable.readPartitions(spark, root, Seq("20"))
+    assert(SnapshotTable.readPartitions(spark, root, Seq(Seq("20")))
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
   test("hot-partition fan-out: filesPerPartition > 1 writes > 1 file") {
     val root = tmpDir("snaptable-fan")
-    SnapshotTable.write(spark, root, baseDocs, "source",
+    SnapshotTable.write(spark, root, baseDocs, Seq("source"),
       filesPerPartition = 4)
     val entries = scala.io.Source.fromFile(
       s"$root/_versions/v00000001.manifest").getLines().toSeq

@@ -95,7 +95,7 @@ class CdcStreamSpec extends SparkSpec {
       Tables(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
           col("source")),
-      "source")
+      Seq("source"))
     val changes = tmpDir("cdc-atomic-in")
     spark.createDataFrame(Seq(
       (3L, "v2 of three", "en", 11L, "src3"),
