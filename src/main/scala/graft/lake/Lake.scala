@@ -289,14 +289,6 @@ object Lake {
     }
   }
 
-  /** Touched partition values as (native value, Spark-rendered string):
-    * the NATIVE value drives the membership predicate (so partition
-    * pruning stays type-exact), while the STRING — produced by Spark's
-    * own cast-to-string with the session timezone, the exact rendering
-    * the partition-path writer uses — drives directory names. A JVM
-    * toString would diverge for timestamp/date/decimal partition values
-    * ('2026-01-01 00:00:00.0' vs the written '2026-01-01 00:00:00') and
-    * the swap loop would miss or destroy those directories. */
   /** Shared by [[upsert]] and [[SnapshotTable.upsert]] — one copy of the
     * NULL-key / duplicate-key batch contract. */
   private[lake] def validateUpdateBatch(updates: DataFrame, key: String): Unit = {
@@ -313,6 +305,14 @@ object Lake {
         "reduce to one change per key first")
   }
 
+  /** Touched partition values as (native value, Spark-rendered string):
+    * the NATIVE value drives the membership predicate (so partition
+    * pruning stays type-exact), while the STRING — produced by Spark's
+    * own cast-to-string with the session timezone, the exact rendering
+    * the partition-path writer uses — drives directory names. A JVM
+    * toString would diverge for timestamp/date/decimal partition values
+    * ('2026-01-01 00:00:00.0' vs the written '2026-01-01 00:00:00') and
+    * the swap loop would miss or destroy those directories. */
   private[lake] def touchedPartitions(
       df: DataFrame, partitionBy: String): Seq[(Any, String)] =
     df.select(col(partitionBy), col(partitionBy).cast("string"))

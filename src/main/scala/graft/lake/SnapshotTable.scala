@@ -115,12 +115,18 @@ object SnapshotTable {
     readManifest(spark, root, v)
   }
 
-  /** Read a version (latest when `version < 0`). */
+  /** Read a version (latest when `version < 0`). `mergeSchema` is on:
+    * after an evolving upsert (see [[upsert]]'s `mergeSchema`) a
+    * version's directories can carry different vintages of the schema —
+    * the union schema with nulls for absent columns is the correct
+    * read, and the footer-merge cost is per-directory, not per-file-
+    * block. Time-traveling to a pre-evolution version returns the OLD
+    * schema (those manifests only reference old-schema directories). */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
     val dirs = entriesAt(spark, root, version)
       .map(e => new Path(root, e._2).toString)
     require(dirs.nonEmpty, "version has an empty manifest")
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** Manifest-pruned read of selected partition TUPLES: each key lists
@@ -158,7 +164,7 @@ object SnapshotTable {
     if (dirs.isEmpty)
       // empty frame with the table's schema (read one dir for schema)
       read(spark, root, version).limit(0)
-    else spark.read.parquet(dirs: _*)
+    else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   private def escapeKey(rendered: String): String = {
@@ -195,6 +201,17 @@ object SnapshotTable {
     * present in the batch are read or rewritten, and the whole batch
     * becomes visible in ONE manifest commit. Returns the new version.
     *
+    * Schema evolution: by default, updates are projected to the TABLE's
+    * column set (feed-only columns, e.g. a CDC version, are dropped —
+    * a misconfigured feed cannot silently widen the table). With
+    * `mergeSchema = true`, NEW columns in the batch are ADDED to the
+    * table — touched partitions rewrite with the widened schema, rows
+    * without the column carry NULL, untouched directories stay as they
+    * are and reads merge the vintages ([[read]]'s mergeSchema), and a
+    * time-travel read of a pre-evolution version still returns the old
+    * schema — the crawler's UPDATE_IN_DATABASE evolution policy
+    * (SURVEY §2 I9) applied at the table layer.
+    *
     * `crashBeforeCommit` is the test seam for the atomicity claim: it
     * aborts after every data directory is fully written, before the
     * manifest rename — readers must still see the previous version
@@ -202,7 +219,8 @@ object SnapshotTable {
   def upsert(
       spark: SparkSession, root: String, updates: DataFrame, key: String,
       partitionBy: Seq[String], filesPerPartition: Int = 1,
-      crashBeforeCommit: Boolean = false): Int = {
+      crashBeforeCommit: Boolean = false,
+      mergeSchema: Boolean = false): Int = {
     Lake.validateUpdateBatch(updates, key)
     // bootstrap: an upsert into a never-written table is the initial
     // commit (the CDC-stream shape — the first drained batch creates v1)
@@ -212,24 +230,28 @@ object SnapshotTable {
     val touchedKeys = touchedCompositeKeys(updates, partitionBy)
     val (liveTouched, untouched) =
       entries.partition(e => touchedKeys(e._1))
-    // updates are always projected to the TABLE's column set (feed-only
-    // columns, e.g. a CDC version, are dropped) — otherwise a pure-
-    // insert batch would commit directories whose schema drifts from
-    // the table's and later unioned reads would diverge by entry order
     val merged =
       if (entries.isEmpty) updates // bootstrap: updates define the schema
       else {
         val tableCols = spark.read
           .parquet(new Path(root, entries.head._2).toString).columns
-        if (liveTouched.isEmpty) // all-new partitions: pure insert
-          updates.select(tableCols.map(col).toSeq: _*)
+        val projected =
+          if (mergeSchema) updates // keep new columns: evolving batch
+          else updates.select(
+            tableCols.filter(updates.columns.contains).map(col).toSeq: _*)
+        require(mergeSchema ||
+            tableCols.forall(updates.columns.contains),
+          s"update batch is missing table columns " +
+            s"${tableCols.filterNot(updates.columns.contains).mkString(",")}" +
+            "; updates must carry the full schema")
+        if (liveTouched.isEmpty) projected // all-new partitions: insert
         else {
-          val live = spark.read.parquet(
+          val live = spark.read.option("mergeSchema", "true").parquet(
             liveTouched.map(e => new Path(root, e._2).toString): _*)
           live
-            .join(updates.select(col(key).as("_graft_k")),
+            .join(projected.select(col(key).as("_graft_k")),
               col(key) === col("_graft_k"), "left_anti")
-            .unionByName(updates.select(live.columns.map(col).toSeq: _*))
+            .unionByName(projected, allowMissingColumns = mergeSchema)
         }
       }
     commitRewrite(spark, root, merged, partitionBy, untouched,

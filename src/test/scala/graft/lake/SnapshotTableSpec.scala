@@ -203,6 +203,46 @@ class SnapshotTableSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("schema evolution: mergeSchema adds a column; old versions keep theirs") {
+    // The crawler's UPDATE_IN_DATABASE policy at the table layer: a CDC
+    // feed starts shipping a new column. Default: dropped (a
+    // misconfigured feed cannot silently widen the table). With
+    // mergeSchema=true the touched partitions rewrite widened, rows
+    // without the column read NULL, untouched directories stay on the
+    // old vintage (reads merge), and time travel to v1 returns the
+    // UN-widened schema.
+    val root = tmpDir("snaptable-evolve")
+    val base = spark.createDataFrame(Seq(
+      (1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2")))
+      .toDF("id", "v", "src")
+    SnapshotTable.write(spark, root, base, Seq("src"))
+    val widened = spark.createDataFrame(Seq(
+      (2L, "b2", "s1", "en")))
+      .toDF("id", "v", "src", "lang")
+    // default: the new column is dropped, schema unchanged
+    SnapshotTable.upsert(spark, root, widened, "id", Seq("src"))
+    assert(!SnapshotTable.read(spark, root).columns.contains("lang"))
+    // evolving upsert: column lands; only src=s1 rewrote
+    val v = SnapshotTable.upsert(spark, root, widened, "id", Seq("src"),
+      mergeSchema = true)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.contains("lang"))
+    val byId = cur.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    assert(byId(2L) == Some("en"), "the evolved row must carry the value")
+    assert(byId(1L).isEmpty && byId(3L).isEmpty,
+      "pre-evolution rows must read NULL for the new column")
+    // time travel: pre-evolution versions keep the narrow schema
+    assert(!SnapshotTable.read(spark, root, v - 1).columns.contains("lang"))
+    // a batch missing a table column still fails loudly (non-evolving)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.upsert(spark, root,
+        spark.createDataFrame(Seq((5L, "s2"))).toDF("id", "src"),
+        "id", Seq("src"))
+    }
+    assert(e.getMessage.contains("missing table columns"), e.getMessage)
+  }
+
   test("hot-partition fan-out: filesPerPartition > 1 writes > 1 file") {
     val root = tmpDir("snaptable-fan")
     SnapshotTable.write(spark, root, baseDocs, Seq("source"),
