@@ -258,6 +258,59 @@ object SnapshotTable {
       filesPerPartition, crashBeforeCommit)
   }
 
+  /** Apply a MIXED change batch — upserts AND delete tombstones — in
+    * ONE atomic commit (the shape a real CDC feed has: Debezium-style
+    * events where `opCol` distinguishes an upsert from a delete).
+    * Routing upserts through [[upsert]] and deletes through
+    * [[deleteWhere]] would commit TWO versions with an observable
+    * half-applied state between them; here both fold into one merged
+    * rewrite of the touched partitions and one manifest rename.
+    *
+    * Contract: every change row carries the partition columns (a
+    * tombstone must say which partition its key lives in — the
+    * standard CDC 'before'-image requirement; a tombstone in the WRONG
+    * partition is a no-op, same as [[upsert]]'s stable-partition
+    * constraint); keys are unique and non-null across the whole batch
+    * (reduce multiple events per key to the final one first —
+    * [[graft.streaming.CdcStream]] does, by version); `opCol` is "d"
+    * for delete, anything else for upsert. Non-key columns of a
+    * tombstone are ignored. Returns the new version. */
+  def applyChanges(
+      spark: SparkSession, root: String, changes: DataFrame, key: String,
+      partitionBy: Seq[String], opCol: String,
+      filesPerPartition: Int = 1, mergeSchema: Boolean = false): Int = {
+    Lake.validateUpdateBatch(changes, key)
+    val entries = entriesAt(spark, root, -1)
+    val touchedKeys = touchedCompositeKeys(changes, partitionBy)
+    val (liveTouched, untouched) =
+      entries.partition(e => touchedKeys(e._1))
+    val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
+    val tableCols = spark.read
+      .parquet(new Path(root, entries.head._2).toString).columns
+    val projected =
+      if (mergeSchema) upserts
+      else {
+        require(tableCols.forall(upserts.columns.contains),
+          s"change batch is missing table columns " +
+            s"${tableCols.filterNot(upserts.columns.contains).mkString(",")}")
+        upserts.select(tableCols.map(col).toSeq: _*)
+      }
+    val merged =
+      if (liveTouched.isEmpty) projected
+      else {
+        val live = spark.read.option("mergeSchema", "true").parquet(
+          liveTouched.map(e => new Path(root, e._2).toString): _*)
+        // ALL change keys leave the live set (a deleted key vanishes, an
+        // upserted key is replaced); only upsert rows come back
+        live
+          .join(changes.select(col(key).as("_graft_k")),
+            col(key) === col("_graft_k"), "left_anti")
+          .unionByName(projected, allowMissingColumns = mergeSchema)
+      }
+    commitRewrite(spark, root, merged, partitionBy, untouched,
+      filesPerPartition, crashBeforeCommit = false)
+  }
+
   /** Delete rows matching `predicate`; NULL-predicate rows are kept
     * (same three-valued-logic contract as [[Lake.deleteWhere]]). A
     * partition losing all rows drops out of the manifest. Returns the

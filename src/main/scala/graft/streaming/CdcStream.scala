@@ -70,6 +70,29 @@ object CdcStream {
       ()
     }
 
+  /** Full CDC semantics, atomically: the feed carries DELETE tombstones
+    * alongside upserts (`opCol` = "d" marks a delete; tombstones must
+    * carry the partition column — the standard 'before'-image
+    * requirement). Each micro-batch reduces to the LATEST event per key
+    * (a delete arriving after an upsert in one batch deletes; the
+    * reverse re-inserts) and applies through
+    * [[graft.lake.SnapshotTable.applyChanges]] — upserts and deletes in
+    * ONE manifest commit, so no reader can observe the
+    * deletes-without-upserts (or reverse) half state that routing
+    * through two calls would expose. */
+  def maintainChangesAtomic(
+      updates: DataFrame,
+      root: String,
+      key: String,
+      partitionBy: String,
+      opCol: String,
+      versionCol: Option[String] = None): StreamingQuery =
+    maintain(updates, root, key, versionCol) { (batch, reduced) =>
+      graft.lake.SnapshotTable.applyChanges(batch.sparkSession, root,
+        reduced, key, Seq(partitionBy), opCol)
+      ()
+    }
+
   private def maintain(
       updates: DataFrame, root: String, key: String,
       versionCol: Option[String])(

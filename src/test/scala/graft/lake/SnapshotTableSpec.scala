@@ -203,6 +203,35 @@ class SnapshotTableSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("applyChanges: upserts + delete tombstones land in ONE commit") {
+    // A real CDC batch mixes operations. Routing them through
+    // upsert-then-deleteWhere would commit two versions with an
+    // observable half-applied state between them; applyChanges folds
+    // both into one merged rewrite + one manifest rename.
+    val root = freshTable()
+    val v0 = SnapshotTable.versions(spark, root).last
+    val n0 = SnapshotTable.read(spark, root).count()
+    val changes = spark.createDataFrame(Seq(
+      ("u", 3L, "replaced three", "en", 14L, "src3"),
+      ("u", 100003L, "brand new", "en", 9L, "src3"),
+      ("d", 7L, null.asInstanceOf[String], null.asInstanceOf[String],
+        0L, "src7"))) // tombstone: key + partition, payload ignored
+      .toDF("op", "doc_id", "text", "lang", "n_chars", "source")
+    val v = SnapshotTable.applyChanges(spark, root, changes,
+      "doc_id", Seq("source"), opCol = "op")
+    assert(v == v0 + 1,
+      "a mixed batch must commit exactly one version")
+    val after = SnapshotTable.read(spark, root)
+    assert(after.count() == n0 + 1 - 1) // one insert, one delete
+    assert(after.filter(col("doc_id") === 7L).isEmpty,
+      "the tombstoned key survived")
+    assert(rows(after.filter(col("doc_id").isin(3L, 100003L))) ==
+      Set((3L, "replaced three", 14L), (100003L, "brand new", 9L)))
+    // time travel: the pre-batch version still holds the deleted key
+    assert(SnapshotTable.read(spark, root, v0)
+      .filter(col("doc_id") === 7L).count() == 1)
+  }
+
   test("schema evolution: mergeSchema adds a column; old versions keep theirs") {
     // The crawler's UPDATE_IN_DATABASE policy at the table layer: a CDC
     // feed starts shipping a new column. Default: dropped (a

@@ -123,6 +123,47 @@ class CdcStreamSpec extends SparkSpec {
       "replaying a CDC batch changed the table content")
   }
 
+  test("tombstone CDC: latest event per key wins, deletes land atomically") {
+    import graft.lake.SnapshotTable
+    val root = tmpDir("cdc-tombstone")
+    SnapshotTable.write(spark,
+      root,
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("source")),
+      Seq("source"))
+    val changes = tmpDir("cdc-tombstone-in")
+    // ONE batch: doc 3 is upserted at v1 then TOMBSTONED at v2 (delete
+    // wins); doc 5 tombstoned at v1 then re-upserted at v2 (upsert
+    // wins); doc 100009 plain insert
+    spark.createDataFrame(Seq(
+      ("u", 3L, "v1 of three", "en", 11L, "src3", 1L),
+      ("d", 3L, null.asInstanceOf[String], null.asInstanceOf[String],
+        0L, "src3", 2L),
+      ("d", 5L, null.asInstanceOf[String], null.asInstanceOf[String],
+        0L, "src5", 1L),
+      ("u", 5L, "five rises", "en", 10L, "src5", 2L),
+      ("u", 100009L, "new nine", "en", 8L, "src9", 1L)))
+      .toDF("op", "doc_id", "text", "lang", "n_chars", "source", "version")
+      .coalesce(1).write.parquet(s"$changes/all")
+    val cschema = StructType(
+      StructField("op", StringType) +: schema.fields :+
+        StructField("version", LongType))
+    val stream = spark.readStream.schema(cschema).parquet(s"$changes/all")
+    val q = CdcStream.maintainChangesAtomic(stream, root, "doc_id",
+      "source", opCol = "op", versionCol = Some("version"))
+    try q.awaitTermination() finally q.stop()
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2),
+      "one drained batch must commit exactly one version")
+    val after = SnapshotTable.read(spark, root)
+    assert(after.filter(col("doc_id") === 3L).isEmpty,
+      "the later tombstone must win over the earlier upsert")
+    assert(after.filter(col("doc_id") === 5L).select("text")
+      .collect()(0).getString(0) == "five rises",
+      "the later upsert must win over the earlier tombstone")
+    assert(after.filter(col("doc_id") === 100009L).count() == 1)
+  }
+
   test("re-applying a change batch converges (at-least-once contract)") {
     val root = baseDataset()
     val updates = spark.createDataFrame(Seq(
