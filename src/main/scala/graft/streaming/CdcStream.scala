@@ -79,7 +79,9 @@ object CdcStream {
     * [[graft.lake.SnapshotTable.applyChanges]] — upserts and deletes in
     * ONE manifest commit, so no reader can observe the
     * deletes-without-upserts (or reverse) half state that routing
-    * through two calls would expose. */
+    * through two calls would expose. Pre-create the table with
+    * `SnapshotTable.write` — a delete tombstone has no meaning against
+    * a table that does not exist yet. */
   def maintainChangesAtomic(
       updates: DataFrame,
       root: String,

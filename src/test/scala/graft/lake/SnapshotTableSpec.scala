@@ -270,6 +270,20 @@ class SnapshotTableSpec extends SparkSpec {
         "id", Seq("src"))
     }
     assert(e.getMessage.contains("missing table columns"), e.getMessage)
+    // the mixed-change path evolves the same way: a widened batch with
+    // a tombstone lands in one commit and the new column sticks
+    val evolved = spark.createDataFrame(Seq(
+      ("u", 1L, "a2", "s1", "en", "web"),
+      ("d", 3L, null.asInstanceOf[String], "s2",
+        null.asInstanceOf[String], null.asInstanceOf[String])))
+      .toDF("op", "id", "v", "src", "lang", "origin")
+    val v2 = SnapshotTable.applyChanges(spark, root, evolved,
+      "id", Seq("src"), opCol = "op", mergeSchema = true)
+    val cur2 = SnapshotTable.read(spark, root, v2)
+    assert(cur2.columns.contains("origin"))
+    assert(cur2.filter(col("id") === 3L).isEmpty)
+    assert(cur2.filter(col("id") === 1L).select("origin")
+      .collect()(0).getString(0) == "web")
   }
 
   test("hot-partition fan-out: filesPerPartition > 1 writes > 1 file") {
