@@ -61,6 +61,29 @@ class PrefixSumSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("positions are parallelism-invariant (the t37 shuffle contract)") {
+    // t37 hands PrefixSum positions to a data loader as "epoch 0
+    // order" — they must be IDENTICAL regardless of how the input
+    // arrives (1 partition, 7, 32): the range partitioner re-keys
+    // rows by value, the in-partition window orders totally, and the
+    // offsets derive from the same assignment. A placement-dependent
+    // position would silently reorder training data between runs.
+    import spark.implicits._
+    val base = (1L to 500L).map(i => (i, s"k${i * 7919 % 501}"))
+      .toDF("id", "k").withColumn("one", lit(1L))
+    def positions(df: org.apache.spark.sql.DataFrame) =
+      PrefixSum.exclusive(df, Seq.empty, Seq("k", "id"), "one", "pos")
+        .select("id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a = positions(base.coalesce(1))
+    val b = positions(base.repartition(7))
+    val c = positions(base.repartition(32, col("id")))
+    assert(a == b && b == c,
+      "prefix positions changed with input partitioning")
+    assert(a.values.toSeq.sorted == (0L until 500L),
+      "positions must be a contiguous 0-based permutation")
+  }
+
   test("plan shape: windows keyed by partition id, offsets broadcast") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("source"),
