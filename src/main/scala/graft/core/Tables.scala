@@ -58,18 +58,26 @@ object Tables {
     // sfDir parquet, so "train on corpus v12" is a CONFIG, not a code
     // change — every lane query then reads that immutable version and
     // stays byte-stable while the live table moves on (pinned in
-    // `SnapshotReadSpec`). The cache key carries the full binding spec:
-    // pinning, re-pinning, or unpinning never serves a stale relation.
+    // `SnapshotReadSpec`). The cache key carries the RESOLVED version:
+    // an @latest binding resolves the current latest version number
+    // first (a cheap directory listing, done on every lookup), so a
+    // commit later in the same session is picked up by the next lookup
+    // instead of being masked by a memo entry that resolved `latest`
+    // eagerly at first use (round-9 advice item 1). Pinning,
+    // re-pinning, or unpinning therefore never serves a stale relation.
     val spec = spark.conf.getOption(s"spark.graft.snapshot.$name")
     val df = spec match {
       case Some(s) =>
-        cache.getOrElseUpdate(spark, (s"snapshot:$s", name)) {
-          val at = s.lastIndexOf('@')
-          require(at > 0, s"snapshot binding must be <root>@v<N>|latest: $s")
-          val (root, v) = (s.substring(0, at), s.substring(at + 1))
-          val version =
-            if (v == "latest") -1
-            else v.stripPrefix("v").toInt
+        val at = s.lastIndexOf('@')
+        require(at > 0, s"snapshot binding must be <root>@v<N>|latest: $s")
+        val (root, v) = (s.substring(0, at), s.substring(at + 1))
+        val version =
+          if (v == "latest") {
+            val vs = graft.lake.Snapshots.versions(spark, root)
+            require(vs.nonEmpty, s"no snapshot committed under $root")
+            vs.last
+          } else v.stripPrefix("v").toInt
+        cache.getOrElseUpdate(spark, (s"snapshot:$root@v$version", name)) {
           val raw = graft.lake.Snapshots.read(spark, root, version)
           if (name == "events") normalizeTs(raw) else raw
         }

@@ -3,6 +3,7 @@ package graft.lake
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Partitioned table with MULTI-PARTITION ATOMIC upsert/delete —
   * [[Lake.upsert]]'s merge semantics composed with [[Snapshots]]'
@@ -33,12 +34,34 @@ import org.apache.spark.sql.functions._
   *    full schema INCLUDING the partition columns (directories are
   *    manifest-addressed, not Hive-path-addressed, so the columns live
   *    in the files and reads need no partition-path reconstruction);
-  *  - `<root>/_versions/v%08d.manifest` — lines `key<TAB>dir`, where
+  *  - `<root>/_versions/v%08d.manifest` — an optional schema line
+  *    `#schema<TAB><json>` first (Hive escaping guarantees no
+  *    partition key starts with '#'), then lines `key<TAB>dir`, where
   *    `key` joins each partition value's Hive-escaped rendering with
   *    "/" (the exact strings Spark's own `partitionBy(...)` writer
   *    produces, so every value Spark can write is round-trippable,
   *    including nulls as `__HIVE_DEFAULT_PARTITION__` and values
-  *    needing escaping — escaping makes "/" unambiguous).
+  *    needing escaping — escaping makes "/" unambiguous). The schema
+  *    line makes a legitimately EMPTIED table (deleteWhere /
+  *    applyChanges removing every row) a readable empty frame instead
+  *    of an error state, and lets a later change batch bootstrap
+  *    against the recorded columns (round-9 advice item 4).
+  *
+  * Concurrency: commits are OPTIMISTIC (round-9 verdict item 2). The
+  * manifest rename is the commit point; a committer that loses the
+  * rename race re-reads the latest version and retries. If the
+  * concurrent commits touched DISJOINT partition sets, the loser's
+  * already-staged directories are still a valid merge — it re-commits
+  * against the new latest (both batches land, serialized v(n+1),
+  * v(n+2), no lost updates). If the touched sets OVERLAP, the staged
+  * merge is stale: the mutator re-reads, re-merges, and re-commits from
+  * scratch (bounded attempts), so the final state equals sequential
+  * application. Abandoned staged directories are invisible garbage
+  * ([[vacuum]] collects them). The same local-FS rename-overwrite
+  * caveat as [[Snapshots.commit]] applies: on a log-less local
+  * filesystem the exists-check-then-rename has a residual window; on
+  * HDFS/object stores with atomic no-overwrite rename the protocol is
+  * airtight.
   *
   * Scale shape: an upsert reads and rewrites ONLY the touched
   * partitions' directories (manifest-pruned — untouched directories are
@@ -47,15 +70,34 @@ import org.apache.spark.sql.functions._
   * partition fan-out), and the commit is manifest-sized metadata.
   * Old versions stay readable until vacuumed ([[Snapshots]]' time-travel
   * contract), so "train on v12" composes with CDC-maintained tables.
-  * Deliberately NOT here, same as [[Snapshots]]: multi-writer
-  * coordination — one writer at a time, rename makes racing commits
-  * last-writer-wins, never corrupt.
   */
 object SnapshotTable {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(root: String) = new Path(root, "_versions")
+
+  /** A manifest rename lost the race to a concurrent committer for the
+    * SAME version number — retryable against the new latest. */
+  private final class CommitRaceException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** A concurrent commit changed a partition this mutation also
+    * touched: the staged merge is stale and must be recomputed against
+    * the new latest version. Public so callers that manage their own
+    * retry policy can catch it; the built-in mutators already retry
+    * [[MaxMergeRetries]] times before letting it escape. */
+  final class ConcurrentWriteException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Full re-merge attempts per mutation on touched-set conflicts. */
+  val MaxMergeRetries = 3
+
+  /** Test seam: invoked after a mutation's data directories are staged
+    * and moved, immediately before its commit loop — a spec injects a
+    * COMPETING committer here to exercise the optimistic-concurrency
+    * paths deterministically. */
+  private[lake] var onBeforeCommit: () => Unit = () => ()
 
   /** Committed version numbers, ascending (empty if none). */
   def versions(spark: SparkSession, root: String): Seq[Int] = {
@@ -68,46 +110,61 @@ object SnapshotTable {
       .sorted.toSeq
   }
 
-  /** (partition key, data dir) entries of a version's manifest. Keys
-    * are Hive-escaped (no tab/newline can appear), so TAB is a safe
-    * separator. */
+  /** ((partition key, data dir) entries, recorded schema) of a
+    * version's manifest. Keys are Hive-escaped (no tab/newline/'#' can
+    * appear), so TAB is a safe separator and '#' a safe marker. */
   private def readManifest(
-      spark: SparkSession, root: String, v: Int): Seq[(String, String)] = {
+      spark: SparkSession, root: String, v: Int)
+      : (Seq[(String, String)], Option[StructType]) = {
     val p = new Path(manifestDir(root), f"v$v%08d.manifest")
     val in = fs(spark, root).open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
-        (line.substring(0, i), line.substring(i + 1))
-      }.toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    val schema = lines.find(_.startsWith("#schema\t")).map(l =>
+      DataType.fromJson(l.stripPrefix("#schema\t")).asInstanceOf[StructType])
+    val entries = lines.filterNot(_.startsWith("#")).map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
+    (entries, schema)
   }
 
   /** THE COMMIT: write the manifest to a writer-unique tmp name, rename
     * into place — same protocol and race posture as
-    * [[Snapshots.commit]]. */
+    * [[Snapshots.commit]], except the target version is the CALLER's
+    * expectation (read-latest and rename are no longer one call, so the
+    * version must be pinned at read time — computing it here would let
+    * a commit that landed in between be silently dropped from
+    * `untouched`). A lost race throws [[CommitRaceException]]. */
   private def commitManifest(
       spark: SparkSession, root: String,
-      entries: Seq[(String, String)]): Int = {
+      entries: Seq[(String, String)], schema: StructType, v: Int): Int = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
-    val v = versions(spark, root).lastOption.getOrElse(0) + 1
     val tmp = new Path(manifestDir(root),
       f".v$v%08d.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
-    try out.write(entries.map { case (k, d) => s"$k\t$d" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(
+      ((s"#schema\t${schema.json}" +: entries.map { case (k, d) => s"$k\t$d" })
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(manifestDir(root), f"v$v%08d.manifest")
     if (f.exists(fin) || !f.rename(tmp, fin)) {
       f.delete(tmp, false)
-      throw new java.io.IOException(s"snapshot commit lost the race: $fin")
+      throw new CommitRaceException(s"snapshot commit lost the race: $fin")
     }
     v
   }
 
   private def entriesAt(
-      spark: SparkSession, root: String, version: Int): Seq[(String, String)] = {
+      spark: SparkSession, root: String, version: Int): Seq[(String, String)] =
+    manifestAt(spark, root, version)._1
+
+  private def manifestAt(
+      spark: SparkSession, root: String, version: Int)
+      : (Seq[(String, String)], Option[StructType]) = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshot-table version committed under $root")
     val v = if (version < 0) vs.last else version
@@ -121,12 +178,21 @@ object SnapshotTable {
     * the union schema with nulls for absent columns is the correct
     * read, and the footer-merge cost is per-directory, not per-file-
     * block. Time-traveling to a pre-evolution version returns the OLD
-    * schema (those manifests only reference old-schema directories). */
+    * schema (those manifests only reference old-schema directories).
+    * A version whose manifest is EMPTY (every partition deleted) reads
+    * as an empty frame with the schema the emptying commit recorded —
+    * an emptied table is a table, not an error state. */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
-    val dirs = entriesAt(spark, root, version)
-      .map(e => new Path(root, e._2).toString)
-    require(dirs.nonEmpty, "version has an empty manifest")
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val (entries, schema) = manifestAt(spark, root, version)
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(throw new IllegalStateException(
+          "version has an empty manifest and no recorded schema " +
+            "(pre-schema-line manifest format)")))
+    else
+      spark.read.option("mergeSchema", "true").parquet(
+        entries.map(e => new Path(root, e._2).toString): _*)
   }
 
   /** Manifest-pruned read of selected partition TUPLES: each key lists
@@ -187,12 +253,48 @@ object SnapshotTable {
         .mkString("/"))
       .toSet
 
+  /** Column set the table currently carries: from a live data
+    * directory when one exists, else from the recorded schema of an
+    * emptied table (so a change batch can still be validated/projected
+    * against the columns the table had before it was emptied). */
+  private def tableColumns(
+      spark: SparkSession, root: String,
+      entries: Seq[(String, String)],
+      schema: Option[StructType]): Seq[String] =
+    if (entries.nonEmpty)
+      spark.read.parquet(new Path(root, entries.head._2).toString)
+        .columns.toSeq
+    else schema.getOrElse(throw new IllegalStateException(
+      "table has an empty manifest and no recorded schema")).fieldNames.toSeq
+
+  /** Retry a whole read-merge-stage-commit attempt when a CONCURRENT
+    * commit invalidated its merge (overlapping touched partitions):
+    * re-running `op` recomputes against the new latest version, so the
+    * final state equals sequential application. Bounded — a hot table
+    * being mutated faster than this writer can merge eventually
+    * surfaces the conflict to the caller instead of livelocking. */
+  private def withConflictRetry[T](op: => T): T = {
+    var left = MaxMergeRetries
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentWriteException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Initial (or full-replace) commit: new version = exactly `df`,
-    * one immutable directory per partition tuple. */
+    * one immutable directory per partition tuple. Replace semantics
+    * make it conflict-free by definition: on a commit race it simply
+    * retries onto the next version number (last-replace-wins). */
   def write(
       spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], filesPerPartition: Int = 1): Int =
-    commitRewrite(spark, root, df, partitionBy, untouched = Nil,
+    commitRewrite(spark, root, df, partitionBy, baseEntries = Nil,
+      touchedKeys = Set.empty, replaceAll = true,
       filesPerPartition, crashBeforeCommit = false)
 
   /** Upsert `updates` (same contract as [[Lake.upsert]]: full schema,
@@ -222,40 +324,40 @@ object SnapshotTable {
       crashBeforeCommit: Boolean = false,
       mergeSchema: Boolean = false): Int = {
     Lake.validateUpdateBatch(updates, key)
-    // bootstrap: an upsert into a never-written table is the initial
-    // commit (the CDC-stream shape — the first drained batch creates v1)
-    val entries =
-      if (versions(spark, root).isEmpty) Nil
-      else entriesAt(spark, root, -1)
-    val touchedKeys = touchedCompositeKeys(updates, partitionBy)
-    val (liveTouched, untouched) =
-      entries.partition(e => touchedKeys(e._1))
-    val merged =
-      if (entries.isEmpty) updates // bootstrap: updates define the schema
-      else {
-        val tableCols = spark.read
-          .parquet(new Path(root, entries.head._2).toString).columns
-        val projected =
-          if (mergeSchema) updates // keep new columns: evolving batch
-          else updates.select(
-            tableCols.filter(updates.columns.contains).map(col).toSeq: _*)
-        require(mergeSchema ||
-            tableCols.forall(updates.columns.contains),
-          s"update batch is missing table columns " +
-            s"${tableCols.filterNot(updates.columns.contains).mkString(",")}" +
-            "; updates must carry the full schema")
-        if (liveTouched.isEmpty) projected // all-new partitions: insert
+    withConflictRetry {
+      // bootstrap: an upsert into a never-written table is the initial
+      // commit (the CDC-stream shape — the first drained batch creates v1)
+      val (entries, schema) =
+        if (versions(spark, root).isEmpty) (Nil, None)
+        else manifestAt(spark, root, -1)
+      val touchedKeys = touchedCompositeKeys(updates, partitionBy)
+      val liveTouched = entries.filter(e => touchedKeys(e._1))
+      val merged =
+        if (entries.isEmpty && schema.isEmpty) updates // bootstrap
         else {
-          val live = spark.read.option("mergeSchema", "true").parquet(
-            liveTouched.map(e => new Path(root, e._2).toString): _*)
-          live
-            .join(projected.select(col(key).as("_graft_k")),
-              col(key) === col("_graft_k"), "left_anti")
-            .unionByName(projected, allowMissingColumns = mergeSchema)
+          val tableCols = tableColumns(spark, root, entries, schema)
+          val projected =
+            if (mergeSchema) updates // keep new columns: evolving batch
+            else updates.select(
+              tableCols.filter(updates.columns.contains).map(col).toSeq: _*)
+          require(mergeSchema ||
+              tableCols.forall(updates.columns.contains),
+            s"update batch is missing table columns " +
+              s"${tableCols.filterNot(updates.columns.contains).mkString(",")}" +
+              "; updates must carry the full schema")
+          if (liveTouched.isEmpty) projected // all-new partitions: insert
+          else {
+            val live = spark.read.option("mergeSchema", "true").parquet(
+              liveTouched.map(e => new Path(root, e._2).toString): _*)
+            live
+              .join(projected.select(col(key).as("_graft_k")),
+                col(key) === col("_graft_k"), "left_anti")
+              .unionByName(projected, allowMissingColumns = mergeSchema)
+          }
         }
-      }
-    commitRewrite(spark, root, merged, partitionBy, untouched,
-      filesPerPartition, crashBeforeCommit)
+      commitRewrite(spark, root, merged, partitionBy, entries, touchedKeys,
+        replaceAll = false, filesPerPartition, crashBeforeCommit)
+    }
   }
 
   /** Apply a MIXED change batch — upserts AND delete tombstones — in
@@ -273,78 +375,109 @@ object SnapshotTable {
     * constraint); keys are unique and non-null across the whole batch
     * (reduce multiple events per key to the final one first —
     * [[graft.streaming.CdcStream]] does, by version); `opCol` is "d"
-    * for delete, anything else for upsert. Non-key columns of a
-    * tombstone are ignored. Returns the new version. */
+    * for delete, anything else — but NEVER NULL — for upsert (a NULL
+    * op would fall out of the upsert filter by three-valued logic yet
+    * still anti-join its key out of the live set, i.e. silently delete
+    * — a malformed feed must fail loudly instead, round-9 advice
+    * item 3). Non-key columns of a tombstone are ignored. Returns the
+    * new version. */
   def applyChanges(
       spark: SparkSession, root: String, changes: DataFrame, key: String,
       partitionBy: Seq[String], opCol: String,
       filesPerPartition: Int = 1, mergeSchema: Boolean = false): Int = {
     Lake.validateUpdateBatch(changes, key)
-    val entries = entriesAt(spark, root, -1)
-    val touchedKeys = touchedCompositeKeys(changes, partitionBy)
-    val (liveTouched, untouched) =
-      entries.partition(e => touchedKeys(e._1))
-    val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
-    val tableCols = spark.read
-      .parquet(new Path(root, entries.head._2).toString).columns
-    val projected =
-      if (mergeSchema) upserts
-      else {
-        require(tableCols.forall(upserts.columns.contains),
-          s"change batch is missing table columns " +
-            s"${tableCols.filterNot(upserts.columns.contains).mkString(",")}")
-        upserts.select(tableCols.map(col).toSeq: _*)
-      }
-    val merged =
-      if (liveTouched.isEmpty) projected
-      else {
-        val live = spark.read.option("mergeSchema", "true").parquet(
-          liveTouched.map(e => new Path(root, e._2).toString): _*)
-        // ALL change keys leave the live set (a deleted key vanishes, an
-        // upserted key is replaced); only upsert rows come back
-        live
-          .join(changes.select(col(key).as("_graft_k")),
-            col(key) === col("_graft_k"), "left_anti")
-          .unionByName(projected, allowMissingColumns = mergeSchema)
-      }
-    commitRewrite(spark, root, merged, partitionBy, untouched,
-      filesPerPartition, crashBeforeCommit = false)
+    val nNullOps = changes
+      .agg((count(lit(1)) - count(col(opCol))).as("n"))
+      .collect()(0).getLong(0)
+    require(nNullOps == 0,
+      s"change batch carries $nNullOps NULL '$opCol' rows; every change " +
+        "must declare its operation ('d' = delete, else upsert)")
+    withConflictRetry {
+      val (entries, schema) = manifestAt(spark, root, -1)
+      val touchedKeys = touchedCompositeKeys(changes, partitionBy)
+      val liveTouched = entries.filter(e => touchedKeys(e._1))
+      val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
+      val tableCols = tableColumns(spark, root, entries, schema)
+        .filter(_ != opCol)
+      val projected =
+        if (mergeSchema) upserts
+        else {
+          require(tableCols.forall(upserts.columns.contains),
+            s"change batch is missing table columns " +
+              s"${tableCols.filterNot(upserts.columns.contains).mkString(",")}")
+          upserts.select(tableCols.map(col).toSeq: _*)
+        }
+      val merged =
+        if (liveTouched.isEmpty) projected
+        else {
+          val live = spark.read.option("mergeSchema", "true").parquet(
+            liveTouched.map(e => new Path(root, e._2).toString): _*)
+          // ALL change keys leave the live set (a deleted key vanishes, an
+          // upserted key is replaced); only upsert rows come back
+          live
+            .join(changes.select(col(key).as("_graft_k")),
+              col(key) === col("_graft_k"), "left_anti")
+            .unionByName(projected, allowMissingColumns = mergeSchema)
+        }
+      commitRewrite(spark, root, merged, partitionBy, entries, touchedKeys,
+        replaceAll = false, filesPerPartition, crashBeforeCommit = false)
+    }
   }
 
   /** Delete rows matching `predicate`; NULL-predicate rows are kept
     * (same three-valued-logic contract as [[Lake.deleteWhere]]). A
-    * partition losing all rows drops out of the manifest. Returns the
-    * new version. */
+    * partition losing all rows drops out of the manifest; a delete
+    * emptying the WHOLE table commits an empty manifest that still
+    * records the schema, so the table stays readable (empty frame) and
+    * writable. Returns the new version. */
   def deleteWhere(
       spark: SparkSession, root: String, predicate: Column,
-      partitionBy: Seq[String], filesPerPartition: Int = 1): Int = {
-    val entries = entriesAt(spark, root, -1)
-    val all = read(spark, root)
-    val touchedKeys = touchedCompositeKeys(all.filter(predicate), partitionBy)
-    val (liveTouched, untouched) =
-      entries.partition(e => touchedKeys(e._1))
-    // nothing matched: the current version IS the result — an identical
-    // re-commit would only mint garbage for vacuum
-    if (liveTouched.isEmpty) return versions(spark, root).last
-    val kept = spark.read.parquet(
-        liveTouched.map(e => new Path(root, e._2).toString): _*)
-      .filter(coalesce(!predicate, lit(true)))
-    commitRewrite(spark, root, kept, partitionBy, untouched,
-      filesPerPartition, crashBeforeCommit = false)
-  }
+      partitionBy: Seq[String], filesPerPartition: Int = 1): Int =
+    withConflictRetry {
+      val entries = entriesAt(spark, root, -1)
+      val all = read(spark, root)
+      val touchedKeys =
+        touchedCompositeKeys(all.filter(predicate), partitionBy)
+      val liveTouched = entries.filter(e => touchedKeys(e._1))
+      // nothing matched: the current version IS the result — an identical
+      // re-commit would only mint garbage for vacuum
+      if (liveTouched.isEmpty) versions(spark, root).last
+      else {
+        // mergeSchema like every other touched-partition read: after an
+        // evolving upsert the touched directories can span schema
+        // vintages, and a footer-arbitrary narrow read here would
+        // silently drop the evolved column from the rewritten
+        // partitions (round-9 advice item 2)
+        val kept = spark.read.option("mergeSchema", "true").parquet(
+            liveTouched.map(e => new Path(root, e._2).toString): _*)
+          .filter(coalesce(!predicate, lit(true)))
+        commitRewrite(spark, root, kept, partitionBy, entries, touchedKeys,
+          replaceAll = false, filesPerPartition, crashBeforeCommit = false)
+      }
+    }
 
   /** Write `newRows` as fresh immutable per-partition-tuple directories,
-    * then commit `untouched ++ new` as one manifest. The staging write
-    * duplicates each partition column into a throwaway directory key,
-    * so the real columns SURVIVE in the data files while Spark's own
-    * partitioned write (with [[Lake]]'s salt for per-partition writer
-    * fan-out) produces one cleanly separated nested directory per tuple
-    * with Spark's own Hive escaping — the manifest key is read off the
-    * nested directory names, byte-identical to what a Hive-layout
-    * writer would have produced. */
+    * then commit `untouched-at-latest ++ new` as one manifest. The
+    * staging write duplicates each partition column into a throwaway
+    * directory key, so the real columns SURVIVE in the data files while
+    * Spark's own partitioned write (with [[Lake]]'s salt for
+    * per-partition writer fan-out) produces one cleanly separated
+    * nested directory per tuple with Spark's own Hive escaping — the
+    * manifest key is read off the nested directory names, byte-identical
+    * to what a Hive-layout writer would have produced.
+    *
+    * The commit loop is the optimistic-concurrency core: each attempt
+    * pins the latest version V it read, verifies every TOUCHED key maps
+    * to the same directory as in `baseEntries` (else the merge in
+    * `newRows` is stale -> [[ConcurrentWriteException]], and the outer
+    * [[withConflictRetry]] re-merges from scratch), recomputes
+    * `untouched` from V's entries (so a disjoint concurrent commit's
+    * changes are CARRIED FORWARD, not clobbered), and attempts to
+    * commit exactly V+1. A lost rename race just loops. */
   private def commitRewrite(
       spark: SparkSession, root: String, newRows: DataFrame,
-      partitionBy: Seq[String], untouched: Seq[(String, String)],
+      partitionBy: Seq[String], baseEntries: Seq[(String, String)],
+      touchedKeys: Set[String], replaceAll: Boolean,
       filesPerPartition: Int, crashBeforeCommit: Boolean): Int = {
     require(partitionBy.nonEmpty, "partitionBy must name at least one column")
     val f = fs(spark, root)
@@ -390,23 +523,57 @@ object SnapshotTable {
     if (crashBeforeCommit)
       throw new java.io.IOException(
         "simulated crash after data write, before manifest commit")
-    commitManifest(spark, root, untouched ++ moved)
+    onBeforeCommit()
+    val schema = newRows.schema
+    val baseTouched = baseEntries.filter(e => touchedKeys(e._1)).toSet
+    var raceRetries = 0
+    while (true) {
+      val latestV = versions(spark, root).lastOption.getOrElse(0)
+      val latest =
+        if (latestV == 0) Nil else readManifest(spark, root, latestV)._1
+      if (!replaceAll) {
+        val nowTouched = latest.filter(e => touchedKeys(e._1)).toSet
+        if (nowTouched != baseTouched)
+          throw new ConcurrentWriteException(
+            s"concurrent commit changed touched partition(s) " +
+              s"${(nowTouched.map(_._1) ++ baseTouched.map(_._1)).toSeq
+                .sorted.mkString(",")} under $root; re-merge required")
+      }
+      val untouched =
+        if (replaceAll) Nil else latest.filterNot(e => touchedKeys(e._1))
+      try return commitManifest(
+        spark, root, untouched ++ moved, schema, latestV + 1)
+      catch {
+        case e: CommitRaceException =>
+          raceRetries += 1
+          // something is committing faster than this writer can even
+          // re-attempt a rename — surface rather than spin
+          if (raceRetries > 8) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  /** Drop all but the newest `keepVersions` manifests; delete every data
-    * directory no kept manifest references — including directories
-    * written by crashed (never-committed) batches — and tmp manifests
+  /** Drop all but the newest `keepVersions` manifests — except versions
+    * in `protect`, which survive regardless of the horizon (the
+    * snapshot-binding contract: a session pinned to
+    * `spark.graft.snapshot.<table>=<root>@vN` must pass N here or that
+    * read breaks loudly) — and delete every data directory no kept
+    * manifest references, including directories written by crashed or
+    * conflict-abandoned batches, plus tmp manifests and staging dirs
     * from crashed commits. Returns (manifests dropped, data dirs
     * deleted). Single-writer contract: do not run concurrently with a
     * committer. */
   def vacuum(
-      spark: SparkSession, root: String, keepVersions: Int): (Int, Int) = {
+      spark: SparkSession, root: String, keepVersions: Int,
+      protect: Set[Int] = Set.empty): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val f = fs(spark, root)
     if (!f.exists(new Path(root))) return (0, 0) // never-written root
     val vs = versions(spark, root)
-    val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
-    val live = keep.flatMap(readManifest(spark, root, _)).map(_._2).toSet
+    val drop = vs.dropRight(keepVersions).filterNot(protect)
+    val keep = vs.filterNot(drop.contains)
+    val live = keep.flatMap(readManifest(spark, root, _)._1).map(_._2).toSet
     drop.foreach(v =>
       f.delete(new Path(manifestDir(root), f"v$v%08d.manifest"), false))
     val dataDir = new Path(root, "data")

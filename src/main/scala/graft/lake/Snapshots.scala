@@ -117,16 +117,36 @@ object Snapshots {
     spark.read.parquet(dirs: _*)
   }
 
-  /** Drop all but the newest `keepVersions` manifests and delete every
-    * data directory no kept manifest references — including directories
-    * orphaned by crashed commits. Returns (manifests dropped, data dirs
-    * deleted). */
+  /** Version numbers of `root` that the session's snapshot bindings
+    * (`spark.graft.snapshot.<table> = <root>@v<N>`) currently pin —
+    * the versions a vacuum of this root must not collect, or every
+    * lane query reading through [[graft.core.Tables]] under that
+    * binding starts failing. `@latest` bindings resolve per lookup and
+    * are protected by the keep horizon itself (keepVersions >= 1). */
+  def boundVersions(spark: SparkSession, root: String): Set[Int] =
+    spark.conf.getAll.collect {
+      case (k, v) if k.startsWith("spark.graft.snapshot.") &&
+          v.startsWith(root + "@v") =>
+        scala.util.Try(v.substring(root.length + 2).toInt).toOption
+    }.flatten.toSet
+
+  /** Drop all but the newest `keepVersions` manifests — except versions
+    * in `protect` and versions the CURRENT session's snapshot bindings
+    * pin ([[boundVersions]] — the binding contract: "train on v12"
+    * keeps v12 readable through a routine vacuum); for bindings held by
+    * OTHER sessions, pass their versions in `protect` explicitly — and
+    * delete every data directory no kept manifest references, including
+    * directories orphaned by crashed commits. Returns (manifests
+    * dropped, data dirs deleted). */
   def vacuum(
-      spark: SparkSession, root: String, keepVersions: Int): (Int, Int) = {
+      spark: SparkSession, root: String, keepVersions: Int,
+      protect: Set[Int] = Set.empty): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val f = fs(spark, root)
     val vs = versions(spark, root)
-    val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
+    val keepSet = protect ++ boundVersions(spark, root)
+    val drop = vs.dropRight(keepVersions).filterNot(keepSet)
+    val keep = vs.filterNot(drop.contains)
     val live = keep.flatMap(readManifest(spark, root, _)).toSet
     drop.foreach(v =>
       f.delete(new Path(manifestDir(root), f"v$v%08d.manifest"), false))

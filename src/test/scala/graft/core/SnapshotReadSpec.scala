@@ -49,6 +49,50 @@ class SnapshotReadSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/documents.parquet").count())
   }
 
+  test("@latest tracks a commit made AFTER the binding was first read") {
+    // Round-9 advice item 1: @latest used to memoize under the binding
+    // string, so the version resolved at FIRST lookup was served
+    // forever — a later commit in the same session was invisible. The
+    // binding now resolves the current latest version per lookup and
+    // memoizes under the resolved number.
+    val root = tmpDir("snap-latest")
+    val docs = Tables(spark, sfDir, "documents")
+    Snapshots.overwrite(spark, root, docs)
+    try {
+      spark.conf.set("spark.graft.snapshot.documents", s"$root@latest")
+      val n1 = Tables(spark, sfDir, "documents").count()
+      assert(n1 == docs.count())
+      // commit v2 in the SAME session, after @latest was already used
+      Snapshots.overwrite(spark, root, docs.filter(col("doc_id") % 2 === 0))
+      val n2 = Tables(spark, sfDir, "documents").count()
+      assert(n2 == docs.count() / 2 + docs.count() % 2,
+        s"@latest served a stale pre-commit relation: $n2 (want halved)")
+    } finally unpin()
+  }
+
+  test("vacuum spares session-bound versions; unbound ones are collected") {
+    // The binding contract: a session pinned to <root>@v1 keeps v1
+    // readable through a routine vacuum; an unbound old version is
+    // collected by the keep horizon as usual.
+    val root = tmpDir("snap-vac-bind")
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    Snapshots.overwrite(spark, root, docs) // v1
+    Snapshots.overwrite(spark, root, docs.limit(20)) // v2
+    Snapshots.overwrite(spark, root, docs.limit(10)) // v3
+    try {
+      spark.conf.set("spark.graft.snapshot.documents", s"$root@v1")
+      assert(Snapshots.boundVersions(spark, root) == Set(1))
+      val (dropped, _) = Snapshots.vacuum(spark, root, keepVersions = 1)
+      assert(dropped == 1, s"only the unbound v2 should drop, got $dropped")
+      assert(Snapshots.versions(spark, root) == Seq(1, 3))
+      // the bound version still reads after the vacuum
+      assert(Tables(spark, sfDir, "documents").count() == 50)
+    } finally unpin()
+    // unbound now: the next vacuum collects v1 too
+    val (dropped2, _) = Snapshots.vacuum(spark, root, keepVersions = 1)
+    assert(dropped2 == 1 && Snapshots.versions(spark, root) == Seq(3))
+  }
+
   test("a malformed binding fails loudly, not as a silent fallback") {
     try {
       spark.conf.set("spark.graft.snapshot.documents", "no-version-here")

@@ -27,6 +27,14 @@ class SnapshotTableSpec extends SparkSpec {
     df.select(col("doc_id"), col("text"), col("n_chars"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
 
+  /** A version's (key, dir) manifest lines, minus the #schema line. */
+  private def manifestLines(root: String, v: Int): Seq[String] = {
+    val src = scala.io.Source.fromFile(
+      root + f"/_versions/v$v%08d.manifest")
+    try src.getLines().filterNot(_.startsWith("#")).toList
+    finally src.close()
+  }
+
   test("upsert merges like Lake.upsert and commits one new version") {
     val root = freshTable()
     val updates = spark.createDataFrame(Seq(
@@ -78,14 +86,12 @@ class SnapshotTableSpec extends SparkSpec {
 
   test("only touched partitions are rewritten; untouched dirs are shared") {
     val root = freshTable()
-    val v1Entries = scala.io.Source.fromFile(
-      s"$root/_versions/v00000001.manifest").getLines().toSeq
+    val v1Entries = manifestLines(root, 1)
     val updates = spark.createDataFrame(Seq(
       (3L, "replaced", "en", 8L, "src3")))
       .toDF("doc_id", "text", "lang", "n_chars", "source")
     SnapshotTable.upsert(spark, root, updates, "doc_id", Seq("source"))
-    val v2Entries = scala.io.Source.fromFile(
-      s"$root/_versions/v00000002.manifest").getLines().toSeq
+    val v2Entries = manifestLines(root, 2)
     val changed = v2Entries.toSet -- v1Entries.toSet
     assert(changed.size == 1 && changed.head.startsWith("src3\t"),
       s"exactly the touched partition should get a new dir: $changed")
@@ -106,8 +112,7 @@ class SnapshotTableSpec extends SparkSpec {
     assert(after.count() == n0 - victims)
     assert(after.filter(col("source") === "src5").isEmpty)
     // the emptied partition left the manifest entirely
-    val v2Entries = scala.io.Source.fromFile(
-      s"$root/_versions/v00000002.manifest").getLines().toSeq
+    val v2Entries = manifestLines(root, 2)
     assert(!v2Entries.exists(_.startsWith("src5\t")))
     // NULL-predicate rows are kept (three-valued logic)
     val v3 = SnapshotTable.deleteWhere(spark, root,
@@ -140,8 +145,7 @@ class SnapshotTableSpec extends SparkSpec {
       (3L, "c", "2026-01-12", "api-a"), (4L, "d", "2026-01-12", "api-b")))
       .toDF("id", "v", "d", "src")
     SnapshotTable.write(spark, root, base, Seq("d", "src"))
-    val v1e = scala.io.Source.fromFile(
-      s"$root/_versions/v00000001.manifest").getLines().toSet
+    val v1e = manifestLines(root, 1).toSet
     assert(v1e.size == 4 && v1e.exists(_.startsWith("2026-01-11/api-a\t")),
       s"expected 4 composite-key entries: $v1e")
     // upsert one (date, source) cell + insert into a brand-new cell
@@ -150,8 +154,7 @@ class SnapshotTableSpec extends SparkSpec {
       .toDF("id", "v", "d", "src")
     val v = SnapshotTable.upsert(spark, root, updates, "id", Seq("d", "src"))
     assert(v == 2)
-    val v2e = scala.io.Source.fromFile(
-      s"$root/_versions/v00000002.manifest").getLines().toSet
+    val v2e = manifestLines(root, 2).toSet
     // exactly the touched cell rewrote; 3 untouched entries carried over
     assert((v1e & v2e).size == 3, s"untouched cells must carry over: $v2e")
     assert(v2e.exists(_.startsWith("2026-01-12/api-c\t")))
@@ -193,10 +196,8 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == Set((1L, "a", 10L), (2L, "b2", 10L), (3L, "c", 20L),
       (4L, "d", 30L), (9L, "new", 30L)))
     // untouched bucket=20 carried its v1 directory forward
-    val v1e = scala.io.Source.fromFile(
-      s"$root/_versions/v00000001.manifest").getLines().toSet
-    val v2e = scala.io.Source.fromFile(
-      s"$root/_versions/v00000002.manifest").getLines().toSet
+    val v1e = manifestLines(root, 1).toSet
+    val v2e = manifestLines(root, 2).toSet
     assert((v1e & v2e).exists(_.startsWith("20\t")))
     // manifest-pruned read by the rendered value
     assert(SnapshotTable.readPartitions(spark, root, Seq(Seq("20")))
@@ -286,12 +287,172 @@ class SnapshotTableSpec extends SparkSpec {
       .collect()(0).getString(0) == "web")
   }
 
+  test("OCC: disjoint-partition racers BOTH land, serialized v2/v3") {
+    // Two committers compute against v1; B commits v2 while A is in
+    // its commit window (the onBeforeCommit seam). Their touched
+    // partitions are DISJOINT, so A must NOT lose: it re-reads v2,
+    // carries B's entry forward as untouched, and lands v3 — no lost
+    // update on either side (round-9 verdict item 2).
+    val root = freshTable()
+    val aUpd = spark.createDataFrame(Seq(
+      (3L, "A wrote this", "en", 12L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val bUpd = spark.createDataFrame(Seq(
+      (7L, "B wrote this", "en", 12L, "src7")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    @volatile var fired = false
+    SnapshotTable.onBeforeCommit = () => {
+      if (!fired) { // only for A's outer attempt, not B's nested commit
+        fired = true
+        SnapshotTable.upsert(spark, root, bUpd, "doc_id", Seq("source"))
+      }
+    }
+    try {
+      val vA = SnapshotTable.upsert(spark, root, aUpd, "doc_id", Seq("source"))
+      assert(vA == 3, s"A should land AFTER B's v2, got v$vA")
+    } finally SnapshotTable.onBeforeCommit = () => ()
+    val after = SnapshotTable.read(spark, root)
+    assert(rows(after.filter(col("doc_id").isin(3L, 7L))) ==
+      Set((3L, "A wrote this", 12L), (7L, "B wrote this", 12L)),
+      "both racers' rows must survive — no lost update")
+    assert(after.count() == baseDocs.count())
+  }
+
+  test("OCC: overlapping racers — loser re-merges; final == sequential") {
+    // Both committers touch src3. B lands v2 inside A's commit window;
+    // A's staged merge is now stale (it merged against v1's src3
+    // directory), so A must RE-MERGE against v2 and land v3 with BOTH
+    // changes — byte-equal to applying B then A sequentially.
+    val root = freshTable()
+    val aUpd = spark.createDataFrame(Seq(
+      (3L, "A replaced three", "en", 16L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val bUpd = spark.createDataFrame(Seq(
+      (200003L, "B inserted", "en", 10L, "src3")))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    @volatile var fired = false
+    SnapshotTable.onBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        SnapshotTable.upsert(spark, root, bUpd, "doc_id", Seq("source"))
+      }
+    }
+    try {
+      val vA = SnapshotTable.upsert(spark, root, aUpd, "doc_id", Seq("source"))
+      assert(vA == 3, s"A should re-merge and land v3, got v$vA")
+    } finally SnapshotTable.onBeforeCommit = () => ()
+    val after = SnapshotTable.read(spark, root)
+    assert(rows(after.filter(col("doc_id").isin(3L, 200003L))) ==
+      Set((3L, "A replaced three", 16L), (200003L, "B inserted", 10L)),
+      "the re-merged commit must carry BOTH racers' changes")
+    assert(after.count() == baseDocs.count() + 1)
+    // the abandoned first-attempt directory is invisible garbage
+    val (_, removed) = SnapshotTable.vacuum(spark, root, keepVersions = 3)
+    assert(removed >= 1, "the conflicted attempt's staged dir should vacuum")
+  }
+
+  test("an emptied table reads as an empty typed frame and stays writable") {
+    // Round-9 advice item 4: deleting every row used to commit an
+    // empty manifest that read() rejected ("empty manifest") and
+    // applyChanges crashed on (entries.head). The manifest now records
+    // the schema, so an emptied table is a table.
+    val root = tmpDir("snaptable-emptied")
+    val base = spark.createDataFrame(Seq(
+      (1L, "a", "s1"), (2L, "b", "s2")))
+      .toDF("id", "v", "src")
+    SnapshotTable.write(spark, root, base, Seq("src"))
+    val v2 = SnapshotTable.deleteWhere(spark, root, lit(true), Seq("src"))
+    val empty = SnapshotTable.read(spark, root, v2)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq == Seq("id", "v", "src"),
+      s"the emptied table must keep its schema: ${empty.columns.toSeq}")
+    // a change batch bootstraps against the recorded columns — and a
+    // tombstone against the (now empty) table is a harmless no-op
+    val changes = spark.createDataFrame(Seq(
+      ("u", 3L, "c", "s1"), ("d", 1L, null.asInstanceOf[String], "s1")))
+      .toDF("op", "id", "v", "src")
+    val v3 = SnapshotTable.applyChanges(spark, root, changes,
+      "id", Seq("src"), opCol = "op")
+    assert(SnapshotTable.read(spark, root, v3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "c")))
+    // time travel to the emptied version still works
+    assert(SnapshotTable.read(spark, root, v2).isEmpty)
+  }
+
+  test("deleteWhere preserves an evolved column in mixed-vintage partitions") {
+    // Round-9 advice item 2: deleteWhere's kept-rows read now merges
+    // schema vintages like every other touched read — without it, a
+    // partition holding both pre- and post-evolution files could
+    // rewrite with whichever footer schema the reader picked, silently
+    // dropping the evolved column.
+    val root = tmpDir("snaptable-del-evolve")
+    val base = spark.createDataFrame(Seq(
+      (1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2")))
+      .toDF("id", "v", "src")
+    SnapshotTable.write(spark, root, base, Seq("src"))
+    val widened = spark.createDataFrame(Seq((4L, "d", "s2", "en")))
+      .toDF("id", "v", "src", "lang")
+    SnapshotTable.upsert(spark, root, widened, "id", Seq("src"),
+      mergeSchema = true)
+    // delete from BOTH partitions: s1 dirs are pre-evolution vintage,
+    // s2 mixes vintages in one version
+    val v = SnapshotTable.deleteWhere(spark, root, col("id") === 1L,
+      Seq("src"))
+    val after = SnapshotTable.read(spark, root, v)
+    assert(after.columns.contains("lang"),
+      "the evolved column vanished in the delete rewrite")
+    assert(after.filter(col("id") === 4L).select("lang")
+      .collect()(0).getString(0) == "en")
+    assert(after.count() == 3)
+  }
+
+  test("a NULL-op change row fails loudly instead of silently deleting") {
+    // Round-9 advice item 3: filter(op =!= 'd') drops a NULL-op row
+    // from the upserts by three-valued logic, but its key still
+    // anti-joins out of the live set — a malformed feed row would
+    // silently delete. The batch is validated instead.
+    val root = freshTable()
+    val changes = spark.createDataFrame(Seq(
+      ("u", 3L, "fine", "en", 4L, "src3"),
+      (null.asInstanceOf[String], 7L, "malformed", "en", 9L, "src7")))
+      .toDF("op", "doc_id", "text", "lang", "n_chars", "source")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.applyChanges(spark, root, changes,
+        "doc_id", Seq("source"), opCol = "op")
+    }
+    assert(e.getMessage.contains("NULL 'op'"), e.getMessage)
+    // nothing committed, key 7 intact
+    assert(SnapshotTable.versions(spark, root) == Seq(1))
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("doc_id") === 7L).count() == 1)
+  }
+
+  test("vacuum spares protected versions") {
+    val root = tmpDir("snaptable-vac-protect")
+    val base = spark.createDataFrame(Seq((1L, "a", "s1")))
+      .toDF("id", "v", "src")
+    SnapshotTable.write(spark, root, base, Seq("src")) // v1
+    SnapshotTable.upsert(spark, root,
+      spark.createDataFrame(Seq((1L, "a2", "s1"))).toDF("id", "v", "src"),
+      "id", Seq("src")) // v2
+    SnapshotTable.upsert(spark, root,
+      spark.createDataFrame(Seq((1L, "a3", "s1"))).toDF("id", "v", "src"),
+      "id", Seq("src")) // v3
+    val (dropped, _) = SnapshotTable.vacuum(spark, root, keepVersions = 1,
+      protect = Set(1))
+    assert(dropped == 1, s"only the unprotected v2 should drop: $dropped")
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 3))
+    // the protected version still reads (its data dir was kept live)
+    assert(SnapshotTable.read(spark, root, 1)
+      .collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+
   test("hot-partition fan-out: filesPerPartition > 1 writes > 1 file") {
     val root = tmpDir("snaptable-fan")
     SnapshotTable.write(spark, root, baseDocs, Seq("source"),
       filesPerPartition = 4)
-    val entries = scala.io.Source.fromFile(
-      s"$root/_versions/v00000001.manifest").getLines().toSeq
+    val entries = manifestLines(root, 1)
     val src3dir = entries.find(_.startsWith("src3\t")).get.split('\t')(1)
     val nFiles = new java.io.File(s"$root/$src3dir").listFiles()
       .count(_.getName.endsWith(".parquet"))
