@@ -159,13 +159,18 @@ object AnnIndex {
     * `centroids/_SUCCESS` first, rewrite centroids last. A root
     * maintained this way is stream-owned (bootstrap from empty) — do
     * not mix with [[buildIfMissing]]/[[append]], whose single
-    * `centroid_state` table this layout deliberately replaces. State
-    * deltas grow one O(k x dims) file per batch; compact by summing
-    * into a single batch directory when drain count gets large (same
-    * cadence as [[DedupIndex]]'s file compaction). */
+    * `centroid_state` table this layout deliberately replaces. Batch
+    * directories grow one per drain; [[compactBatches]] folds them
+    * into a `compacted/upto=N` layout when the count gets large (same
+    * cadence and crash protocol as
+    * [[InvertedIndex.compactBatches]]). */
   def appendIdempotent(
       spark: SparkSession, root: String, newVecs: DataFrame,
       batchId: Long): Unit = {
+    // Replay-after-compaction guard (the InvertedIndex contract): a
+    // batch at or below the compaction cutoff is already folded — the
+    // replay is a no-op, never a re-append.
+    if (batchId <= compactedUpto(spark, root)) return
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"$root/centroids/_SUCCESS"), false)
@@ -177,12 +182,107 @@ object AnnIndex {
         vec_norm(col("embedding")).as("norm"), col("label"))
       .write.mode("overwrite").partitionBy("label")
       .parquet(s"$root/vectors/batch=$batchId")
-    val total = spark.read.parquet(s"$root/state_deltas")
+    writeCentroids(spark, root, streamStateTotal(spark, root))
+    invalidate(root)
+  }
+
+  private def childIds(
+      spark: SparkSession, root: String, sub: String,
+      prefix: String): Seq[Long] = {
+    val p = new Path(s"$root/$sub")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+  }
+
+  /** Published compaction cutoff of a stream-owned root (max
+    * `compacted/upto=N`; -1 when never compacted). */
+  private def compactedUpto(spark: SparkSession, root: String): Long =
+    childIds(spark, root, "compacted", "upto=").sorted.lastOption
+      .getOrElse(-1L)
+
+  /** Exact decimal mean state over EVERYTHING a stream root has
+    * ingested: the compacted fold (if published) plus every delta
+    * drained since. Decimal sums are associative, so this equals the
+    * sum over all per-batch deltas regardless of how many were
+    * folded. */
+  private def streamStateTotal(spark: SparkSession, root: String): DataFrame = {
+    val upto = compactedUpto(spark, root)
+    val cols = Seq(col("label"), col("pos"), col("s"), col("n"))
+    val compacted =
+      if (upto < 0) None
+      else Some(spark.read.parquet(s"$root/compacted/upto=$upto/state")
+        .select(cols: _*))
+    val live =
+      if (childIds(spark, root, "state_deltas", "batch=").exists(_ > upto))
+        Some(spark.read.parquet(s"$root/state_deltas")
+          .filter(col("batch") > upto).select(cols: _*))
+      else None
+    (compacted.toSeq ++ live).reduce(_ unionByName _)
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("s")).cast(DecimalType(38, 10)).as("s"),
         sum(col("n")).as("n"))
-    writeCentroids(spark, root, total)
+  }
+
+  /** Fold a stream-owned root's per-batch directories into ONE
+    * `compacted/upto=N` layout — [[InvertedIndex.compactBatches]]'s
+    * protocol applied to the ANN layers (round-9 verdict item 1):
+    * stage merged vectors (label-partitioned, the probe's pruning
+    * axis) and the summed decimal state under `.compact-<uuid>`,
+    * publish with ONE atomic rename that carries data and cutoff
+    * together, then delete the folded batch dirs and the superseded
+    * fold. Probes are row-identical before/after (the union
+    * [[streamStateTotal]]/`vectorsDf` serve is the same bag of rows),
+    * and centroids are untouched — the folded state sums to the exact
+    * same decimals. Same checkpoint contract as the InvertedIndex
+    * twin: compact between clean drains; a replayed folded batch is
+    * skipped by [[appendIdempotent]]. */
+  def compactBatches(spark: SparkSession, root: String): Option[Long] = {
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(!f.exists(new Path(s"$root/centroid_state")),
+      s"$root has a batch-build layout (centroid_state/); compactBatches " +
+        "is for stream-owned roots — append() already merges in place")
+    val prevUpto = compactedUpto(spark, root)
+    val live = childIds(spark, root, "state_deltas", "batch=")
+      .filter(_ > prevUpto)
+    if (live.isEmpty) return None
+    val upto = live.max
+    val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
+    streamStateTotal(spark, root)
+      .coalesce(1) // O(k x dims) rows
+      .write.mode("overwrite").parquet(s"$staging/state")
+    val vecCols = Seq(col("vec_id"), col("embedding"), col("norm"),
+      col("label"))
+    val freshVecs = spark.read.parquet(s"$root/vectors")
+      .filter(col("batch") > prevUpto).select(vecCols: _*)
+    val mergedVecs =
+      if (prevUpto < 0) freshVecs
+      else spark.read.parquet(s"$root/compacted/upto=$prevUpto/vectors")
+        .select(vecCols: _*).unionByName(freshVecs)
+    mergedVecs
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$staging/vectors")
+    f.mkdirs(new Path(s"$root/compacted"))
+    val target = new Path(s"$root/compacted/upto=$upto")
+    if (f.exists(target) || !f.rename(new Path(staging), target))
+      throw new java.io.IOException(
+        s"cannot publish compaction at $target (concurrent compactor?)")
+    live.foreach { id =>
+      f.delete(new Path(s"$root/state_deltas/batch=$id"), true)
+      f.delete(new Path(s"$root/vectors/batch=$id"), true)
+    }
+    childIds(spark, root, "compacted", "upto=").filter(_ < upto).foreach(
+      old => f.delete(new Path(s"$root/compacted/upto=$old"), true))
+    f.listStatus(new Path(root)).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".compact-") &&
+          st.getPath.toString != staging)
+        f.delete(st.getPath, true)
+    }
     invalidate(root)
+    Some(upto)
   }
 
   /** Probe the persisted index: for each query row
@@ -202,8 +302,27 @@ object AnnIndex {
     readCache.getOrElseUpdate(spark, path)(spark.read.parquet(path))
 
   private def invalidate(root: String): Unit =
-    readCache.invalidateWhere(p =>
-      p == s"$root/centroids" || p == s"$root/vectors")
+    readCache.invalidateWhere(_.startsWith(root))
+
+  /** The corpus vectors of either layout: a build root's (or
+    * pre-compaction stream root's) `vectors/` tree directly; a
+    * compacted stream root unions the fold with only the batches
+    * drained since the cutoff (guarded by a directory census — after a
+    * full fold the batch tree may be empty). */
+  private def vectorsDf(spark: SparkSession, root: String): DataFrame = {
+    val upto = compactedUpto(spark, root)
+    if (upto < 0) read(spark, s"$root/vectors")
+    else {
+      val cols = Seq(col("vec_id"), col("embedding"), col("norm"),
+        col("label"))
+      val compacted = read(spark, s"$root/compacted/upto=$upto/vectors")
+        .select(cols: _*)
+      if (childIds(spark, root, "vectors", "batch=").exists(_ > upto))
+        compacted.unionByName(read(spark, s"$root/vectors")
+          .filter(col("batch") > upto).select(cols: _*))
+      else compacted
+    }
+  }
 
   def probe(
       spark: SparkSession,
@@ -228,7 +347,7 @@ object AnnIndex {
     val cells = probed.select(col("label")).distinct()
       .collect().map(_.get(0))
 
-    val vecs = read(spark, s"$root/vectors")
+    val vecs = vectorsDf(spark, root)
       .filter(col("label").isin(cells.toSeq: _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))

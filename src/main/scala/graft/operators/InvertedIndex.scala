@@ -211,6 +211,14 @@ object InvertedIndex {
   def appendIdempotent(
       spark: SparkSession, root: String, newDocs: DataFrame,
       batchId: Long): Unit = {
+    // Replay-after-compaction guard: a batch at or below the compaction
+    // cutoff was already FOLDED into `compacted/upto=N` — re-appending
+    // it (the checkpoint replaying a batch whose foreachBatch completed
+    // but whose commit didn't land before a crash) would double-count
+    // every posting. Its content is already served, so the replay is a
+    // no-op — the same bytes-equivalence contract as the overwrite
+    // path, met by skipping instead of rewriting.
+    if (batchId <= compactedUpto(spark, root)) return
     // stream-owned roots default to width 1; pre-writing <root>/pfx_width
     // before the first drain widens every batch consistently
     val width = pfxWidth(spark, root)
@@ -227,23 +235,175 @@ object InvertedIndex {
     invalidate(root)
   }
 
+  /** Numeric child ids of `<root>/<sub>` directories named
+    * `<prefix><N>` — the driver-side directory census compaction and
+    * the batch-layout readers share (bounded: batch dirs between
+    * compactions, or 1-2 compacted dirs). */
+  private def childIds(
+      spark: SparkSession, root: String, sub: String,
+      prefix: String): Seq[Long] = {
+    val p = new Path(s"$root/$sub")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+  }
+
+  /** The published compaction cutoff: every streamed batch with
+    * id <= upto lives in `compacted/upto=<upto>` (the MAX such dir —
+    * a stale predecessor can linger between a compaction's publish
+    * rename and its cleanup); -1 when never compacted. */
+  private def compactedUpto(spark: SparkSession, root: String): Long =
+    childIds(spark, root, "compacted", "upto=").sorted.lastOption
+      .getOrElse(-1L)
+
+  /** Fold every drained batch directory into ONE build-shaped layout —
+    * the operational fix for unbounded micro-batch directory growth
+    * (round-9 verdict item 1): a year of 5-minute drains is ~100k
+    * `postings_batches/batch=N/pfx=X` directories whose listing cost
+    * swamps the pfx pruning the layout exists for. After compaction a
+    * probe lists O(16^width) directories plus only the batches drained
+    * SINCE.
+    *
+    * Crash safety — the publish is ONE atomic rename, which carries
+    * both the folded data and the cutoff (they cannot disagree):
+    *  1. the merged postings (previous `compacted` layout, if any,
+    *     plus every live batch) and summed per-source corpus stats are
+    *     staged under `<root>/.compact-<uuid>` — a crash leaves
+    *     ignorable garbage, probes unchanged;
+    *  2. the staging dir renames to `compacted/upto=<maxBatch>`:
+    *     probes atomically switch to (new compacted) + (batches >
+    *     maxBatch) — the SAME rows as (old compacted) + (batches >
+    *     oldUpto) by construction, so the result set is identical
+    *     before/after (pinned in `InvertedStreamSpec`);
+    *  3. folded batch dirs and the superseded `compacted/upto=<old>`
+    *     delete LAST — a crash between 2 and 3 leaves stale dirs that
+    *     every reader already excludes (batch <= upto; non-max upto=)
+    *     and the next compaction removes.
+    *
+    * Checkpoint contract: run BETWEEN drains of a CLEANLY-stopped
+    * maintenance stream (AvailableNow + awaitTermination — the
+    * `Pipeline.llmLane` cadence). A batch whose foreachBatch completed
+    * but whose checkpoint commit raced a crash may REPLAY after
+    * compaction folded it; [[appendIdempotent]] skips ids at or below
+    * the cutoff, so the replay cannot double-count. Do NOT compact a
+    * root whose last drain CRASHED mid-batch (a partially-written
+    * batch dir would be folded as-is) — restart the stream to
+    * completion first. Returns the cutoff batch id, or None when there
+    * was nothing to fold.
+    *
+    * Build-layout roots ([[buildIfMissing]]) are rejected:
+    * [[append]] already folds in place there. */
+  def compactBatches(spark: SparkSession, root: String): Option[Long] = {
+    require(!hasBatchBuildLayout(spark, root),
+      s"$root has a build layout (postings/); compactBatches is for " +
+        "stream-owned batch layouts — append() already folds in place")
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val prevUpto = compactedUpto(spark, root)
+    val live = childIds(spark, root, "postings_batches", "batch=")
+      .filter(_ > prevUpto)
+    if (live.isEmpty) return None
+    val upto = live.max
+    val width = pfxWidth(spark, root)
+    val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
+    val postCols = Seq(col("tok"), col("doc_id"), col("source"),
+      col("dl"), col("tf"), col("pfx"))
+    val freshPost = spark.read.parquet(s"$root/postings_batches")
+      .filter(col("batch") > prevUpto).select(postCols: _*)
+    val mergedPost =
+      if (prevUpto < 0) freshPost
+      else spark.read.parquet(s"$root/compacted/upto=$prevUpto/postings")
+        .select(postCols: _*).unionByName(freshPost)
+    mergedPost
+      .repartition(1 << (4 * width), col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx")
+      .parquet(s"$staging/postings")
+    val statCols = Seq(col("source"), col("n_docs"), col("total_dl"))
+    val freshStats = spark.read.parquet(s"$root/corpus_batches")
+      .filter(col("batch") > prevUpto).select(statCols: _*)
+    val mergedStats =
+      if (prevUpto < 0) freshStats
+      else spark.read.parquet(s"$root/compacted/upto=$prevUpto/corpus")
+        .select(statCols: _*).unionByName(freshStats)
+    mergedStats
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/corpus")
+    // THE PUBLISH: one rename flips probes to the folded layout + cutoff
+    f.mkdirs(new Path(s"$root/compacted"))
+    val target = new Path(s"$root/compacted/upto=$upto")
+    if (f.exists(target) || !f.rename(new Path(staging), target))
+      throw new java.io.IOException(
+        s"cannot publish compaction at $target (concurrent compactor?)")
+    // cleanup (all excluded by readers already; retried next compaction)
+    live.foreach { id =>
+      f.delete(new Path(s"$root/postings_batches/batch=$id"), true)
+      f.delete(new Path(s"$root/corpus_batches/batch=$id"), true)
+    }
+    childIds(spark, root, "compacted", "upto=").filter(_ < upto).foreach(
+      old => f.delete(new Path(s"$root/compacted/upto=$old"), true))
+    f.listStatus(new Path(root)).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".compact-") &&
+          st.getPath.toString != staging)
+        f.delete(st.getPath, true)
+    }
+    invalidate(root)
+    Some(upto)
+  }
+
   private def hasBatchBuildLayout(spark: SparkSession, root: String): Boolean =
     new Path(s"$root/postings").getFileSystem(
       spark.sparkContext.hadoopConfiguration)
       .exists(new Path(s"$root/postings"))
 
+  /** Postings rows of either layout. A stream-owned root unions the
+    * compacted fold (16^width dirs) with only the batches drained
+    * since the cutoff — the O(batches) directory walk becomes
+    * O(16^width + recent). */
   private def postingsDf(spark: SparkSession, root: String): DataFrame =
     if (hasBatchBuildLayout(spark, root)) read(spark, s"$root/postings")
-    else read(spark, s"$root/postings_batches")
-      .select(col("tok"), col("doc_id"), col("source"), col("dl"),
+    else {
+      val cols = Seq(col("tok"), col("doc_id"), col("source"), col("dl"),
         col("tf"), col("pfx"))
+      streamLayers(spark, root, "postings_batches", "postings", cols)
+    }
 
   /** Per-source stats rows (NOT yet aggregated — the probe applies its
-    * visibility predicate first, then sums). */
+    * visibility predicate first, then sums). A compacted root's stats
+    * stay per-source exact: the fold SUMS batch addends, the same
+    * associative arithmetic the batch-row layout relies on. */
   private def corpusDf(spark: SparkSession, root: String): DataFrame =
     if (hasBatchBuildLayout(spark, root)) read(spark, s"$root/corpus")
-    else read(spark, s"$root/corpus_batches")
-      .select(col("source"), col("n_docs"), col("total_dl"))
+    else streamLayers(spark, root, "corpus_batches", "corpus",
+      Seq(col("source"), col("n_docs"), col("total_dl")))
+
+  /** Union of a stream root's compacted layer (if published) and its
+    * not-yet-folded batch directories. The live-batch census guards
+    * the batch read: after a full compaction the `*_batches` tree may
+    * be empty (or hold only folded stragglers), and a bare read of it
+    * would fail schema inference / resurrect folded rows. */
+  private def streamLayers(
+      spark: SparkSession, root: String, batchSub: String,
+      compactSub: String,
+      cols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val upto = compactedUpto(spark, root)
+    val compacted =
+      if (upto < 0) None
+      else Some(read(spark, s"$root/compacted/upto=$upto/$compactSub")
+        .select(cols: _*))
+    val liveBatches =
+      if (childIds(spark, root, batchSub, "batch=").exists(_ > upto))
+        Some(read(spark, s"$root/$batchSub")
+          .filter(col("batch") > upto).select(cols: _*))
+      else None
+    val layers = compacted.toSeq ++ liveBatches
+    require(layers.nonEmpty, s"no index data under $root/$batchSub")
+    layers.reduce(_ unionByName _)
+  }
 
   private val readCache = new graft.core.SessionCache[String]()
 

@@ -63,6 +63,52 @@ class AnnStreamSpec extends SparkSpec {
         s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("compactBatches: probe-identical fold, dirs collapse, drains continue") {
+    // The AnnIndex twin of InvertedIndex.compactBatches (round-9
+    // verdict item 1): per-batch state deltas and vector directories
+    // fold into compacted/upto=N with probes row-identical
+    // before/after, folded-batch replays skipped, and later drains +
+    // a second compaction landing cleanly.
+    val root = tmpDir("ann-compact-root")
+    AnnIndex.appendIdempotent(spark, root,
+      vectors.filter(col("vec_id") % 3 === 0), batchId = 0L)
+    AnnIndex.appendIdempotent(spark, root,
+      vectors.filter(col("vec_id") % 3 === 1), batchId = 1L)
+    val before = results(root)
+    def batchDirs(sub: String) = {
+      val d = new java.io.File(s"$root/$sub")
+      if (!d.exists()) Array.empty[java.io.File]
+      else d.listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("batch="))
+    }
+    assert(batchDirs("state_deltas").length == 2 &&
+      batchDirs("vectors").length == 2)
+
+    assert(AnnIndex.compactBatches(spark, root) == Some(1L))
+    assert(results(root) == before, "compaction changed probe results")
+    assert(batchDirs("state_deltas").isEmpty && batchDirs("vectors").isEmpty,
+      "folded batch directories must be deleted")
+    assert(new java.io.File(s"$root/compacted/upto=1").isDirectory)
+    assert(AnnIndex.compactBatches(spark, root).isEmpty, "nothing to fold")
+
+    // a replayed FOLDED batch id is skipped
+    AnnIndex.appendIdempotent(spark, root,
+      vectors.filter(col("vec_id") % 3 === 1), batchId = 1L)
+    assert(batchDirs("state_deltas").isEmpty && results(root) == before)
+
+    // next drain + second compaction: still equals the full batch build
+    AnnIndex.appendIdempotent(spark, root,
+      vectors.filter(col("vec_id") % 3 === 2), batchId = 2L)
+    val rootBatch = tmpDir("ann-compact-batchref")
+    AnnIndex.buildIfMissing(spark, sfDir, rootBatch)
+    val full = results(rootBatch)
+    assert(results(root) == full,
+      "post-compaction drain diverged from the batch build")
+    assert(AnnIndex.compactBatches(spark, root) == Some(2L))
+    assert(results(root) == full)
+    assert(!new java.io.File(s"$root/compacted/upto=1").exists())
+  }
+
   test("replaying a batch id is byte-idempotent — no double-counted state") {
     val root = tmpDir("ann-replay-root")
     val half = vectors.filter(col("vec_id") % 2 === 0)

@@ -50,6 +50,78 @@ class InvertedStreamSpec extends SparkSpec {
       s"stream-maintained ranking diverged:\n got=$got\n exp=$exp")
   }
 
+  test("compactBatches: probe-identical fold, dirs collapse, drains continue") {
+    // Round-9 verdict item 1: the replay-safe layout grows one
+    // directory per drained batch forever. Compaction must fold them
+    // into the build-shaped layout with (a) byte-identical probe AND
+    // probeBatch results, (b) directory count collapsing from
+    // O(batches) to O(16^width + recent), (c) a replayed folded batch
+    // id being a no-op, and (d) post-compaction drains continuing to
+    // land — including a SECOND compaction over fold + new batches.
+    val root = tmpDir("inv-compact-root")
+    InvertedIndex.appendIdempotent(spark, root,
+      docs.filter(col("doc_id") % 3 === 0), batchId = 0L)
+    InvertedIndex.appendIdempotent(spark, root,
+      docs.filter(col("doc_id") % 3 === 1), batchId = 1L)
+    val workload = graft.queries.Search.bm25BatchQueriesDf(spark)
+    def batchResults() = InvertedIndex
+      .probeBatch(spark, root, workload, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val probeBefore = results(root)
+    val batchBefore = batchResults()
+    def batchDirs(sub: String) = {
+      val d = new java.io.File(s"$root/$sub")
+      if (!d.exists()) Array.empty[java.io.File]
+      else d.listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("batch="))
+    }
+    assert(batchDirs("postings_batches").length == 2)
+
+    assert(InvertedIndex.compactBatches(spark, root) == Some(1L))
+    assert(results(root) == probeBefore,
+      "compaction changed single-probe results")
+    assert(batchResults() == batchBefore,
+      "compaction changed batched-probe results")
+    assert(batchDirs("postings_batches").isEmpty &&
+      batchDirs("corpus_batches").isEmpty,
+      "folded batch directories must be deleted")
+    assert(new java.io.File(s"$root/compacted/upto=1").isDirectory)
+    // compacting again with nothing new is a no-op
+    assert(InvertedIndex.compactBatches(spark, root).isEmpty)
+
+    // a replayed FOLDED batch id must not re-append (double-count)
+    InvertedIndex.appendIdempotent(spark, root,
+      docs.filter(col("doc_id") % 3 === 1), batchId = 1L)
+    assert(batchDirs("postings_batches").isEmpty,
+      "a folded batch id replay must be skipped, not re-appended")
+    assert(results(root) == probeBefore)
+
+    // the next drain lands on top of the fold...
+    InvertedIndex.appendIdempotent(spark, root,
+      docs.filter(col("doc_id") % 3 === 2), batchId = 2L)
+    val exp = graft.queries.Search.t31_bm25.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(results(root) == exp,
+      "post-compaction drain diverged from the inline full-corpus ranking")
+    // ...and a second compaction folds fold + new batch, replacing the
+    // superseded upto=1
+    assert(InvertedIndex.compactBatches(spark, root) == Some(2L))
+    assert(results(root) == exp)
+    assert(!new java.io.File(s"$root/compacted/upto=1").exists(),
+      "the superseded fold must be cleaned up")
+    assert(new java.io.File(s"$root/compacted/upto=2").isDirectory)
+  }
+
+  test("compactBatches refuses a build-layout root") {
+    val root = graft.operators.InvertedIndex.defaultRoot(sfDir)
+    graft.operators.InvertedIndex.buildIfMissing(spark, sfDir, root)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.compactBatches(spark, root)
+    }
+    assert(e.getMessage.contains("build layout"), e.getMessage)
+  }
+
   test("replaying a batch id is byte-idempotent — no double-counting") {
     val root = tmpDir("inv-replay-root")
     InvertedIndex.appendIdempotent(spark, root,
