@@ -62,11 +62,11 @@ object CdcStream {
       updates: DataFrame,
       root: String,
       key: String,
-      partitionBy: String,
+      partitionBy: Seq[String],
       versionCol: Option[String] = None): StreamingQuery =
     maintain(updates, root, key, versionCol) { (batch, reduced) =>
       graft.lake.SnapshotTable.upsert(batch.sparkSession, root, reduced,
-        key, Seq(partitionBy))
+        key, partitionBy)
       ()
     }
 
@@ -86,12 +86,12 @@ object CdcStream {
       updates: DataFrame,
       root: String,
       key: String,
-      partitionBy: String,
+      partitionBy: Seq[String],
       opCol: String,
       versionCol: Option[String] = None): StreamingQuery =
     maintain(updates, root, key, versionCol) { (batch, reduced) =>
       graft.lake.SnapshotTable.applyChanges(batch.sparkSession, root,
-        reduced, key, Seq(partitionBy), opCol)
+        reduced, key, partitionBy, opCol)
       ()
     }
 

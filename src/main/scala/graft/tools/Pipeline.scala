@@ -42,14 +42,19 @@ object Pipeline {
     *     `workDir/index/inverted`) — one AvailableNow drain over both
     *     arrivals — and all three indexes are probed with EXACTLY the
     *     d15/s05/t31 probe sets;
-    *  5. the curated corpus commits as an immutable snapshot version
-    *     ([[graft.lake.Snapshots]] under `workDir/llm/snapshots`) and
-    *     the TRAIN split's sequence-packing manifest
+    *  5. the curated corpus commits as v1 of an ATOMIC
+    *     [[graft.lake.SnapshotTable]] (hierarchical (split, source)
+    *     partitioning, under [[curatedTableRoot]]) — re-curation is a
+    *     CDC change feed drained by
+    *     [[graft.streaming.CdcStream.maintainChangesAtomic]], one
+    *     manifest commit per batch — and the TRAIN split's
+    *     sequence-packing manifest
     *     ([[graft.pipeline.Pack.writeManifest]] under
-    *     `workDir/llm/pack_manifest`) is derived FROM that snapshot —
-    *     the loader-facing hand-off that turns the funnel's survivors
-    *     into fixed-size training rows stays reproducible after later
-    *     re-curations (time-travel read pinned in `PipelineLlmSpec`).
+    *     `workDir/llm/pack_manifest`) is derived FROM that committed
+    *     version — the loader-facing hand-off that turns the funnel's
+    *     survivors into fixed-size training rows stays byte-
+    *     reproducible after later re-curation commits (time-travel
+    *     read pinned in `PipelineLlmSpec`).
     *
     * Returns (curation report, dedup probe hits, ann probe hits, bm25
     * probe ranking, retrieval-decontamination hits); the probe results
@@ -59,6 +64,12 @@ object Pipeline {
     * — the stream-maintained, work-dir-local indexes answer intake
     * probes byte-for-byte like the batch builds.
     */
+  /** The lane's curated-zone table root: the (split, source)-
+    * partitioned [[graft.lake.SnapshotTable]] the lane commits and
+    * re-curation CDC feeds maintain. */
+  def curatedTableRoot(workDir: String): String =
+    s"$workDir/llm/curated_table"
+
   def llmLane(spark: SparkSession, sfDir: String, workDir: String)
       : (graft.pipeline.Curate.Report, DataFrame, DataFrame, DataFrame,
          DataFrame) = {
@@ -135,21 +146,25 @@ object Pipeline {
       .probeBatch(spark, invRoot, evalQueries, k = 5)
       .filter(col("doc_id") =!= col("query_id")) // drop the self-hit
 
-    // Snapshot the curated corpus BEFORE deriving loader artifacts:
-    // the packing manifest below is computed from this immutable
-    // version, so "the run that produced pack_manifest" stays
-    // reproducible even after the curated zone is re-curated
-    // (Snapshots.read(root, v) returns these exact files forever —
-    // pinned in PipelineLlmSpec).
-    val snapVersion = graft.lake.Snapshots.overwrite(spark,
-      s"$workDir/llm/snapshots",
-      spark.read.parquet(s"$workDir/llm/curated"))
+    // Commit the curated corpus as an ATOMIC SnapshotTable version
+    // BEFORE deriving loader artifacts (round-9 verdict item 3): the
+    // curated zone becomes a hierarchical (split, source)-partitioned
+    // CDC-maintainable table — a later re-curation applies as ONE
+    // manifest commit via `CdcStream.maintainChangesAtomic` (upserts
+    // and tombstones together), and the packing manifest below is
+    // computed from the version just committed, so "the run that
+    // produced pack_manifest" stays byte-reproducible after any number
+    // of re-curation commits (SnapshotTable.read(root, v) returns
+    // these exact directories forever — pinned in PipelineLlmSpec).
+    val tableRoot = curatedTableRoot(workDir)
+    val snapVersion = graft.lake.SnapshotTable.write(spark, tableRoot,
+      spark.read.parquet(s"$workDir/llm/curated"), Seq("split", "source"))
 
     // 5. packing manifest over the curated train split (ctx matches
     // the t26/t28 gate so the manifest math is oracle-backed), read
-    // from the snapshot just committed
-    val curatedTrain = graft.lake.Snapshots
-      .read(spark, s"$workDir/llm/snapshots", snapVersion)
+    // from the snapshot version just committed
+    val curatedTrain = graft.lake.SnapshotTable
+      .read(spark, tableRoot, snapVersion)
       .filter(col("split") === "train")
       .select(col("doc_id"), col("source"),
         expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT)")

@@ -81,25 +81,64 @@ class PipelineLlmSpec extends SparkSpec {
     assert(piped.exists(_.getLong(1) != piped.head.getLong(0)))
   }
 
-  test("the curated corpus is snapshot-versioned and reproducible") {
+  test("curated zone: atomic SnapshotTable + CDC re-curation; v1 pack inputs stable") {
     import org.apache.spark.sql.functions._
+    import graft.lake.SnapshotTable
     val _ = report // force the lane
-    val snapRoot = s"$workDir/llm/snapshots"
-    val vs = graft.lake.Snapshots.versions(spark, snapRoot)
-    assert(vs == Seq(1), s"lane should commit exactly one snapshot: $vs")
-    // the snapshot IS the curated zone at commit time...
-    val snapIds = graft.lake.Snapshots.read(spark, snapRoot, 1)
+    val root = graft.tools.Pipeline.curatedTableRoot(workDir)
+    assert(SnapshotTable.versions(spark, root) == Seq(1),
+      "the lane should commit the curated zone as exactly v1")
+    // v1 IS the curated zone at commit time
+    val v1Ids = SnapshotTable.read(spark, root, 1)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val curIds = spark.read.parquet(s"$workDir/llm/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(snapIds == curIds)
-    // ...and stays byte-stable after the curated zone moves on
-    spark.read.parquet(s"$workDir/llm/curated")
-      .filter(col("doc_id") % 2 === 0)
-      .write.mode("overwrite").parquet(s"$workDir/llm/curated_v2_scratch")
-    assert(graft.lake.Snapshots.read(spark, snapRoot, 1)
-      .select("doc_id").collect().map(_.getLong(0)).toSet == snapIds,
-      "the committed snapshot changed after later writes")
+    assert(v1Ids == curIds)
+    // the pack manifest's inputs derive from v1 — capture them now
+    def packInputs(version: Int) = SnapshotTable.read(spark, root, version)
+      .filter(col("split") === "train")
+      .select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT)")
+          .as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v1Pack = packInputs(1)
+
+    // RE-CURATION as a CDC change feed: one upserted doc (re-scrubbed
+    // text) + one tombstone (a doc the next funnel run dropped),
+    // drained by maintainChangesAtomic — ONE new atomic version
+    val cur = SnapshotTable.read(spark, root, 1)
+    val sample = cur.filter(col("split") === "train")
+      .orderBy("doc_id").limit(2).collect()
+    val upDoc = sample(0)
+    val delDoc = sample(1)
+    val cols = cur.columns
+    val changesDir = tmpDir("recuration-feed")
+    cur.filter(col("doc_id") === upDoc.getAs[Long]("doc_id"))
+      .withColumn("text", concat(col("text"), lit(" [re-scrubbed]")))
+      .withColumn("op", lit("u"))
+      .unionByName(cur.filter(col("doc_id") === delDoc.getAs[Long]("doc_id"))
+        .withColumn("op", lit("d")))
+      .write.parquet(s"$changesDir/batch0")
+    val feedSchema = spark.read.parquet(s"$changesDir/batch0").schema
+    val q = graft.streaming.CdcStream.maintainChangesAtomic(
+      spark.readStream.schema(feedSchema).parquet(s"$changesDir/*"),
+      root, "doc_id", Seq("split", "source"), opCol = "op")
+    try q.awaitTermination() finally q.stop()
+
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2),
+      "a drained re-curation batch must commit exactly one version")
+    val v2 = SnapshotTable.read(spark, root, 2)
+    assert(v2.filter(col("doc_id") === delDoc.getAs[Long]("doc_id")).isEmpty,
+      "the tombstoned doc survived re-curation")
+    assert(v2.filter(col("doc_id") === upDoc.getAs[Long]("doc_id"))
+      .select("text").collect()(0).getString(0).endsWith("[re-scrubbed]"))
+    // THE PIN: the pack manifest's v1 inputs are byte-stable after the
+    // re-curation commit — "the run that produced pack_manifest" stays
+    // reproducible while the curated zone moves on
+    assert(packInputs(1) == v1Pack,
+      "v1 pack inputs changed after a later re-curation commit")
+    assert(packInputs(2) != v1Pack,
+      "v2 should differ (weak test otherwise)")
   }
 
   test("work-dir ANN index answers probes like the batch query") {

@@ -103,7 +103,7 @@ class CdcStreamSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "n_chars", "source")
       .coalesce(1).write.parquet(s"$changes/all")
     val stream = spark.readStream.schema(schema).parquet(s"$changes/all")
-    val q = CdcStream.maintainUpsertsAtomic(stream, root, "doc_id", "source")
+    val q = CdcStream.maintainUpsertsAtomic(stream, root, "doc_id", Seq("source"))
     try q.awaitTermination() finally q.stop()
     def content(v: Int) = SnapshotTable.read(spark, root, v)
       .select("doc_id", "text", "n_chars").collect()
@@ -116,7 +116,7 @@ class CdcStreamSpec extends SparkSpec {
     new java.io.File(s"$root/_cdc_checkpoint").listFiles()
       .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
     val stream2 = spark.readStream.schema(schema).parquet(s"$changes/all")
-    val q2 = CdcStream.maintainUpsertsAtomic(stream2, root, "doc_id", "source")
+    val q2 = CdcStream.maintainUpsertsAtomic(stream2, root, "doc_id", Seq("source"))
     try q2.awaitTermination() finally q2.stop()
     assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3))
     assert(content(3) == content(2),
@@ -151,7 +151,7 @@ class CdcStreamSpec extends SparkSpec {
         StructField("version", LongType))
     val stream = spark.readStream.schema(cschema).parquet(s"$changes/all")
     val q = CdcStream.maintainChangesAtomic(stream, root, "doc_id",
-      "source", opCol = "op", versionCol = Some("version"))
+      Seq("source"), opCol = "op", versionCol = Some("version"))
     try q.awaitTermination() finally q.stop()
     assert(SnapshotTable.versions(spark, root) == Seq(1, 2),
       "one drained batch must commit exactly one version")
