@@ -45,6 +45,22 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** The frozen merge list the oracle-gated encode query
+    * (t39_bpe_encode) ships — LEARNED by [[learnMerges]] over the
+    * sf0.001 documents corpus (16 merges) and hard-coded here the way
+    * a production tokenizer artifact is: trained once on a sample,
+    * applied corpus-wide. A constant (not retrained per run) because
+    * the cross-engine gate needs the IDENTICAL list on both sides —
+    * the DuckDB oracle unrolls these merges as chained string
+    * replaces. `BpeSpec` re-derives the list from the training corpus,
+    * so drift between this constant and the trainer is a loud spec
+    * failure, never a silent skew. */
+  val ShippedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"))
+
   /** Initial segmentation: a word becomes its character symbols. */
   private def chars(word: Column): Column =
     split(word, "")
@@ -199,6 +215,43 @@ object Bpe {
       chunk.foldLeft(d) {
         case (dd, (a, b)) =>
           dd.withColumn(outCol, expr(mergeExpr(outCol, a, b)))
+      }
+    if (merges.size <= checkpointEvery) chunkFold(init, merges)
+    else merges.grouped(checkpointEvery).foldLeft(init) { (d, chunk) =>
+      chunkFold(d, chunk).localCheckpoint(true)
+    }
+  }
+
+  /** Doc-level encode: apply the merge fold to EVERY word of a token
+    * ARRAY column in place — `toksCol: Array[String]` becomes `outCol:
+    * Array[Array[String]]` (one symbol array per word, in word order).
+    * Merges never cross word boundaries (each word folds
+    * independently, the standard BPE pre-tokenization contract).
+    *
+    * This is the SHUFFLE-FREE encode shape for whole corpora: the
+    * per-word alternative (explode positions -> encode the distinct
+    * vocabulary -> join back -> regroup) pays two corpus-token-sized
+    * exchanges for its vocabulary dedup; this one is a map-only chain
+    * of projections — the same one-projection-per-merge /
+    * checkpoint-every-N plan-depth discipline as [[applyMerges]], with
+    * the same fold rule (a nested lambda over the same
+    * [[mergeExpr]]), so the two encode paths cannot diverge. NOTE:
+    * past `checkpointEvery` merges the localCheckpoint materializes
+    * the (corpus-sized) frame; for production merge counts over a full
+    * corpus prefer encoding the distinct vocabulary via [[applyMerges]]
+    * and mapping words through it, or raise `checkpointEvery`. */
+  def applyMergesToArray(
+      df: DataFrame, toksCol: String, outCol: String,
+      merges: Seq[(String, String)],
+      checkpointEvery: Int = 64): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val init = df.withColumn(outCol,
+      expr(s"transform($toksCol, w -> split(w, ''))"))
+    def chunkFold(d: DataFrame, chunk: Seq[(String, String)]): DataFrame =
+      chunk.foldLeft(d) {
+        case (dd, (a, b)) =>
+          dd.withColumn(outCol,
+            expr(s"transform($outCol, w -> ${mergeExpr("w", a, b)})"))
       }
     if (merges.size <= checkpointEvery) chunkFold(init, merges)
     else merges.grouped(checkpointEvery).foldLeft(init) { (d, chunk) =>

@@ -462,6 +462,64 @@ object Corpus {
       ORDER BY n DESC, a, b
       LIMIT 20"""))
 
+  /** Oracle-gated BPE ENCODE (round-9 verdict item 4): t33 gates the
+    * trainer's round-1 pair ranking; this gates the learned
+    * SEGMENTATION itself — every document encoded with the frozen
+    * [[graft.operators.Bpe.ShippedMerges]] tokenizer artifact, per-doc
+    * token sequences compared byte-for-byte against a DuckDB oracle
+    * that applies the same merges as chained string replaces (each
+    * symbol wrapped `,sym,`, a merge (a,b) = replace `,a,,b,` ->
+    * `,ab,` — left-to-right non-overlapping, exactly the trainer's
+    * fold semantics). Two INDEPENDENT mechanisms — a Catalyst
+    * `aggregate` fold vs string rewriting — agreeing on every document
+    * is the cross-engine proof the spec-level single-node pin cannot
+    * give.
+    *
+    * Shape: MAP-ONLY until the final deterministic sort — no explode,
+    * no join, no aggregation; one projection per merge over the token
+    * arrays in place ([[graft.operators.Bpe.applyMergesToArray]]), so
+    * at 100 TB the encode is an embarrassingly parallel scan. */
+  private[queries] def bpeEncode(docs: DataFrame): DataFrame = {
+    import graft.operators.Bpe
+    Bpe.applyMergesToArray(
+        docs.transform(Tables.fanOut)
+          .select(col("doc_id"), expr(Text.toksExpr).as("toks"))
+          .where(size(col("toks")) > 0),
+        "toks", "enc", Bpe.ShippedMerges)
+      .select(col("doc_id"), flatten(col("enc")).as("all_syms"))
+      .select(col("doc_id"),
+        size(col("all_syms")).cast("long").as("n_tok"),
+        array_join(col("all_syms"), " ").as("enc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bpeEncodeOracleSql = {
+    // ONE copy of the merge list: the oracle unrolls Bpe.ShippedMerges
+    // itself, so the constant and the gate cannot drift
+    val chain = graft.operators.Bpe.ShippedMerges.foldLeft(
+      "regexp_replace(w, '(.)', ',\\1,', 'g')") { case (acc, (a, b)) =>
+      s"replace($acc, ',$a,,$b,', ',$a$b,')"
+    }
+    s"""
+      WITH d AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+                 FROM documents),
+      w AS (SELECT DISTINCT unnest(toks) AS w FROM d),
+      e AS (SELECT w, string_split(trim($chain, ','), ',,') AS syms FROM w),
+      x AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS w FROM d),
+      j AS (SELECT x.doc_id, x.pos, e.syms FROM x JOIN e USING (w)),
+      g AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS all_syms
+            FROM j GROUP BY doc_id)
+      SELECT doc_id, CAST(length(all_syms) AS BIGINT) AS n_tok,
+             array_to_string(all_syms, ' ') AS enc
+      FROM g ORDER BY doc_id"""
+  }
+
+  val t39_bpe_encode = Q(
+    "t39_bpe_encode",
+    (s, dir) => bpeEncode(Tables(s, dir, "documents")),
+    Some(bpeEncodeOracleSql))
+
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
     * default threshold (0.5), t29's Gopher composite, and a
@@ -685,5 +743,6 @@ object Corpus {
   val all: Seq[Q] =
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
       t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
-      t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample)
+      t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample,
+      t39_bpe_encode)
 }

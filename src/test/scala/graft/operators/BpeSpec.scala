@@ -73,6 +73,46 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("ShippedMerges IS learnMerges over its training corpus (provenance)") {
+    // The frozen tokenizer artifact t39_bpe_encode ships must stay
+    // exactly what the trainer produces on sf0.001 — drift between the
+    // constant and the trainer (or a regenerated corpus) fails loudly
+    // here instead of silently skewing the encode gate.
+    val got = Bpe.learnMerges(Tables(spark, sfDir, "documents"), 16)
+    assert(got == Bpe.ShippedMerges,
+      s"\n trained=$got\n shipped=${Bpe.ShippedMerges}")
+  }
+
+  test("applyMergesToArray == applyMerges word-by-word (shared fold rule)") {
+    // The shuffle-free doc-level encode must segment every word exactly
+    // like the per-word path — same fold, different plumbing.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("parser", "column", "scanner")),
+      (2L, Seq("aaa", "x", "minor", "test", "lust")))
+      .toDF("doc_id", "toks")
+    val arr = Bpe.applyMergesToArray(docs, "toks", "enc", Bpe.ShippedMerges)
+      .select(col("doc_id"), col("enc"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[String]](1).map(_.toList).toList)
+      .toMap
+    val perWord = Bpe.applyMerges(
+        docs.select(explode(col("toks")).as("w")).distinct(),
+        "w", "syms", Bpe.ShippedMerges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    val toks = Map(1L -> List("parser", "column", "scanner"),
+      2L -> List("aaa", "x", "minor", "test", "lust"))
+    toks.foreach { case (id, ws) =>
+      assert(arr(id) == ws.map(perWord),
+        s"doc $id: ${arr(id)} vs ${ws.map(perWord)}")
+    }
+    // spot-check the absolute segmentation too (not only consistency)
+    assert(perWord("parser") == List("par", "s", "er"))
+    assert(perWord("column") == List("colum", "n"))
+    assert(perWord("scanner") == List("scan", "n", "er"))
+  }
+
   test("training is deterministic (tie-break pinned)") {
     val a = Bpe.learnMerges(Tables(spark, sfDir, "documents"), 6)
     val b = Bpe.learnMerges(
