@@ -413,6 +413,33 @@ object InvertedIndex {
   private def invalidate(root: String): Unit =
     readCache.invalidateWhere(p => p.startsWith(root))
 
+  /** The 1-row (n_docs, total_dl) corpus totals under a visibility
+    * predicate, memoized per (session, root, predicate) — round-9
+    * verdict stretch 8: for a fixed role and index state these are
+    * CONSTANTS derived from the |sources|-row stats relation, yet every
+    * probe used to re-plan and re-run the aggregate. The first probe
+    * collects the single row; later probes of the same (root, role)
+    * plan from a LocalRelation with NO stats scan/aggregate (plan-
+    * pinned in `InvertedIndexSpec`). Keyed under the root prefix, so
+    * [[invalidate]] — called by every append, build, and compaction —
+    * drops the memo whenever the index state moves. */
+  private def corpusTotals(
+      spark: SparkSession, root: String,
+      visible: org.apache.spark.sql.Column): DataFrame =
+    readCache.getOrElseUpdate(spark, s"$root#stats#$visible") {
+      val row = corpusDf(spark, root).filter(visible)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_dl")).as("total_dl"))
+        .collect()(0)
+      spark.createDataFrame(
+        java.util.Arrays.asList(row),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("total_dl",
+            org.apache.spark.sql.types.LongType))))
+    }
+
   /** BM25 top-k for a term set, served from the index: the `pfx`
     * partition filter prunes the postings scan to |terms| directories,
     * term df comes from the pruned rows themselves, and the shared
@@ -493,9 +520,7 @@ object InvertedIndex {
     // per-TERM df over the (visible) corpus, BEFORE the query join —
     // two queries sharing a term see one df, not one per query
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val corpus = corpusDf(spark, root).filter(visible)
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_dl")).as("total_dl"))
+    val corpus = corpusTotals(spark, root, visible)
     graft.queries.Search.bm25ScoreBatch(
       tf.join(broadcast(q), "tok"), dfStats, corpus, k)
   }
@@ -511,9 +536,7 @@ object InvertedIndex {
       .filter(visible)
       .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val corpus = corpusDf(spark, root).filter(visible)
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_dl")).as("total_dl"))
+    val corpus = corpusTotals(spark, root, visible)
     graft.queries.Search.bm25Score(tf, dfStats, corpus)
   }
 }

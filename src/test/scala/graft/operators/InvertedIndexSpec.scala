@@ -127,6 +127,131 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("a 1200-query workload probes in ONE pass (plan + shuffle pins)") {
+    // Round-9 verdict item 5: the t35 scale argument measured at
+    // realistic decontamination width, not just 50 queries. Pins:
+    // (a) the physical plan's parquet scan count does NOT grow with
+    //     |queries| — the whole workload is one pfx-pruned postings
+    //     pass, never a driver loop of per-query scans;
+    // (b) the postings scan still carries the pfx partition filter;
+    // (c) per-query shuffle bytes at 1200 queries stay within 2x of
+    //     the 50-query workload's — shuffle scales with SCORED
+    //     CANDIDATES (so linearly in queries over a fixed vocabulary),
+    //     never with |queries| x corpus re-scans;
+    // (d) results equal the inline bm25BatchOver over the same
+    //     workload — correctness at width, not just shape.
+    import spark.implicits._
+    val vocab = graft.queries.Search.Bm25BatchQueries
+      .flatMap(_._2).distinct.toVector
+    def workload(n: Int) = (0 until n).flatMap { i =>
+      Seq(i % vocab.size, (i * 7 + 3) % vocab.size,
+        (i * 13 + 11) % vocab.size).distinct.map(j => (i.toLong, vocab(j)))
+    }.toDF("query_id", "tok")
+    val small = workload(50)
+    val big = workload(1200)
+
+    // count scan NODES in the plan string: under AQE the executed plan
+    // wraps the tree in AdaptiveSparkPlanExec, so collecting
+    // FileSourceScanExec directly sees nothing
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      "FileScan parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val bigProbe = InvertedIndex.probeBatch(spark, root, big, 5)
+    val smallProbe = InvertedIndex.probeBatch(spark, root, small, 5)
+    assert(scanCount(bigProbe) == scanCount(smallProbe),
+      "scan count must be independent of workload width")
+    val bigPlan = bigProbe.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("pfx"),
+      s"the postings scan lost its pfx partition pruning:\n$bigPlan")
+
+    val (nSmall, sSmall) = graft.tools.ShuffleMeter.measure(spark) {
+      InvertedIndex.probeBatch(spark, root, small, 5).collect().length
+    }
+    val (nBig, sBig) = graft.tools.ShuffleMeter.measure(spark) {
+      InvertedIndex.probeBatch(spark, root, big, 5).collect().length
+    }
+    assert(nBig > nSmall, "wider workload should rank more queries")
+    val perQuerySmall = sSmall.bytesWritten.toDouble / 50
+    val perQueryBig = sBig.bytesWritten.toDouble / 1200
+    assert(perQueryBig <= perQuerySmall * 2,
+      s"per-query shuffle blew up at width: " +
+        s"50q=${sSmall.bytesWritten}B, 1200q=${sBig.bytesWritten}B")
+
+    // correctness at width: equals the inline batch ranking
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val inline = graft.queries.Search.bm25BatchOver(docs, big, 5)
+      .collect().toSeq
+    val served = InvertedIndex.probeBatch(spark, root, big, 5)
+      .collect().toSeq
+    assert(inline.nonEmpty && served == inline,
+      s"index-served width-1200 ranking diverged: " +
+        s"${served.size} vs ${inline.size} rows")
+  }
+
+  test("role stats memoize: repeat probes run NO stats job, plan has no stats scan") {
+    // Round-9 verdict stretch 8: for a fixed (root, role, index state)
+    // the corpus totals are constants — probeAs collects the single
+    // stats row ONCE and memoizes it, so (a) every probe's plan feeds
+    // BM25 from a LocalRelation (no corpus-stats scan or aggregate in
+    // the plan at all), and (b) a REPEAT probe of the same (root,
+    // role) launches ZERO jobs while building its DataFrame. An append
+    // moves the index state and must drop the memo.
+    import spark.implicits._
+    val role = graft.security.Rbac.docCurator
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        org.apache.spark.GraftListenerBridge.waitUntilEmpty(
+          spark.sparkContext)
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    // fresh root so the memo state is deterministic for this test
+    val freshRoot = tmpDir("inv-stats-memo")
+    InvertedIndex.buildIfMissing(spark, sfDir, freshRoot)
+    var cold: org.apache.spark.sql.DataFrame = null
+    val coldJobs = jobsDuring {
+      cold = InvertedIndex.probeAs(spark, freshRoot, terms, role)
+    }
+    assert(coldJobs >= 1, "the first probe must run the stats collect")
+    assert(!cold.queryExecution.executedPlan.toString.contains("/corpus"),
+      "the probe plan should feed BM25 from the memoized LocalRelation, " +
+        "not a corpus-stats scan")
+    val coldRows = asTriples(cold.collect())
+    val warmJobs = jobsDuring {
+      InvertedIndex.probeAs(spark, freshRoot, terms, role)
+    }
+    assert(warmJobs == 0,
+      s"a repeat (root, role) probe re-ran the stats job: $warmJobs")
+    assert(asTriples(InvertedIndex.probeAs(spark, freshRoot, terms, role)
+      .collect()) == coldRows, "memoized stats diverged")
+    // an append invalidates: the next probe re-collects fresh stats
+    InvertedIndex.append(spark, freshRoot,
+      Seq((900001L, "spark spark filter window appended"))
+        .toDF("doc_id", "text"))
+    val afterJobs = jobsDuring {
+      InvertedIndex.probeAs(spark, freshRoot, terms, role)
+    }
+    assert(afterJobs >= 1,
+      "append must drop the stats memo (stale totals otherwise)")
+    // sanity: the appended UNTAGGED doc is fail-closed for the role but
+    // visible (with refreshed stats) to the unscoped probe
+    assert(!asTriples(InvertedIndex.probeAs(spark, freshRoot, terms, role)
+      .collect()).exists(_._1 == 900001L))
+    assert(asTriples(InvertedIndex.probe(spark, freshRoot, terms).collect())
+      .exists(_._1 == 900001L))
+  }
+
   test("probeBatch degenerate workloads: unmatched terms and empty input") {
     import spark.implicits._
     // a query whose terms never occur simply produces no rows for that
