@@ -193,6 +193,48 @@ object Bench {
     val totalShuf = results.map(_._5).sum
     val sf = new java.io.File(sfDir).getName
 
+    // Like-for-like accountability (round-9 verdict item 6): the
+    // ex-graph ratio vs the DuckDB oracle used to live only in
+    // BENCH_NOTES prose, so cross-round drift was a footnote. The
+    // Spark-side ex-graph total always rides the contract line; when a
+    // committed DuckDB baseline for THIS sf exists
+    // (tools/duckdb_baseline.tsv, written by tools/bench_compare.py —
+    // per-query oracle medians on this machine), the ratio itself does
+    // too, over exactly the queries present in both. d12/d17/d19 are
+    // excluded as the three iterative-graph queries whose recursive-CTE
+    // oracles measure a different algorithm, not the same work.
+    val graphQueries =
+      Set("d12_dup_clusters", "d17_dup_rate_by_source", "d19_dup_pagerank")
+    val exGraph = results.filter(r => !graphQueries(r._1) && r._3 >= 0)
+    val totalExGraph = exGraph.map(_._3).sum
+    val baselinePath = sys.env.getOrElse(
+      "SPARK_GRAFT_DUCKDB_BASELINE", "tools/duckdb_baseline.tsv")
+    val likeForLike: Option[(Double, Int)] =
+      try {
+        val src = scala.io.Source.fromFile(baselinePath)
+        val lines =
+          try src.getLines().toList finally src.close()
+        val baseSf = lines.collectFirst {
+          case l if l.startsWith("#sf\t") => l.stripPrefix("#sf\t").trim
+        }
+        if (!baseSf.contains(sf)) None // baseline from a different SF
+        else {
+          val base = lines
+            .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+            .flatMap { l =>
+              val p = l.split('\t')
+              if (p.length >= 2)
+                scala.util.Try(p(0) -> p(1).toDouble).toOption
+              else None
+            }.toMap
+          val overlap = exGraph.filter(r => base.contains(r._1))
+          val dd = overlap.map(r => base(r._1)).sum
+          if (overlap.nonEmpty && dd > 0)
+            Some((overlap.map(_._3).sum / dd, overlap.size))
+          else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     // number formatting for the compact line: 2dp, trailing zeros trimmed.
     // Locale.ROOT — a comma-decimal default locale would break the JSON.
     def fmt(v: Double): String = {
@@ -257,8 +299,11 @@ object Bench {
     // bounded tail, not just the detail line
     val ibShort = indexBuilds.map { case (n, s) => "\"" + n + "\":" + fmt(s) }
       .mkString("{", ",", "}")
+    val lflMark = likeForLike.fold("") { case (ratio, n) =>
+      s""""like_for_like":${fmt(ratio)},"like_for_like_n":$n,"""
+    }
     val contract =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failedMark$subsetMark"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},$benchFileMark"index_build":$ibShort,"slowest":$slowest,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failedMark$subsetMark"total_ex_graph":${fmt(totalExGraph)},$lflMark"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},$benchFileMark"index_build":$ibShort,"slowest":$slowest,"sf":"$sf"}"""
     // The file carries BOTH lines (full spread + contract) — it is the
     // complete artifact; stdout's bounded tail only needs the contract.
     benchFile.foreach { out =>

@@ -46,15 +46,35 @@ def duckdb_bench(oracle):
     times = {}
     for name, sql in oracle.items():
         con.execute(sql).fetchall()  # warm
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        times[name] = time.time() - t0
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            runs.append(time.time() - t0)
+        times[name] = sorted(runs)[1]  # median of 3
     return times
+
+def write_baseline(db):
+    """Persist the DuckDB per-query medians as the committed baseline
+    graft.Bench folds into its contract line (like_for_like): one
+    `name<TAB>seconds` row per oracle query, tagged with the SF so a
+    bench at a different scale never divides by the wrong numbers."""
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "duckdb_baseline.tsv")
+    with open(out, "w") as f:
+        f.write("# DuckDB oracle per-query seconds (median of 3, warm), "
+                "same machine/parquet as the Spark bench.\n")
+        f.write("# Written by tools/bench_compare.py; consumed by "
+                "graft.Bench for the like_for_like contract field.\n")
+        f.write(f"#sf\t{os.path.basename(SF.rstrip('/'))}\n")
+        for name in sorted(db):
+            f.write(f"{name}\t{db[name]:.4f}\n")
 
 def main():
     oracle = json.load(open("/tmp/graft_verify/oracle_sql.json"))
     sb = spark_bench()
     db = duckdb_bench(oracle)
+    write_baseline(db)
     print(f"# Bench notes — graft vs DuckDB oracle at {SF}")
     print()
     print("Both warm (steady state), same machine, same parquet inputs.")
