@@ -67,9 +67,9 @@ object DedupIndex {
     *
     * Each append adds at most one file per touched directory, so
     * file-count grows linearly in append batches, not documents —
-    * run [[graft.lake.Lake.compact]] on `<root>/bands` when probe
-    * latency starts paying too many footer reads (the same maintenance
-    * cadence any LSM-ish layout needs). */
+    * run [[compactFiles]] when probe latency starts paying too many
+    * footer reads (the same maintenance cadence any LSM-ish layout
+    * needs). */
   def append(spark: SparkSession, root: String, newDocs: DataFrame): Unit = {
     graft.queries.Dedup.bandedWithSigFromText(
         newDocs.select(col("doc_id"), col("text")))
@@ -80,13 +80,116 @@ object DedupIndex {
     invalidate(root) // next probe must see the appended files
   }
 
+  private def childIds(
+      spark: SparkSession, root: String, sub: String,
+      prefix: String): Seq[Long] = {
+    val p = new Path(s"$root/$sub")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+  }
+
+  /** The latest published fold generation; -1 when never compacted. */
+  private def latestGen(spark: SparkSession, root: String): Long =
+    childIds(spark, root, "compacted", "gen=").sorted.lastOption
+      .getOrElse(-1L)
+
+  /** `band=*` directories currently under the append zone (empty right
+    * after a full compaction — appends recreate them). */
+  private def bandDirs(spark: SparkSession, root: String): Seq[Path] = {
+    val p = new Path(s"$root/bands")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("band="))
+      .map(_.getPath)
+  }
+
+  /** Banded rows of the whole index: the latest fold (if published)
+    * plus everything appended since. Partition-column types are
+    * canonicalized on BOTH legs (band INT, pfx STRING) — partition
+    * discovery infers types per directory tree, and a post-compaction
+    * append batch whose `pfx` values happen to be all digits would
+    * otherwise type one leg INT and break the union (the
+    * InvertedIndex digit-only-pfx lesson). */
+  private def bandsDf(spark: SparkSession, root: String): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("sig"), col("band").cast("int"),
+        col("bh"), col("pfx").cast("string"))
+    val gen = latestGen(spark, root)
+    val folded =
+      if (gen < 0) None
+      else Some(canon(read(spark, s"$root/compacted/gen=$gen")))
+    val live =
+      if (bandDirs(spark, root).nonEmpty)
+        Some(canon(read(spark, s"$root/bands")))
+      else None
+    val layers = folded.toSeq ++ live
+    require(layers.nonEmpty, s"no dedup index data under $root")
+    layers.reduce(_ unionByName _)
+  }
+
+  /** Fold the append zone's accumulated files (plus any previous fold)
+    * into ONE file per (band, pfx) directory under a fresh
+    * `compacted/gen=N` — the [[graft.operators.InvertedIndex
+    * .compactBatches]] cadence applied to the third index, whose
+    * growth axis is FILES per directory rather than directories.
+    *
+    * The crash protocol is simpler here because the index is a BAG
+    * whose probe ends in `.distinct()`: stage, publish with one atomic
+    * rename, then delete the folded band directories and superseded
+    * generations. A crash between publish and cleanup leaves rows
+    * present in BOTH the new fold and the append zone — the probe's
+    * distinct collapses them, so every crash window is probe-identical,
+    * not merely recoverable (pinned in `DedupIndexSpec`, which
+    * re-appends a folded batch to manufacture exactly that double
+    * representation). Replay safety under streaming maintenance is
+    * unchanged for the same reason: a replayed batch re-appends rows
+    * the fold already holds, and they collapse.
+    *
+    * Contract: single maintainer — do not run concurrently with an
+    * [[append]] (a file landing between the fold's read and its
+    * cleanup would be deleted unfolded). Between drains of a cleanly
+    * stopped maintenance stream is the intended cadence. Returns the
+    * published generation, or None when there is nothing new. */
+  def compactFiles(spark: SparkSession, root: String): Option[Long] = {
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val prevGen = latestGen(spark, root)
+    val live = bandDirs(spark, root)
+    if (live.isEmpty) return None // nothing appended since the last fold
+    val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
+    bandsDf(spark, root)
+      .repartition(64, col("band"), col("pfx")) // one file per directory
+      .write.mode("overwrite").partitionBy("band", "pfx")
+      .parquet(staging)
+    val gen = prevGen + 1
+    f.mkdirs(new Path(s"$root/compacted"))
+    val target = new Path(s"$root/compacted/gen=$gen")
+    if (f.exists(target) || !f.rename(new Path(staging), target))
+      throw new java.io.IOException(
+        s"cannot publish compaction at $target (concurrent compactor?)")
+    live.foreach(d => f.delete(d, true))
+    childIds(spark, root, "compacted", "gen=").filter(_ < gen).foreach(
+      g => f.delete(new Path(s"$root/compacted/gen=$g"), true))
+    f.listStatus(new Path(root)).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".compact-") &&
+          st.getPath.toString != staging)
+        f.delete(st.getPath, true)
+    }
+    invalidate(root)
+    Some(gen)
+  }
+
   private val readCache = new graft.core.SessionCache[String]()
 
   private def read(spark: SparkSession, path: String): DataFrame =
     readCache.getOrElseUpdate(spark, path)(spark.read.parquet(path))
 
   private def invalidate(root: String): Unit =
-    readCache.invalidateWhere(_ == s"$root/bands")
+    readCache.invalidateWhere(_.startsWith(root))
 
   /** Probe the index with banded query rows
     * (q_id, sig, band, bh — [[graft.queries.Dedup.bandedWithSig]]
@@ -115,7 +218,7 @@ object DedupIndex {
     val pruned: Column =
       if (keys.isEmpty) lit(false)
       else concat_ws("/", col("band"), col("pfx")).isin(keys.toSeq: _*)
-    read(spark, s"$root/bands")
+    bandsDf(spark, root)
       .filter(pruned)
       .select(col("doc_id").as("c_id"), col("sig").as("c_sig"),
         col("band"), col("bh"))

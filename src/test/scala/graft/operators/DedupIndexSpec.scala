@@ -51,6 +51,66 @@ class DedupIndexSpec extends SparkSpec {
     assert(idxFiles != null && idxFiles.count(_.getName.startsWith("band=")) == 4)
   }
 
+  test("compactFiles: probe-identical fold, files collapse, appends continue") {
+    // The third index's growth axis is FILES per (band, pfx) directory
+    // (append adds up to one per dir per batch). compactFiles folds
+    // append zone + previous fold into compacted/gen=N with ONE file
+    // per directory; because the index is a bag and probe ends in
+    // distinct(), every crash window is probe-identical by
+    // construction — pinned below by manufacturing the
+    // publish-before-cleanup state (rows in BOTH the fold and the
+    // append zone).
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val r = tmpDir("dedup-compact-root")
+    DedupIndex.append(spark, r, docs.filter(col("doc_id") % 3 === 0))
+    DedupIndex.append(spark, r, docs.filter(col("doc_id") % 3 === 1))
+    val probes = graft.queries.Dedup.bandedWithSigFromText(
+      docs.filter(col("doc_id") % 20 < 2))
+    def results() = DedupIndex.probe(spark, r, probes).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0
+      else d.listFiles().map { f =>
+        if (f.isDirectory) parquetFiles(f.getPath)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+    val before = results()
+    val filesBefore = parquetFiles(s"$r/bands")
+    assert(filesBefore > 64, s"two appends should exceed 64 files: $filesBefore")
+
+    assert(DedupIndex.compactFiles(spark, r) == Some(0L))
+    assert(results() == before, "compaction changed probe results")
+    assert(parquetFiles(s"$r/bands") == 0, "append zone should be empty")
+    val foldedFiles = parquetFiles(s"$r/compacted/gen=0")
+    assert(foldedFiles <= 64, s"fold should be <=1 file/dir: $foldedFiles")
+    assert(DedupIndex.compactFiles(spark, r).isEmpty, "nothing new to fold")
+
+    // the publish-before-cleanup crash window: the SAME rows live in
+    // the fold AND the append zone — probe must collapse, not double
+    DedupIndex.append(spark, r, docs.filter(col("doc_id") % 3 === 1))
+    assert(results() == before,
+      "double representation across fold + append zone leaked into probe")
+
+    // post-fold appends land; the index equals a one-shot full build
+    DedupIndex.append(spark, r, docs.filter(col("doc_id") % 3 === 2))
+    val fullDir = tmpDir("dedup-compact-full")
+    docs.coalesce(1).write.parquet(s"$fullDir/documents.parquet")
+    val rootFull = tmpDir("dedup-compact-fullroot")
+    DedupIndex.buildIfMissing(spark, fullDir, rootFull)
+    val full = DedupIndex.probe(spark, rootFull, probes).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(results() == full,
+      "post-compaction appends diverged from a full rebuild")
+    // second fold replaces the first
+    assert(DedupIndex.compactFiles(spark, r) == Some(1L))
+    assert(results() == full)
+    assert(!new java.io.File(s"$r/compacted/gen=0").exists(),
+      "the superseded fold must be cleaned up")
+  }
+
   test("rebuild is idempotent: second build is a no-op, probes unchanged") {
     val before = probeDf.collect().length
     val marker = new java.io.File(s"$root/bands/_SUCCESS")
