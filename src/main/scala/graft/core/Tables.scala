@@ -78,7 +78,15 @@ object Tables {
             vs.last
           } else v.stripPrefix("v").toInt
         cache.getOrElseUpdate(spark, (s"snapshot:$root@v$version", name)) {
-          val raw = graft.lake.Snapshots.read(spark, root, version)
+          // the binding serves BOTH snapshot layers: a SnapshotTable
+          // root (key<TAB>dir manifests — the CDC-maintained curated
+          // zone) reads through SnapshotTable, a flat Snapshots root
+          // through Snapshots; format-probed so "train on
+          // curated_table v12" is the same config either way
+          val raw =
+            if (graft.lake.SnapshotTable.isTableRoot(spark, root))
+              graft.lake.SnapshotTable.read(spark, root, version)
+            else graft.lake.Snapshots.read(spark, root, version)
           if (name == "events") normalizeTs(raw) else raw
         }
       case None =>

@@ -99,6 +99,24 @@ object SnapshotTable {
     * paths deterministically. */
   private[lake] var onBeforeCommit: () => Unit = () => ()
 
+  /** Whether `root` holds a SnapshotTable (key<TAB>dir manifests) as
+    * opposed to a flat [[Snapshots]] root (bare directory lines) —
+    * the format probe that lets one `spark.graft.snapshot.<table>`
+    * binding serve BOTH layers ([[graft.core.Tables]] routes through
+    * this): a SnapshotTable manifest always contains a TAB (the
+    * #schema line and every entry), a Snapshots manifest never does
+    * (its lines are bare relative paths). */
+  def isTableRoot(spark: SparkSession, root: String): Boolean = {
+    val vs = versions(spark, root)
+    vs.nonEmpty && {
+      val p = new Path(manifestDir(root), f"v${vs.last}%08d.manifest")
+      val in = fs(spark, root).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().exists(_.contains('\t'))
+      finally in.close()
+    }
+  }
+
   /** Committed version numbers, ascending (empty if none). */
   def versions(spark: SparkSession, root: String): Seq[Int] = {
     val f = fs(spark, root)
@@ -571,7 +589,11 @@ object SnapshotTable {
     val f = fs(spark, root)
     if (!f.exists(new Path(root))) return (0, 0) // never-written root
     val vs = versions(spark, root)
-    val drop = vs.dropRight(keepVersions).filterNot(protect)
+    // session-bound versions survive like explicitly protected ones —
+    // the same binding contract as Snapshots.vacuum, since a
+    // spark.graft.snapshot binding can point at either layer
+    val keepSet = protect ++ Snapshots.boundVersions(spark, root)
+    val drop = vs.dropRight(keepVersions).filterNot(keepSet)
     val keep = vs.filterNot(drop.contains)
     val live = keep.flatMap(readManifest(spark, root, _)._1).map(_._2).toSet
     drop.foreach(v =>

@@ -40,8 +40,13 @@ object Pipeline {
     *  4. the BM25 postings index stream-bootstraps from the SAME
     *     intake directory (its own checkpoint at
     *     `workDir/index/inverted`) — one AvailableNow drain over both
-    *     arrivals — and all three indexes are probed with EXACTLY the
-    *     d15/s05/t31 probe sets;
+    *     arrivals; then ALL THREE indexes are COMPACTED between
+    *     drains and probes (`DedupIndex.compactFiles`,
+    *     `AnnIndex.compactBatches`, `InvertedIndex.compactBatches` —
+    *     the round-10 fold operators), so the d15/s05/t31 probe sets
+    *     answer from the folded layouts: the lane exercises the whole
+    *     build → drain → compact → probe lifecycle with the probe
+    *     results still pinned row-identical to the batch queries;
     *  5. the curated corpus commits as v1 of an ATOMIC
     *     [[graft.lake.SnapshotTable]] (hierarchical (split, source)
     *     partitioning, under [[curatedTableRoot]]) — re-curation is a
@@ -94,6 +99,12 @@ object Pipeline {
     drain()
     docs.filter(col("doc_id") % 20 < 2).write.mode("append").parquet(intake)
     drain()
+    // between-drains maintenance: fold the per-drain append files into
+    // one file per (band, pfx) directory — the probes below answer
+    // from the COMPACTED index, so the lane exercises the full
+    // build -> drain -> compact -> probe lifecycle (probe-identity is
+    // the operator-level pin; the lane pin is vs the batch queries)
+    DedupIndex.compactFiles(spark, dedupRoot)
     // intake probe: are the new arrivals near-dups of anything ingested?
     val dedupHits = DedupIndex.probe(spark, dedupRoot,
         graft.queries.Dedup.bandedWithSigFromText(
@@ -114,6 +125,7 @@ object Pipeline {
         .parquet(vecIntake),
       annRoot)
     annStream.awaitTermination()
+    AnnIndex.compactBatches(spark, annRoot) // fold the per-batch layout
     val emb = graft.core.Tables(spark, sfDir, "embeddings")
       .withColumn("norm", vec_norm(col("embedding")))
     val annHits = AnnIndex.probe(spark, annRoot,
@@ -130,6 +142,7 @@ object Pipeline {
       spark.readStream.schema("doc_id LONG, text STRING").parquet(intake),
       invRoot)
     invStream.awaitTermination()
+    InvertedIndex.compactBatches(spark, invRoot) // fold batch dirs
     val bm25Hits = InvertedIndex.probe(spark, invRoot,
       graft.queries.Search.Bm25Terms)
 

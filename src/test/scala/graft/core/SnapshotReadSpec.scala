@@ -93,6 +93,40 @@ class SnapshotReadSpec extends SparkSpec {
     assert(dropped2 == 1 && Snapshots.versions(spark, root) == Seq(3))
   }
 
+  test("a binding can pin a SnapshotTable root (the CDC-maintained zone)") {
+    // One binding mechanism, both snapshot layers: pointing
+    // spark.graft.snapshot.documents at a SnapshotTable root (tabbed
+    // manifests, partition-tuple entries) must time-travel exactly
+    // like a flat Snapshots root — "train on curated_table v1" as
+    // config — and its vacuum must spare the session-bound version.
+    import graft.lake.SnapshotTable
+    val root = tmpDir("snap-table-bind")
+    val docs = Tables(spark, sfDir, "documents")
+    SnapshotTable.write(spark, root, docs, Seq("source")) // v1
+    val n1 = docs.count()
+    // v2 halves the corpus via a delete (an atomic re-curation)
+    SnapshotTable.deleteWhere(spark, root,
+      col("doc_id") % 2 === 1, Seq("source"))
+    try {
+      spark.conf.set("spark.graft.snapshot.documents", s"$root@v1")
+      assert(SnapshotTable.isTableRoot(spark, root))
+      assert(Tables(spark, sfDir, "documents").count() == n1,
+        "the v1-pinned binding must see the pre-delete table")
+      spark.conf.set("spark.graft.snapshot.documents", s"$root@latest")
+      assert(Tables(spark, sfDir, "documents").count() == n1 / 2 + n1 % 2,
+        "@latest must see the post-delete version")
+      // vacuum spares the session-bound v1 (commit v3 so v1 is old)
+      spark.conf.set("spark.graft.snapshot.documents", s"$root@v1")
+      SnapshotTable.deleteWhere(spark, root,
+        col("doc_id") % 4 === 2, Seq("source")) // v3
+      val (dropped, _) = SnapshotTable.vacuum(spark, root, keepVersions = 1)
+      assert(dropped == 1, s"only unbound v2 should drop: $dropped")
+      assert(SnapshotTable.versions(spark, root) == Seq(1, 3))
+      assert(Tables(spark, sfDir, "documents").count() == n1,
+        "the bound version must still read after vacuum")
+    } finally unpin()
+  }
+
   test("a malformed binding fails loudly, not as a silent fallback") {
     try {
       spark.conf.set("spark.graft.snapshot.documents", "no-version-here")

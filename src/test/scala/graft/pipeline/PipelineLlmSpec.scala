@@ -141,6 +141,31 @@ class PipelineLlmSpec extends SparkSpec {
       "v2 should differ (weak test otherwise)")
   }
 
+  test("the lane's probes answer from COMPACTED index layouts") {
+    // llmLane compacts all three stream-maintained indexes between the
+    // drains and the probes; the probe-vs-batch pins in the other
+    // tests therefore already prove fold-identity END-TO-END — this
+    // test pins that the fold actually happened (otherwise those pins
+    // would be vacuously exercising the un-compacted layouts).
+    val _ = report // force the lane
+    assert(new java.io.File(s"$workDir/index/dedup/compacted").isDirectory,
+      "dedup index was not compacted")
+    assert(new java.io.File(s"$workDir/index/ann/compacted").isDirectory,
+      "ann index was not compacted")
+    assert(new java.io.File(s"$workDir/index/inverted/compacted")
+      .isDirectory, "inverted index was not compacted")
+    // folded batch/append zones are gone
+    def batchDirs(p: String) = {
+      val d = new java.io.File(p)
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isDirectory &&
+        (f.getName.startsWith("batch=") || f.getName.startsWith("band=")))
+    }
+    assert(batchDirs(s"$workDir/index/inverted/postings_batches") == 0)
+    assert(batchDirs(s"$workDir/index/ann/state_deltas") == 0)
+    assert(batchDirs(s"$workDir/index/dedup/bands") == 0)
+  }
+
   test("work-dir ANN index answers probes like the batch query") {
     val batch = Similarity.s05_ann_index.run(spark, sfDir).collect().toSeq
     val piped = annHits.collect().toSeq
