@@ -27,11 +27,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    "train on v12" is reproducible while the corpus moves on.
   *
   * At 100 TB this is manifest-sized metadata over immutable data — the
-  * same shape Delta/Iceberg commit logs use; what is deliberately NOT
-  * here is multi-writer coordination (one writer at a time; the rename
-  * makes concurrent commits last-writer-wins, never corrupt).
+  * same shape Delta/Iceberg commit logs use. Commits retry
+  * optimistically: concurrent APPENDS both land (an append only adds
+  * a directory, so re-deriving against the new latest is always a
+  * valid merge) and overwrites are last-replace-wins on the next
+  * version number — the flat-layer subset of [[SnapshotTable]]'s OCC
+  * (no partition-level conflicts exist here to detect). The same
+  * local-FS rename-overwrite caveat applies.
   */
 object Snapshots {
+  /** A manifest rename lost the race for its version number —
+    * retryable against the new latest. */
+  private final class CommitRaceException(msg: String)
+    extends java.io.IOException(msg)
+
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -64,11 +73,16 @@ object Snapshots {
     s"data/$dir"
   }
 
-  private def commit(
-      spark: SparkSession, root: String, dirs: Seq[String]): Int = {
+  /** Attempt to commit `dirs` as exactly version `v` — the version is
+    * the CALLER's expectation, pinned at the moment it read the
+    * previous manifest (computing it here would let a commit that
+    * landed in between be silently dropped from an append's carried
+    * file set). A lost race throws; [[append]]/[[overwrite]] retry
+    * against the new latest. */
+  private def commitAt(
+      spark: SparkSession, root: String, dirs: Seq[String], v: Int): Int = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
-    val v = versions(spark, root).lastOption.getOrElse(0) + 1
     // per-writer-unique tmp name: a SHARED tmp path would let a racing
     // writer's create(overwrite=true) truncate the file this writer is
     // about to rename, breaking the "never corrupt" half of
@@ -85,26 +99,62 @@ object Snapshots {
     // just-committed manifest of the same version (orphaning its data
     // dirs without any error). The exists-check catches the common case
     // there too; the remaining check-then-rename window is the honest
-    // limit of a log-less local FS — the contract stays single-writer,
-    // and a lost version's data dirs become vacuum-able garbage, never
-    // corrupt reads.
+    // limit of a log-less local FS — there, concurrent committers stay
+    // best-effort, and a lost version's data dirs become vacuum-able
+    // garbage, never corrupt reads.
     if (f.exists(fin) || !f.rename(tmp, fin)) {
       f.delete(tmp, false)
-      throw new java.io.IOException(s"snapshot commit lost the race: $fin")
+      throw new CommitRaceException(s"snapshot commit lost the race: $fin")
     }
     v
   }
 
-  /** New version = previous file set + `df`'s files. Returns it. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Int = {
-    val prev = versions(spark, root).lastOption
-      .map(readManifest(spark, root, _)).getOrElse(Nil)
-    commit(spark, root, prev :+ writeData(spark, root, df))
+  /** Commit with optimistic retry: each attempt reads the latest
+    * version, derives this commit's file set from it via `dirsFor`,
+    * and targets exactly latest+1. Appends are conflict-free by
+    * construction (they only ADD a directory, so re-deriving against
+    * the new latest is always a valid merge — both racers land,
+    * serialized); overwrites are replace semantics (last-replace-wins
+    * on the next version number). Bounded so a pathological commit
+    * storm surfaces instead of spinning. */
+  /** Test seam: invoked between a commit attempt's manifest read and
+    * its rename — a spec injects a competing committer here (the
+    * [[SnapshotTable.onBeforeCommit]] pattern). */
+  private[lake] var onBeforeCommit: () => Unit = () => ()
+
+  private def commitRetrying(
+      spark: SparkSession, root: String)(
+      dirsFor: Seq[String] => Seq[String]): Int = {
+    var attempts = 0
+    while (true) {
+      val latest = versions(spark, root).lastOption
+      val prev = latest.map(readManifest(spark, root, _)).getOrElse(Nil)
+      onBeforeCommit()
+      try return commitAt(spark, root, dirsFor(prev),
+        latest.getOrElse(0) + 1)
+      catch {
+        case e: CommitRaceException =>
+          attempts += 1
+          if (attempts > 8) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  /** New version = exactly `df`'s files (replace semantics). */
-  def overwrite(spark: SparkSession, root: String, df: DataFrame): Int =
-    commit(spark, root, Seq(writeData(spark, root, df)))
+  /** New version = previous file set + `df`'s files. Returns it.
+    * Concurrent appends both land (optimistic retry — an append can
+    * never conflict, it only adds a directory). */
+  def append(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val dir = writeData(spark, root, df)
+    commitRetrying(spark, root)(prev => prev :+ dir)
+  }
+
+  /** New version = exactly `df`'s files (replace semantics;
+    * last-replace-wins under concurrency, never corrupt). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val dir = writeData(spark, root, df)
+    commitRetrying(spark, root)(_ => Seq(dir))
+  }
 
   /** Read a version (latest when `version < 0`). */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {

@@ -29,6 +29,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(root, 1) == (0L until 10L).toSet)
   }
 
+  test("OCC: racing appends BOTH land; racing overwrite is last-replace-wins") {
+    // Appends can never conflict — they only ADD a directory — so a
+    // commit race resolves by re-deriving against the new latest: B
+    // commits v2 inside A's commit window (the onBeforeCommit seam),
+    // and A lands v3 carrying BOTH directories. No lost update.
+    val root = tmpDir("snap-occ")
+    Snapshots.append(spark, root, spark.range(0, 10).toDF()) // v1
+    @volatile var fired = false
+    Snapshots.onBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        Snapshots.append(spark, root, spark.range(100, 105).toDF()) // B: v2
+      }
+    }
+    try {
+      val vA = Snapshots.append(spark, root, spark.range(200, 203).toDF())
+      assert(vA == 3, s"A should land AFTER B's v2, got v$vA")
+    } finally Snapshots.onBeforeCommit = () => ()
+    assert(ids(root, 3) == ((0L until 10L) ++ (100L until 105L) ++
+      (200L until 203L)).toSet,
+      "the retried append must carry the interloper's directory forward")
+    assert(ids(root, 2) == ((0L until 10L) ++ (100L until 105L)).toSet)
+    // a racing overwrite retries onto the next number: replace wins
+    fired = false
+    Snapshots.onBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        Snapshots.append(spark, root, spark.range(300, 302).toDF()) // v4
+      }
+    }
+    try {
+      val vO = Snapshots.overwrite(spark, root, spark.range(900, 902).toDF())
+      assert(vO == 5, s"overwrite should retry onto v5, got v$vO")
+    } finally Snapshots.onBeforeCommit = () => ()
+    assert(ids(root, 5) == (900L until 902L).toSet)
+  }
+
   test("a crashed commit (data without manifest) is invisible to readers") {
     val root = tmpDir("snap-crash")
     Snapshots.append(spark, root, spark.range(0, 5).toDF())
