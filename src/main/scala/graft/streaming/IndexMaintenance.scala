@@ -57,8 +57,15 @@ object IndexMaintenance {
     * batch build over everything ingested so far (pinned in
     * `AnnStreamSpec`). Do not point this at a root created by
     * `buildIfMissing` — the two layouts deliberately differ (see
-    * [[graft.operators.AnnIndex.appendIdempotent]]). */
-  def maintainAnnIndex(vecs: DataFrame, root: String): StreamingQuery =
+    * [[graft.operators.AnnIndex.appendIdempotent]]).
+    *
+    * `compactEveryBatches` folds the per-batch layout into
+    * `compacted/upto=N` every k-th drained batch, INSIDE the stream
+    * (see [[maintainInvertedIndex]] for why in-batch compaction is
+    * safe); None = manual compaction cadence. */
+  def maintainAnnIndex(
+      vecs: DataFrame, root: String,
+      compactEveryBatches: Option[Int] = None): StreamingQuery =
     vecs.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -66,6 +73,9 @@ object IndexMaintenance {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         graft.operators.AnnIndex.appendIdempotent(
           batch.sparkSession, root, batch, id)
+        if (compactEveryBatches.exists(k => k > 0 && (id + 1) % k == 0))
+          graft.operators.AnnIndex.compactBatches(batch.sparkSession, root)
+        ()
       }
       .start()
 
@@ -76,8 +86,23 @@ object IndexMaintenance {
     * `InvertedStreamSpec`). Do not point this at a
     * [[graft.operators.InvertedIndex.buildIfMissing]] root — the
     * batch and stream layouts deliberately differ (see
-    * [[graft.operators.InvertedIndex.appendIdempotent]]). */
-  def maintainInvertedIndex(docs: DataFrame, root: String): StreamingQuery =
+    * [[graft.operators.InvertedIndex.appendIdempotent]]).
+    *
+    * `compactEveryBatches = Some(k)` makes compaction part of the
+    * MAINTENANCE STREAM itself: after every k-th drained batch the
+    * per-batch layout folds into `compacted/upto=N`. Running the fold
+    * INSIDE foreachBatch is safe because a micro-batch query executes
+    * batches strictly sequentially (no concurrent drain can race the
+    * fold), and the crash matrix reduces to the operator's own
+    * protocol: a crash before the fold's publish rename leaves staging
+    * garbage and the batch replays normally; a crash AFTER the publish
+    * but before the checkpoint commit replays a batch the fold already
+    * holds, which `appendIdempotent`'s at-or-below-cutoff guard skips
+    * (pinned in `IndexMaintenanceSpec`). None = compact manually
+    * between drains (the `Pipeline.llmLane` cadence). */
+  def maintainInvertedIndex(
+      docs: DataFrame, root: String,
+      compactEveryBatches: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -85,6 +110,10 @@ object IndexMaintenance {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         graft.operators.InvertedIndex.appendIdempotent(
           batch.sparkSession, root, batch, id)
+        if (compactEveryBatches.exists(k => k > 0 && (id + 1) % k == 0))
+          graft.operators.InvertedIndex.compactBatches(
+            batch.sparkSession, root)
+        ()
       }
       .start()
 }

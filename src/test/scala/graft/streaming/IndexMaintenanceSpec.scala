@@ -12,6 +12,50 @@ import org.apache.spark.sql.types._
 class IndexMaintenanceSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("in-stream compaction (compactEveryBatches) keeps probes exact") {
+    // Compaction as part of the maintenance stream itself: four waves
+    // forced through four micro-batches with a fold every 2nd batch.
+    // In-batch folding is safe because micro-batches run strictly
+    // sequentially and a replayed folded batch is skipped by the
+    // cutoff guard; the pin is the strongest one available — the
+    // final probe equals the INLINE full-corpus ranking, with the
+    // per-batch directory zones folded away.
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val streamDir = tmpDir("inv-compact-stream-in")
+    (0 until 4).foreach { w =>
+      docs.filter(col("doc_id") % 4 === w)
+        .coalesce(1).write.parquet(s"$streamDir/wave=$w")
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", streamDir)
+      .parquet(s"$streamDir/wave=*")
+      .select(col("doc_id"), col("text"))
+    val root = tmpDir("inv-compact-stream-root")
+    val q = IndexMaintenance.maintainInvertedIndex(stream, root,
+      compactEveryBatches = Some(2))
+    try q.awaitTermination() finally q.stop()
+
+    val got = graft.operators.InvertedIndex
+      .probe(spark, root, Seq("spark", "window", "filter")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exp = graft.queries.Search.t31_bm25.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exp,
+      s"in-stream-compacted index diverged:\n got=$got\n exp=$exp")
+    // the fold actually ran: compacted layout present, batch zone empty
+    assert(new java.io.File(s"$root/compacted/upto=3").isDirectory,
+      "expected the last fold at upto=3")
+    val batchDirs = Option(
+        new java.io.File(s"$root/postings_batches").listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")))
+      .getOrElse(0)
+    assert(batchDirs == 0, s"folded batch dirs must be gone: $batchDirs")
+  }
+
   test("stream-maintained index equals the batch build, across batches") {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
