@@ -349,9 +349,8 @@ object AnnIndex {
 
     val vecs = vectorsDf(spark, root)
       .filter(col("label").isin(cells.toSeq: _*))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("c_id"))
-    vecs.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+    val scored = vecs
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"), col("label"))
       .join(broadcast(probed), Seq("label"))
       .filter(col("c_id") =!= col("q_id"))
@@ -359,8 +358,20 @@ object AnnIndex {
         when(col("q_norm") > 0 && col("c_norm") > 0,
           round(vec_dot(col("q_emb"), col("c_emb")) /
             (col("q_norm") * col("c_norm")), 6)).otherwise(0.0))
+    // Native two-level TopKPerKey (the q36/t35 operator): the map-side
+    // partial pass keeps <= k rows per q_id BELOW the exchange, so the
+    // shuffle carries |queries| x k survivors instead of every scanned
+    // candidate in the probed cells — at 100 TB the difference between
+    // a k-row-per-query exchange and an nProbe-cells-of-corpus one.
+    // The selection key (cos_sim desc, c_id) is a deterministic total
+    // order per q_id, so the survivors ARE the old window's rows; the
+    // residual row_number only ranks <= k rows per query.
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    org.apache.spark.sql.graft.TopKPerKey(scored,
+        keys = Seq(col("q_id")),
+        order = Seq(col("cos_sim").desc, col("c_id")), k = k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select("q_id", "c_id", "label", "cos_sim", "rank")
   }
 }
