@@ -22,6 +22,21 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
   * summation-strategy difference.
   */
 object Similarity {
+  /** Deterministic top-k per key via the native two-level
+    * [[org.apache.spark.sql.graft.TopKPerKey]] (map-side partial top-k
+    * BELOW the exchange — the t35/q36 shape): the shuffle carries
+    * <= k survivors per key instead of every scored candidate.
+    * `order` must be a deterministic total order within a key, so the
+    * survivors ARE the rows the window formulation kept; the residual
+    * `rank` window runs over <= k rows per key. */
+  private def topKRanked(
+      df: DataFrame, order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    org.apache.spark.sql.graft.TopKPerKey(df, Seq(col("q_id")), order, k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(order: _*)))
+  }
+
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", vec_norm(col("embedding")))
 
@@ -52,19 +67,20 @@ object Similarity {
     * cols) to its nearest centroid by rounded cosine (tie-break on
     * clabel — the s04 oracle's exact ordering): adds `clabel`, drops the
     * scratch columns. One broadcast of k centroids, one window. */
-  private[graft] def assignNearest(emb: DataFrame, cent: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wBest = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("clabel"))
-    emb.crossJoin(broadcast(cent))
-      .withColumn("sim",
-        when(col("norm") > 0 && col("cn") > 0,
-          round(vec_dot(col("embedding"), col("cvec")) /
-            (col("norm") * col("cn")), 6)).otherwise(0.0))
-      .withColumn("rk", row_number().over(wBest))
-      .filter(col("rk") === 1)
-      .drop("cvec", "cn", "sim", "rk")
-  }
+  private[graft] def assignNearest(emb: DataFrame, cent: DataFrame): DataFrame =
+    // per-row argmin as a native top-1-per-key: the broadcast join
+    // emits all k centroid rows for a vec_id inside ONE task, so the
+    // partial pass reduces corpus x k rows to corpus rows BEFORE the
+    // exchange (the window formulation shuffled all corpus x k)
+    org.apache.spark.sql.graft.TopKPerKey(
+        emb.crossJoin(broadcast(cent))
+          .withColumn("sim",
+            when(col("norm") > 0 && col("cn") > 0,
+              round(vec_dot(col("embedding"), col("cvec")) /
+                (col("norm") * col("cn")), 6)).otherwise(0.0)),
+        keys = Seq(col("vec_id")),
+        order = Seq(col("sim").desc, col("clabel")), k = 1)
+      .drop("cvec", "cn", "sim")
 
   val s01_cosine_topk = Q(
     "s01_cosine_topk",
@@ -77,16 +93,13 @@ object Similarity {
       val cands = emb.select(
         col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("c_id"))
       cands.join(broadcast(queries), col("c_id") =!= col("q_id"))
         .withColumn("cos_sim",
           when(col("q_norm") > 0 && col("c_norm") > 0,
             round(vec_dot(col("q_emb"), col("c_emb")) /
               (col("q_norm") * col("c_norm")), 6))
             .otherwise(0.0))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+        .transform(topKRanked(_, Seq(col("cos_sim").desc, col("c_id")), 10))
         .select("q_id", "c_id", "cos_sim", "rank")
         .orderBy(col("q_id"), col("rank"))
     },
@@ -166,8 +179,6 @@ object Similarity {
       val queries = bucketed.filter(col("vec_id") < 5).select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("c_id"))
       bucketed.select(
         col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"), col("bucket"))
@@ -178,8 +189,7 @@ object Similarity {
             round(vec_dot(col("q_emb"), col("c_emb")) /
               (col("q_norm") * col("c_norm")), 6))
             .otherwise(0.0))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+        .transform(topKRanked(_, Seq(col("cos_sim").desc, col("c_id")), 5))
         .select("q_id", "c_id", "bucket", "cos_sim", "rank")
         .orderBy(col("q_id"), col("rank"))
     },
@@ -285,8 +295,6 @@ object Similarity {
         .withColumn("cell_rank", row_number().over(wCell))
         .filter(col("cell_rank") <= 2)
         .select(col("q_id"), col("q_emb"), col("q_norm"), col("label"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("c_id"))
       emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("norm").as("c_norm"), col("label"))
         .join(broadcast(probed), Seq("label"))
@@ -295,8 +303,7 @@ object Similarity {
           when(col("q_norm") > 0 && col("c_norm") > 0,
             round(vec_dot(col("q_emb"), col("c_emb")) /
               (col("q_norm") * col("c_norm")), 6)).otherwise(0.0))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+        .transform(topKRanked(_, Seq(col("cos_sim").desc, col("c_id")), 5))
         .select("q_id", "c_id", "label", "cos_sim", "rank")
         .orderBy(col("q_id"), col("rank"))
     },
@@ -396,13 +403,10 @@ object Similarity {
           .as("qe"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("qe").as("q_qe"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("qdot").desc, col("c_id"))
       emb.select(col("vec_id").as("c_id"), col("qe").as("c_qe"))
         .join(broadcast(queries), col("c_id") =!= col("q_id"))
         .withColumn("qdot", vec_qdot(col("q_qe"), col("c_qe")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+        .transform(topKRanked(_, Seq(col("qdot").desc, col("c_id")), 10))
         .select("q_id", "c_id", "qdot", "rank")
         .orderBy(col("q_id"), col("rank"))
     },
@@ -460,23 +464,19 @@ object Similarity {
       val queries = emb.filter(col("vec_id") < 5).select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("qe").as("q_qe"))
-      val wPre = Window.partitionBy(col("q_id"))
-        .orderBy(col("qdot").desc, col("c_id"))
-      val wFin = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("c_id"))
       emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("norm").as("c_norm"), col("qe").as("c_qe"))
         .join(broadcast(queries), col("c_id") =!= col("q_id"))
         .withColumn("qdot", vec_qdot(col("q_qe"), col("c_qe")))
-        .withColumn("pre_rank", row_number().over(wPre))
-        .filter(col("pre_rank") <= 50)
+        // prefilter is a pure selection — native top-50, no rank column
+        .transform(d => org.apache.spark.sql.graft.TopKPerKey(d,
+          Seq(col("q_id")), Seq(col("qdot").desc, col("c_id")), 50))
         .withColumn("cos_sim",
           when(col("q_norm") > 0 && col("c_norm") > 0,
             round(vec_dot(col("q_emb"), col("c_emb")) /
               (col("q_norm") * col("c_norm")), 6))
             .otherwise(0.0))
-        .withColumn("rank", row_number().over(wFin))
-        .filter(col("rank") <= 10)
+        .transform(topKRanked(_, Seq(col("cos_sim").desc, col("c_id")), 10))
         .select("q_id", "c_id", "cos_sim", "rank")
         .orderBy(col("q_id"), col("rank"))
     },
@@ -593,14 +593,11 @@ object Similarity {
       val queries = sk.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"),
           col("w0").as("qw0"), col("w1").as("qw1"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("hamming"), col("c_id"))
       sk.select(col("vec_id").as("c_id"), col("w0"), col("w1"))
         .join(broadcast(queries), col("c_id") =!= col("q_id"))
         .withColumn("hamming", expr(
           "CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS BIGINT)"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+        .transform(topKRanked(_, Seq(col("hamming"), col("c_id")), 10))
         .select("q_id", "c_id", "hamming", "rank")
         .orderBy(col("q_id"), col("rank"))
     },
@@ -719,8 +716,6 @@ object Similarity {
         .crossJoin(broadcast(cents))
         .select(col("q_id"), col("m"), col("cell"), col("cn2"),
           vec_dot(expr("slice(q_emb, m * 8 + 1, 8)"), col("cvec")).as("term"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc_cos").desc, col("c_id"))
       coded.select(col("vec_id").as("c_id"),
           posexplode(col("codes")).as(Seq("m", "cell")))
         .join(broadcast(qterms), Seq("m", "cell"))
@@ -732,8 +727,7 @@ object Similarity {
           when(col("n_dec") > 0,
             round(col("s_dec").cast("double") /
               sqrt(col("n_dec").cast("double")), 6)).otherwise(0.0))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+        .transform(topKRanked(_, Seq(col("adc_cos").desc, col("c_id")), 10))
         .select("q_id", "c_id", "adc_cos", "rank")
         .orderBy(col("q_id"), col("rank"))
     },
@@ -1087,16 +1081,17 @@ object Similarity {
       def cands = emb.select(
         col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"), col("bucket").as("c_bucket"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("c_id"))
       def top10(df: DataFrame): DataFrame = df
         .withColumn("cos_sim",
           when(col("q_norm") > 0 && col("c_norm") > 0,
             round(vec_dot(col("q_emb"), col("c_emb")) /
               (col("q_norm") * col("c_norm")), 6))
             .otherwise(0.0))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+        // pure selection (rank is not consumed): native top-10, the
+        // exact leg's corpus-sized candidate set partial-reduces
+        // map-side instead of shuffling whole
+        .transform(d => org.apache.spark.sql.graft.TopKPerKey(d,
+          Seq(col("q_id")), Seq(col("cos_sim").desc, col("c_id")), 10))
         .select(col("q_id"), col("c_id"))
       val exact = top10(cands.join(broadcast(queries),
         col("c_id") =!= col("q_id")))
