@@ -24,8 +24,14 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 object Similarity {
   /** Deterministic top-k per key via the native two-level
     * [[org.apache.spark.sql.graft.TopKPerKey]] (map-side partial top-k
-    * BELOW the exchange — the t35/q36 shape): the shuffle carries
-    * <= k survivors per key instead of every scored candidate.
+    * BELOW the exchange — the t35/q36 shape). Honest accounting of the
+    * win: Spark's own InferWindowGroupLimit ALREADY partial-reduced
+    * the window+rank-filter formulation's exchange (both plans
+    * shuffle <= k survivors per key), so the gain is OPERATOR cost,
+    * not exchange size — the native exec keeps a bounded heap per key
+    * where WindowGroupLimit sorts its partial input and the Window
+    * machinery re-runs over the survivors; measured 10-23% on the
+    * s-lane's heaviest rows at sf0.1, never slower (BENCH_NOTES).
     * `order` must be a deterministic total order within a key, so the
     * survivors ARE the rows the window formulation kept; the residual
     * `rank` window runs over <= k rows per key. */
