@@ -113,6 +113,35 @@ class InvertedStreamSpec extends SparkSpec {
     assert(new java.io.File(s"$root/compacted/upto=2").isDirectory)
   }
 
+  test("a width-2 stream root drains, folds, and probes identically") {
+    // The 100TB fan-out knob composed with the streaming layout: a
+    // pre-written pfx_width widens every batch's directories, the fold
+    // preserves them (256-dir compacted layout), and rankings stay
+    // byte-identical to the width-1 inline query.
+    val root = tmpDir("inv-width2-stream")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/pfx_width"),
+      "2\n".getBytes("UTF-8"))
+    InvertedIndex.appendIdempotent(spark, root,
+      docs.filter(col("doc_id") % 2 === 0), batchId = 0L)
+    InvertedIndex.appendIdempotent(spark, root,
+      docs.filter(col("doc_id") % 2 =!= 0), batchId = 1L)
+    val exp = graft.queries.Search.t31_bm25.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(results(root) == exp, "width-2 stream root diverged pre-fold")
+    // batch dirs carry 2-hex-char pfx values
+    val b0 = new java.io.File(s"$root/postings_batches/batch=0")
+      .listFiles().filter(_.getName.startsWith("pfx=")).map(_.getName)
+    assert(b0.nonEmpty && b0.forall(_.matches("pfx=x[0-9a-f]{2}")),
+      s"expected width-2 pfx dirs: ${b0.take(3).mkString(",")}")
+    assert(InvertedIndex.compactBatches(spark, root) == Some(1L))
+    assert(results(root) == exp, "width-2 fold changed the ranking")
+    val folded = new java.io.File(s"$root/compacted/upto=1/postings")
+      .listFiles().filter(_.getName.startsWith("pfx=")).map(_.getName)
+    assert(folded.nonEmpty && folded.forall(_.matches("pfx=x[0-9a-f]{2}")),
+      "the fold must preserve the build's fan-out width")
+  }
+
   test("compactBatches refuses a build-layout root") {
     val root = graft.operators.InvertedIndex.defaultRoot(sfDir)
     graft.operators.InvertedIndex.buildIfMissing(spark, sfDir, root)
