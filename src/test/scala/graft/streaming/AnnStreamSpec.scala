@@ -109,6 +109,15 @@ class AnnStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/compacted/upto=1").exists())
   }
 
+  test("compactBatches refuses a batch-build root") {
+    val rootBatch = tmpDir("ann-compact-refuse")
+    AnnIndex.buildIfMissing(spark, sfDir, rootBatch)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.compactBatches(spark, rootBatch)
+    }
+    assert(e.getMessage.contains("batch-build layout"), e.getMessage)
+  }
+
   test("replaying a batch id is byte-idempotent — no double-counted state") {
     val root = tmpDir("ann-replay-root")
     val half = vectors.filter(col("vec_id") % 2 === 0)
