@@ -520,6 +520,76 @@ object Corpus {
     (s, dir) => bpeEncode(Tables(s, dir, "documents")),
     Some(bpeEncodeOracleSql))
 
+  /** Oracle-gated SNAPSHOT-TABLE round trip — the lake layer's first
+    * externally-gated row (it was spec-pinned only): bootstrap a
+    * source-partitioned [[graft.lake.SnapshotTable]] from the corpus
+    * (v1), apply ONE deterministic mixed CDC batch — tombstones for
+    * doc_id % 97 == 0 and re-curated upserts for doc_id % 89 == 0 —
+    * as a single atomic commit (v2), then aggregate the COMMITTED v2
+    * per source. The DuckDB oracle reproduces the final state
+    * relationally (filter + CASE rewrite over `documents`), so the
+    * whole write → immutable-directory staging → manifest commit →
+    * mergeSchema read path must be byte-exact cross-engine — a
+    * manifest that lost a partition, a rewrite that dropped or
+    * duplicated a row, or a tombstone that leaked would all break the
+    * hash.
+    *
+    * Deterministic + idempotent by construction: the table lives
+    * under a content-fingerprinted root and the query only MUTATES
+    * while fewer than 2 versions exist (a re-run — Bench's warmup +
+    * timed runs — reads v2 as committed; a half-built root from a
+    * crashed run finishes the missing step). Scale shape: the v2
+    * commit rewrites ONLY the touched partitions (manifest-pruned),
+    * and the read-side aggregate is the usual per-source rollup. */
+  private[queries] def snapshotCdc(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    val root = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_snaptable_cdc_v1")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+    if (SnapshotTable.versions(spark, root).isEmpty)
+      SnapshotTable.write(spark, root, docs, Seq("source"))
+    if (SnapshotTable.versions(spark, root).size < 2) {
+      val tombstones = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("op", lit("d"))
+      val upserts = docs
+        .filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" [recurated]")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("op", lit("u"))
+      SnapshotTable.applyChanges(spark, root,
+        tombstones.unionByName(upserts), "doc_id", Seq("source"),
+        opCol = "op")
+    }
+    SnapshotTable.read(spark, root, 2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(when(col("text").endsWith("[recurated]"), 1L).otherwise(0L))
+          .as("n_recurated"))
+      .orderBy(col("source"))
+  }
+
+  val t40_snapshot_cdc = Q(
+    "t40_snapshot_cdc",
+    (s, dir) => snapshotCdc(s, dir),
+    Some("""
+      WITH v2 AS (
+        SELECT source,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' [recurated]'
+                    ELSE text END AS text
+        FROM documents
+        WHERE doc_id % 97 <> 0)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN text LIKE '%[recurated]' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_recurated
+      FROM v2
+      GROUP BY source
+      ORDER BY source"""))
+
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
     * default threshold (0.5), t29's Gopher composite, and a
@@ -744,5 +814,5 @@ object Corpus {
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
       t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
       t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample,
-      t39_bpe_encode)
+      t39_bpe_encode, t40_snapshot_cdc)
 }
