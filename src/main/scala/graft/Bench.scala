@@ -209,7 +209,13 @@ object Bench {
     val totalExGraph = exGraph.map(_._3).sum
     val baselinePath = sys.env.getOrElse(
       "SPARK_GRAFT_DUCKDB_BASELINE", "tools/duckdb_baseline.tsv")
-    val likeForLike: Option[(Double, Int)] =
+    // (ratio, overlap count, same host?) — a baseline produced on a
+    // DIFFERENT machine still yields a ratio, but the contract line
+    // labels it cross_machine_ratio instead of like_for_like (ADVICE
+    // r10 item 4: a fixed-baseline ratio only normalizes load drift
+    // when both sides ran on the same hardware). An untagged
+    // (pre-#host) baseline counts as unknown -> cross-machine.
+    val likeForLike: Option[(Double, Int, Boolean)] =
       try {
         val src = scala.io.Source.fromFile(baselinePath)
         val lines =
@@ -217,6 +223,13 @@ object Bench {
         val baseSf = lines.collectFirst {
           case l if l.startsWith("#sf\t") => l.stripPrefix("#sf\t").trim
         }
+        val baseHost = lines.collectFirst {
+          case l if l.startsWith("#host\t") => l.stripPrefix("#host\t").trim
+        }
+        val thisHost =
+          try java.net.InetAddress.getLocalHost.getHostName
+          catch { case scala.util.control.NonFatal(_) => "" }
+        val sameHost = baseHost.contains(thisHost) && thisHost.nonEmpty
         if (!baseSf.contains(sf)) None // baseline from a different SF
         else {
           val base = lines
@@ -230,7 +243,7 @@ object Bench {
           val overlap = exGraph.filter(r => base.contains(r._1))
           val dd = overlap.map(r => base(r._1)).sum
           if (overlap.nonEmpty && dd > 0)
-            Some((overlap.map(_._3).sum / dd, overlap.size))
+            Some((overlap.map(_._3).sum / dd, overlap.size, sameHost))
           else None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -299,8 +312,9 @@ object Bench {
     // bounded tail, not just the detail line
     val ibShort = indexBuilds.map { case (n, s) => "\"" + n + "\":" + fmt(s) }
       .mkString("{", ",", "}")
-    val lflMark = likeForLike.fold("") { case (ratio, n) =>
-      s""""like_for_like":${fmt(ratio)},"like_for_like_n":$n,"""
+    val lflMark = likeForLike.fold("") { case (ratio, n, sameHost) =>
+      val field = if (sameHost) "like_for_like" else "cross_machine_ratio"
+      s""""$field":${fmt(ratio)},"${field}_n":$n,"""
     }
     val contract =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failedMark$subsetMark"total_ex_graph":${fmt(totalExGraph)},$lflMark"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},$benchFileMark"index_build":$ibShort,"slowest":$slowest,"sf":"$sf"}"""

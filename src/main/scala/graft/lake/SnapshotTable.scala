@@ -57,11 +57,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * merge is stale: the mutator re-reads, re-merges, and re-commits from
   * scratch (bounded attempts), so the final state equals sequential
   * application. Abandoned staged directories are invisible garbage
-  * ([[vacuum]] collects them). The same local-FS rename-overwrite
-  * caveat as [[Snapshots.commit]] applies: on a log-less local
-  * filesystem the exists-check-then-rename has a residual window; on
-  * HDFS/object stores with atomic no-overwrite rename the protocol is
-  * airtight.
+  * ([[vacuum]] collects them). The commit publish is create-exclusive
+  * on every filesystem ([[Snapshots.publishExclusive]]): no-overwrite
+  * rename on HDFS/object stores, atomic link(2) on local FS — a lost
+  * race always surfaces, never silently replaces a commit.
   *
   * Scale shape: an upsert reads and rewrites ONLY the touched
   * partitions' directories (manifest-pruned — untouched directories are
@@ -169,10 +168,10 @@ object SnapshotTable {
         .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(manifestDir(root), f"v$v%08d.manifest")
-    if (f.exists(fin) || !f.rename(tmp, fin)) {
-      f.delete(tmp, false)
+    // create-exclusive publish (shared with [[Snapshots]]): atomic
+    // no-overwrite on every filesystem, including local (link(2)).
+    if (!Snapshots.publishExclusive(f, tmp, fin))
       throw new CommitRaceException(s"snapshot commit lost the race: $fin")
-    }
     v
   }
 

@@ -32,8 +32,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a directory, so re-deriving against the new latest is always a
   * valid merge) and overwrites are last-replace-wins on the next
   * version number — the flat-layer subset of [[SnapshotTable]]'s OCC
-  * (no partition-level conflicts exist here to detect). The same
-  * local-FS rename-overwrite caveat applies.
+  * (no partition-level conflicts exist here to detect). The commit
+  * publish is create-exclusive on every filesystem
+  * ([[publishExclusive]]), local FS included.
   */
 object Snapshots {
   /** A manifest rename lost the race for its version number —
@@ -45,6 +46,48 @@ object Snapshots {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(root: String) = new Path(root, "_versions")
+
+  /** Fully qualified, slash-normalized rendering of a root path —
+    * `makeQualified` resolves relative paths and adds the scheme, and
+    * `Path` normalization strips trailing slashes, so two spellings of
+    * the same directory ("corpus/", "file:/x/corpus", "./corpus")
+    * compare equal. [[boundVersions]] MUST compare through this: a raw
+    * string prefix match would silently fail to protect a pinned
+    * version whenever the binding and the vacuum call spell the root
+    * differently, and vacuum would collect a version the session is
+    * actively reading. */
+  private def qualifiedRoot(spark: SparkSession, root: String): String =
+    fs(spark, root).makeQualified(new Path(root)).toString
+
+  /** Publish `tmp` as `fin` with CREATE-EXCLUSIVE semantics; returns
+    * false when another committer won the race (tmp is cleaned up
+    * either way). On HDFS/object stores, `rename` already refuses an
+    * existing destination — the historical protocol. On the local
+    * filesystem Hadoop's rename OVERWRITES, so exists-check-then-rename
+    * left a window where two racers both pass the check and one
+    * silently replaces the other's just-committed manifest; there we
+    * publish via POSIX link(2) instead ([[java.nio.file.Files#createLink]]),
+    * which is atomic and fails with EEXIST — no window at all. */
+  private[lake] def publishExclusive(
+      f: org.apache.hadoop.fs.FileSystem, tmp: Path, fin: Path): Boolean = {
+    val won =
+      if (f.exists(fin)) false
+      else if (Option(f.getUri.getScheme).contains("file")) {
+        val lt = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+        val lf = java.nio.file.Paths.get(f.makeQualified(fin).toUri.getPath)
+        try { java.nio.file.Files.createLink(lf, lt); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // filesystems without hard links (rare for scheme "file"):
+          // fall back to the rename protocol and its documented window
+          case _: UnsupportedOperationException => f.rename(tmp, fin)
+        }
+      } else f.rename(tmp, fin)
+    // on link-success tmp is a second name for fin; on loss it is
+    // garbage; on rename-success it is already gone (delete no-ops)
+    f.delete(tmp, false)
+    won
+  }
 
   /** Committed version numbers, ascending (empty if none). */
   def versions(spark: SparkSession, root: String): Seq[Int] = {
@@ -93,19 +136,12 @@ object Snapshots {
     try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(manifestDir(root), f"v$v%08d.manifest")
-    // On HDFS/object stores rename-onto-existing fails and the loser
-    // throws; on POSIX/local FS Hadoop's rename OVERWRITES an existing
-    // destination, so a lost race would silently replace a
-    // just-committed manifest of the same version (orphaning its data
-    // dirs without any error). The exists-check catches the common case
-    // there too; the remaining check-then-rename window is the honest
-    // limit of a log-less local FS — there, concurrent committers stay
-    // best-effort, and a lost version's data dirs become vacuum-able
-    // garbage, never corrupt reads.
-    if (f.exists(fin) || !f.rename(tmp, fin)) {
-      f.delete(tmp, false)
+    // create-exclusive publish ([[publishExclusive]]): atomic
+    // no-overwrite on HDFS/object stores via rename AND on local FS via
+    // link(2), so a lost race always throws — it can never silently
+    // replace a just-committed manifest of the same version.
+    if (!publishExclusive(f, tmp, fin))
       throw new CommitRaceException(s"snapshot commit lost the race: $fin")
-    }
     v
   }
 
@@ -173,12 +209,22 @@ object Snapshots {
     * lane query reading through [[graft.core.Tables]] under that
     * binding starts failing. `@latest` bindings resolve per lookup and
     * are protected by the keep horizon itself (keepVersions >= 1). */
-  def boundVersions(spark: SparkSession, root: String): Set[Int] =
+  def boundVersions(spark: SparkSession, root: String): Set[Int] = {
+    // compare QUALIFIED roots, not raw strings: a binding that spells
+    // the root with a trailing slash, a file: scheme, or a relative
+    // path must still protect its pinned version (ADVICE r10 item 1)
+    val wanted = qualifiedRoot(spark, root)
     spark.conf.getAll.collect {
       case (k, v) if k.startsWith("spark.graft.snapshot.") &&
-          v.startsWith(root + "@v") =>
-        scala.util.Try(v.substring(root.length + 2).toInt).toOption
+          v.lastIndexOf("@v") > 0 =>
+        val at = v.lastIndexOf("@v")
+        val bound = scala.util.Try(qualifiedRoot(spark, v.substring(0, at)))
+          .getOrElse(v.substring(0, at))
+        if (bound == wanted)
+          scala.util.Try(v.substring(at + 2).toInt).toOption
+        else None
     }.flatten.toSet
+  }
 
   /** Drop all but the newest `keepVersions` manifests — except versions
     * in `protect` and versions the CURRENT session's snapshot bindings

@@ -93,6 +93,27 @@ class SnapshotReadSpec extends SparkSpec {
     assert(dropped2 == 1 && Snapshots.versions(spark, root) == Seq(3))
   }
 
+  test("binding protection survives differently-spelled roots") {
+    // ADVICE r10 item 1: the binding says `file:<root>/@v1` (scheme +
+    // trailing slash) while vacuum is called with the bare path — the
+    // protection must still engage, because both spellings name the
+    // same directory. A raw string-prefix comparison would silently
+    // skip the protection and collect the pinned version.
+    val root = tmpDir("snap-vac-spell")
+    val docs = Tables(spark, sfDir, "documents").limit(30)
+    Snapshots.overwrite(spark, root, docs)           // v1
+    Snapshots.overwrite(spark, root, docs.limit(5))  // v2
+    Snapshots.overwrite(spark, root, docs.limit(3))  // v3
+    try {
+      spark.conf.set("spark.graft.snapshot.documents", s"file:$root/@v1")
+      assert(Snapshots.boundVersions(spark, root) == Set(1),
+        "scheme-qualified, slash-suffixed binding must resolve to this root")
+      val (dropped, _) = Snapshots.vacuum(spark, root, keepVersions = 1)
+      assert(dropped == 1 && Snapshots.versions(spark, root) == Seq(1, 3),
+        "vacuum must spare the v1 pinned under the alternate spelling")
+    } finally unpin()
+  }
+
   test("a binding can pin a SnapshotTable root (the CDC-maintained zone)") {
     // One binding mechanism, both snapshot layers: pointing
     // spark.graft.snapshot.documents at a SnapshotTable root (tabbed

@@ -67,6 +67,10 @@ def write_baseline(db):
         f.write("# Written by tools/bench_compare.py; consumed by "
                 "graft.Bench for the like_for_like contract field.\n")
         f.write(f"#sf\t{os.path.basename(SF.rstrip('/'))}\n")
+        # host tag: graft.Bench renames like_for_like to
+        # cross_machine_ratio when the bench host differs — a committed
+        # baseline must never silently normalize another machine's runs
+        f.write(f"#host\t{os.uname().nodename}\n")
         for name in sorted(db):
             f.write(f"{name}\t{db[name]:.4f}\n")
 
