@@ -161,8 +161,8 @@ object AnnIndex {
     * not mix with [[buildIfMissing]]/[[append]], whose single
     * `centroid_state` table this layout deliberately replaces. Batch
     * directories grow one per drain; [[compactBatches]] folds them
-    * into a `compacted/upto=N` layout when the count gets large (same
-    * cadence and crash protocol as
+    * into size-tiered `compacted/gen-<lo>-<hi>` generations when the
+    * count gets large (same cadence and crash protocol as
     * [[InvertedIndex.compactBatches]]). */
   def appendIdempotent(
       spark: SparkSession, root: String, newVecs: DataFrame,
@@ -197,11 +197,10 @@ object AnnIndex {
       .map(_.getPath.getName.stripPrefix(prefix).toLong)
   }
 
-  /** Published compaction cutoff of a stream-owned root (max
-    * `compacted/upto=N`; -1 when never compacted). */
+  /** Published compaction cutoff of a stream-owned root (highest
+    * batch id any live generation covers; -1 when never compacted). */
   private def compactedUpto(spark: SparkSession, root: String): Long =
-    childIds(spark, root, "compacted", "upto=").sorted.lastOption
-      .getOrElse(-1L)
+    Generations.cutoff(spark, root)
 
   /** Exact decimal mean state over EVERYTHING a stream root has
     * ingested: the compacted fold (if published) plus every delta
@@ -209,37 +208,60 @@ object AnnIndex {
     * sum over all per-batch deltas regardless of how many were
     * folded. */
   private def streamStateTotal(spark: SparkSession, root: String): DataFrame = {
-    val upto = compactedUpto(spark, root)
+    val gens = Generations.live(spark, root)
+    val upto = gens.lastOption.map(_.hi).getOrElse(-1L)
     val cols = Seq(col("label"), col("pos"), col("s"), col("n"))
-    val compacted =
-      if (upto < 0) None
-      else Some(spark.read.parquet(s"$root/compacted/upto=$upto/state")
-        .select(cols: _*))
+    val folded = gens.map(g =>
+      spark.read.parquet(s"${g.path}/state").select(cols: _*))
     val live =
       if (childIds(spark, root, "state_deltas", "batch=").exists(_ > upto))
         Some(spark.read.parquet(s"$root/state_deltas")
           .filter(col("batch") > upto).select(cols: _*))
       else None
-    (compacted.toSeq ++ live).reduce(_ unionByName _)
+    (folded ++ live).reduce(_ unionByName _)
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("s")).cast(DecimalType(38, 10)).as("s"),
         sum(col("n")).as("n"))
   }
 
-  /** Fold a stream-owned root's per-batch directories into ONE
-    * `compacted/upto=N` layout — [[InvertedIndex.compactBatches]]'s
-    * protocol applied to the ANN layers (round-9 verdict item 1):
-    * stage merged vectors (label-partitioned, the probe's pruning
-    * axis) and the summed decimal state under `.compact-<uuid>`,
-    * publish with ONE atomic rename that carries data and cutoff
-    * together, then delete the folded batch dirs and the superseded
-    * fold. Probes are row-identical before/after (the union
-    * [[streamStateTotal]]/`vectorsDf` serve is the same bag of rows),
-    * and centroids are untouched — the folded state sums to the exact
-    * same decimals. Same checkpoint contract as the InvertedIndex
-    * twin: compact between clean drains; a replayed folded batch is
-    * skipped by [[appendIdempotent]]. */
-  def compactBatches(spark: SparkSession, root: String): Option[Long] = {
+  private val VecCols = Seq("vec_id", "embedding", "norm", "label")
+
+  private def writeGenLayers(
+      spark: SparkSession, staging: String,
+      state: DataFrame, vecs: DataFrame): Unit = {
+    state
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("s")).cast(DecimalType(38, 10)).as("s"),
+        sum(col("n")).as("n"))
+      .coalesce(1) // O(k x dims) rows
+      .write.mode("overwrite").parquet(s"$staging/state")
+    vecs
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$staging/vectors")
+  }
+
+  /** Fold the per-batch directories drained since the cutoff into a
+    * NEW generation, then run size-tiered generation merges —
+    * [[InvertedIndex.compactBatches]]'s generational protocol applied
+    * to the ANN layers (round-10 verdict item 1: the previous
+    * single-fold design rewrote every vector ever drained on every
+    * cycle). A fresh fold stages ONLY the fresh batches' vectors
+    * (label-partitioned, the probe's pruning axis) and their summed
+    * decimal state, publishes with ONE atomic rename
+    * ([[Generations.publish]] — coverage in the name), then deletes
+    * batch dirs at or below the cutoff and subsumed generations
+    * ([[Generations.cleanup]]). Adjacent generations merge when the
+    * newer reaches `mergeRatio` × the older's bytes — O(log n) live
+    * generations, O(n log n) lifetime write volume. Probes are
+    * row-identical before/after (the union [[streamStateTotal]] /
+    * `vectorsDf` serve is the same bag of rows), and centroids are
+    * untouched — per-generation states still sum to the exact same
+    * decimals (associative). Same checkpoint contract as the
+    * InvertedIndex twin: compact between clean drains; a replayed
+    * folded batch is skipped by [[appendIdempotent]]. */
+  def compactBatches(
+      spark: SparkSession, root: String,
+      mergeRatio: Double = Generations.DefaultMergeRatio): Option[Long] = {
     val f = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     require(!f.exists(new Path(s"$root/centroid_state")),
@@ -251,38 +273,47 @@ object AnnIndex {
     if (live.isEmpty) return None
     val upto = live.max
     val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
-    streamStateTotal(spark, root)
-      .coalesce(1) // O(k x dims) rows
-      .write.mode("overwrite").parquet(s"$staging/state")
-    val vecCols = Seq(col("vec_id"), col("embedding"), col("norm"),
-      col("label"))
-    val freshVecs = spark.read.parquet(s"$root/vectors")
-      .filter(col("batch") > prevUpto).select(vecCols: _*)
-    val mergedVecs =
-      if (prevUpto < 0) freshVecs
-      else spark.read.parquet(s"$root/compacted/upto=$prevUpto/vectors")
-        .select(vecCols: _*).unionByName(freshVecs)
-    mergedVecs
-      .write.mode("overwrite").partitionBy("label")
-      .parquet(s"$staging/vectors")
-    f.mkdirs(new Path(s"$root/compacted"))
-    val target = new Path(s"$root/compacted/upto=$upto")
-    if (f.exists(target) || !f.rename(new Path(staging), target))
-      throw new java.io.IOException(
-        s"cannot publish compaction at $target (concurrent compactor?)")
-    live.foreach { id =>
-      f.delete(new Path(s"$root/state_deltas/batch=$id"), true)
-      f.delete(new Path(s"$root/vectors/batch=$id"), true)
-    }
-    childIds(spark, root, "compacted", "upto=").filter(_ < upto).foreach(
-      old => f.delete(new Path(s"$root/compacted/upto=$old"), true))
-    f.listStatus(new Path(root)).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith(".compact-") &&
-          st.getPath.toString != staging)
-        f.delete(st.getPath, true)
-    }
+    // fold ONLY the fresh batches — never the previous generations
+    writeGenLayers(spark, staging,
+      spark.read.parquet(s"$root/state_deltas")
+        .filter(col("batch") > prevUpto)
+        .select(col("label"), col("pos"), col("s"), col("n")),
+      spark.read.parquet(s"$root/vectors")
+        .filter(col("batch") > prevUpto).select(VecCols.map(col): _*))
+    Generations.publish(spark, root, staging, prevUpto + 1, upto)
+    Generations.cleanup(spark, root, Seq("state_deltas", "vectors"))
+    mergeGenerations(spark, root, mergeRatio)
     invalidate(root)
     Some(upto)
+  }
+
+  /** Cascade size-tiered merges of adjacent generations (the
+    * [[InvertedIndex.mergeGenerations]] loop over the ANN layers):
+    * merged state re-sums the two inputs' exact decimals, merged
+    * vectors re-partition by label. The merged dir subsumes its
+    * inputs, so every crash window is probe-identical. */
+  private def mergeGenerations(
+      spark: SparkSession, root: String, ratio: Double): Unit = {
+    var gens = Generations.live(spark, root)
+    var due = Generations.mergeDue(gens, ratio)
+    while (due.isDefined) {
+      val (older, newer) = due.get
+      val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
+      // load each generation separately (two partitioned trees cannot
+      // share one multi-path read) and union
+      def leg(g: Generations.Gen, sub: String, cols: Seq[String]) =
+        spark.read.parquet(s"${g.path}/$sub").select(cols.map(col): _*)
+      val stateCols = Seq("label", "pos", "s", "n")
+      writeGenLayers(spark, staging,
+        leg(older, "state", stateCols)
+          .unionByName(leg(newer, "state", stateCols)),
+        leg(older, "vectors", VecCols)
+          .unionByName(leg(newer, "vectors", VecCols)))
+      Generations.publish(spark, root, staging, older.lo, newer.hi)
+      Generations.cleanup(spark, root, Seq("state_deltas", "vectors"))
+      gens = Generations.live(spark, root)
+      due = Generations.mergeDue(gens, ratio)
+    }
   }
 
   /** Probe the persisted index: for each query row
@@ -313,14 +344,14 @@ object AnnIndex {
     val upto = compactedUpto(spark, root)
     if (upto < 0) read(spark, s"$root/vectors")
     else {
-      val cols = Seq(col("vec_id"), col("embedding"), col("norm"),
-        col("label"))
-      val compacted = read(spark, s"$root/compacted/upto=$upto/vectors")
-        .select(cols: _*)
+      val cols = VecCols.map(col)
+      val folded = Generations.live(spark, root)
+        .map(g => read(spark, s"${g.path}/vectors").select(cols: _*))
+        .reduce(_ unionByName _)
       if (childIds(spark, root, "vectors", "batch=").exists(_ > upto))
-        compacted.unionByName(read(spark, s"$root/vectors")
+        folded.unionByName(read(spark, s"$root/vectors")
           .filter(col("batch") > upto).select(cols: _*))
-      else compacted
+      else folded
     }
   }
 

@@ -60,7 +60,7 @@ object IndexMaintenance {
     * [[graft.operators.AnnIndex.appendIdempotent]]).
     *
     * `compactEveryBatches` folds the per-batch layout into
-    * `compacted/upto=N` every k-th drained batch, INSIDE the stream
+    * size-tiered generations every k-th drained batch, INSIDE the stream
     * (see [[maintainInvertedIndex]] for why in-batch compaction is
     * safe); None = manual compaction cadence. */
   def maintainAnnIndex(
@@ -90,7 +90,8 @@ object IndexMaintenance {
     *
     * `compactEveryBatches = Some(k)` makes compaction part of the
     * MAINTENANCE STREAM itself: after every k-th drained batch the
-    * per-batch layout folds into `compacted/upto=N`. Running the fold
+    * per-batch layout folds into a fresh size-tiered generation
+    * ([[graft.operators.Generations]]). Running the fold
     * INSIDE foreachBatch is safe because a micro-batch query executes
     * batches strictly sequentially (no concurrent drain can race the
     * fold), and the crash matrix reduces to the operator's own

@@ -54,8 +54,8 @@ class DedupIndexSpec extends SparkSpec {
   test("compactFiles: probe-identical fold, files collapse, appends continue") {
     // The third index's growth axis is FILES per (band, pfx) directory
     // (append adds up to one per dir per batch). compactFiles folds
-    // append zone + previous fold into compacted/gen=N with ONE file
-    // per directory; because the index is a bag and probe ends in
+    // the append zone into a fresh generation with ONE file per
+    // directory; because the index is a bag and probe ends in
     // distinct(), every crash window is probe-identical by
     // construction — pinned below by manufacturing the
     // publish-before-cleanup state (rows in BOTH the fold and the
@@ -84,7 +84,7 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.compactFiles(spark, r) == Some(0L))
     assert(results() == before, "compaction changed probe results")
     assert(parquetFiles(s"$r/bands") == 0, "append zone should be empty")
-    val foldedFiles = parquetFiles(s"$r/compacted/gen=0")
+    val foldedFiles = parquetFiles(s"$r/compacted/gen-0-0")
     assert(foldedFiles <= 64, s"fold should be <=1 file/dir: $foldedFiles")
     assert(DedupIndex.compactFiles(spark, r).isEmpty, "nothing new to fold")
 
@@ -104,11 +104,20 @@ class DedupIndexSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
     assert(results() == full,
       "post-compaction appends diverged from a full rebuild")
-    // second fold replaces the first
+    // second fold lands as a new generation (merged with the first
+    // only if the size-tiered trigger fires); either way the live
+    // generations tile [0,1] and the probe set is unchanged
     assert(DedupIndex.compactFiles(spark, r) == Some(1L))
     assert(results() == full)
-    assert(!new java.io.File(s"$r/compacted/gen=0").exists(),
-      "the superseded fold must be cleaned up")
+    val rs = Option(new java.io.File(s"$r/compacted").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.matches("gen-\\d+-\\d+") =>
+        val p = n.stripPrefix("gen-").split("-")
+        (p(0).toLong, p(1).toLong)
+      }.toSeq.sortBy(_._1)
+    assert(rs.head._1 == 0 && rs.last._2 == 1 &&
+      rs.zip(rs.tail).forall { case (a, b) => b._1 == a._2 + 1 },
+      s"generations must tile [0,1]: $rs")
   }
 
   test("rebuild is idempotent: second build is a no-op, probes unchanged") {

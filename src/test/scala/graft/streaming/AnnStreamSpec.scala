@@ -66,7 +66,7 @@ class AnnStreamSpec extends SparkSpec {
   test("compactBatches: probe-identical fold, dirs collapse, drains continue") {
     // The AnnIndex twin of InvertedIndex.compactBatches (round-9
     // verdict item 1): per-batch state deltas and vector directories
-    // fold into compacted/upto=N with probes row-identical
+    // fold into generational compacted/gen-<lo>-<hi> with probes row-identical
     // before/after, folded-batch replays skipped, and later drains +
     // a second compaction landing cleanly.
     val root = tmpDir("ann-compact-root")
@@ -88,7 +88,7 @@ class AnnStreamSpec extends SparkSpec {
     assert(results(root) == before, "compaction changed probe results")
     assert(batchDirs("state_deltas").isEmpty && batchDirs("vectors").isEmpty,
       "folded batch directories must be deleted")
-    assert(new java.io.File(s"$root/compacted/upto=1").isDirectory)
+    assertTiles(root, 1)
     assert(AnnIndex.compactBatches(spark, root).isEmpty, "nothing to fold")
 
     // a replayed FOLDED batch id is skipped
@@ -106,7 +106,7 @@ class AnnStreamSpec extends SparkSpec {
       "post-compaction drain diverged from the batch build")
     assert(AnnIndex.compactBatches(spark, root) == Some(2L))
     assert(results(root) == full)
-    assert(!new java.io.File(s"$root/compacted/upto=1").exists())
+    assertTiles(root, 2)
   }
 
   test("compactBatches refuses a batch-build root") {
@@ -135,4 +135,24 @@ class AnnStreamSpec extends SparkSpec {
     AnnIndex.buildIfMissing(spark, sfDir, rootBatch)
     assert(results(root) == results(rootBatch))
   }
+  /** Live generation ranges under <root>/compacted, ascending. */
+  private def genRanges(root: String): Seq[(Long, Long)] = {
+    val d = new java.io.File(s"$root/compacted")
+    if (!d.exists()) Nil
+    else d.listFiles().filter(_.isDirectory).map(_.getName).collect {
+      case n if n.matches("gen-\\d+-\\d+") =>
+        val p = n.stripPrefix("gen-").split("-")
+        (p(0).toLong, p(1).toLong)
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** The ranges must tile [0, hi] contiguously with no overlap — the
+    * generational invariant every reader depends on. */
+  private def assertTiles(root: String, hi: Long): Unit = {
+    val rs = genRanges(root)
+    assert(rs.nonEmpty && rs.head._1 == 0 && rs.last._2 == hi &&
+      rs.zip(rs.tail).forall { case (a, b) => b._1 == a._2 + 1 },
+      s"generations must tile [0,$hi]: $rs")
+  }
+
 }

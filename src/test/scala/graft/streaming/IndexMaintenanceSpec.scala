@@ -47,8 +47,12 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(got == exp,
       s"in-stream-compacted index diverged:\n got=$got\n exp=$exp")
     // the fold actually ran: compacted layout present, batch zone empty
-    assert(new java.io.File(s"$root/compacted/upto=3").isDirectory,
-      "expected the last fold at upto=3")
+    val genHis = Option(new java.io.File(s"$root/compacted").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.matches("gen-\\d+-\\d+") =>
+        n.stripPrefix("gen-").split("-")(1).toLong }
+    assert(genHis.nonEmpty && genHis.max == 3,
+      s"expected the last fold to cover batch 3: ${genHis.toSeq}")
     val batchDirs = Option(
         new java.io.File(s"$root/postings_batches").listFiles())
       .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")))

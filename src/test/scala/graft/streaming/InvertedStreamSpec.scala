@@ -86,7 +86,7 @@ class InvertedStreamSpec extends SparkSpec {
     assert(batchDirs("postings_batches").isEmpty &&
       batchDirs("corpus_batches").isEmpty,
       "folded batch directories must be deleted")
-    assert(new java.io.File(s"$root/compacted/upto=1").isDirectory)
+    assertTiles(root, 1)
     // compacting again with nothing new is a no-op
     assert(InvertedIndex.compactBatches(spark, root).isEmpty)
 
@@ -104,13 +104,12 @@ class InvertedStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(results(root) == exp,
       "post-compaction drain diverged from the inline full-corpus ranking")
-    // ...and a second compaction folds fold + new batch, replacing the
-    // superseded upto=1
+    // ...and a second compaction folds ONLY the new batch into a new
+    // generation (merging with the first only if the size-tiered
+    // trigger fires) — either way the generations tile [0,2]
     assert(InvertedIndex.compactBatches(spark, root) == Some(2L))
     assert(results(root) == exp)
-    assert(!new java.io.File(s"$root/compacted/upto=1").exists(),
-      "the superseded fold must be cleaned up")
-    assert(new java.io.File(s"$root/compacted/upto=2").isDirectory)
+    assertTiles(root, 2)
   }
 
   test("a width-2 stream root drains, folds, and probes identically") {
@@ -136,7 +135,7 @@ class InvertedStreamSpec extends SparkSpec {
       s"expected width-2 pfx dirs: ${b0.take(3).mkString(",")}")
     assert(InvertedIndex.compactBatches(spark, root) == Some(1L))
     assert(results(root) == exp, "width-2 fold changed the ranking")
-    val folded = new java.io.File(s"$root/compacted/upto=1/postings")
+    val folded = new java.io.File(s"$root/compacted/gen-0-1/postings")
       .listFiles().filter(_.getName.startsWith("pfx=")).map(_.getName)
     assert(folded.nonEmpty && folded.forall(_.matches("pfx=x[0-9a-f]{2}")),
       "the fold must preserve the build's fan-out width")
@@ -169,4 +168,24 @@ class InvertedStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(before == exp)
   }
+  /** Live generation ranges under <root>/compacted, ascending. */
+  private def genRanges(root: String): Seq[(Long, Long)] = {
+    val d = new java.io.File(s"$root/compacted")
+    if (!d.exists()) Nil
+    else d.listFiles().filter(_.isDirectory).map(_.getName).collect {
+      case n if n.matches("gen-\\d+-\\d+") =>
+        val p = n.stripPrefix("gen-").split("-")
+        (p(0).toLong, p(1).toLong)
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** The ranges must tile [0, hi] contiguously with no overlap — the
+    * generational invariant every reader depends on. */
+  private def assertTiles(root: String, hi: Long): Unit = {
+    val rs = genRanges(root)
+    assert(rs.nonEmpty && rs.head._1 == 0 && rs.last._2 == hi &&
+      rs.zip(rs.tail).forall { case (a, b) => b._1 == a._2 + 1 },
+      s"generations must tile [0,$hi]: $rs")
+  }
+
 }
