@@ -127,12 +127,38 @@ object SnapshotTable {
       .sorted.toSeq
   }
 
-  /** ((partition key, data dir) entries, recorded schema) of a
-    * version's manifest. Keys are Hive-escaped (no tab/newline/'#' can
-    * appear), so TAB is a safe separator and '#' a safe marker. */
+  /** One version's manifest: (partition key -> data dir) entries, the
+    * recorded schema, the declared stat/cluster columns, and the
+    * per-file min/max stats rows ([[FileStat]]). */
+  private[lake] final case class Manifest(
+      entries: Seq[(String, String)],
+      schema: Option[StructType],
+      statsCols: Seq[String],
+      clusterBy: Seq[String],
+      fileStats: Seq[FileStat])
+
+  /** One file's min/max for one stat column. `min`/`max` are the
+    * Spark cast-to-string rendering of the column's native min/max,
+    * URL-encoded on disk (string values can carry tabs/newlines);
+    * None = the file has no non-null values for this column — its
+    * census line still exists (the manifest IS the file list), it is
+    * just never skipped on a bound it cannot match. */
+  private[lake] final case class FileStat(
+      relPath: String, column: String,
+      min: Option[String], max: Option[String])
+
+  private def encStat(v: Option[String]): String =
+    v.fold("-")(x => "v" + java.net.URLEncoder.encode(x, "UTF-8"))
+
+  private def decStat(s: String): Option[String] =
+    if (s == "-") None
+    else Some(java.net.URLDecoder.decode(s.stripPrefix("v"), "UTF-8"))
+
+  /** A version's manifest. Keys are Hive-escaped (no tab/newline/'#'
+    * can appear), so TAB is a safe separator and '#' a safe marker;
+    * '#'-prefixed metadata lines are ignored by older readers. */
   private def readManifest(
-      spark: SparkSession, root: String, v: Int)
-      : (Seq[(String, String)], Option[StructType]) = {
+      spark: SparkSession, root: String, v: Int): Manifest = {
     val p = new Path(manifestDir(root), f"v$v%08d.manifest")
     val in = fs(spark, root).open(p)
     val lines =
@@ -141,11 +167,20 @@ object SnapshotTable {
       finally in.close()
     val schema = lines.find(_.startsWith("#schema\t")).map(l =>
       DataType.fromJson(l.stripPrefix("#schema\t")).asInstanceOf[StructType])
+    def tabList(marker: String): Seq[String] = lines
+      .find(_.startsWith(marker + "\t"))
+      .map(_.stripPrefix(marker + "\t").split('\t').toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+    val fileStats = lines.filter(_.startsWith("#f\t")).map { l =>
+      val parts = l.split('\t')
+      FileStat(parts(1), parts(2), decStat(parts(3)), decStat(parts(4)))
+    }
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val i = line.indexOf('\t')
       (line.substring(0, i), line.substring(i + 1))
     }
-    (entries, schema)
+    Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
+      fileStats)
   }
 
   /** THE COMMIT: write the manifest to a writer-unique tmp name, rename
@@ -157,14 +192,23 @@ object SnapshotTable {
     * `untouched`). A lost race throws [[CommitRaceException]]. */
   private def commitManifest(
       spark: SparkSession, root: String,
-      entries: Seq[(String, String)], schema: StructType, v: Int): Int = {
+      entries: Seq[(String, String)], schema: StructType, v: Int,
+      statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      fileStats: Seq[FileStat] = Nil): Int = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root),
       f".v$v%08d.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
+    val meta = Seq(s"#schema\t${schema.json}") ++
+      (if (statsCols.nonEmpty)
+        Seq(("#statscols" +: statsCols).mkString("\t")) else Nil) ++
+      (if (clusterBy.nonEmpty)
+        Seq(("#clusterby" +: clusterBy).mkString("\t")) else Nil) ++
+      fileStats.map(fs =>
+        s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}")
     try out.write(
-      ((s"#schema\t${schema.json}" +: entries.map { case (k, d) => s"$k\t$d" })
+      ((meta ++ entries.map { case (k, d) => s"$k\t$d" })
         .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(manifestDir(root), f"v$v%08d.manifest")
@@ -177,11 +221,10 @@ object SnapshotTable {
 
   private def entriesAt(
       spark: SparkSession, root: String, version: Int): Seq[(String, String)] =
-    manifestAt(spark, root, version)._1
+    manifestAt(spark, root, version).entries
 
   private def manifestAt(
-      spark: SparkSession, root: String, version: Int)
-      : (Seq[(String, String)], Option[StructType]) = {
+      spark: SparkSession, root: String, version: Int): Manifest = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshot-table version committed under $root")
     val v = if (version < 0) vs.last else version
@@ -200,16 +243,16 @@ object SnapshotTable {
     * as an empty frame with the schema the emptying commit recorded —
     * an emptied table is a table, not an error state. */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
-    val (entries, schema) = manifestAt(spark, root, version)
-    if (entries.isEmpty)
+    val m = manifestAt(spark, root, version)
+    if (m.entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.getOrElse(throw new IllegalStateException(
+        m.schema.getOrElse(throw new IllegalStateException(
           "version has an empty manifest and no recorded schema " +
             "(pre-schema-line manifest format)")))
     else
       spark.read.option("mergeSchema", "true").parquet(
-        entries.map(e => new Path(root, e._2).toString): _*)
+        m.entries.map(e => new Path(root, e._2).toString): _*)
   }
 
   /** Manifest-pruned read of selected partition TUPLES: each key lists
@@ -237,6 +280,96 @@ object SnapshotTable {
     val p = prefix.map(escapeKey).mkString("/")
     selectDirs(spark, root, version,
       k => k == p || k.startsWith(p + "/"))
+  }
+
+  /** Stats-pruned range read (round-10 verdict item 2): rows of
+    * `column` between `lower` and `upper` (inclusive), opening ONLY
+    * the files whose manifest-recorded [min,max] intersects the bound
+    * — the manifest is the file census (every commit under a
+    * `statsFor` declaration writes one `#f` line per file), so
+    * pruning needs no directory listing and no footer reads; skipped
+    * files are never opened at all.
+    *
+    * Correctness is stats-independent: the residual `BETWEEN` filter
+    * always applies, files without stats for `column` are always
+    * kept, and a table with no stats declaration degrades to the
+    * plain filtered [[read]]. Files whose census line records no
+    * non-null values for `column` ARE skipped — no row in them can
+    * satisfy a BETWEEN on it (NULL never matches).
+    *
+    * Bound rendering: pass numbers as numbers and dates/strings as
+    * their ISO / literal strings — comparisons are type-aware from
+    * the recorded schema (numeric as numbers, everything else in the
+    * cast-to-string order parquet stats were recorded in). */
+  def readBetween(
+      spark: SparkSession, root: String, column: String,
+      lower: Any, upper: Any, version: Int = -1): DataFrame = {
+    val m = manifestAt(spark, root, version)
+    val residual = col(column) >= lit(lower) && col(column) <= lit(upper)
+    val dt = m.schema.flatMap(_.fields.find(_.name == column))
+      .map(_.dataType)
+    if (m.entries.isEmpty || !m.statsCols.contains(column) || dt.isEmpty)
+      return read(spark, root, version).filter(residual)
+    val lo = renderBound(lower)
+    val hi = renderBound(upper)
+    val byFile = m.fileStats.filter(_.column == column)
+      .map(fs => fs.relPath -> fs).toMap
+    val filesByDir = m.fileStats.map(_.relPath).distinct
+      .groupBy(r => r.take(r.lastIndexOf('/')))
+    val fsys = fs(spark, root)
+    val keep = m.entries.flatMap { case (_, d) =>
+      if (filesByDir.contains(d))
+        // served from the manifest alone: no listing, no footers
+        filesByDir(d).filter { rel =>
+          byFile.get(rel) match {
+            case Some(FileStat(_, _, Some(mn), Some(mx))) =>
+              cmp(dt.get, mx, lo) >= 0 && cmp(dt.get, mn, hi) <= 0
+            case Some(FileStat(_, _, None, None)) => false // all-NULL file
+            case _ => true // partial/absent stats: never skip
+          }
+        }.map(rel => new Path(root, rel).toString)
+      else
+        // directory written before the stats declaration: list and
+        // keep everything (conservative fallback)
+        fsys.listStatus(new Path(root, d)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+    }
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema.get)
+    else
+      spark.read.option("mergeSchema", "true").parquet(keep: _*)
+        .filter(residual)
+  }
+
+  /** Type-aware order over the cast-to-string stat renderings.
+    * Numerics parse back (BigDecimal handles both "42" and "1.0E10");
+    * dates, timestamps, and strings compare lexicographically — the
+    * uniform Spark cast rendering is order-preserving for all three
+    * ('.' sorts below digits, so trimmed fractional seconds still
+    * order correctly). */
+  private def cmp(dt: DataType, a: String, b: String): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType =>
+        BigDecimal(a).compare(BigDecimal(b))
+      case _ => a.compareTo(b)
+    }
+  }
+
+  /** Caller bound -> the same rendering the stats were recorded in. */
+  private def renderBound(v: Any): String = v match {
+    case t: java.sql.Timestamp =>
+      // Timestamp.toString keeps a trailing ".0" that Spark's cast
+      // rendering trims — normalize so lexicographic compare holds
+      val s = t.toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+        .stripSuffix(".")
+      else s
+    case other => String.valueOf(other)
   }
 
   private def selectDirs(
@@ -306,13 +439,27 @@ object SnapshotTable {
   /** Initial (or full-replace) commit: new version = exactly `df`,
     * one immutable directory per partition tuple. Replace semantics
     * make it conflict-free by definition: on a commit race it simply
-    * retries onto the next version number (last-replace-wins). */
+    * retries onto the next version number (last-replace-wins).
+    *
+    * `statsFor` declares DATA-SKIPPING columns (round-10 verdict item
+    * 2): every commit from then on records per-file min/max for them
+    * in the manifest, and [[readBetween]] prunes FILES from the
+    * manifest alone — a selective predicate inside a partition no
+    * longer opens every footer. `clusterBy` range-clusters rows across
+    * the `filesPerPartition` files of each partition (instead of the
+    * default hash salt), so the per-file ranges are NARROW and the
+    * stats actually skip — the manifest-served analog of the Z-order
+    * locality [[Lake.writeZOrdered]] builds. Both declarations persist
+    * in the manifest; upsert/applyChanges/deleteWhere maintain the
+    * stats automatically for every directory they rewrite. */
   def write(
       spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String], filesPerPartition: Int = 1): Int =
-    commitRewrite(spark, root, df, partitionBy, baseEntries = Nil,
+      partitionBy: Seq[String], filesPerPartition: Int = 1,
+      statsFor: Seq[String] = Nil, clusterBy: Seq[String] = Nil): Int =
+    commitRewrite(spark, root, df, partitionBy, baseManifest = None,
       touchedKeys = Set.empty, replaceAll = true,
-      filesPerPartition, crashBeforeCommit = false)
+      filesPerPartition, crashBeforeCommit = false,
+      declaredStats = statsFor, declaredCluster = clusterBy)
 
   /** Upsert `updates` (same contract as [[Lake.upsert]]: full schema,
     * unique non-null keys, stable partition per key): rows whose `key`
@@ -344,9 +491,11 @@ object SnapshotTable {
     withConflictRetry {
       // bootstrap: an upsert into a never-written table is the initial
       // commit (the CDC-stream shape — the first drained batch creates v1)
-      val (entries, schema) =
-        if (versions(spark, root).isEmpty) (Nil, None)
-        else manifestAt(spark, root, -1)
+      val base =
+        if (versions(spark, root).isEmpty) None
+        else Some(manifestAt(spark, root, -1))
+      val entries = base.map(_.entries).getOrElse(Nil)
+      val schema = base.flatMap(_.schema)
       val touchedKeys = touchedCompositeKeys(updates, partitionBy)
       val liveTouched = entries.filter(e => touchedKeys(e._1))
       val merged =
@@ -372,7 +521,7 @@ object SnapshotTable {
               .unionByName(projected, allowMissingColumns = mergeSchema)
           }
         }
-      commitRewrite(spark, root, merged, partitionBy, entries, touchedKeys,
+      commitRewrite(spark, root, merged, partitionBy, base, touchedKeys,
         replaceAll = false, filesPerPartition, crashBeforeCommit)
     }
   }
@@ -410,7 +559,9 @@ object SnapshotTable {
       s"change batch carries $nNullOps NULL '$opCol' rows; every change " +
         "must declare its operation ('d' = delete, else upsert)")
     withConflictRetry {
-      val (entries, schema) = manifestAt(spark, root, -1)
+      val base = manifestAt(spark, root, -1)
+      val entries = base.entries
+      val schema = base.schema
       val touchedKeys = touchedCompositeKeys(changes, partitionBy)
       val liveTouched = entries.filter(e => touchedKeys(e._1))
       val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
@@ -436,8 +587,9 @@ object SnapshotTable {
               col(key) === col("_graft_k"), "left_anti")
             .unionByName(projected, allowMissingColumns = mergeSchema)
         }
-      commitRewrite(spark, root, merged, partitionBy, entries, touchedKeys,
-        replaceAll = false, filesPerPartition, crashBeforeCommit = false)
+      commitRewrite(spark, root, merged, partitionBy, Some(base),
+        touchedKeys, replaceAll = false, filesPerPartition,
+        crashBeforeCommit = false)
     }
   }
 
@@ -451,7 +603,8 @@ object SnapshotTable {
       spark: SparkSession, root: String, predicate: Column,
       partitionBy: Seq[String], filesPerPartition: Int = 1): Int =
     withConflictRetry {
-      val entries = entriesAt(spark, root, -1)
+      val base = manifestAt(spark, root, -1)
+      val entries = base.entries
       val all = read(spark, root)
       val touchedKeys =
         touchedCompositeKeys(all.filter(predicate), partitionBy)
@@ -468,8 +621,9 @@ object SnapshotTable {
         val kept = spark.read.option("mergeSchema", "true").parquet(
             liveTouched.map(e => new Path(root, e._2).toString): _*)
           .filter(coalesce(!predicate, lit(true)))
-        commitRewrite(spark, root, kept, partitionBy, entries, touchedKeys,
-          replaceAll = false, filesPerPartition, crashBeforeCommit = false)
+        commitRewrite(spark, root, kept, partitionBy, Some(base),
+          touchedKeys, replaceAll = false, filesPerPartition,
+          crashBeforeCommit = false)
       }
     }
 
@@ -493,10 +647,20 @@ object SnapshotTable {
     * commit exactly V+1. A lost rename race just loops. */
   private def commitRewrite(
       spark: SparkSession, root: String, newRows: DataFrame,
-      partitionBy: Seq[String], baseEntries: Seq[(String, String)],
+      partitionBy: Seq[String], baseManifest: Option[Manifest],
       touchedKeys: Set[String], replaceAll: Boolean,
-      filesPerPartition: Int, crashBeforeCommit: Boolean): Int = {
+      filesPerPartition: Int, crashBeforeCommit: Boolean,
+      declaredStats: Seq[String] = Nil,
+      declaredCluster: Seq[String] = Nil): Int = {
     require(partitionBy.nonEmpty, "partitionBy must name at least one column")
+    // write() (re)declares; every other mutation inherits the table's
+    // persisted declarations, so stats maintenance is automatic
+    val statsCols =
+      if (replaceAll) declaredStats
+      else baseManifest.map(_.statsCols).getOrElse(declaredStats)
+    val clusterBy =
+      if (replaceAll) declaredCluster
+      else baseManifest.map(_.clusterBy).getOrElse(declaredCluster)
     val f = fs(spark, root)
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID()}")
     val base = Iterator.from(0).map {
@@ -508,9 +672,23 @@ object SnapshotTable {
     val staged = partitionBy.zip(stagingCols).foldLeft(newRows) {
       case (d, (c, sc)) => d.withColumn(sc, col(c).cast("string"))
     }
-    Lake.repartitionForLayout(staged, partitionBy, filesPerPartition,
-        spark.sessionState.conf.numShufflePartitions.min(64) *
-          filesPerPartition.max(1))
+    val layout =
+      if (clusterBy.isEmpty)
+        Lake.repartitionForLayout(staged, partitionBy, filesPerPartition,
+          spark.sessionState.conf.numShufflePartitions.min(64) *
+            filesPerPartition.max(1))
+      else {
+        // range-cluster rows across each partition's files on the
+        // declared columns: per-file [min,max] windows become narrow,
+        // which is what makes the per-file stats skip at read time
+        val nTuples =
+          if (touchedKeys.nonEmpty) touchedKeys.size
+          else touchedCompositeKeys(newRows, partitionBy).size
+        staged.repartitionByRange(
+          (nTuples.max(1) * filesPerPartition.max(1)).min(4096),
+          (partitionBy.map(col) ++ clusterBy.map(col)): _*)
+      }
+    layout
       .write.mode("overwrite").partitionBy(stagingCols: _*)
       .parquet(staging.toString)
     f.mkdirs(new Path(root, "data"))
@@ -540,14 +718,47 @@ object SnapshotTable {
     if (crashBeforeCommit)
       throw new java.io.IOException(
         "simulated crash after data write, before manifest commit")
+    // Per-file min/max for the declared stat columns, over ONLY the
+    // just-written directories (one pass over fresh data, still warm):
+    // min/max on the NATIVE type, cast to string after the aggregate —
+    // a string-first min would be lexicographic and wrong for numbers.
+    // Columns absent from this batch (pre-evolution vintages) simply
+    // get no lines and are never skipped.
+    val newStats: Seq[FileStat] =
+      if (statsCols.isEmpty || moved.isEmpty) Nil
+      else {
+        val df = spark.read.option("mergeSchema", "true").parquet(
+          moved.map(m => new Path(root, m._2).toString): _*)
+        val present = statsCols.filter(df.columns.contains)
+        if (present.isEmpty) Nil
+        else {
+          val aggs = present.flatMap(c => Seq(
+            min(col(c)).cast("string").as(s"_graft_min_$c"),
+            max(col(c)).cast("string").as(s"_graft_max_$c")))
+          val rootAbs = f.makeQualified(new Path(root)).toUri.getPath
+          df.groupBy(input_file_name().as("_graft_file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().toSeq.flatMap { r =>
+              val rel = new Path(r.getString(0)).toUri.getPath
+                .stripPrefix(rootAbs + "/")
+              present.indices.flatMap { i =>
+                val mn = Option(r.getString(1 + 2 * i))
+                val mx = Option(r.getString(2 + 2 * i))
+                Some(FileStat(rel, present(i), mn, mx))
+              }
+            }
+        }
+      }
     onBeforeCommit()
     val schema = newRows.schema
-    val baseTouched = baseEntries.filter(e => touchedKeys(e._1)).toSet
+    val baseTouched = baseManifest.map(_.entries).getOrElse(Nil)
+      .filter(e => touchedKeys(e._1)).toSet
     var raceRetries = 0
     while (true) {
       val latestV = versions(spark, root).lastOption.getOrElse(0)
-      val latest =
-        if (latestV == 0) Nil else readManifest(spark, root, latestV)._1
+      val latestM =
+        if (latestV == 0) None else Some(readManifest(spark, root, latestV))
+      val latest = latestM.map(_.entries).getOrElse(Nil)
       if (!replaceAll) {
         val nowTouched = latest.filter(e => touchedKeys(e._1)).toSet
         if (nowTouched != baseTouched)
@@ -558,8 +769,14 @@ object SnapshotTable {
       }
       val untouched =
         if (replaceAll) Nil else latest.filterNot(e => touchedKeys(e._1))
+      // stats of untouched directories carry forward verbatim — their
+      // files were not rewritten, so neither were their min/max
+      val untouchedDirs = untouched.map(_._2).toSet
+      val carried = latestM.map(_.fileStats).getOrElse(Nil)
+        .filter(fs => untouchedDirs.exists(d => fs.relPath.startsWith(d + "/")))
       try return commitManifest(
-        spark, root, untouched ++ moved, schema, latestV + 1)
+        spark, root, untouched ++ moved, schema, latestV + 1,
+        statsCols, clusterBy, carried ++ newStats)
       catch {
         case e: CommitRaceException =>
           raceRetries += 1
@@ -594,7 +811,8 @@ object SnapshotTable {
     val keepSet = protect ++ Snapshots.boundVersions(spark, root)
     val drop = vs.dropRight(keepVersions).filterNot(keepSet)
     val keep = vs.filterNot(drop.contains)
-    val live = keep.flatMap(readManifest(spark, root, _)._1).map(_._2).toSet
+    val live = keep.flatMap(readManifest(spark, root, _).entries)
+      .map(_._2).toSet
     drop.foreach(v =>
       f.delete(new Path(manifestDir(root), f"v$v%08d.manifest"), false))
     val dataDir = new Path(root, "data")

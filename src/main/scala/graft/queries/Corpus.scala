@@ -810,9 +810,59 @@ object Corpus {
       FROM c WHERE cum_tok <= $QualityBudget
       ORDER BY source, cum_tok, doc_id"""))
 
+  /** Stats-pruned range read over a CDC-maintained lake table, gated
+    * end-to-end (round-10 verdict item 2's oracle row): build a
+    * [[graft.lake.SnapshotTable]] from `documents` with per-file
+    * min/max stats + range clustering declared on `doc_id`, then
+    * answer a selective doc_id band via [[graft.lake.SnapshotTable
+    * .readBetween]] — the read opens only the manifest-matched files
+    * (pruning structurally pinned in `SkipReadSpec`), and THIS row
+    * pins that the pruned read returns exactly the rows the plain
+    * table scan would (DuckDB computes the band over the raw
+    * parquet). Deterministic root per corpus fingerprint; idempotent
+    * across bench warmup + timed runs. Scale shape: the band read
+    * lists nothing (manifest census) and opens O(band/file-range)
+    * files, not the partition's whole directory. */
+  private[queries] def snapshotSkipRead(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    val root = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_snaptable_skip_v1")
+    if (SnapshotTable.versions(spark, root).isEmpty)
+      SnapshotTable.write(spark, root,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source")),
+        Seq("source"), filesPerPartition = 4,
+        statsFor = Seq("doc_id"), clusterBy = Seq("doc_id"))
+    val n = Tables(spark, dir, "documents")
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val lo = n / 5
+    val hi = 2 * n / 5
+    SnapshotTable.readBetween(spark, root, "doc_id", lo, hi)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
+  val t41_snapshot_skipread = Q(
+    "t41_snapshot_skipread",
+    (s, dir) => snapshotSkipRead(s, dir),
+    Some("""
+      WITH b AS (SELECT MAX(doc_id) AS n FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents, b
+      WHERE doc_id BETWEEN n // 5 AND 2 * n // 5
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
       t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
       t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample,
-      t39_bpe_encode, t40_snapshot_cdc)
+      t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread)
 }
