@@ -671,6 +671,18 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
     var labels = nodes.select(col("id"), col("id").as("label")).cache()
+    // Monotone fixpoint check (round-10 advice): per-node labels only
+    // ever DECREASE (each round takes a min over self + neighbors), so
+    // the total label sum strictly decreases until the fixpoint — a
+    // 1-row aggregate on the frame the round computed ANYWAY replaces
+    // the old join-against-previous check, saving one full distributed
+    // join pass per round (job-count pinned in CurationOpsSpec).
+    // Decimal sum: immune to long overflow at any id magnitude.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+        .collect()(0).getDecimal(0))
+    var prevSum = labelSum(labels) // also materializes the cache
     var converged = false
     while (!converged) {
       val viaNbr = sym
@@ -680,9 +692,9 @@ object Dedup {
       val next = labels.unionByName(viaNbr)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .cache()
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels.unpersist(false)
       labels = next
     }
@@ -735,7 +747,8 @@ object Dedup {
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
-    var converged = e.isEmpty
+    var nE = e.count()
+    var converged = nE == 0
     while (!converged) {
       val sym = e.union(
         e.select(col("dst").as("src"), col("src").as("dst")))
@@ -768,9 +781,16 @@ object Dedup {
           greatest(col("dst"), col("m")).as("dst"))
         .unionByName(mLow.select(col("m").as("src"), col("u").as("dst")))
         .filter(col("src") =!= col("dst")).distinct())
-      // fixpoint: the round rewrote no edge (symmetric difference empty)
-      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      // fixpoint: both edge sets are DISTINCT by construction, so
+      // small ⊆ e (one anti-join) plus equal cardinality implies set
+      // equality — the old symmetric-difference check's second
+      // anti-join was redundant (round-10 advice; counts are cheap
+      // scans of the already-checkpointed frames, and unequal counts
+      // short-circuit the anti-join entirely)
+      val nSmall = small.count()
+      converged = nSmall == nE && small.exceptAll(e).isEmpty
       e = small
+      nE = nSmall
     }
     // at fixpoint the edges are stars rooted at component minima
     val rootOf = e.union(

@@ -299,7 +299,44 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
-  test("star-contraction CC collapses a long chain (high-diameter graph)") {
+  test("min-label CC runs ONE action per propagation round (sum fixpoint)") {
+    // Round-10 advice: the old convergence check joined each round's
+    // labels against the previous round's — a second full distributed
+    // pass (a second Dataset action) per iteration. The monotone-sum
+    // check is a 1-row aggregate on the frame the round computed
+    // anyway, so a k-round propagation runs ~k actions, not ~2k.
+    // Pin via QueryExecutionListener (action-level, stable under AQE's
+    // per-stage job splitting): an 8-node chain (diameter 7 => 8
+    // rounds to fixpoint) must stay within rounds + small-constant
+    // actions — the two-pass loop needed roughly double.
+    import spark.implicits._
+    val nodes = (0L until 8L).toDF("id")
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { counter.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val labels = Dedup.connectedComponents(nodes, chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Thread.sleep(500) // execution-listener events are async; drain
+      assert(labels.values.forall(_ == 0L), "chain must collapse to 0")
+      // 8 rounds x 1 sum + initial sum + the localCheckpoint + this
+      // test's collect ~= 11; the old loop's extra join pass would
+      // push past 18
+      val actions = counter.get()
+      assert(actions <= 13 && actions >= 9,
+        s"expected ~1 action per round (+constant), saw $actions")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+    test("star-contraction CC collapses a long chain (high-diameter graph)") {
     // a 200-hop duplicate chain: min-label propagation would need 200
     // distributed rounds (one per hop); star contraction takes O(log n)
     // — this is the production path d12's scaladoc points at for
