@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Corpus, Dedup, EventAnalytics2, Events, Multimodal, Q, Relational, Search, Similarity, Stats, Subqueries, Text}
+import graft.queries.{Advanced, Corpus, Dedup, EventAnalytics2, Events, Multimodal, Q, Relational, Search, Security, Similarity, Stats, Subqueries, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -9,7 +9,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.all ++ Events.all ++ EventAnalytics2.all ++ Stats.all ++
       Advanced.all ++ Subqueries.all ++ Text.all ++ Dedup.all ++
-      Similarity.all ++ Multimodal.all ++ Corpus.all ++ Search.all
+      Similarity.all ++ Multimodal.all ++ Corpus.all ++ Search.all ++
+      Security.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
