@@ -240,6 +240,86 @@ object Bpe {
     * the (corpus-sized) frame; for production merge counts over a full
     * corpus prefer encoding the distinct vocabulary via [[applyMerges]]
     * and mapping words through it, or raise `checkpointEvery`. */
+  /** PRODUCTION-SCALE encode: one broadcast merge-rank table, ONE
+    * projection, any merge count (round-10 verdict item 4 — the
+    * chained-projection encode is the right shape at the 16 gated
+    * merges but a 16k-merge production tokenizer would mean thousands
+    * of whole-stage-codegen units and a plan deep into the analyzer's
+    * superlinear regime; t39's 7× driver-window swing already showed
+    * the codegen-compile sensitivity).
+    *
+    * Semantics are PROVABLY identical to the sequential fold
+    * ([[applyMerges]] — and therefore to the trainer and the t39
+    * oracle): the per-word loop applies, among the pairs PRESENT in
+    * the word, the one with the lowest rank STRICTLY ABOVE the last
+    * applied rank — i.e. it walks the merge list in training order,
+    * skipping absent pairs in O(1) instead of paying a projection for
+    * them. The monotone-rank constraint is load-bearing: two merges
+    * may produce the SAME symbol string (("a","bc") and ("ab","c")
+    * both make "abc"), so a later merge can create an occurrence of
+    * an EARLIER pair — the sequential fold (whose round has already
+    * passed) leaves it unmerged, and so does this loop; an
+    * unconstrained min-rank loop would diverge exactly there (pinned
+    * with that adversarial list in `BpeSpec`).
+    *
+    * Cost: O(|word| × distinct-applicable-ranks) per word, rank
+    * lookups O(1) from one broadcast map — no per-merge plan growth,
+    * no shuffle; the (word, rank-scan) loop lives in a single
+    * deterministic UDF projection. This is the intended path for
+    * production merge counts; the fold path stays as the
+    * spec-pinned reference semantics and the oracle bridge. */
+  def encodeWithRanks(
+      df: DataFrame, toksCol: String, outCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val pairs = merges.toArray
+    val rank: Map[(String, String), Int] =
+      pairs.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast((pairs, rank))
+    val enc = udf { (toks: Seq[String]) =>
+      val (ps, rk) = bc.value
+      toks.map(w => encodeWord(w.split(""), ps, rk).toSeq)
+    }
+    df.withColumn(outCol, enc(col(toksCol)))
+  }
+
+  /** The monotone-rank merge loop for one word (see
+    * [[encodeWithRanks]]): repeatedly apply the lowest-ranked present
+    * pair with rank above the last applied one, as a left-to-right
+    * non-overlapping pass — the exact [[mergeExpr]] rule. */
+  private def encodeWord(
+      syms0: Array[String], pairs: Array[(String, String)],
+      rank: Map[(String, String), Int]): Array[String] = {
+    var syms = syms0
+    var lastR = -1
+    var continue = syms.length > 1
+    while (continue) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))) match {
+          case Some(r) if r > lastR && r < best => best = r
+          case _ => ()
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        val (a, b) = pairs(best)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        lastR = best
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
   def applyMergesToArray(
       df: DataFrame, toksCol: String, outCol: String,
       merges: Seq[(String, String)],

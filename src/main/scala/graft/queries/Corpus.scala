@@ -520,6 +520,31 @@ object Corpus {
     (s, dir) => bpeEncode(Tables(s, dir, "documents")),
     Some(bpeEncodeOracleSql))
 
+  /** The PRODUCTION encode path ([[graft.operators.Bpe
+    * .encodeWithRanks]] — one broadcast rank table, one projection,
+    * any merge count) gated against the SAME oracle as t39: both
+    * engines' segmentations must be byte-identical, so the fold path,
+    * the rank path, and DuckDB's unrolled replace chain are three
+    * independent derivations of one answer. */
+  private[queries] def bpeEncodeRanks(docs: DataFrame): DataFrame = {
+    import graft.operators.Bpe
+    Bpe.encodeWithRanks(
+        docs.transform(Tables.fanOut)
+          .select(col("doc_id"), expr(Text.toksExpr).as("toks"))
+          .where(size(col("toks")) > 0),
+        "toks", "enc", Bpe.ShippedMerges)
+      .select(col("doc_id"), flatten(col("enc")).as("all_syms"))
+      .select(col("doc_id"),
+        size(col("all_syms")).cast("long").as("n_tok"),
+        array_join(col("all_syms"), " ").as("enc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t42_bpe_encode_ranks = Q(
+    "t42_bpe_encode_ranks",
+    (s, dir) => bpeEncodeRanks(Tables(s, dir, "documents")),
+    Some(bpeEncodeOracleSql))
+
   /** Oracle-gated SNAPSHOT-TABLE round trip — the lake layer's first
     * externally-gated row (it was spec-pinned only): bootstrap a
     * source-partitioned [[graft.lake.SnapshotTable]] from the corpus
@@ -864,5 +889,6 @@ object Corpus {
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
       t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
       t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample,
-      t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread)
+      t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
+      t42_bpe_encode_ranks)
 }

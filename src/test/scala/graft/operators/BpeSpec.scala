@@ -113,7 +113,103 @@ class BpeSpec extends SparkSpec {
     assert(perWord("scanner") == List("scan", "n", "er"))
   }
 
-  test("training is deterministic (tie-break pinned)") {
+  test("encodeWithRanks == applyMerges on the gated corpus and beyond") {
+    import spark.implicits._
+    // the t39 corpus's whole vocabulary through both paths
+    val words = corpusWords.keys.toSeq.sorted.toDF("w")
+    val fold = Bpe.applyMerges(words, "w", "syms", Bpe.ShippedMerges)
+      .select(col("w"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val fast = Bpe.encodeWithRanks(
+        words.select(col("w"), array(col("w")).as("toks")),
+        "toks", "enc", Bpe.ShippedMerges)
+      .select(col("w"), element_at(col("enc"), 1)).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(fold.nonEmpty && fast == fold,
+      s"rank encoder diverged on ${fast.count { case (k, v) => fold(k) != v }} words")
+  }
+
+  test("rank encoder honors merge ORDER when products collide") {
+    // Adversarial list: rank 0 = ("ab","c"), rank 1 = ("a","b").
+    // Sequential semantics on "abc": round 0 is a no-op (symbol "ab"
+    // does not exist yet), round 1 makes [ab, c] — and "ab","c" is
+    // NEVER merged, its round already passed. An unconstrained
+    // min-rank-present loop would merge it (wrongly); the monotone
+    // rank constraint must not.
+    import spark.implicits._
+    val merges = Seq(("ab", "c"), ("a", "b"))
+    val df = Seq("abc").toDF("w")
+    val fold = Bpe.applyMerges(df, "w", "syms", merges)
+      .select(col("syms")).collect()(0).getSeq[String](0)
+    val fast = Bpe.encodeWithRanks(
+        df.select(array(col("w")).as("toks")), "toks", "enc", merges)
+      .select(element_at(col("enc"), 1)).collect()(0).getSeq[String](0)
+    assert(fold == Seq("ab", "c"), s"fold semantics moved: $fold")
+    assert(fast == fold, s"rank encoder diverged on collision: $fast")
+  }
+
+  test("property: rank encoder == fold on random merge lists") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcd"
+    (1 to 4).foreach { _ =>
+      val wordList = Seq.fill(12)(
+        (0 until rnd.nextInt(8) + 1)
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      // random merges over random symbol fragments (products included,
+      // so coincidences and chained products occur naturally)
+      var symbols = alphabet.map(_.toString).toVector
+      val merges = (0 until 12).map { _ =>
+        val a = symbols(rnd.nextInt(symbols.size))
+        val b = symbols(rnd.nextInt(symbols.size))
+        symbols = symbols :+ (a + b)
+        (a, b)
+      }.distinct
+      val df = wordList.distinct.toDF("w")
+      val fold = Bpe.applyMerges(df, "w", "syms", merges)
+        .select(col("w"), col("syms")).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val fast = Bpe.encodeWithRanks(
+          df.select(col("w"), array(col("w")).as("toks")),
+          "toks", "enc", merges)
+        .select(col("w"), element_at(col("enc"), 1)).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(fast == fold,
+        s"diverged for merges=$merges on ${wordList.distinct}")
+    }
+  }
+
+  test("16k merges: ONE projection, bounded plan, bounded runtime") {
+    // The production bound the chained-projection path cannot give
+    // (16k chained nested-lambda Projects = thousands of codegen
+    // units): the rank encoder's plan must not grow with the merge
+    // count at all — one UDF projection — and encoding a real word
+    // list under a 16k-entry table must complete promptly.
+    import spark.implicits._
+    var symbols = ('a' to 'z').map(_.toString).toVector
+    val rnd = new scala.util.Random(23)
+    val merges16k = (0 until 16384).map { _ =>
+      val a = symbols(rnd.nextInt(symbols.size))
+      val b = symbols(rnd.nextInt(symbols.size))
+      symbols = symbols :+ (a + b)
+      (a, b)
+    }.distinct
+    assert(merges16k.size > 15000, s"degenerate list: ${merges16k.size}")
+    val wordSeq = corpusWords.keys.toSeq.sorted.take(200)
+    val words = wordSeq.toDF("w")
+      .select(col("w"), array(col("w")).as("toks"))
+    val encoded = Bpe.encodeWithRanks(words, "toks", "enc", merges16k)
+    val plan = encoded.queryExecution.analyzed.toString
+    assert(plan.linesIterator.size < 20,
+      s"plan must stay constant-depth at 16k merges:\n$plan")
+    val t0 = System.nanoTime()
+    val n = encoded.select(element_at(col("enc"), 1)).collect().length
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == wordSeq.size)
+    assert(sec < 30.0, s"16k-merge encode took ${sec}s")
+  }
+
+    test("training is deterministic (tie-break pinned)") {
     val a = Bpe.learnMerges(Tables(spark, sfDir, "documents"), 6)
     val b = Bpe.learnMerges(
       Tables(spark, sfDir, "documents").repartition(7), 6)
