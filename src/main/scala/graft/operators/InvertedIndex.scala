@@ -474,6 +474,15 @@ object InvertedIndex {
   def probe(spark: SparkSession, root: String, terms: Seq[String]): DataFrame =
     probeWhere(spark, root, terms, lit(true))
 
+  /** Index-served FLOAT fast-path probe — identical pruning, postings
+    * and df/avgdl as [[probe]], scored by
+    * [[graft.queries.Search.bm25ScoreFast]] (double arithmetic, ~5x
+    * cheaper than the DECIMAL(38,0) cross-engine path). Rank-pinned
+    * equal to [[probe]] in `Bm25FastSpec`. */
+  def probeFast(
+      spark: SparkSession, root: String, terms: Seq[String]): DataFrame =
+    probeWhere(spark, root, terms, lit(true), fast = true)
+
   /** Role-scoped probe over the SHARED physical index: the role's row
     * filter applies to postings AND to the per-source corpus stats, so
     * df/avgdl/N recompute over exactly the role's visible world —
@@ -516,6 +525,17 @@ object InvertedIndex {
       k: Int): DataFrame =
     probeBatchWhere(spark, root, queries, lit(true), k)
 
+  /** Batched FLOAT fast-path probe — [[probeBatch]]'s pruning and
+    * workload shape scored by
+    * [[graft.queries.Search.bm25ScoreBatchFast]]; rank-pinned equal
+    * to [[probeBatch]] in `Bm25FastSpec`. This is the production
+    * retrieval shape: index-served (no per-workload re-tokenize) and
+    * double-scored (no cross-engine DECIMAL tax). */
+  def probeBatchFast(
+      spark: SparkSession, root: String, queries: DataFrame,
+      k: Int): DataFrame =
+    probeBatchWhere(spark, root, queries, lit(true), k, fast = true)
+
   /** Role-scoped batched probe — [[probeAs]]'s guarantees (df/avgdl/N
     * recompute over the role's visible world; fail-closed for untagged
     * rows) applied to the whole workload at once. */
@@ -528,7 +548,8 @@ object InvertedIndex {
 
   private def probeBatchWhere(
       spark: SparkSession, root: String, queries: DataFrame,
-      visible: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      visible: org.apache.spark.sql.Column, k: Int,
+      fast: Boolean = false): DataFrame = {
     val width = pfxWidth(spark, root)
     val q = queries.select(col("query_id"), col("tok")).distinct()
     val qterms = q.select(col("tok")).distinct()
@@ -547,13 +568,15 @@ object InvertedIndex {
     // two queries sharing a term see one df, not one per query
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val corpus = corpusTotals(spark, root, visible)
-    graft.queries.Search.bm25ScoreBatch(
-      tf.join(broadcast(q), "tok"), dfStats, corpus, k)
+    val tfq = tf.join(broadcast(q), "tok")
+    if (fast) graft.queries.Search.bm25ScoreBatchFast(tfq, dfStats, corpus, k)
+    else graft.queries.Search.bm25ScoreBatch(tfq, dfStats, corpus, k)
   }
 
   private def probeWhere(
       spark: SparkSession, root: String, terms: Seq[String],
-      visible: org.apache.spark.sql.Column): DataFrame = {
+      visible: org.apache.spark.sql.Column,
+      fast: Boolean = false): DataFrame = {
     val width = pfxWidth(spark, root)
     val prefixes = terms.map(pfxOf(_, width)).distinct
     val tf = postingsDf(spark, root)
@@ -563,6 +586,7 @@ object InvertedIndex {
       .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val corpus = corpusTotals(spark, root, visible)
-    graft.queries.Search.bm25Score(tf, dfStats, corpus)
+    if (fast) graft.queries.Search.bm25ScoreFast(tf, dfStats, corpus)
+    else graft.queries.Search.bm25Score(tf, dfStats, corpus)
   }
 }
