@@ -62,7 +62,28 @@ object HashExpressions {
     m.digest(bytes)
   }
 
+  /** Per-slot multipliers for the second digest half: 7^j mod P.
+    * Slot j's hash is (a·(2j+1) + b·SlotC2(j)) mod P — a DIFFERENT
+    * invertible linear combination of the shingle's two independent
+    * digest halves per slot (pairwise determinants verified nonzero
+    * mod P for all slot pairs), so slot minima are pairwise
+    * independent. The previous progression h_j = (a + j·b) made slots
+    * CORRELATED: one "hot" shingle with small (a, b) won entire bands,
+    * and on a low-entropy corpus (fixed small vocabulary — boilerplate
+    * at 100 TB, the synthetic corpus at sf1) every document containing
+    * it landed in one LSH bucket: bucket sizes grew LINEARLY with the
+    * corpus and candidate pairs QUADRATICALLY (measured: top bucket
+    * 631 of 500k docs, 359k candidate pairs where ~10k are real; after
+    * this fix the top bucket is near-dup-sized). Found by the round-11
+    * second scaling decade. Shared formula with the DuckDB oracle
+    * (`Dedup.signaturesSqlDuck`). */
+  private val SlotC2: Array[Long] = Array(
+    1L, 7L, 49L, 343L, 2401L, 16807L, 117649L, 823543L, 5764801L,
+    40353607L, 282475249L, 977326736L, 841287110L, 889009735L,
+    223068103L, 561476714L)
+
   def minhash(shingles: ArrayData, k: Int): Array[Long] = {
+    require(k <= SlotC2.length, s"minhash supports <= ${SlotC2.length} slots")
     val sig = Array.fill(k)(P)
     val n = shingles.numElements()
     var i = 0
@@ -71,10 +92,11 @@ object HashExpressions {
       val a = hi60(d) % P
       val b = lo60(d) % P
       var j = 0
-      var h = a
       while (j < k) {
+        // a,b < P ~ 1e9; (2j+1) <= 31 and SlotC2 < P, so each product
+        // stays under 1e18 — no Long overflow before the mod
+        val h = (a * (2 * j + 1) + b * SlotC2(j)) % P
         if (h < sig(j)) sig(j) = h
-        h = (h + b) % P
         j += 1
       }
       i += 1

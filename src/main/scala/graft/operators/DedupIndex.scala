@@ -41,7 +41,10 @@ object DedupIndex {
     * ([[graft.core.IndexRoot]]) so a rewritten corpus gets a fresh
     * root. */
   def defaultRoot(sfDir: String): String =
-    graft.core.IndexRoot.of(sfDir, "documents.parquet", "graft_dedup_index")
+    // _v2: the minhash slot-hash family changed (per-slot independent
+    // combinations — HashExpressions.SlotC2); an index of old-family
+    // signatures must not serve new-family probes
+    graft.core.IndexRoot.of(sfDir, "documents.parquet", "graft_dedup_index_v2")
 
   /** Build the banded-signature index unless it already exists (marker:
     * bands/_SUCCESS). One corpus pass total. */

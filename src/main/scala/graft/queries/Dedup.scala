@@ -146,9 +146,19 @@ object Dedup {
              list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 17, 15)) AS BIGINT) % 1000000007) AS h2
       FROM shs WHERE len(sh) > 0),
     sig AS (
+      -- per-slot independent linear combinations (2j+1, 7^j mod P) of
+      -- the two digest halves — the Scala side's exact formula
+      -- (HashExpressions.SlotC2); HUGEINT keeps the products exact
       SELECT doc_id,
-             list_transform(range(16), j -> list_min(list_transform(
-               range(len(h1)), i -> (h1[i+1] + j * h2[i+1]) % 1000000007))) AS sig
+             list_transform(range(16), j -> CAST(list_min(list_transform(
+               range(len(h1)),
+               i -> (CAST(h1[i+1] AS HUGEINT) * (2*j + 1)
+                     + CAST(h2[i+1] AS HUGEINT)
+                       * CAST([1, 7, 49, 343, 2401, 16807, 117649, 823543,
+                               5764801, 40353607, 282475249, 977326736,
+                               841287110, 889009735, 223068103,
+                               561476714][j+1] AS HUGEINT))
+                    % 1000000007)) AS BIGINT)) AS sig
       FROM hashed)"""
 
   val d03_minhash_sig = Q(

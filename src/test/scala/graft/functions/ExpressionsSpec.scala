@@ -36,6 +36,8 @@ class ExpressionsSpec extends SparkSpec {
     val df = Seq(Tuple1(Array("a b c", "b c d", "c d e"))).toDF("sh")
     val native = df.select(minhash_sig(col("sh")).as("s")).collect()(0)
       .getSeq[Long](0)
+    // the portable formula: per-slot independent combinations
+    // (a·(2j+1) + b·7^j) mod P — HashExpressions.SlotC2's derivation
     val sqlSig = df.select(expr(
       """aggregate(
            transform(sh, x -> named_struct(
@@ -43,7 +45,11 @@ class ExpressionsSpec extends SparkSpec {
              'b', pmod(CAST(conv(substr(md5(x), 17, 15), 16, 10) AS BIGINT), 1000000007))),
            transform(sequence(0, 15), j -> CAST(1000000007 AS BIGINT)),
            (acc, x) -> zip_with(acc, sequence(0, 15),
-             (m, j) -> least(m, pmod(x.a + j * x.b, 1000000007))))""").as("s"))
+             (m, j) -> least(m, pmod(x.a * (2*j + 1) + x.b * element_at(
+               array(1L, 7L, 49L, 343L, 2401L, 16807L, 117649L, 823543L,
+                     5764801L, 40353607L, 282475249L, 977326736L,
+                     841287110L, 889009735L, 223068103L, 561476714L),
+               CAST(j + 1 AS INT)), 1000000007))))""").as("s"))
       .collect()(0).getSeq[Long](0)
     assert(native == sqlSig)
     assert(native.length == 16 && native.forall(v => v >= 0 && v < 1000000007L))
