@@ -223,6 +223,13 @@ object SnapshotTable {
       spark: SparkSession, root: String, version: Int): Seq[(String, String)] =
     manifestAt(spark, root, version).entries
 
+  /** A version's (partition key -> data dir) mapping — the metadata
+    * [[MaterializedAgg]] diffs to find changed partitions without
+    * touching data. */
+  private[lake] def entriesFor(
+      spark: SparkSession, root: String, version: Int): Seq[(String, String)] =
+    entriesAt(spark, root, version)
+
   private def manifestAt(
       spark: SparkSession, root: String, version: Int): Manifest = {
     val vs = versions(spark, root)

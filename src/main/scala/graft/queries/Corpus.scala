@@ -885,10 +885,78 @@ object Corpus {
       GROUP BY source
       ORDER BY source"""))
 
+  /** Incrementally maintained materialized aggregate, gated end-to-end
+    * (round-11): a per-(source, lang) rollup of `documents` is
+    * materialized with [[graft.lake.MaterializedAgg]], the base table
+    * takes the SAME deterministic CDC batch as t40 (tombstones %97,
+    * recurated upserts %89), and the view folds it in INCREMENTALLY —
+    * the refresh reads only the changed partitions at both base
+    * versions (manifest diff) and merges a signed delta, never
+    * rescanning the table. The oracle recomputes the rollup over the
+    * mutated logical table from scratch in DuckDB, so a hash match IS
+    * the proof that incremental maintenance equals full recompute.
+    * Idempotent across bench warmup + timed runs: mutations are
+    * version-guarded, refresh no-ops once the view reflects base@v2.
+    * Scale shape: refresh cost is O(changed partitions) + a bucket-
+    * pruned view merge — the structural pins live in
+    * `MaterializedAggSpec` (an untouched partition's directory is
+    * deleted from disk and refresh does not notice). */
+  private[queries] def incrementalMv(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.lake.{MaterializedAgg, SnapshotTable}
+    import graft.lake.MaterializedAgg.MvSpec
+    val baseRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_mv_base_v1")
+    val mvRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_mv_view_v1")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+    if (SnapshotTable.versions(spark, baseRoot).isEmpty)
+      SnapshotTable.write(spark, baseRoot, docs, Seq("source"))
+    val spec = MvSpec(Seq("source", "lang"),
+      Seq("total_chars" -> "n_chars"), countName = "n_docs")
+    MaterializedAgg.init(spark, baseRoot, mvRoot, spec, nBuckets = 8)
+    if (SnapshotTable.versions(spark, baseRoot).size < 2) {
+      val tombstones = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("op", lit("d"))
+      val upserts = docs
+        .filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" [recurated]")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("op", lit("u"))
+      SnapshotTable.applyChanges(spark, baseRoot,
+        tombstones.unionByName(upserts), "doc_id", Seq("source"),
+        opCol = "op")
+    }
+    MaterializedAgg.refresh(spark, baseRoot, mvRoot, spec, nBuckets = 8)
+    MaterializedAgg.read(spark, mvRoot)
+      .select(col("source"), col("lang"), col("total_chars"),
+        col("n_docs"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val t43_incremental_mv = Q(
+    "t43_incremental_mv",
+    (s, dir) => incrementalMv(s, dir),
+    Some("""
+      WITH v2 AS (
+        SELECT source, lang,
+               CASE WHEN doc_id % 89 = 0
+                    THEN CAST(length(text || ' [recurated]') AS BIGINT)
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE doc_id % 97 <> 0)
+      SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM v2
+      GROUP BY source, lang
+      ORDER BY source, lang"""))
+
   val all: Seq[Q] =
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
       t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
       t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample,
       t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
-      t42_bpe_encode_ranks)
+      t42_bpe_encode_ranks, t43_incremental_mv)
 }

@@ -88,9 +88,12 @@ class CurateSpec extends SparkSpec {
   private lazy val chainDir: String = {
     import spark.implicits._
     val dir = tmpDir("curate-fixture")
+    // tail width 4 re-verified against the round-11 slot-hash family
+    // (the d04 precondition below pins the edge shape — a family change
+    // that breaks the chain fails THERE, not in the policy assertions)
     val core = (0 until 28).map(i => s"core$i")
-    val aText = (core.dropRight(3) ++ (0 until 3).map(i => s"atail$i")).mkString(" ")
-    val cText = ((0 until 3).map(i => s"chead$i") ++ core.drop(3)).mkString(" ")
+    val aText = (core.dropRight(4) ++ (0 until 4).map(i => s"atail$i")).mkString(" ")
+    val cText = ((0 until 4).map(i => s"chead$i") ++ core.drop(4)).mkString(" ")
     val bText = core.mkString(" ")
     val fillers = (10L to 15L).map(i =>
       i -> (0 until 12).map(j => s"fill${i}x$j").mkString(" "))
