@@ -658,7 +658,9 @@ object SnapshotTable {
       touchedKeys: Set[String], replaceAll: Boolean,
       filesPerPartition: Int, crashBeforeCommit: Boolean,
       declaredStats: Seq[String] = Nil,
-      declaredCluster: Seq[String] = Nil): Int = {
+      declaredCluster: Seq[String] = Nil,
+      layoutDone: Boolean = false,
+      schemaOverride: Option[StructType] = None): Int = {
     require(partitionBy.nonEmpty, "partitionBy must name at least one column")
     // write() (re)declares; every other mutation inherits the table's
     // persisted declarations, so stats maintenance is automatic
@@ -680,7 +682,8 @@ object SnapshotTable {
       case (d, (c, sc)) => d.withColumn(sc, col(c).cast("string"))
     }
     val layout =
-      if (clusterBy.isEmpty)
+      if (layoutDone) staged // caller pre-partitioned (e.g. [[optimize]])
+      else if (clusterBy.isEmpty)
         Lake.repartitionForLayout(staged, partitionBy, filesPerPartition,
           spark.sessionState.conf.numShufflePartitions.min(64) *
             filesPerPartition.max(1))
@@ -757,7 +760,7 @@ object SnapshotTable {
         }
       }
     onBeforeCommit()
-    val schema = newRows.schema
+    val schema = schemaOverride.getOrElse(newRows.schema)
     val baseTouched = baseManifest.map(_.entries).getOrElse(Nil)
       .filter(e => touchedKeys(e._1)).toSet
     var raceRetries = 0
@@ -793,6 +796,87 @@ object SnapshotTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Compact over-fragmented partitions: rewrite each partition whose
+    * directory holds MORE parquet files than its byte size justifies
+    * (target = ceil(bytes / targetBytes)) down to at most its target
+    * count — Delta/Iceberg's OPTIMIZE bin-packing, expressed on this
+    * table's immutable-directory + manifest-commit machinery. Rows are
+    * untouched; the commit is a normal OCC version (readers switch
+    * atomically, time travel still reads the fragmented layout, vacuum
+    * reclaims it).
+    *
+    * Where fragmentation comes from here: a bulk load's
+    * `filesPerPartition` fan-out that a now-cold partition no longer
+    * needs, and partitions shrunk by deleteWhere/tombstones but still
+    * spread over their old file count. At 100 TB the cost is real —
+    * file count drives task count, footer reads, and the manifest's
+    * per-file stats census; an over-fanned cold partition taxes every
+    * read forever.
+    *
+    * Layout: each compacted partition is INDEPENDENTLY repartitioned
+    * to its own target (range-partitioned on the table's declared
+    * `clusterBy` so the per-file min/max windows stay narrow and
+    * [[readBetween]] keeps skipping; hash otherwise), then the frames
+    * union — union CONCATENATES the children's partitions, so one job
+    * writes every compacted directory with exact per-partition file
+    * counts and no cross-partition shuffle. Per-file stats are
+    * recomputed for the rewritten directories automatically (same path
+    * as every mutation); untouched directories carry theirs forward.
+    *
+    * Concurrency: same optimistic protocol as the mutators — a
+    * concurrent commit touching a compacted partition invalidates the
+    * attempt (retried from a fresh listing), disjoint commits are
+    * carried forward. `maxPartitions` bounds one call (worst offenders
+    * first, by excess file count) so the union plan stays small; loop
+    * until the returned version stops advancing to drain a large
+    * backlog. Returns the committed version (the current one if
+    * nothing needed compaction). */
+  def optimize(
+      spark: SparkSession, root: String, partitionBy: Seq[String],
+      targetBytes: Long = 128L << 20, maxPartitions: Int = 64): Int = {
+    require(targetBytes > 0 && maxPartitions > 0,
+      "targetBytes and maxPartitions must be positive")
+    val f = fs(spark, root)
+    withConflictRetry {
+      val base = manifestAt(spark, root, -1)
+      val cands = base.entries.flatMap { case (k, d) =>
+        val files = f.listStatus(new Path(root, d)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        if (files.isEmpty) None
+        else {
+          val bytes = files.map(_.getLen).sum
+          val target =
+            math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          if (files.size > target) Some((k, d, target, files.size))
+          else None
+        }
+      }.sortBy { case (_, _, target, n) => -(n - target) }
+        .take(maxPartitions)
+      if (cands.isEmpty) versions(spark, root).last
+      else {
+        val clusterCols = base.clusterBy
+        val frames = cands.map { case (_, d, target, _) =>
+          val df = spark.read.parquet(new Path(root, d).toString)
+          if (clusterCols.nonEmpty &&
+              clusterCols.forall(df.columns.contains))
+            df.repartitionByRange(target, clusterCols.map(col): _*)
+          else df.repartition(target)
+        }
+        val merged = frames.reduce(_.unionByName(_,
+          allowMissingColumns = true))
+        commitRewrite(spark, root, merged, partitionBy,
+          baseManifest = Some(base),
+          touchedKeys = cands.map(_._1).toSet, replaceAll = false,
+          filesPerPartition = 1, crashBeforeCommit = false,
+          layoutDone = true,
+          // rows are untouched: the recorded schema must stay the
+          // table's (the compacted subset could lack an evolved
+          // column that only untouched directories carry)
+          schemaOverride = base.schema)
+      }
+    }
   }
 
   /** Drop all but the newest `keepVersions` manifests — except versions

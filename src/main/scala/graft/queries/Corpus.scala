@@ -936,6 +936,74 @@ object Corpus {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** OPTIMIZE (bin-packing compaction) gated end-to-end: a lake table
+    * is bulk-loaded over-fanned (6 files per partition — the hot-load
+    * layout a cold table no longer needs), takes the t40-style CDC
+    * batch, then [[graft.lake.SnapshotTable.optimize]] compacts every
+    * partition to its byte-justified file count. The rollup reads the
+    * OPTIMIZED version; the oracle recomputes it over the raw mutated
+    * rows in DuckDB — a hash match proves compaction moved bytes, not
+    * meaning. File-count/clustering/concurrency behavior is pinned in
+    * `OptimizeSpec`; this row pins content preservation externally.
+    * Idempotent across bench runs via version guards. */
+  private[queries] def snapshotOptimize(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    val root = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_snaptable_opt_v1")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+    if (SnapshotTable.versions(spark, root).isEmpty)
+      SnapshotTable.write(spark, root, docs, Seq("source"),
+        filesPerPartition = 6)
+    if (SnapshotTable.versions(spark, root).size < 2) {
+      val tombstones = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("op", lit("d"))
+      val upserts = docs
+        .filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" [recurated]")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("op", lit("u"))
+      SnapshotTable.applyChanges(spark, root,
+        tombstones.unionByName(upserts), "doc_id", Seq("source"),
+        opCol = "op", filesPerPartition = 6)
+    }
+    if (SnapshotTable.versions(spark, root).size < 3)
+      SnapshotTable.optimize(spark, root, Seq("source"))
+    // latest = the optimized layout when compaction fired, the CDC
+    // version when every partition was already at its target
+    SnapshotTable.read(spark, root,
+      SnapshotTable.versions(spark, root).last)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("text").endsWith("[recurated]"), 1L).otherwise(0L))
+          .as("n_recurated"))
+      .orderBy(col("source"))
+  }
+
+  val t44_snapshot_optimize = Q(
+    "t44_snapshot_optimize",
+    (s, dir) => snapshotOptimize(s, dir),
+    Some("""
+      WITH v2 AS (
+        SELECT source,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' [recurated]'
+                    ELSE text END AS text,
+               CASE WHEN doc_id % 89 = 0
+                    THEN CAST(length(text || ' [recurated]') AS BIGINT)
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE doc_id % 97 <> 0)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN text LIKE '%[recurated]' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_recurated
+      FROM v2
+      GROUP BY source
+      ORDER BY source"""))
+
   val t43_incremental_mv = Q(
     "t43_incremental_mv",
     (s, dir) => incrementalMv(s, dir),
@@ -958,5 +1026,5 @@ object Corpus {
       t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
       t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample,
       t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
-      t42_bpe_encode_ranks, t43_incremental_mv)
+      t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize)
 }
