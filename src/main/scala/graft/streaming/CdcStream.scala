@@ -23,6 +23,51 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * underscore prefix keeps Spark's file index from reading it as data.
   */
 object CdcStream {
+
+  /** A materialized aggregate to keep in lock-step with the
+    * CDC-maintained base table (see [[graft.lake.MaterializedAgg]]). */
+  final case class MvBinding(
+      mvRoot: String,
+      spec: graft.lake.MaterializedAgg.MvSpec,
+      nBuckets: Int = 16)
+
+  /** Opt-in per-batch table upkeep for the ATOMIC maintainers:
+    * `views` are incrementally refreshed after every committed batch
+    * (each refresh folds exactly the versions the batch minted —
+    * manifest-diff pruned, O(changed partitions)); every
+    * `optimizeEveryBatches` drained batches the base table bin-packs
+    * through [[graft.lake.SnapshotTable.optimize]] (0 = never).
+    * Both steps are idempotent no-ops on replay — a refresh against
+    * an already-reflected base version and an optimize of an
+    * already-compact table return without committing — so foreachBatch
+    * at-least-once semantics are preserved. The view refresh makes the
+    * incremental-view contract streaming-native: a dashboard rollup
+    * over a 100 TB CDC table stays current at per-batch cost without
+    * any full recompute ever running. */
+  final case class TableMaintenance(
+      views: Seq[MvBinding] = Nil,
+      optimizeEveryBatches: Int = 0,
+      optimizeTargetBytes: Long = 128L << 20) {
+    require(optimizeEveryBatches >= 0, "cadence must be >= 0")
+
+    private[streaming] def run(
+        spark: org.apache.spark.sql.SparkSession, root: String,
+        partitionBy: Seq[String], batchId: Long): Unit = {
+      // optimize BEFORE the refreshes: a compaction rewrites
+      // partitions with identical rows, which the view fold sees as
+      // all-zero deltas — running it first keeps the refresh from
+      // having to fold the compaction as a separate version next batch
+      if (optimizeEveryBatches > 0 &&
+          batchId % optimizeEveryBatches == optimizeEveryBatches - 1)
+        graft.lake.SnapshotTable.optimize(spark, root, partitionBy,
+          optimizeTargetBytes)
+      views.foreach { b =>
+        graft.lake.MaterializedAgg.refresh(spark, root, b.mvRoot,
+          b.spec, b.nBuckets)
+      }
+    }
+  }
+
   /** `versionCol`: the change-order column (a CDC sequence number /
     * commit timestamp). A micro-batch can carry SEVERAL changes for
     * one key (AvailableNow drains every pending file into one batch);
@@ -40,7 +85,7 @@ object CdcStream {
       key: String,
       partitionBy: String,
       versionCol: Option[String] = None): StreamingQuery =
-    maintain(updates, root, key, versionCol) { (batch, reduced) =>
+    maintain(updates, root, key, versionCol) { (batch, reduced, _) =>
       graft.lake.Lake.upsert(batch.sparkSession, root, reduced,
         key, partitionBy)
       ()
@@ -63,11 +108,12 @@ object CdcStream {
       root: String,
       key: String,
       partitionBy: Seq[String],
-      versionCol: Option[String] = None): StreamingQuery =
-    maintain(updates, root, key, versionCol) { (batch, reduced) =>
+      versionCol: Option[String] = None,
+      maintenance: TableMaintenance = TableMaintenance()): StreamingQuery =
+    maintain(updates, root, key, versionCol) { (batch, reduced, batchId) =>
       graft.lake.SnapshotTable.upsert(batch.sparkSession, root, reduced,
         key, partitionBy)
-      ()
+      maintenance.run(batch.sparkSession, root, partitionBy, batchId)
     }
 
   /** Full CDC semantics, atomically: the feed carries DELETE tombstones
@@ -88,23 +134,24 @@ object CdcStream {
       key: String,
       partitionBy: Seq[String],
       opCol: String,
-      versionCol: Option[String] = None): StreamingQuery =
-    maintain(updates, root, key, versionCol) { (batch, reduced) =>
+      versionCol: Option[String] = None,
+      maintenance: TableMaintenance = TableMaintenance()): StreamingQuery =
+    maintain(updates, root, key, versionCol) { (batch, reduced, batchId) =>
       graft.lake.SnapshotTable.applyChanges(batch.sparkSession, root,
         reduced, key, partitionBy, opCol)
-      ()
+      maintenance.run(batch.sparkSession, root, partitionBy, batchId)
     }
 
   private def maintain(
       updates: DataFrame, root: String, key: String,
       versionCol: Option[String])(
-      apply: (org.apache.spark.sql.Dataset[Row], DataFrame) => Unit)
+      apply: (org.apache.spark.sql.Dataset[Row], DataFrame, Long) => Unit)
       : StreamingQuery =
     updates.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$root/_cdc_checkpoint")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], bid: Long) =>
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
         val order = versionCol match {
@@ -121,7 +168,7 @@ object CdcStream {
         // to the dataset's columns, so an extra feed-only column is
         // ignored there, while a version that IS a dataset column
         // lands like any other field
-        apply(batch, reduced)
+        apply(batch, reduced, bid)
       }
       .start()
 }

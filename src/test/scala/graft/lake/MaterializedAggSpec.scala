@@ -117,6 +117,25 @@ class MaterializedAggSpec extends SparkSpec {
     assert(got.contains(("a", "en", 99L + 20L, 2L)))
   }
 
+  test("a row-preserving rewrite (OPTIMIZE) re-anchors without a commit") {
+    val baseRoot = tmpDir("mv-base"); val mvRoot = tmpDir("mv-view")
+    val df = seed.toDF("doc_id", "source", "lang", "n_chars")
+    SnapshotTable.write(spark, baseRoot, df, Seq("source"),
+      filesPerPartition = 4)
+    MaterializedAgg.init(spark, baseRoot, mvRoot, spec, nBuckets = 4)
+    // compaction: new base version, identical rows
+    assert(SnapshotTable.optimize(spark, baseRoot, Seq("source")) == 2)
+    assert(MaterializedAgg.refresh(spark, baseRoot, mvRoot, spec, 4) == 1)
+    assert(SnapshotTable.versions(spark, mvRoot) == Seq(1))
+    assert(MaterializedAgg.appliedBaseVersion(spark, mvRoot).contains(2))
+    // and a REAL change after the re-anchor still folds correctly
+    SnapshotTable.upsert(spark, baseRoot,
+      Seq((1L, "a", "en", 77L)).toDF("doc_id", "source", "lang", "n_chars"),
+      "doc_id", Seq("source"))
+    MaterializedAgg.refresh(spark, baseRoot, mvRoot, spec, 4)
+    assert(mvRows(mvRoot) == fullAgg(SnapshotTable.read(spark, baseRoot)))
+  }
+
   test("a crash between marker publish and commit is recovered") {
     val baseRoot = tmpDir("mv-base"); val mvRoot = tmpDir("mv-view")
     mkBase(baseRoot, seed)

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.{MaterializedAgg, SnapshotTable}
+import graft.lake.MaterializedAgg.MvSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming table upkeep: a CDC-maintained snapshot table drags its
+  * materialized aggregate along per batch (incremental, O(changed
+  * partitions)) and bin-packs itself on cadence — both idempotent
+  * under foreachBatch replay. */
+class StreamingMvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("val", LongType),
+    StructField("source", StringType), StructField("op", StringType)))
+
+  private val mvSpec = MvSpec(
+    groupBy = Seq("source"),
+    sums = Seq("total_val" -> "val"),
+    countName = "n_rows")
+
+  private def fullAgg(root: String): Set[(String, Long, Long)] =
+    SnapshotTable.read(spark, root)
+      .groupBy($"source")
+      .agg(sum($"val").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  private def viewRows(mvRoot: String): Set[(String, Long, Long)] =
+    MaterializedAgg.read(spark, mvRoot)
+      .select($"source", $"total_val", $"n_rows")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  private def fileCount(root: String, key: String): Int = {
+    val v = SnapshotTable.versions(spark, root).last
+    val src = scala.io.Source.fromFile(root + f"/_versions/v$v%08d.manifest")
+    val d =
+      try src.getLines().filterNot(_.startsWith("#"))
+        .map(_.split('\t')).collectFirst { case Array(k, dir) if k == key => dir }.get
+      finally src.close()
+    val p = new Path(root, d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
+  test("view tracks the stream batch-by-batch; optimize fires on cadence") {
+    val root = tmpDir("smv-base"); val mvRoot = tmpDir("smv-view")
+    val in = tmpDir("smv-in")
+    SnapshotTable.write(spark, root,
+      Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 5L, "b"))
+        .toDF("id", "val", "source"),
+      Seq("source"), filesPerPartition = 4)
+    MaterializedAgg.init(spark, root, mvRoot, mvSpec, nBuckets = 4)
+
+    def wave(rows: Seq[(Long, Long, String, String)], name: String) =
+      rows.toDF("id", "val", "source", "op")
+        .coalesce(1).write.parquet(s"$in/$name")
+    wave(Seq((1L, 100L, "a", "u"), (4L, 7L, "c", "u")), "w0")
+    wave(Seq((3L, 0L, "b", "d"), (5L, 9L, "a", "u")), "w1")
+    wave(Seq((2L, 0L, "a", "d")), "w2")
+
+    val maint = CdcStream.TableMaintenance(
+      views = Seq(CdcStream.MvBinding(mvRoot, mvSpec, nBuckets = 4)),
+      optimizeEveryBatches = 2)
+    val q = CdcStream.maintainChangesAtomic(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/w*"),
+      root, "id", Seq("source"), opCol = "op", maintenance = maint)
+    try q.awaitTermination() finally q.stop()
+
+    // the view reflects the final table exactly — and b's group (its
+    // only row deleted in w1) is GONE, not zero
+    assert(viewRows(mvRoot) == fullAgg(root))
+    assert(!viewRows(mvRoot).exists(_._1 == "b"))
+    // cadence fired at least once over 3 batches: partition a (loaded
+    // 4-wide, rewritten by every wave) ends compact
+    assert(fileCount(root, "a") == 1)
+    // per-batch refresh = one view version per batch that changed
+    // aggregates (3 waves) + init
+    assert(SnapshotTable.versions(spark, mvRoot).size >= 3)
+  }
+
+  test("replayed maintenance is a no-op: versions do not advance") {
+    val root = tmpDir("smv-base"); val mvRoot = tmpDir("smv-view")
+    SnapshotTable.write(spark, root,
+      Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("id", "val", "source"),
+      Seq("source"))
+    MaterializedAgg.init(spark, root, mvRoot, mvSpec, nBuckets = 4)
+    SnapshotTable.upsert(spark, root,
+      Seq((3L, 50L, "a")).toDF("id", "val", "source"), "id", Seq("source"))
+    val maint = CdcStream.TableMaintenance(
+      views = Seq(CdcStream.MvBinding(mvRoot, mvSpec, nBuckets = 4)),
+      optimizeEveryBatches = 1)
+    maint.run(spark, root, Seq("source"), batchId = 0L)
+    val baseV = SnapshotTable.versions(spark, root).last
+    val mvV = SnapshotTable.versions(spark, mvRoot).last
+    // the at-least-once replay: same upkeep again, nothing to do
+    maint.run(spark, root, Seq("source"), batchId = 0L)
+    assert(SnapshotTable.versions(spark, root).last == baseV)
+    assert(SnapshotTable.versions(spark, mvRoot).last == mvV)
+    assert(viewRows(mvRoot) == fullAgg(root))
+  }
+}
