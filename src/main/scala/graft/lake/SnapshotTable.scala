@@ -127,15 +127,30 @@ object SnapshotTable {
       .sorted.toSeq
   }
 
-  /** One version's manifest: (partition key -> data dir) entries, the
-    * recorded schema, the declared stat/cluster columns, and the
-    * per-file min/max stats rows ([[FileStat]]). */
+  /** One version's manifest STATE: (partition key -> data dir)
+    * entries, the recorded schema, the declared stat/cluster columns,
+    * the per-file min/max stats rows ([[FileStat]]), and the per-file
+    * byte census (`#sz` lines — what lets [[optimize]] plan from
+    * metadata alone). A state is materialized on disk either as a FULL
+    * manifest / checkpoint, or reconstructed by folding a delta chain
+    * ([[readManifest]]). */
   private[lake] final case class Manifest(
       entries: Seq[(String, String)],
       schema: Option[StructType],
       statsCols: Seq[String],
       clusterBy: Seq[String],
-      fileStats: Seq[FileStat])
+      fileStats: Seq[FileStat],
+      fileSizes: Seq[(String, Long)])
+
+  /** One manifest FILE as written: either a full state (`deltaBase`
+    * empty — the initial commit, a replace-all, or a checkpoint) or a
+    * delta against `deltaBase`: `m.entries`/`m.fileStats`/`m.fileSizes`
+    * hold only the NEW partitions/files, `removed` the partition keys
+    * this commit dropped without replacement. Replaced keys need no
+    * tombstone — re-adding a key implicitly retires its old directory
+    * (and that directory's stats/census lines) in the fold. */
+  private final case class RawManifest(
+      deltaBase: Option[Int], removed: Seq[String], m: Manifest)
 
   /** One file's min/max for one stat column. `min`/`max` are the
     * Spark cast-to-string rendering of the column's native min/max,
@@ -154,17 +169,34 @@ object SnapshotTable {
     if (s == "-") None
     else Some(java.net.URLDecoder.decode(s.stripPrefix("v"), "UTF-8"))
 
-  /** A version's manifest. Keys are Hive-escaped (no tab/newline/'#'
-    * can appear), so TAB is a safe separator and '#' a safe marker;
-    * '#'-prefixed metadata lines are ignored by older readers. */
-  private def readManifest(
-      spark: SparkSession, root: String, v: Int): Manifest = {
-    val p = new Path(manifestDir(root), f"v$v%08d.manifest")
+  /** Delta commits between checkpoints. Every `CheckpointEvery`-th
+    * commit ALSO writes a `.checkpoint` sidecar holding the full folded
+    * state, so a reader folds at most `CheckpointEvery - 1` deltas —
+    * the Delta-log/Iceberg-manifest-list shape: commit cost is
+    * O(touched partitions + new files), not O(table), while read cost
+    * stays O(state + bounded chain). */
+  private[lake] val CheckpointEvery = 8
+
+  private def manifestPath(root: String, v: Int) =
+    new Path(manifestDir(root), f"v$v%08d.manifest")
+  private def checkpointPath(root: String, v: Int) =
+    new Path(manifestDir(root), f"v$v%08d.checkpoint")
+
+  /** Parse one manifest/checkpoint FILE (not a folded state). Keys are
+    * Hive-escaped (no tab/newline/'#' can appear), so TAB is a safe
+    * separator and '#' a safe marker; unknown '#'-prefixed metadata
+    * lines are ignored by older readers. */
+  private def parseManifestFile(
+      spark: SparkSession, root: String, p: Path): RawManifest = {
     val in = fs(spark, root).open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
+    val deltaBase = lines.find(_.startsWith("#delta\t"))
+      .map(_.stripPrefix("#delta\t").trim.toInt)
+    val removed = lines.filter(_.startsWith("#rm\t"))
+      .map(_.stripPrefix("#rm\t"))
     val schema = lines.find(_.startsWith("#schema\t")).map(l =>
       DataType.fromJson(l.stripPrefix("#schema\t")).asInstanceOf[StructType])
     def tabList(marker: String): Seq[String] = lines
@@ -175,58 +207,136 @@ object SnapshotTable {
       val parts = l.split('\t')
       FileStat(parts(1), parts(2), decStat(parts(3)), decStat(parts(4)))
     }
+    val fileSizes = lines.filter(_.startsWith("#sz\t")).map { l =>
+      val parts = l.split('\t')
+      (parts(1), parts(2).toLong)
+    }
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val i = line.indexOf('\t')
       (line.substring(0, i), line.substring(i + 1))
     }
-    Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
-      fileStats)
+    RawManifest(deltaBase, removed,
+      Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
+        fileStats, fileSizes))
   }
 
-  /** THE COMMIT: write the manifest to a writer-unique tmp name, rename
-    * into place — same protocol and race posture as
-    * [[Snapshots.commit]], except the target version is the CALLER's
-    * expectation (read-latest and rename are no longer one call, so the
-    * version must be pinned at read time — computing it here would let
-    * a commit that landed in between be silently dropped from
-    * `untouched`). A lost race throws [[CommitRaceException]]. */
+  /** Fold one delta onto a base state. A key present in the delta's
+    * entries OR its `removed` list retires the base's directory for
+    * that key, and with it every `#f` stats line and `#sz` census line
+    * under that directory — the fold-time analog of what the full-
+    * rewrite manifest used to do eagerly on every commit. */
+  private def applyDelta(base: Manifest, d: RawManifest): Manifest = {
+    val gone = d.removed.toSet ++ d.m.entries.map(_._1)
+    val keptEntries = base.entries.filterNot(e => gone(e._1))
+    val droppedDirs =
+      base.entries.collect { case (k, dir) if gone(k) => dir }.toSet
+    def live(rel: String): Boolean = {
+      val i = rel.lastIndexOf('/')
+      i < 0 || !droppedDirs.contains(rel.substring(0, i))
+    }
+    Manifest(
+      keptEntries ++ d.m.entries,
+      d.m.schema.orElse(base.schema),
+      d.m.statsCols, d.m.clusterBy,
+      base.fileStats.filter(s => live(s.relPath)) ++ d.m.fileStats,
+      base.fileSizes.filter(s => live(s._1)) ++ d.m.fileSizes)
+  }
+
+  /** A version's STATE: the nearest checkpoint / full manifest at or
+    * below `v`, with the delta suffix folded forward. Chain length is
+    * bounded by [[CheckpointEvery]] (checkpoints are best-effort, so a
+    * missing one just means a longer fold, never a wrong answer). */
+  private def readManifest(
+      spark: SparkSession, root: String, v: Int): Manifest = {
+    val f = fs(spark, root)
+    var cur = v
+    var deltas = List.empty[RawManifest]
+    var base: Option[Manifest] = None
+    while (base.isEmpty) {
+      if (f.exists(checkpointPath(root, cur)))
+        base = Some(parseManifestFile(spark, root,
+          checkpointPath(root, cur)).m)
+      else {
+        val raw = parseManifestFile(spark, root, manifestPath(root, cur))
+        raw.deltaBase match {
+          case None => base = Some(raw.m)
+          case Some(b) =>
+            deltas ::= raw // prepend: final list is ascending
+            cur = b
+        }
+      }
+    }
+    deltas.foldLeft(base.get)(applyDelta)
+  }
+
+  private def renderManifest(
+      m: Manifest, deltaBase: Option[Int], removed: Seq[String]): String = {
+    val meta = deltaBase.map(b => s"#delta\t$b").toSeq ++
+      m.schema.map(s => s"#schema\t${s.json}").toSeq ++
+      (if (m.statsCols.nonEmpty)
+        Seq(("#statscols" +: m.statsCols).mkString("\t")) else Nil) ++
+      (if (m.clusterBy.nonEmpty)
+        Seq(("#clusterby" +: m.clusterBy).mkString("\t")) else Nil) ++
+      removed.map(k => s"#rm\t$k") ++
+      m.fileStats.map(fs =>
+        s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}") ++
+      m.fileSizes.map { case (r, b) => s"#sz\t$r\t$b" }
+    (meta ++ m.entries.map { case (k, d) => s"$k\t$d" })
+      .mkString("", "\n", "\n")
+  }
+
+  /** THE COMMIT: write the manifest file (full or delta) to a
+    * writer-unique tmp name, rename into place — same protocol and race
+    * posture as [[Snapshots.commit]], except the target version is the
+    * CALLER's expectation (read-latest and rename are no longer one
+    * call, so the version must be pinned at read time — computing it
+    * here would let a commit that landed in between be silently dropped
+    * from the fold). A lost race throws [[CommitRaceException]]. */
   private def commitManifest(
-      spark: SparkSession, root: String,
-      entries: Seq[(String, String)], schema: StructType, v: Int,
-      statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
-      fileStats: Seq[FileStat] = Nil): Int = {
+      spark: SparkSession, root: String, v: Int,
+      payload: Manifest, deltaBase: Option[Int],
+      removed: Seq[String]): Int = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root),
       f".v$v%08d.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
-    val meta = Seq(s"#schema\t${schema.json}") ++
-      (if (statsCols.nonEmpty)
-        Seq(("#statscols" +: statsCols).mkString("\t")) else Nil) ++
-      (if (clusterBy.nonEmpty)
-        Seq(("#clusterby" +: clusterBy).mkString("\t")) else Nil) ++
-      fileStats.map(fs =>
-        s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}")
     try out.write(
-      ((meta ++ entries.map { case (k, d) => s"$k\t$d" })
-        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      renderManifest(payload, deltaBase, removed).getBytes("UTF-8"))
     finally out.close()
-    val fin = new Path(manifestDir(root), f"v$v%08d.manifest")
     // create-exclusive publish (shared with [[Snapshots]]): atomic
     // no-overwrite on every filesystem, including local (link(2)).
-    if (!Snapshots.publishExclusive(f, tmp, fin))
-      throw new CommitRaceException(s"snapshot commit lost the race: $fin")
+    if (!Snapshots.publishExclusive(f, tmp, manifestPath(root, v)))
+      throw new CommitRaceException(
+        s"snapshot commit lost the race: ${manifestPath(root, v)}")
     v
+  }
+
+  /** Best-effort full-state sidecar: losing the publish race (another
+    * writer already checkpointed v) or failing to write is harmless —
+    * readers fold the delta chain instead. Never the commit point. */
+  private def writeCheckpoint(
+      spark: SparkSession, root: String, v: Int, full: Manifest): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(manifestDir(root),
+      f".v$v%08d.cp.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(renderManifest(full, None, Nil).getBytes("UTF-8"))
+    finally out.close()
+    Snapshots.publishExclusive(f, tmp, checkpointPath(root, v))
+    ()
   }
 
   private def entriesAt(
       spark: SparkSession, root: String, version: Int): Seq[(String, String)] =
     manifestAt(spark, root, version).entries
 
-  /** A version's (partition key -> data dir) mapping — the metadata
-    * [[MaterializedAgg]] diffs to find changed partitions without
-    * touching data. */
-  private[lake] def entriesFor(
+  /** A version's (partition key -> data dir) mapping — public metadata
+    * surface: [[MaterializedAgg]] diffs two versions' mappings to find
+    * changed partitions without touching data, and tests locate a
+    * partition's directory through it. Served from the manifest log
+    * (nearest checkpoint + delta fold), no data access. */
+  def entriesFor(
       spark: SparkSession, root: String, version: Int): Seq[(String, String)] =
     entriesAt(spark, root, version)
 
@@ -330,7 +440,11 @@ object SnapshotTable {
         filesByDir(d).filter { rel =>
           byFile.get(rel) match {
             case Some(FileStat(_, _, Some(mn), Some(mx))) =>
-              cmp(dt.get, mx, lo) >= 0 && cmp(dt.get, mn, hi) <= 0
+              // a non-finite rendering (NaN/Infinity — Spark's max
+              // treats NaN as greatest) has no usable order: keep the
+              // file rather than parse-and-throw (ADVICE r11 item 1)
+              if (Seq(mn, mx, lo, hi).exists(nonFinite(dt.get, _))) true
+              else cmp(dt.get, mx, lo) >= 0 && cmp(dt.get, mn, hi) <= 0
             case Some(FileStat(_, _, None, None)) => false // all-NULL file
             case _ => true // partial/absent stats: never skip
           }
@@ -357,6 +471,18 @@ object SnapshotTable {
     * uniform Spark cast rendering is order-preserving for all three
     * ('.' sorts below digits, so trimmed fractional seconds still
     * order correctly). */
+  /** Float/double stat renderings BigDecimal cannot parse — and whose
+    * presence in a file's min/max means Spark's NaN-is-greatest order
+    * was in play, so the recorded range is not a usable skip bound. */
+  private def nonFinite(dt: DataType, s: String): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType =>
+        s == "NaN" || s == "Infinity" || s == "-Infinity"
+      case _ => false
+    }
+  }
+
   private def cmp(dt: DataType, a: String, b: String): Int = {
     import org.apache.spark.sql.types._
     dt match {
@@ -728,6 +854,24 @@ object SnapshotTable {
     if (crashBeforeCommit)
       throw new java.io.IOException(
         "simulated crash after data write, before manifest commit")
+    // Per-file byte census of the just-written directories: one
+    // driver-side listing of ONLY the fresh dirs (same cost class as
+    // the move loop above) — this is what lets [[optimize]] plan
+    // candidates from the manifest alone at 100 TB instead of listing
+    // every partition per call (round-11 verdict item 8).
+    val newSizes: Seq[(String, Long)] = moved.flatMap { case (_, dir) =>
+      f.listStatus(new Path(root, dir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => (s"$dir/${st.getPath.getName}", st.getLen))
+    }
+    // relPath derivation for census rows: match each file's PARENT
+    // against the just-moved directories as Paths (not via a URI
+    // percent-encoding round-trip that can disagree with escaped names
+    // — ADVICE r11 item 5); every census row's file is by construction
+    // inside one of `moved`.
+    val dirByParent: Map[String, String] = moved.map { case (_, d) =>
+      f.makeQualified(new Path(root, d)).toString -> d
+    }.toMap
     // Per-file min/max for the declared stat columns, over ONLY the
     // just-written directories (one pass over fresh data, still warm):
     // min/max on the NATIVE type, cast to string after the aggregate —
@@ -745,12 +889,16 @@ object SnapshotTable {
           val aggs = present.flatMap(c => Seq(
             min(col(c)).cast("string").as(s"_graft_min_$c"),
             max(col(c)).cast("string").as(s"_graft_max_$c")))
-          val rootAbs = f.makeQualified(new Path(root)).toUri.getPath
           df.groupBy(input_file_name().as("_graft_file"))
             .agg(aggs.head, aggs.tail: _*)
             .collect().toSeq.flatMap { r =>
-              val rel = new Path(r.getString(0)).toUri.getPath
-                .stripPrefix(rootAbs + "/")
+              val p0 = new Path(r.getString(0))
+              val parent = f.makeQualified(p0.getParent).toString
+              val rel = dirByParent.get(parent)
+                .map(d => s"$d/${p0.getName}")
+                .getOrElse(throw new IllegalStateException(
+                  s"census file ${r.getString(0)} is not under any " +
+                    "just-written directory"))
               present.indices.flatMap { i =>
                 val mn = Option(r.getString(1 + 2 * i))
                 val mx = Option(r.getString(2 + 2 * i))
@@ -777,17 +925,44 @@ object SnapshotTable {
               s"${(nowTouched.map(_._1) ++ baseTouched.map(_._1)).toSeq
                 .sorted.mkString(",")} under $root; re-merge required")
       }
-      val untouched =
-        if (replaceAll) Nil else latest.filterNot(e => touchedKeys(e._1))
-      // stats of untouched directories carry forward verbatim — their
-      // files were not rewritten, so neither were their min/max
-      val untouchedDirs = untouched.map(_._2).toSet
-      val carried = latestM.map(_.fileStats).getOrElse(Nil)
-        .filter(fs => untouchedDirs.exists(d => fs.relPath.startsWith(d + "/")))
-      try return commitManifest(
-        spark, root, untouched ++ moved, schema, latestV + 1,
-        statsCols, clusterBy, carried ++ newStats)
-      catch {
+      // THE SCALE SHAPE (round-11 verdict item 1): the commit writes a
+      // DELTA — its own entries, its own files' stats/census lines, and
+      // tombstones for partitions it emptied — never the untouched
+      // remainder of the table. Stats/census of untouched directories
+      // carry forward implicitly in the fold; every CheckpointEvery-th
+      // commit folds the chain into a best-effort full sidecar so read
+      // cost stays bounded. A replace-all (or first-ever) commit IS a
+      // full manifest and resets the chain.
+      val v = latestV + 1
+      val asDelta = !replaceAll && latestV > 0
+      val movedKeys = moved.map(_._1).toSet
+      val removed =
+        if (!asDelta) Nil
+        else latest.collect {
+          case (k, _) if touchedKeys(k) && !movedKeys(k) => k
+        }
+      val payload = Manifest(moved, Some(schema), statsCols, clusterBy,
+        newStats, newSizes)
+      try {
+        commitManifest(spark, root, v, payload,
+          if (asDelta) Some(latestV) else None, removed)
+        if (asDelta && v % CheckpointEvery == 0) {
+          // fold in-memory from state already in hand — no re-read
+          val untouched = latest.filterNot(e => touchedKeys(e._1))
+          val untouchedDirs = untouched.map(_._2).toSet
+          def carried(rel: String): Boolean = {
+            val i = rel.lastIndexOf('/')
+            i > 0 && untouchedDirs.contains(rel.substring(0, i))
+          }
+          writeCheckpoint(spark, root, v, Manifest(
+            untouched ++ moved, Some(schema), statsCols, clusterBy,
+            latestM.map(_.fileStats).getOrElse(Nil)
+              .filter(s => carried(s.relPath)) ++ newStats,
+            latestM.map(_.fileSizes).getOrElse(Nil)
+              .filter(s => carried(s._1)) ++ newSizes))
+        }
+        return v
+      } catch {
         case e: CommitRaceException =>
           raceRetries += 1
           // something is committing faster than this writer can even
@@ -841,15 +1016,26 @@ object SnapshotTable {
     val f = fs(spark, root)
     withConflictRetry {
       val base = manifestAt(spark, root, -1)
+      // candidate selection is METADATA-ONLY where the manifest's `#sz`
+      // census covers a directory (every commit since the census landed
+      // writes one line per file) — at 100 TB the plan costs a manifest
+      // read, not an O(partitions) listing sweep (round-11 verdict item
+      // 8); pre-census directories fall back to a live listing
+      val sizesByDir: Map[String, Seq[Long]] = base.fileSizes
+        .groupBy(s => s._1.take(s._1.lastIndexOf('/')))
+        .map { case (d, ss) => d -> ss.map(_._2) }
       val cands = base.entries.flatMap { case (k, d) =>
-        val files = f.listStatus(new Path(root, d)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        if (files.isEmpty) None
+        val sizes: Seq[Long] = sizesByDir.getOrElse(d,
+          f.listStatus(new Path(root, d)).toSeq
+            .filter(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen))
+        if (sizes.isEmpty) None
         else {
-          val bytes = files.map(_.getLen).sum
+          val bytes = sizes.sum
           val target =
             math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-          if (files.size > target) Some((k, d, target, files.size))
+          if (sizes.size > target) Some((k, d, target, sizes.size))
           else None
         }
       }.sortBy { case (_, _, target, n) => -(n - target) }
@@ -902,10 +1088,22 @@ object SnapshotTable {
     val keepSet = protect ++ Snapshots.boundVersions(spark, root)
     val drop = vs.dropRight(keepVersions).filterNot(keepSet)
     val keep = vs.filterNot(drop.contains)
+    val dropSet = drop.toSet
+    // liveness first, while every chain file is still intact
     val live = keep.flatMap(readManifest(spark, root, _).entries)
       .map(_._2).toSet
-    drop.foreach(v =>
-      f.delete(new Path(manifestDir(root), f"v$v%08d.manifest"), false))
+    // self-containment: a kept version whose delta chain passes through
+    // a to-be-dropped file gets its own full checkpoint BEFORE anything
+    // is deleted (ascending order, so a checkpoint written for an older
+    // kept version already shortens the chain of newer ones)
+    keep.foreach { v =>
+      if (chainBroken(spark, root, v, dropSet))
+        writeCheckpoint(spark, root, v, readManifest(spark, root, v))
+    }
+    drop.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(checkpointPath(root, v), false)
+    }
     val dataDir = new Path(root, "data")
     var removed = 0
     if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
@@ -925,5 +1123,25 @@ object SnapshotTable {
         f.delete(st.getPath, true)
     }
     (drop.size, removed)
+  }
+
+  /** Would reconstructing `v` touch any version in `dropSet`? Walks
+    * the delta chain the same way [[readManifest]] does, stopping at a
+    * checkpoint or full manifest. */
+  private def chainBroken(
+      spark: SparkSession, root: String, v: Int,
+      dropSet: Set[Int]): Boolean = {
+    val f = fs(spark, root)
+    var cur = v
+    while (true) {
+      if (dropSet(cur)) return true
+      if (f.exists(checkpointPath(root, cur))) return false
+      parseManifestFile(spark, root, manifestPath(root, cur)).deltaBase
+        match {
+          case None => return false
+          case Some(b) => cur = b
+        }
+    }
+    false
   }
 }

@@ -27,13 +27,13 @@ class SnapshotTableSpec extends SparkSpec {
     df.select(col("doc_id"), col("text"), col("n_chars"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
 
-  /** A version's (key, dir) manifest lines, minus the #schema line. */
-  private def manifestLines(root: String, v: Int): Seq[String] = {
-    val src = scala.io.Source.fromFile(
-      root + f"/_versions/v$v%08d.manifest")
-    try src.getLines().filterNot(_.startsWith("#")).toList
-    finally src.close()
-  }
+  /** A version's FOLDED (key, dir) entries as "key<TAB>dir" strings —
+    * since round 12 a version's manifest FILE is a delta (only its own
+    * commit's entries), so directory-sharing assertions go through the
+    * folded state the log reconstructs. */
+  private def manifestLines(root: String, v: Int): Seq[String] =
+    SnapshotTable.entriesFor(spark, root, v)
+      .map { case (k, d) => s"$k\t$d" }
 
   test("upsert merges like Lake.upsert and commits one new version") {
     val root = freshTable()

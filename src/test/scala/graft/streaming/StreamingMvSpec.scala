@@ -38,11 +38,10 @@ class StreamingMvSpec extends SparkSpec {
 
   private def fileCount(root: String, key: String): Int = {
     val v = SnapshotTable.versions(spark, root).last
-    val src = scala.io.Source.fromFile(root + f"/_versions/v$v%08d.manifest")
-    val d =
-      try src.getLines().filterNot(_.startsWith("#"))
-        .map(_.split('\t')).collectFirst { case Array(k, dir) if k == key => dir }.get
-      finally src.close()
+    // entriesFor folds the delta log — the latest manifest FILE is a
+    // delta that need not mention an untouched partition's entry
+    val d = SnapshotTable.entriesFor(spark, root, v)
+      .collectFirst { case (k, dir) if k == key => dir }.get
     val p = new Path(root, d)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listStatus(p)
