@@ -420,33 +420,53 @@ object SnapshotTable {
     * cast-to-string order parquet stats were recorded in). */
   def readBetween(
       spark: SparkSession, root: String, column: String,
-      lower: Any, upper: Any, version: Int = -1): DataFrame = {
+      lower: Any, upper: Any, version: Int = -1): DataFrame =
+    readBetweenAll(spark, root, Seq((column, lower, upper)), version)
+
+  /** Conjunctive multi-column stats pruning (round-11 verdict item 6):
+    * `predicates` is a seq of (column, lower, upper) bounds ANDed
+    * together. A file survives only if EVERY predicate's recorded
+    * [min,max] intersects its bound — per-file keep-sets intersect, so
+    * the common `date BETWEEN .. AND source_score > ..` shape opens
+    * fewer files than its best single column. Same correctness posture
+    * as [[readBetween]]: all residual filters always apply, columns
+    * without stats never prune. */
+  def readBetweenAll(
+      spark: SparkSession, root: String,
+      predicates: Seq[(String, Any, Any)], version: Int = -1): DataFrame = {
+    require(predicates.nonEmpty, "at least one (column, lo, hi) required")
     val m = manifestAt(spark, root, version)
-    val residual = col(column) >= lit(lower) && col(column) <= lit(upper)
-    val dt = m.schema.flatMap(_.fields.find(_.name == column))
-      .map(_.dataType)
-    if (m.entries.isEmpty || !m.statsCols.contains(column) || dt.isEmpty)
+    val residual = predicates.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    // predicates that can prune: a declared stat column of known type
+    val usable = predicates.flatMap { case (c, lower, upper) =>
+      m.schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+        .filter(_ => m.statsCols.contains(c))
+        .map(dt => (c, renderBound(lower), renderBound(upper), dt))
+    }
+    if (m.entries.isEmpty || usable.isEmpty)
       return read(spark, root, version).filter(residual)
-    val lo = renderBound(lower)
-    val hi = renderBound(upper)
-    val byFile = m.fileStats.filter(_.column == column)
-      .map(fs => fs.relPath -> fs).toMap
+    val byFileCol = m.fileStats
+      .map(fs => (fs.relPath, fs.column) -> fs).toMap
     val filesByDir = m.fileStats.map(_.relPath).distinct
       .groupBy(r => r.take(r.lastIndexOf('/')))
     val fsys = fs(spark, root)
     val keep = m.entries.flatMap { case (_, d) =>
       if (filesByDir.contains(d))
-        // served from the manifest alone: no listing, no footers
+        // served from the manifest alone: no listing, no footers —
+        // keep-sets intersect (forall) across the usable predicates
         filesByDir(d).filter { rel =>
-          byFile.get(rel) match {
-            case Some(FileStat(_, _, Some(mn), Some(mx))) =>
-              // a non-finite rendering (NaN/Infinity — Spark's max
-              // treats NaN as greatest) has no usable order: keep the
-              // file rather than parse-and-throw (ADVICE r11 item 1)
-              if (Seq(mn, mx, lo, hi).exists(nonFinite(dt.get, _))) true
-              else cmp(dt.get, mx, lo) >= 0 && cmp(dt.get, mn, hi) <= 0
-            case Some(FileStat(_, _, None, None)) => false // all-NULL file
-            case _ => true // partial/absent stats: never skip
+          usable.forall { case (c, lo, hi, dt) =>
+            byFileCol.get((rel, c)) match {
+              case Some(FileStat(_, _, Some(mn), Some(mx))) =>
+                // a non-finite rendering (NaN/Infinity — Spark's max
+                // treats NaN as greatest) has no usable order: keep the
+                // file rather than parse-and-throw (ADVICE r11 item 1)
+                if (Seq(mn, mx, lo, hi).exists(nonFinite(dt, _))) true
+                else cmp(dt, mx, lo) >= 0 && cmp(dt, mn, hi) <= 0
+              case Some(FileStat(_, _, None, None)) => false // all-NULL
+              case _ => true // partial/absent stats: never skip
+            }
           }
         }.map(rel => new Path(root, rel).toString)
       else
@@ -756,6 +776,31 @@ object SnapshotTable {
           .filter(coalesce(!predicate, lit(true)))
         commitRewrite(spark, root, kept, partitionBy, Some(base),
           touchedKeys, replaceAll = false, filesPerPartition,
+          crashBeforeCommit = false)
+      }
+    }
+
+  /** Replace whole partition TUPLES in one commit — the derived-table
+    * maintenance primitive: every tuple present in `rows` is rewritten
+    * to exactly its rows, tuples named in `dropKeys` (escaped composite
+    * keys, e.g. from a manifest diff) are removed even when `rows` has
+    * nothing for them, and untouched tuples carry forward. Unlike
+    * [[upsert]] there is no per-row merge: the caller has already
+    * recomputed the full content of the touched partitions (the shape
+    * incremental materializations produce — re-derive changed
+    * partitions, leave the rest). One atomic manifest commit. */
+  def overwritePartitions(
+      spark: SparkSession, root: String, rows: DataFrame,
+      partitionBy: Seq[String], dropKeys: Set[String] = Set.empty,
+      filesPerPartition: Int = 1): Int =
+    withConflictRetry {
+      if (versions(spark, root).isEmpty)
+        write(spark, root, rows, partitionBy, filesPerPartition)
+      else {
+        val base = manifestAt(spark, root, -1)
+        val touched = touchedCompositeKeys(rows, partitionBy) ++ dropKeys
+        commitRewrite(spark, root, rows, partitionBy, Some(base), touched,
+          replaceAll = false, filesPerPartition,
           crashBeforeCommit = false)
       }
     }

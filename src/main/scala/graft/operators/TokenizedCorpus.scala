@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenize-once retrieval (round-11 verdict item 4): a persisted,
+  * incrementally maintained tokenization of a [[graft.lake.SnapshotTable]]
+  * corpus — the postings-build intermediate `(doc_id, dl, tok, tf)`
+  * plus a per-document length table, both themselves SnapshotTables
+  * partitioned BY THE BASE'S PARTITION COLUMNS.
+  *
+  * Why: tokenization (`regexp_extract_all` + explode) is the named
+  * constant factor of every inline text query — the round-11 bench
+  * shows the inline BM25 shapes paying 3.4-4.1× DuckDB almost entirely
+  * in re-tokenizing text that has not changed since the last query. At
+  * 100 TB the corpus mutates a few partitions per CDC batch while
+  * every retrieval/statistics query re-reads all of it; tokenizing
+  * once per DOCUMENT VERSION instead of once per QUERY is the same
+  * write-once-read-many argument as the inverted index, kept in a
+  * shape (flat postings rows, base-aligned partitions) that ANY
+  * downstream aggregation can consume, not just term probes.
+  *
+  * Partition alignment is what makes maintenance trivial AND bounded:
+  * the derived tables inherit the base's partition tuple, so the base's
+  * manifest diff (changed tuples between the last-applied version and
+  * latest — metadata-sized, no data comparison) names exactly the
+  * derived partitions to re-derive. [[refresh]] re-tokenizes ONLY the
+  * changed partitions' rows and swaps them in with
+  * [[graft.lake.SnapshotTable.overwritePartitions]] — one atomic
+  * commit per table, cost O(changed data), never O(corpus).
+  *
+  * Tokenization rule is [[graft.queries.Text.toksExpr]] — the SAME
+  * expression the inline queries and the inverted index use, so a
+  * ranking served from this table can never diverge on tokenization
+  * (pinned in `TokenizedCorpusSpec` and oracle-gated via t46).
+  *
+  * Crash/replay: `_tok/applied` records the reflected base version and
+  * is written AFTER both table commits; a crash in between replays the
+  * same partition overwrites (same content, idempotent) on the next
+  * refresh. Single-maintainer, like the MV layer. */
+object TokenizedCorpus {
+  import graft.lake.SnapshotTable
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def postingsRoot(tokRoot: String): String =
+    new Path(tokRoot, "postings").toString
+  def doclensRoot(tokRoot: String): String =
+    new Path(tokRoot, "doclens").toString
+
+  private def appliedPath(tokRoot: String) =
+    new Path(tokRoot, "_tok/applied")
+
+  /** Base version the tokenized tables reflect (None: never built). */
+  def appliedBaseVersion(
+      spark: SparkSession, tokRoot: String): Option[Int] = {
+    val f = fs(spark, tokRoot)
+    val p = appliedPath(tokRoot)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeApplied(
+      spark: SparkSession, tokRoot: String, v: Int): Unit = {
+    val f = fs(spark, tokRoot)
+    f.mkdirs(new Path(tokRoot, "_tok"))
+    val tmp = new Path(tokRoot,
+      s"_tok/.applied.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // plain rename, not create-exclusive: the marker is single-
+    // maintainer AND advisory — a torn/missing marker only means the
+    // next refresh replays idempotent partition overwrites
+    f.delete(appliedPath(tokRoot), false)
+    if (!f.rename(tmp, appliedPath(tokRoot)))
+      throw new java.io.IOException(
+        s"tokenized-corpus marker rename failed under $tokRoot")
+  }
+
+  /** `(partition cols…, doc_id, dl, tok, tf)` for `docs` — documents
+    * whose tokenization is empty contribute NOTHING (dl = 0 documents
+    * are outside every BM25/statistics denominator, same rule as
+    * [[graft.queries.Search.tokenized]]). */
+  private def postingsFrame(
+      docs: DataFrame, partitionBy: Seq[String]): DataFrame = {
+    val part = partitionBy.map(col)
+    docs.withColumn("toks", expr(graft.queries.Text.toksExpr))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .where(col("dl") > 0)
+      .select(part :+ col("doc_id") :+ col("dl") :+
+        explode(col("toks")).as("tok"): _*)
+      .groupBy(part :+ col("doc_id") :+ col("dl") :+ col("tok"): _*)
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  private def doclensFrame(
+      docs: DataFrame, partitionBy: Seq[String]): DataFrame =
+    docs.withColumn("dl",
+        size(expr(graft.queries.Text.toksExpr)).cast("long"))
+      .where(col("dl") > 0)
+      .select(partitionBy.map(col) :+ col("doc_id") :+ col("dl"): _*)
+
+  /** Bring the tokenized tables up to the base's LATEST version.
+    * First call builds them in full; later calls re-tokenize ONLY the
+    * partitions whose base directories changed (manifest diff) and
+    * overwrite those partitions in place — dropped base partitions
+    * drop here too. Returns the applied base version. No-op when
+    * already current. */
+  def refresh(
+      spark: SparkSession, baseRoot: String, tokRoot: String,
+      partitionBy: Seq[String]): Int = {
+    val latestB = SnapshotTable.versions(spark, baseRoot).last
+    appliedBaseVersion(spark, tokRoot) match {
+      case Some(v) if v == latestB => latestB
+      case Some(v) if SnapshotTable.versions(spark, baseRoot).contains(v) =>
+        val oldMap = SnapshotTable.entriesFor(spark, baseRoot, v).toMap
+        val newMap = SnapshotTable.entriesFor(spark, baseRoot, latestB).toMap
+        val changed = (oldMap.keySet ++ newMap.keySet)
+          .filter(k => oldMap.get(k) != newMap.get(k))
+        if (changed.nonEmpty) {
+          val newDirs = changed.toSeq.sorted.flatMap(newMap.get)
+          val changedDocs =
+            if (newDirs.isEmpty)
+              SnapshotTable.read(spark, baseRoot, latestB).limit(0)
+            else spark.read.option("mergeSchema", "true").parquet(
+              newDirs.map(d => new Path(baseRoot, d).toString): _*)
+          // dropKeys = every changed tuple: present ones are also in
+          // the recomputed rows (so they rewrite), vanished or
+          // all-empty-tokenization ones tombstone
+          SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
+            postingsFrame(changedDocs, partitionBy), partitionBy,
+            dropKeys = changed)
+          SnapshotTable.overwritePartitions(spark, doclensRoot(tokRoot),
+            doclensFrame(changedDocs, partitionBy), partitionBy,
+            dropKeys = changed)
+        }
+        writeApplied(spark, tokRoot, latestB)
+        latestB
+      case _ =>
+        // never built, or the applied version was vacuumed away:
+        // full (re)build against base@latest
+        val docs = SnapshotTable.read(spark, baseRoot, latestB)
+        SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
+          postingsFrame(docs, partitionBy), partitionBy,
+          dropKeys = SnapshotTable.versions(spark, postingsRoot(tokRoot))
+            .lastOption.map(pv => SnapshotTable
+              .entriesFor(spark, postingsRoot(tokRoot), pv)
+              .map(_._1).toSet).getOrElse(Set.empty))
+        SnapshotTable.overwritePartitions(spark, doclensRoot(tokRoot),
+          doclensFrame(docs, partitionBy), partitionBy,
+          dropKeys = SnapshotTable.versions(spark, doclensRoot(tokRoot))
+            .lastOption.map(dv => SnapshotTable
+              .entriesFor(spark, doclensRoot(tokRoot), dv)
+              .map(_._1).toSet).getOrElse(Set.empty))
+        writeApplied(spark, tokRoot, latestB)
+        latestB
+    }
+  }
+
+  /** The postings table `(…, doc_id, dl, tok, tf)` at its latest
+    * version. */
+  def postings(spark: SparkSession, tokRoot: String): DataFrame =
+    SnapshotTable.read(spark, postingsRoot(tokRoot))
+
+  /** The per-document length table `(…, doc_id, dl)`. */
+  def doclens(spark: SparkSession, tokRoot: String): DataFrame =
+    SnapshotTable.read(spark, doclensRoot(tokRoot))
+}

@@ -283,12 +283,15 @@ object Search {
     bm25Score(tf, dfStats, corpus)
   }
 
-  /** ONE oracle text for t31 and t32: the persisted-index probe must
-    * produce byte-identical results to the inline ranking, so they
-    * share the gate the way d15 shares d04's semantics. */
-  private val bm25OracleSql = s"""
-      WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
-                 FROM documents),
+  /** ONE oracle text for t31/t32/t46: the persisted-index probe and
+    * the tokenized-materialization ranking must produce byte-identical
+    * results to the inline ranking, so they share the gate the way d15
+    * shares d04's semantics. `pre` prepends extra CTEs (t46 rewrites
+    * the corpus with its CDC batch first); `rel` is the documents
+    * relation to tokenize. */
+  private def bm25OracleSqlOver(pre: String, rel: String) = s"""
+      WITH $pre t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+                 FROM $rel),
       b AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS dl, toks
             FROM t WHERE length(toks) > 0),
       c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -324,6 +327,8 @@ object Search {
       ORDER BY score_n18 DESC, doc_id
       LIMIT $Bm25K"""
 
+  private val bm25OracleSql = bm25OracleSqlOver("", "documents")
+
   val t31_bm25 = Q(
     "t31_bm25",
     (s, dir) => bm25(Tables(s, dir, "documents")),
@@ -342,6 +347,91 @@ object Search {
       graft.operators.InvertedIndex.probe(s, root, Bm25Terms)
     },
     Some(bm25OracleSql))
+
+  // ---- t46: tokenize-once retrieval ----------------------------------
+
+  /** Exact BM25 served from the persisted tokenized corpus
+    * ([[graft.operators.TokenizedCorpus]]): the postings intermediate
+    * is read, never recomputed — the query pays a term-pruned postings
+    * scan plus the scoring join, with `regexp_extract_all` nowhere in
+    * the plan. Same scoring rule ([[bm25Score]]), same output. */
+  def bm25FromTokenized(
+      postings: DataFrame, doclens: DataFrame): DataFrame = {
+    val corpus = doclens.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = postings.where(col("tok").isin(Bm25Terms: _*))
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+    val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    bm25Score(tf, dfStats, corpus)
+  }
+
+  /** Float fast path over the tokenized corpus — the production
+    * retrieval shape: no tokenization AND no exact-decimal scoring.
+    * Rank-pinned (set and order) against [[bm25FromTokenized]] in
+    * `TokenizedCorpusSpec`, so its anchor is transitive through the
+    * t46 oracle. */
+  def bm25FromTokenizedFast(
+      postings: DataFrame, doclens: DataFrame): DataFrame = {
+    val corpus = doclens.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = postings.where(col("tok").isin(Bm25Terms: _*))
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+    val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    bm25ScoreFast(tf, dfStats, corpus)
+  }
+
+  /** Tokenize-once BM25, gated end-to-end with CDC (round-11 verdict
+    * item 4): the corpus loads as a SnapshotTable, the tokenized
+    * postings/doclens tables derive from it, the t40-family CDC batch
+    * mutates the base, and [[graft.operators.TokenizedCorpus.refresh]]
+    * folds the change in INCREMENTALLY — re-tokenizing only the
+    * changed partitions (manifest diff), never the corpus. The ranking
+    * then runs WITHOUT any tokenizer in the plan. The oracle
+    * re-tokenizes the mutated logical table from scratch in DuckDB, so
+    * the hash match proves (a) incremental re-tokenization equals full,
+    * and (b) the materialized ranking equals the inline one. */
+  private[queries] def bm25Tokenized(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    import graft.operators.TokenizedCorpus
+    val baseRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_tok_base_v1")
+    val tokRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_tok_idx_v1")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+    if (SnapshotTable.versions(spark, baseRoot).isEmpty)
+      SnapshotTable.write(spark, baseRoot, docs, Seq("source"))
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    if (SnapshotTable.versions(spark, baseRoot).size < 2) {
+      val tombstones = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("op", lit("d"))
+      val upserts = docs
+        .filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" [recurated]")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("op", lit("u"))
+      SnapshotTable.applyChanges(spark, baseRoot,
+        tombstones.unionByName(upserts), "doc_id", Seq("source"),
+        opCol = "op")
+    }
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    bm25FromTokenized(
+      TokenizedCorpus.postings(spark, tokRoot),
+      TokenizedCorpus.doclens(spark, tokRoot))
+  }
+
+  val t46_bm25_tokenized = Q(
+    "t46_bm25_tokenized",
+    (s, dir) => bm25Tokenized(s, dir),
+    Some(bm25OracleSqlOver(
+      """v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' [recurated]'
+                    ELSE text END AS text
+        FROM documents
+        WHERE doc_id % 97 <> 0),""", "v2")))
 
   // ---- t35/t36: batched multi-query BM25 -----------------------------
   //
@@ -520,5 +610,5 @@ object Search {
     Some(bm25BatchOracleSql))
 
   val all: Seq[Q] = Seq(q62_length_quantiles, t31_bm25, t32_bm25_probe,
-    t35_bm25_batch, t36_bm25_batch_probe)
+    t35_bm25_batch, t36_bm25_batch_probe, t46_bm25_tokenized)
 }

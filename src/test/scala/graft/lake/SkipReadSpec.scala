@@ -115,6 +115,35 @@ class SkipReadSpec extends SparkSpec {
     assert(none.columns.toSeq == Seq("p", "v", "payload"))
   }
 
+  test("two-column predicates intersect keep-sets: fewer files than either") {
+    // (x, y) grid, clustered lexicographically by (x, y): each x value
+    // spans several files, each covering a y sub-range — so an x band
+    // prunes to its files, a y band keeps one file per x value, and the
+    // CONJUNCTION must open strictly fewer than either alone
+    val root = tmpDir("skip-multi")
+    val grid = spark.range(64000L).select(
+      lit("a").as("p"), (col("id") % 8).as("x"),
+      ((col("id") / 8) % 1000).as("y"), (col("id") * 3).as("payload"))
+    SnapshotTable.write(spark, root, grid, Seq("p"),
+      filesPerPartition = 32, statsFor = Seq("x", "y"),
+      clusterBy = Seq("x", "y"))
+    val xOnly = SnapshotTable.readBetween(spark, root, "x", 3L, 3L)
+      .inputFiles.length
+    val yOnly = SnapshotTable.readBetween(spark, root, "y", 100L, 199L)
+      .inputFiles.length
+    val both = SnapshotTable.readBetweenAll(spark, root,
+      Seq(("x", 3L, 3L), ("y", 100L, 199L)))
+    assert(both.inputFiles.length < math.min(xOnly, yOnly),
+      s"conjunction opened ${both.inputFiles.length} files vs " +
+        s"x-only $xOnly, y-only $yOnly")
+    // and the pruned conjunction returns exactly the filtered rows
+    val expect = SnapshotTable.read(spark, root)
+      .filter(col("x") === 3L && col("y").between(100L, 199L))
+      .agg(count(lit(1)), sum(col("payload"))).collect()(0)
+    val got = both.agg(count(lit(1)), sum(col("payload"))).collect()(0)
+    assert(got == expect, s"conjunctive pruned read diverged: $got")
+  }
+
   test("CDC mutations keep the skipping table correct end-to-end") {
     // applyChanges (mixed upsert + tombstone) over a stats table: the
     // rewritten partition's stats regenerate, and the pruned read

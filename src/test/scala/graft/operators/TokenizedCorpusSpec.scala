@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.lake.SnapshotTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenize-once retrieval (round-11 verdict item 4): the persisted
+  * postings/doclens tables equal a from-scratch tokenization after any
+  * base mutation, refresh re-tokenizes ONLY changed partitions (proved
+  * destructively), rankings served from the materialization match the
+  * inline path exactly, and the fast float variant rank-matches the
+  * exact one. */
+class TokenizedCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkBase(root: String,
+      rows: Seq[(Long, String, String)]): Unit = {
+    val df = rows.toDF("doc_id", "source", "text")
+    SnapshotTable.write(spark, root, df, Seq("source"))
+  }
+
+  private def postingsSet(tokRoot: String): Set[(Long, Long, String, Long)] =
+    TokenizedCorpus.postings(spark, tokRoot)
+      .select($"doc_id", $"dl", $"tok", $"tf")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+
+  /** From-scratch tokenization of the base's CURRENT rows. */
+  private def oracle(baseRoot: String): Set[(Long, Long, String, Long)] =
+    SnapshotTable.read(spark, baseRoot)
+      .withColumn("toks", expr(graft.queries.Text.toksExpr))
+      .withColumn("dl", size($"toks").cast("long"))
+      .where($"dl" > 0)
+      .select($"doc_id", $"dl", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"dl", $"tok")
+      .agg(count(lit(1)).as("tf"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+
+  private val seed = Seq(
+    (1L, "a", "spark window filter spark"),
+    (2L, "a", "window and filter"),
+    (3L, "b", "spark spark spark"),
+    (4L, "b", "plain prose here"),
+    (5L, "c", "filter window spark mix"))
+
+  test("build materializes the postings intermediate exactly") {
+    val baseRoot = tmpDir("tok-base"); val tokRoot = tmpDir("tok-idx")
+    mkBase(baseRoot, seed)
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    assert(postingsSet(tokRoot) == oracle(baseRoot))
+    val dls = TokenizedCorpus.doclens(spark, tokRoot)
+      .select($"doc_id", $"dl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dls == Set((1L, 4L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 4L)))
+    // no-op refresh mints no versions
+    val pv = SnapshotTable.versions(spark,
+      TokenizedCorpus.postingsRoot(tokRoot))
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    assert(SnapshotTable.versions(spark,
+      TokenizedCorpus.postingsRoot(tokRoot)) == pv)
+  }
+
+  test("CDC folds incrementally; equals full re-tokenization") {
+    val baseRoot = tmpDir("tok-base"); val tokRoot = tmpDir("tok-idx")
+    mkBase(baseRoot, seed)
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    val changes = Seq(
+      (1L, "a", "spark rewritten entirely", "u"),  // update in a
+      (6L, "d", "filter filter", "u"),             // brand-new partition
+      (3L, "b", "", "d"))                          // delete in b
+      .toDF("doc_id", "source", "text", "op")
+    SnapshotTable.applyChanges(spark, baseRoot, changes, "doc_id",
+      Seq("source"), opCol = "op")
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    assert(postingsSet(tokRoot) == oracle(baseRoot))
+  }
+
+  test("refresh re-tokenizes ONLY changed partitions (destructive)") {
+    val baseRoot = tmpDir("tok-base"); val tokRoot = tmpDir("tok-idx")
+    mkBase(baseRoot, seed)
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    SnapshotTable.upsert(spark, baseRoot,
+      Seq((1L, "a", "changed text only in a")).toDF("doc_id", "source", "text"),
+      "doc_id", Seq("source"))
+    // destroy untouched partition b's base directory: a full
+    // re-tokenization now crashes; the incremental path must not notice
+    val bDir = SnapshotTable.entriesFor(spark, baseRoot, 2)
+      .collectFirst { case (k, d) if k == "b" => d }.get
+    val p = new org.apache.hadoop.fs.Path(baseRoot, bDir)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(p, true))
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    val got = postingsSet(tokRoot)
+    assert(got.exists(r => r._1 == 3L && r._3 == "spark" && r._4 == 3L),
+      "untouched partition b's postings must carry forward")
+    assert(got.exists(r => r._1 == 1L && r._3 == "changed"))
+    assert(!got.exists(r => r._1 == 1L && r._3 == "window"),
+      "partition a's stale postings must be gone")
+  }
+
+  test("a partition whose docs all tokenize empty drops its postings") {
+    val baseRoot = tmpDir("tok-base"); val tokRoot = tmpDir("tok-idx")
+    mkBase(baseRoot, seed)
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    // rewrite partition c to punctuation-only text: dl = 0 everywhere
+    SnapshotTable.upsert(spark, baseRoot,
+      Seq((5L, "c", "!!! ??? ...")).toDF("doc_id", "source", "text"),
+      "doc_id", Seq("source"))
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    assert(postingsSet(tokRoot) == oracle(baseRoot))
+    assert(!postingsSet(tokRoot).exists(_._1 == 5L))
+  }
+
+  test("rankings: materialized == inline, fast rank-matches exact") {
+    val dir = "/root/testdata/sf0.001"
+    val baseRoot = tmpDir("tok-rank-base"); val tokRoot = tmpDir("tok-rank-idx")
+    val docs = graft.core.Tables(spark, dir, "documents")
+      .select($"doc_id", $"text", $"source")
+    SnapshotTable.write(spark, baseRoot, docs, Seq("source"))
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    val inline = graft.queries.Search.t31_bm25.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val mat = graft.queries.Search.bm25FromTokenized(
+        TokenizedCorpus.postings(spark, tokRoot),
+        TokenizedCorpus.doclens(spark, tokRoot))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(mat == inline,
+      "materialized ranking diverged from the inline path")
+    val fast = graft.queries.Search.bm25FromTokenizedFast(
+        TokenizedCorpus.postings(spark, tokRoot),
+        TokenizedCorpus.doclens(spark, tokRoot))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fast == inline.map(_._1),
+      "fast tokenized ranking diverged in doc set or order")
+    // and the plan truly contains no tokenizer
+    val plan = graft.queries.Search.bm25FromTokenized(
+      TokenizedCorpus.postings(spark, tokRoot),
+      TokenizedCorpus.doclens(spark, tokRoot))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("regexp_extract_all"),
+      s"tokenizer leaked into the materialized plan:\n$plan")
+  }
+}
