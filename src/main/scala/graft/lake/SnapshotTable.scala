@@ -181,6 +181,52 @@ object SnapshotTable {
     new Path(manifestDir(root), f"v$v%08d.manifest")
   private def checkpointPath(root: String, v: Int) =
     new Path(manifestDir(root), f"v$v%08d.checkpoint")
+  private def hintPath(root: String) =
+    new Path(manifestDir(root), "_latest.hint")
+
+  /** Best-effort latest-version pointer (the `_last_checkpoint` idea):
+    * every commit overwrites `_versions/_latest.hint`, and
+    * [[latestVersion]] resolves "latest" as hint + forward probe —
+    * O(1 + commits-since-hint) existence checks instead of listing the
+    * whole `_versions` directory per read (O(retained versions); at a
+    * 5-minute CDC cadence that listing is 100k entries/year on object
+    * stores that price LIST by the page). The hint is ADVISORY: a
+    * torn write, a stale value, or deleting the file entirely only
+    * costs the listing fallback, never a wrong answer. */
+  private def writeHint(spark: SparkSession, root: String, v: Int): Unit =
+    try {
+      val f = fs(spark, root)
+      val tmp = new Path(manifestDir(root),
+        s"._latest.${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      f.delete(hintPath(root), false)
+      if (!f.rename(tmp, hintPath(root))) f.delete(tmp, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Latest committed version: hint + forward probe, listing fallback.
+    * A concurrent commit between the probe and the read is the same
+    * race a listing has — the OCC layer owns that, not this. */
+  private def latestVersion(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, root)
+    val hinted: Option[Int] =
+      try {
+        if (!f.exists(hintPath(root))) None
+        else {
+          val in = f.open(hintPath(root))
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          Some(s.toInt).filter(v => f.exists(manifestPath(root, v)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted match {
+      case Some(v0) =>
+        var v = v0
+        while (f.exists(manifestPath(root, v + 1))) v += 1
+        Some(v)
+      case None => versions(spark, root).lastOption
+    }
+  }
 
   /** Parse one manifest/checkpoint FILE (not a folded state). Keys are
     * Hive-escaped (no tab/newline/'#' can appear), so TAB is a safe
@@ -309,6 +355,7 @@ object SnapshotTable {
     if (!Snapshots.publishExclusive(f, tmp, manifestPath(root, v)))
       throw new CommitRaceException(
         s"snapshot commit lost the race: ${manifestPath(root, v)}")
+    writeHint(spark, root, v)
     v
   }
 
@@ -342,10 +389,20 @@ object SnapshotTable {
 
   private def manifestAt(
       spark: SparkSession, root: String, version: Int): Manifest = {
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no snapshot-table version committed under $root")
-    val v = if (version < 0) vs.last else version
-    require(vs.contains(v), s"unknown version v$v (have ${vs.mkString(",")})")
+    // resolve WITHOUT listing the whole _versions dir: latest via the
+    // hint pointer (+ forward probe), explicit versions via one
+    // existence check — the read path stays O(1) metadata RPCs as the
+    // retained version count grows
+    val v =
+      if (version < 0)
+        latestVersion(spark, root).getOrElse(throw new
+          IllegalArgumentException(
+            s"no snapshot-table version committed under $root"))
+      else {
+        require(fs(spark, root).exists(manifestPath(root, version)),
+          s"unknown version v$version under $root")
+        version
+      }
     readManifest(spark, root, v)
   }
 

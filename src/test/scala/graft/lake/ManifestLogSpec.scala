@@ -140,6 +140,34 @@ class ManifestLogSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root, 6).count() == 6)
   }
 
+  test("latest resolves through the hint pointer; stale/corrupt/missing degrade") {
+    val root = tmpDir("mlog-hint")
+    val base = Seq(("a", 1L, 1L)).toDF("p", "k", "v")
+    SnapshotTable.write(spark, root, base, Seq("p"))
+    (2L to 5L).foreach { i =>
+      SnapshotTable.upsert(spark, root,
+        Seq(("a", i, i)).toDF("p", "k", "v"), "k", Seq("p"))
+    }
+    val hint = new java.io.File(root, "_versions/_latest.hint")
+    assert(hint.exists, "commit did not publish the latest-version hint")
+    assert(scala.io.Source.fromFile(hint).mkString.trim == "5")
+    def latestCount(): Long = SnapshotTable.read(spark, root).count()
+    assert(latestCount() == 5)
+    // STALE hint (a lagging writer): forward probe must still find v5
+    java.nio.file.Files.write(hint.toPath, "2".getBytes("UTF-8"))
+    assert(latestCount() == 5)
+    // CORRUPT hint: listing fallback
+    java.nio.file.Files.write(hint.toPath, "garbage".getBytes("UTF-8"))
+    assert(latestCount() == 5)
+    // MISSING hint: listing fallback
+    assert(hint.delete())
+    assert(latestCount() == 5)
+    // and the next commit republishes it
+    SnapshotTable.upsert(spark, root,
+      Seq(("a", 6L, 6L)).toDF("p", "k", "v"), "k", Seq("p"))
+    assert(scala.io.Source.fromFile(hint).mkString.trim == "6")
+  }
+
   test("NaN/Infinity stat renderings never skip and never throw") {
     val root = tmpDir("mlog-nan")
     // three files by construction: finite-low, NaN-containing, finite-hi
