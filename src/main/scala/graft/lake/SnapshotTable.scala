@@ -424,9 +424,8 @@ object SnapshotTable {
         m.schema.getOrElse(throw new IllegalStateException(
           "version has an empty manifest and no recorded schema " +
             "(pre-schema-line manifest format)")))
-    else
-      spark.read.option("mergeSchema", "true").parquet(
-        m.entries.map(e => new Path(root, e._2).toString): _*)
+    else readFiles(spark, m,
+      m.entries.map(e => new Path(root, e._2).toString))
   }
 
   /** Manifest-pruned read of selected partition TUPLES: each key lists
@@ -505,42 +504,112 @@ object SnapshotTable {
       return read(spark, root, version).filter(residual)
     val byFileCol = m.fileStats
       .map(fs => (fs.relPath, fs.column) -> fs).toMap
-    val filesByDir = m.fileStats.map(_.relPath).distinct
-      .groupBy(r => r.take(r.lastIndexOf('/')))
-    val fsys = fs(spark, root)
-    val keep = m.entries.flatMap { case (_, d) =>
-      if (filesByDir.contains(d))
-        // served from the manifest alone: no listing, no footers —
-        // keep-sets intersect (forall) across the usable predicates
-        filesByDir(d).filter { rel =>
-          usable.forall { case (c, lo, hi, dt) =>
-            byFileCol.get((rel, c)) match {
-              case Some(FileStat(_, _, Some(mn), Some(mx))) =>
-                // a non-finite rendering (NaN/Infinity — Spark's max
-                // treats NaN as greatest) has no usable order: keep the
-                // file rather than parse-and-throw (ADVICE r11 item 1)
-                if (Seq(mn, mx, lo, hi).exists(nonFinite(dt, _))) true
-                else cmp(dt, mx, lo) >= 0 && cmp(dt, mn, hi) <= 0
-              case Some(FileStat(_, _, None, None)) => false // all-NULL
-              case _ => true // partial/absent stats: never skip
-            }
-          }
-        }.map(rel => new Path(root, rel).toString)
-      else
-        // directory written before the stats declaration: list and
-        // keep everything (conservative fallback)
-        fsys.listStatus(new Path(root, d)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
+    // keep-sets intersect (forall) across the usable predicates
+    val keep = censusKeep(spark, root, m) { rel =>
+      usable.forall { case (c, lo, hi, dt) =>
+        byFileCol.get((rel, c)) match {
+          case Some(FileStat(_, _, Some(mn), Some(mx))) =>
+            // a non-finite rendering (NaN/Infinity — Spark's max
+            // treats NaN as greatest) has no usable order: keep the
+            // file rather than parse-and-throw (ADVICE r11 item 1)
+            if (Seq(mn, mx, lo, hi).exists(nonFinite(dt, _))) true
+            else cmp(dt, mx, lo) >= 0 && cmp(dt, mn, hi) <= 0
+          case Some(FileStat(_, _, None, None)) => false // all-NULL
+          case _ => true // partial/absent stats: never skip
+        }
+      }
     }
     if (keep.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         m.schema.get)
-    else
-      spark.read.option("mergeSchema", "true").parquet(keep: _*)
-        .filter(residual)
+    else readFiles(spark, m, keep).filter(residual)
   }
+
+  /** Stats-pruned POINT-SET read: rows of `column` IN `values`,
+    * opening only files whose recorded [min,max] covers at least one
+    * value — the disjunctive companion to [[readBetweenAll]], and the
+    * few-term probe shape (a handful of `readBetween` unions would pay
+    * one plan-time file index per term; this is ONE read). Same
+    * correctness posture: the `isin` residual always applies, stats
+    * only ever skip. */
+  def readIn(
+      spark: SparkSession, root: String, column: String,
+      values: Seq[Any], version: Int = -1): DataFrame = {
+    require(values.nonEmpty, "at least one value required")
+    val m = manifestAt(spark, root, version)
+    val residual = col(column).isin(values: _*)
+    val dt = m.schema.flatMap(_.fields.find(_.name == column))
+      .map(_.dataType).filter(_ => m.statsCols.contains(column))
+    if (m.entries.isEmpty || dt.isEmpty)
+      return read(spark, root, version).filter(residual)
+    val rendered = values.map(renderBound)
+    val byFile = m.fileStats.filter(_.column == column)
+      .map(fs => fs.relPath -> fs).toMap
+    val keep = censusKeep(spark, root, m) { rel =>
+      byFile.get(rel) match {
+        case Some(FileStat(_, _, Some(mn), Some(mx))) =>
+          if (Seq(mn, mx).exists(nonFinite(dt.get, _)) ||
+              rendered.exists(nonFinite(dt.get, _))) true
+          else rendered.exists(v =>
+            cmp(dt.get, mx, v) >= 0 && cmp(dt.get, mn, v) <= 0)
+        case Some(FileStat(_, _, None, None)) => false // all-NULL file
+        case _ => true // partial/absent stats: never skip
+      }
+    }
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema.get)
+    else readFiles(spark, m, keep).filter(residual)
+  }
+
+  /** The census-driven keep-set: files of stats-covered directories
+    * filter through `fileOk` with no listing and no footer reads;
+    * pre-declaration directories fall back to a live listing
+    * (conservative: keep everything). */
+  private def censusKeep(
+      spark: SparkSession, root: String, m: Manifest)(
+      fileOk: String => Boolean): Seq[String] = {
+    val filesByDir = m.fileStats.map(_.relPath).distinct
+      .groupBy(r => r.take(r.lastIndexOf('/')))
+    val fsys = fs(spark, root)
+    m.entries.flatMap { case (_, d) =>
+      if (filesByDir.contains(d))
+        filesByDir(d).filter(fileOk)
+          .map(rel => new Path(root, rel).toString)
+      else
+        fsys.listStatus(new Path(root, d)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+    }
+  }
+
+  /** Field-by-name union: the old schema's order with the new vintage's
+    * types for common fields, new-only fields appended — what parquet's
+    * footer merge would produce over mixed-vintage files, computed from
+    * metadata instead. */
+  private def unionSchema(old: StructType, nw: StructType): StructType = {
+    val newByName = nw.fields.map(f => f.name -> f).toMap
+    StructType(
+      old.fields.map(f => newByName.getOrElse(f.name, f)) ++
+        nw.fields.filterNot(f => old.fieldNames.contains(f.name)))
+  }
+
+  /** Read parquet paths under the manifest's RECORDED schema: zero
+    * plan-time footer reads (mergeSchema opens every file's footer on
+    * the driver — O(files) metadata I/O per query at 100 TB). The
+    * recorded schema IS the union schema of that version's vintages
+    * (commit-time merge), so files from before a schema evolution read
+    * with NULLs for the added columns, same result as the footer
+    * merge. Pre-schema-line manifests (legacy) fall back. */
+  private def readFiles(
+      spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
+    m.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
 
   /** Type-aware order over the cast-to-string stat renderings.
     * Numerics parse back (BigDecimal handles both "42" and "1.0E10");
@@ -585,12 +654,13 @@ object SnapshotTable {
   private def selectDirs(
       spark: SparkSession, root: String, version: Int,
       want: String => Boolean): DataFrame = {
-    val dirs = entriesAt(spark, root, version)
+    val m = manifestAt(spark, root, version)
+    val dirs = m.entries
       .collect { case (k, d) if want(k) => new Path(root, d).toString }
     if (dirs.isEmpty)
       // empty frame with the table's schema (read one dir for schema)
       read(spark, root, version).limit(0)
-    else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    else readFiles(spark, m, dirs)
   }
 
   private def escapeKey(rendered: String): String = {
@@ -849,10 +919,14 @@ object SnapshotTable {
   def overwritePartitions(
       spark: SparkSession, root: String, rows: DataFrame,
       partitionBy: Seq[String], dropKeys: Set[String] = Set.empty,
-      filesPerPartition: Int = 1): Int =
+      filesPerPartition: Int = 1,
+      statsFor: Seq[String] = Nil, clusterBy: Seq[String] = Nil): Int =
     withConflictRetry {
       if (versions(spark, root).isEmpty)
-        write(spark, root, rows, partitionBy, filesPerPartition)
+        // bootstrap declares stats/clustering; later overwrites inherit
+        // the table's persisted declarations like every other mutation
+        write(spark, root, rows, partitionBy, filesPerPartition,
+          statsFor, clusterBy)
       else {
         val base = manifestAt(spark, root, -1)
         val touched = touchedCompositeKeys(rows, partitionBy) ++ dropKeys
@@ -1010,7 +1084,16 @@ object SnapshotTable {
         }
       }
     onBeforeCommit()
-    val schema = schemaOverride.getOrElse(newRows.schema)
+    // A partial commit RECORDS THE UNION of the table's schema and the
+    // rewrite's: untouched directories may carry a wider vintage than
+    // the touched rows (e.g. a delete rewriting only pre-evolution
+    // partitions), and the recorded schema is what [[readFiles]] pins
+    // reads to — narrowing it would vanish the evolved column.
+    val newSchema = schemaOverride.getOrElse(newRows.schema)
+    val schema =
+      if (replaceAll) newSchema
+      else baseManifest.flatMap(_.schema)
+        .map(unionSchema(_, newSchema)).getOrElse(newSchema)
     val baseTouched = baseManifest.map(_.entries).getOrElse(Nil)
       .filter(e => touchedKeys(e._1)).toSet
     var raceRetries = 0

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 /** Tokenize-once retrieval (round-11 verdict item 4): a persisted,
   * incrementally maintained tokenization of a [[graft.lake.SnapshotTable]]
   * corpus — the postings-build intermediate `(doc_id, dl, tok, tf)`
-  * plus a per-document length table, both themselves SnapshotTables
-  * partitioned BY THE BASE'S PARTITION COLUMNS.
+  * plus a per-partition corpus-stats table, both themselves
+  * SnapshotTables partitioned BY THE BASE'S PARTITION COLUMNS.
   *
   * Why: tokenization (`regexp_extract_all` + explode) is the named
   * constant factor of every inline text query — the round-11 bench
@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   * [[graft.lake.SnapshotTable.overwritePartitions]] — one atomic
   * commit per table, cost O(changed data), never O(corpus).
   *
+  * Serving shapes, by access pattern:
+  *  - [[postings]] — the full intermediate, for corpus-wide analytics
+  *    and batched retrieval (hundreds of distinct terms): one scan.
+  *  - [[postingsForTerms]] — few-term probes: postings rows are
+  *    range-clustered on `tok` with per-file stats declared, so each
+  *    term resolves through the manifest's file census
+  *    ([[graft.lake.SnapshotTable.readBetween]]) and opens only the
+  *    stat-matching files — the lakehouse skip-read doing inverted-
+  *    index duty, no separate index structure.
+  *  - [[corpusStats]] — N and total_dl come from the per-partition
+  *    stats table (one row per partition tuple), so corpus totals are
+  *    an O(|partitions|) aggregate, never an O(docs) scan.
+  *
   * Tokenization rule is [[graft.queries.Text.toksExpr]] — the SAME
   * expression the inline queries and the inverted index use, so a
   * ranking served from this table can never diverge on tokenization
@@ -42,13 +55,17 @@ import org.apache.spark.sql.functions._
 object TokenizedCorpus {
   import graft.lake.SnapshotTable
 
+  /** Files per postings partition: >1 so the tok-range clustering
+    * yields narrow per-file [min,max] windows for the skip-read. */
+  val PostingsFiles = 8
+
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def postingsRoot(tokRoot: String): String =
     new Path(tokRoot, "postings").toString
-  def doclensRoot(tokRoot: String): String =
-    new Path(tokRoot, "doclens").toString
+  def statsRoot(tokRoot: String): String =
+    new Path(tokRoot, "stats").toString
 
   private def appliedPath(tokRoot: String) =
     new Path(tokRoot, "_tok/applied")
@@ -100,12 +117,15 @@ object TokenizedCorpus {
       .agg(count(lit(1)).as("tf"))
   }
 
-  private def doclensFrame(
+  /** One row per partition tuple: `(partition cols…, n_docs,
+    * total_dl)` over its dl>0 documents. */
+  private def statsFrame(
       docs: DataFrame, partitionBy: Seq[String]): DataFrame =
     docs.withColumn("dl",
         size(expr(graft.queries.Text.toksExpr)).cast("long"))
       .where(col("dl") > 0)
-      .select(partitionBy.map(col) :+ col("doc_id") :+ col("dl"): _*)
+      .groupBy(partitionBy.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
 
   /** Bring the tokenized tables up to the base's LATEST version.
     * First call builds them in full; later calls re-tokenize ONLY the
@@ -136,9 +156,9 @@ object TokenizedCorpus {
           // all-empty-tokenization ones tombstone
           SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
             postingsFrame(changedDocs, partitionBy), partitionBy,
-            dropKeys = changed)
-          SnapshotTable.overwritePartitions(spark, doclensRoot(tokRoot),
-            doclensFrame(changedDocs, partitionBy), partitionBy,
+            dropKeys = changed, filesPerPartition = PostingsFiles)
+          SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
+            statsFrame(changedDocs, partitionBy), partitionBy,
             dropKeys = changed)
         }
         writeApplied(spark, tokRoot, latestB)
@@ -147,29 +167,42 @@ object TokenizedCorpus {
         // never built, or the applied version was vacuumed away:
         // full (re)build against base@latest
         val docs = SnapshotTable.read(spark, baseRoot, latestB)
+        def staleKeys(root: String): Set[String] =
+          SnapshotTable.versions(spark, root).lastOption
+            .map(v => SnapshotTable.entriesFor(spark, root, v)
+              .map(_._1).toSet).getOrElse(Set.empty)
         SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
           postingsFrame(docs, partitionBy), partitionBy,
-          dropKeys = SnapshotTable.versions(spark, postingsRoot(tokRoot))
-            .lastOption.map(pv => SnapshotTable
-              .entriesFor(spark, postingsRoot(tokRoot), pv)
-              .map(_._1).toSet).getOrElse(Set.empty))
-        SnapshotTable.overwritePartitions(spark, doclensRoot(tokRoot),
-          doclensFrame(docs, partitionBy), partitionBy,
-          dropKeys = SnapshotTable.versions(spark, doclensRoot(tokRoot))
-            .lastOption.map(dv => SnapshotTable
-              .entriesFor(spark, doclensRoot(tokRoot), dv)
-              .map(_._1).toSet).getOrElse(Set.empty))
+          dropKeys = staleKeys(postingsRoot(tokRoot)),
+          filesPerPartition = PostingsFiles,
+          statsFor = Seq("tok"), clusterBy = Seq("tok"))
+        SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
+          statsFrame(docs, partitionBy), partitionBy,
+          dropKeys = staleKeys(statsRoot(tokRoot)))
         writeApplied(spark, tokRoot, latestB)
         latestB
     }
   }
 
   /** The postings table `(…, doc_id, dl, tok, tf)` at its latest
-    * version. */
+    * version — the one-scan shape for corpus-wide work. */
   def postings(spark: SparkSession, tokRoot: String): DataFrame =
     SnapshotTable.read(spark, postingsRoot(tokRoot))
 
-  /** The per-document length table `(…, doc_id, dl)`. */
-  def doclens(spark: SparkSession, tokRoot: String): DataFrame =
-    SnapshotTable.read(spark, doclensRoot(tokRoot))
+  /** Postings rows for a FEW terms, served through the manifest's
+    * per-file tok stats in ONE read: the keep-set is the union of each
+    * term's stat-matching files, so the plan pays one file index and
+    * one scan — the probe shape. */
+  def postingsForTerms(
+      spark: SparkSession, tokRoot: String,
+      terms: Seq[String]): DataFrame =
+    SnapshotTable.readIn(
+      spark, postingsRoot(tokRoot), "tok", terms.distinct)
+
+  /** Corpus totals `(n_docs, total_dl)` from the per-partition stats
+    * table — O(|partitions|) rows aggregated, never a document scan. */
+  def corpusStats(spark: SparkSession, tokRoot: String): DataFrame =
+    SnapshotTable.read(spark, statsRoot(tokRoot))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("total_dl")).cast("long").as("total_dl"))
 }

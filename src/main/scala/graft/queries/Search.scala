@@ -351,30 +351,33 @@ object Search {
   // ---- t46: tokenize-once retrieval ----------------------------------
 
   /** Exact BM25 served from the persisted tokenized corpus
-    * ([[graft.operators.TokenizedCorpus]]): the postings intermediate
-    * is read, never recomputed — the query pays a term-pruned postings
-    * scan plus the scoring join, with `regexp_extract_all` nowhere in
-    * the plan. Same scoring rule ([[bm25Score]]), same output. */
+    * ([[graft.operators.TokenizedCorpus]]): postings are read, never
+    * recomputed — `regexp_extract_all` is nowhere in the plan — and
+    * the term rows resolve through the manifest's per-file tok stats
+    * (`postingsForTerms`), so the scan opens only the clustered files
+    * whose [min,max] covers a query term; corpus totals come from the
+    * O(|partitions|) stats table. Same scoring rule ([[bm25Score]]),
+    * same output as t31. */
   def bm25FromTokenized(
-      postings: DataFrame, doclens: DataFrame): DataFrame = {
-    val corpus = doclens.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val tf = postings.where(col("tok").isin(Bm25Terms: _*))
+      spark: org.apache.spark.sql.SparkSession, tokRoot: String): DataFrame = {
+    import graft.operators.TokenizedCorpus
+    val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
+    val tf = TokenizedCorpus.postingsForTerms(spark, tokRoot, Bm25Terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     bm25Score(tf, dfStats, corpus)
   }
 
   /** Float fast path over the tokenized corpus — the production
-    * retrieval shape: no tokenization AND no exact-decimal scoring.
-    * Rank-pinned (set and order) against [[bm25FromTokenized]] in
-    * `TokenizedCorpusSpec`, so its anchor is transitive through the
-    * t46 oracle. */
+    * retrieval shape: no tokenization, stats-pruned term reads, AND no
+    * exact-decimal scoring. Rank-pinned (set and order) against
+    * [[bm25FromTokenized]] in `TokenizedCorpusSpec`, so its anchor is
+    * transitive through the t46 oracle. */
   def bm25FromTokenizedFast(
-      postings: DataFrame, doclens: DataFrame): DataFrame = {
-    val corpus = doclens.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val tf = postings.where(col("tok").isin(Bm25Terms: _*))
+      spark: org.apache.spark.sql.SparkSession, tokRoot: String): DataFrame = {
+    import graft.operators.TokenizedCorpus
+    val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
+    val tf = TokenizedCorpus.postingsForTerms(spark, tokRoot, Bm25Terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     bm25ScoreFast(tf, dfStats, corpus)
@@ -397,7 +400,7 @@ object Search {
     val baseRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
       "graft_tok_base_v1")
     val tokRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
-      "graft_tok_idx_v1")
+      "graft_tok_idx_v2")
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
         col("source"))
@@ -417,9 +420,7 @@ object Search {
         opCol = "op")
     }
     TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
-    bm25FromTokenized(
-      TokenizedCorpus.postings(spark, tokRoot),
-      TokenizedCorpus.doclens(spark, tokRoot))
+    bm25FromTokenized(spark, tokRoot)
   }
 
   val t46_bm25_tokenized = Q(

@@ -98,12 +98,14 @@ class ManifestLogSpec extends SparkSpec {
     assert(entryKeys == Set("p7", "p9"),
       s"delta carries entries for $entryKeys")
     assert(lines.exists(_.startsWith("#delta\t")), "no #delta base line")
-    // stats lines too: only the rewritten partitions' files
+    // stats lines too: only the rewritten partitions' own directories
+    // (the ones this delta's entries map to)
+    val ownDirs = lines.filterNot(_.startsWith("#"))
+      .map(_.split('\t')(1)).toSet
     val statDirs = lines.filter(_.startsWith("#f\t"))
       .map(_.split('\t')(1)).map(r => r.take(r.lastIndexOf('/'))).toSet
-    assert(statDirs.forall(d =>
-        d.startsWith("data/p7") || d.startsWith("data/p9")),
-      s"delta carries stats for untouched dirs: $statDirs")
+    assert(statDirs.subsetOf(ownDirs),
+      s"delta carries stats for untouched dirs: ${statDirs -- ownDirs}")
   }
 
   test("emptied partitions tombstone in the delta and fold away") {

@@ -50,10 +50,12 @@ class TokenizedCorpusSpec extends SparkSpec {
     mkBase(baseRoot, seed)
     TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
     assert(postingsSet(tokRoot) == oracle(baseRoot))
-    val dls = TokenizedCorpus.doclens(spark, tokRoot)
-      .select($"doc_id", $"dl").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(dls == Set((1L, 4L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 4L)))
+    val stats = TokenizedCorpus.corpusStats(spark, tokRoot).collect()(0)
+    assert((stats.getLong(0), stats.getLong(1)) == (5L, 17L),
+      s"corpus stats off: $stats")
+    // per-partition stats rows, one per source
+    assert(graft.lake.SnapshotTable.read(spark,
+      TokenizedCorpus.statsRoot(tokRoot)).count() == 3)
     // no-op refresh mints no versions
     val pv = SnapshotTable.versions(spark,
       TokenizedCorpus.postingsRoot(tokRoot))
@@ -122,24 +124,26 @@ class TokenizedCorpusSpec extends SparkSpec {
     TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
     val inline = graft.queries.Search.t31_bm25.run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
-    val mat = graft.queries.Search.bm25FromTokenized(
-        TokenizedCorpus.postings(spark, tokRoot),
-        TokenizedCorpus.doclens(spark, tokRoot))
+    val mat = graft.queries.Search.bm25FromTokenized(spark, tokRoot)
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(mat == inline,
       "materialized ranking diverged from the inline path")
-    val fast = graft.queries.Search.bm25FromTokenizedFast(
-        TokenizedCorpus.postings(spark, tokRoot),
-        TokenizedCorpus.doclens(spark, tokRoot))
+    val fast = graft.queries.Search.bm25FromTokenizedFast(spark, tokRoot)
       .collect().map(_.getLong(0)).toSeq
     assert(fast == inline.map(_._1),
       "fast tokenized ranking diverged in doc set or order")
-    // and the plan truly contains no tokenizer
-    val plan = graft.queries.Search.bm25FromTokenized(
-      TokenizedCorpus.postings(spark, tokRoot),
-      TokenizedCorpus.doclens(spark, tokRoot))
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("regexp_extract_all"),
-      s"tokenizer leaked into the materialized plan:\n$plan")
+    // the plan truly contains no tokenizer
+    val served = graft.queries.Search.bm25FromTokenized(spark, tokRoot)
+    assert(!served.queryExecution.optimizedPlan.toString
+        .contains("regexp_extract_all"),
+      "tokenizer leaked into the materialized plan")
+    // and the term reads are stats-pruned: the probed rows open fewer
+    // postings files than the table holds (clustered tok windows)
+    val probed = TokenizedCorpus.postingsForTerms(spark, tokRoot,
+      graft.queries.Search.Bm25Terms)
+    val allFiles = TokenizedCorpus.postings(spark, tokRoot)
+      .inputFiles.length
+    assert(probed.inputFiles.length < allFiles,
+      s"term probe opened all $allFiles postings files")
   }
 }
