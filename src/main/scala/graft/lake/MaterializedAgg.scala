@@ -505,6 +505,22 @@ object MaterializedAgg {
     v
   }
 
+  /** Retention for the view AND its partials sidecar: old view
+    * versions serve only time travel (refresh reads latest + markers),
+    * so both tables vacuum to `keepVersions`. The BASE table's vacuum
+    * is the caller's (protect [[appliedBaseVersion]] there — see
+    * [[graft.streaming.CdcStream.TableMaintenance]]). */
+  def vacuum(
+      spark: SparkSession, mvRoot: String, keepVersions: Int): (Int, Int) = {
+    val (d1, f1) = SnapshotTable.vacuum(spark, mvRoot, keepVersions)
+    val aRoot = auxRoot(mvRoot)
+    val (d2, f2) =
+      if (SnapshotTable.versions(spark, aRoot).nonEmpty)
+        SnapshotTable.vacuum(spark, aRoot, keepVersions)
+      else (0, 0)
+    (d1 + d2, f1 + f2)
+  }
+
   /** The view as a user-facing frame: group columns, sums (NULL when
     * the group has no non-null inputs — SQL semantics, not 0), derived
     * AVGs, MIN/MAX, count; internal key/bucket/non-null-count columns

@@ -205,4 +205,18 @@ object TokenizedCorpus {
     SnapshotTable.read(spark, statsRoot(tokRoot))
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("total_dl")).cast("long").as("total_dl"))
+
+  /** Retention for both derived tables: refresh reads only their
+    * latest versions, so history serves time travel alone. The BASE
+    * corpus vacuum is the caller's (protect [[appliedBaseVersion]]
+    * there). */
+  def vacuum(
+      spark: SparkSession, tokRoot: String,
+      keepVersions: Int): (Int, Int) = {
+    val (d1, f1) =
+      SnapshotTable.vacuum(spark, postingsRoot(tokRoot), keepVersions)
+    val (d2, f2) =
+      SnapshotTable.vacuum(spark, statsRoot(tokRoot), keepVersions)
+    (d1 + d2, f1 + f2)
+  }
 }

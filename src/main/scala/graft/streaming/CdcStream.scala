@@ -34,36 +34,67 @@ object CdcStream {
   /** Opt-in per-batch table upkeep for the ATOMIC maintainers:
     * `views` are incrementally refreshed after every committed batch
     * (each refresh folds exactly the versions the batch minted —
-    * manifest-diff pruned, O(changed partitions)); every
+    * manifest-diff pruned, O(changed partitions)); `tokenizedRoots`
+    * ([[graft.operators.TokenizedCorpus]] materializations) re-tokenize
+    * only the batch's changed partitions the same way; every
     * `optimizeEveryBatches` drained batches the base table bin-packs
-    * through [[graft.lake.SnapshotTable.optimize]] (0 = never).
-    * Both steps are idempotent no-ops on replay — a refresh against
-    * an already-reflected base version and an optimize of an
-    * already-compact table return without committing — so foreachBatch
-    * at-least-once semantics are preserved. The view refresh makes the
-    * incremental-view contract streaming-native: a dashboard rollup
-    * over a 100 TB CDC table stays current at per-batch cost without
-    * any full recompute ever running. */
+    * through [[graft.lake.SnapshotTable.optimize]] (0 = never); every
+    * `vacuumEveryBatches` batches RETENTION runs — the base and every
+    * derived table (views, their partials sidecars, tokenized tables)
+    * vacuum down to `vacuumKeepVersions`, with each maintainer's
+    * APPLIED base version protected so the incremental paths' read-at-
+    * both-versions contract survives its own garbage collection. A
+    * 5-minute CDC cadence mints ~100k versions/year; without the
+    * vacuum leg the maintenance story is incomplete at exactly the
+    * scale it exists for.
+    * Every step is an idempotent no-op on replay — a refresh against
+    * an already-reflected base version, an optimize of an already-
+    * compact table, and a vacuum with nothing to drop all return
+    * without committing — so foreachBatch at-least-once semantics are
+    * preserved. */
   final case class TableMaintenance(
       views: Seq[MvBinding] = Nil,
+      tokenizedRoots: Seq[String] = Nil,
       optimizeEveryBatches: Int = 0,
-      optimizeTargetBytes: Long = 128L << 20) {
+      optimizeTargetBytes: Long = 128L << 20,
+      vacuumEveryBatches: Int = 0,
+      vacuumKeepVersions: Int = 8) {
     require(optimizeEveryBatches >= 0, "cadence must be >= 0")
+    require(vacuumEveryBatches >= 0, "cadence must be >= 0")
+    require(vacuumKeepVersions >= 1, "must keep at least one version")
 
     private[streaming] def run(
         spark: org.apache.spark.sql.SparkSession, root: String,
         partitionBy: Seq[String], batchId: Long): Unit = {
+      import graft.lake.{MaterializedAgg, SnapshotTable}
+      import graft.operators.TokenizedCorpus
       // optimize BEFORE the refreshes: a compaction rewrites
       // partitions with identical rows, which the view fold sees as
       // all-zero deltas — running it first keeps the refresh from
       // having to fold the compaction as a separate version next batch
       if (optimizeEveryBatches > 0 &&
           batchId % optimizeEveryBatches == optimizeEveryBatches - 1)
-        graft.lake.SnapshotTable.optimize(spark, root, partitionBy,
+        SnapshotTable.optimize(spark, root, partitionBy,
           optimizeTargetBytes)
       views.foreach { b =>
-        graft.lake.MaterializedAgg.refresh(spark, root, b.mvRoot,
-          b.spec, b.nBuckets)
+        MaterializedAgg.refresh(spark, root, b.mvRoot, b.spec, b.nBuckets)
+      }
+      tokenizedRoots.foreach { t =>
+        TokenizedCorpus.refresh(spark, root, t, partitionBy)
+      }
+      if (vacuumEveryBatches > 0 &&
+          batchId % vacuumEveryBatches == vacuumEveryBatches - 1) {
+        // retention AFTER the refreshes: every maintainer is current,
+        // so the protected set is just each one's applied anchor
+        val protect = (views.flatMap(b =>
+            MaterializedAgg.appliedBaseVersion(spark, b.mvRoot)) ++
+          tokenizedRoots.flatMap(t =>
+            TokenizedCorpus.appliedBaseVersion(spark, t))).toSet
+        SnapshotTable.vacuum(spark, root, vacuumKeepVersions, protect)
+        views.foreach(b =>
+          MaterializedAgg.vacuum(spark, b.mvRoot, vacuumKeepVersions))
+        tokenizedRoots.foreach(t =>
+          TokenizedCorpus.vacuum(spark, t, vacuumKeepVersions))
       }
     }
   }

@@ -85,6 +85,70 @@ class StreamingMvSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, mvRoot).size >= 3)
   }
 
+  test("tokenized corpus + retention vacuum ride the maintenance loop") {
+    val root = tmpDir("smv-base"); val mvRoot = tmpDir("smv-view")
+    val tokRoot = tmpDir("smv-tok"); val in = tmpDir("smv-in")
+    val txtSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("val", LongType),
+      StructField("text", StringType), StructField("source", StringType),
+      StructField("op", StringType)))
+    SnapshotTable.write(spark, root,
+      Seq((1L, 10L, "spark window", "a"), (2L, 20L, "filter spark", "a"),
+        (3L, 5L, "plain prose", "b"))
+        .toDF("doc_id", "val", "text", "source"),
+      Seq("source"))
+    MaterializedAgg.init(spark, root, mvRoot, mvSpec, nBuckets = 4)
+    graft.operators.TokenizedCorpus.refresh(spark, root, tokRoot,
+      Seq("source"))
+
+    def wave(rows: Seq[(Long, Long, String, String, String)], name: String) =
+      rows.toDF("doc_id", "val", "text", "source", "op")
+        .coalesce(1).write.parquet(s"$in/$name")
+    wave(Seq((1L, 100L, "spark spark rewritten", "a", "u")), "w0")
+    wave(Seq((4L, 7L, "window words", "c", "u")), "w1")
+    wave(Seq((3L, 0L, "", "b", "d")), "w2")
+
+    val maint = CdcStream.TableMaintenance(
+      views = Seq(CdcStream.MvBinding(mvRoot, mvSpec, nBuckets = 4)),
+      tokenizedRoots = Seq(tokRoot),
+      vacuumEveryBatches = 1, vacuumKeepVersions = 1)
+    val q = CdcStream.maintainChangesAtomic(
+      spark.readStream.schema(txtSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/w*"),
+      root, "doc_id", Seq("source"), opCol = "op", maintenance = maint)
+    try q.awaitTermination() finally q.stop()
+
+    // every derived table reflects the final base exactly
+    assert(viewRows(mvRoot) == fullAgg(root))
+    val gotToks = graft.operators.TokenizedCorpus.postings(spark, tokRoot)
+      .select($"doc_id", $"tok", $"tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val wantToks = SnapshotTable.read(spark, root)
+      .withColumn("toks", expr(graft.queries.Text.toksExpr))
+      .where(size($"toks") > 0)
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotToks == wantToks,
+      "tokenized table diverged from a full re-tokenization")
+    // retention ran: the base keeps at most keep + protected anchors
+    // (each maintainer is current, so the anchor IS the latest)
+    assert(SnapshotTable.versions(spark, root).size <= 2,
+      s"vacuum left ${SnapshotTable.versions(spark, root)}")
+    assert(SnapshotTable.versions(spark,
+      graft.operators.TokenizedCorpus.postingsRoot(tokRoot)).size <= 1)
+    assert(SnapshotTable.versions(spark, mvRoot).size <= 1)
+    // and the NEXT incremental refresh still works after its history
+    // was vacuumed (anchor protected)
+    SnapshotTable.upsert(spark, root,
+      Seq((5L, 3L, "filter anew", "a")).toDF("doc_id", "val", "text", "source"),
+      "doc_id", Seq("source"))
+    MaterializedAgg.refresh(spark, root, mvRoot, mvSpec, 4)
+    graft.operators.TokenizedCorpus.refresh(spark, root, tokRoot,
+      Seq("source"))
+    assert(viewRows(mvRoot) == fullAgg(root))
+  }
+
   test("replayed maintenance is a no-op: versions do not advance") {
     val root = tmpDir("smv-base"); val mvRoot = tmpDir("smv-view")
     SnapshotTable.write(spark, root,
