@@ -434,6 +434,74 @@ object Search {
         FROM documents
         WHERE doc_id % 97 <> 0),""", "v2")))
 
+  /** Batched exact BM25 served from the tokenized corpus: the whole
+    * (query_id, tok) workload ranks against stats-pruned postings —
+    * no tokenize, no postings-build, df computed per term over the
+    * pruned rows (identical to [[bm25BatchOver]]'s: the term filter
+    * there lands before the grouping too). `queries` is workload-sized
+    * by definition, so collecting its distinct terms for the pruned
+    * read is a driver-side broadcastable set, not data. */
+  def bm25BatchFromTokenized(
+      spark: org.apache.spark.sql.SparkSession, tokRoot: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import graft.operators.TokenizedCorpus
+    val q = queries.select(col("query_id"), col("tok")).distinct()
+    val terms = q.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
+    val postings = TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+    val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tfq = postings.join(broadcast(q), "tok")
+    bm25ScoreBatch(tfq, dfStats, corpus, k)
+  }
+
+  /** Float fast variant of [[bm25BatchFromTokenized]] — rank-pinned
+    * against it in `TokenizedCorpusSpec`. */
+  def bm25BatchFromTokenizedFast(
+      spark: org.apache.spark.sql.SparkSession, tokRoot: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import graft.operators.TokenizedCorpus
+    val q = queries.select(col("query_id"), col("tok")).distinct()
+    val terms = q.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
+    val postings = TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+    val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tfq = postings.join(broadcast(q), "tok")
+    bm25ScoreBatchFast(tfq, dfStats, corpus, k)
+  }
+
+  /** Pristine (no-CDC) tokenized materialization of the `documents`
+    * table at `dir` — built once per corpus, shared by the
+    * tokenized-served batch gate and the bench. */
+  def pristineTokRoot(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.lake.SnapshotTable
+    import graft.operators.TokenizedCorpus
+    val baseRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_tokp_base_v1")
+    val tokRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_tokp_idx_v1")
+    if (SnapshotTable.versions(spark, baseRoot).isEmpty)
+      SnapshotTable.write(spark, baseRoot,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source")),
+        Seq("source"))
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    tokRoot
+  }
+
+  /** The t35 workload (50 fixed queries) served from the tokenized
+    * corpus — gated against the SAME oracle as t35/t36, so
+    * "materialized batch ranking = inline batch ranking" is an
+    * externally-hashed invariant, not just a spec pin. */
+  private[queries] def bm25BatchTokenized(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    bm25BatchFromTokenized(spark, pristineTokRoot(spark, dir),
+      bm25BatchQueriesDf(spark), Bm25BatchK)
+
   // ---- t35/t36: batched multi-query BM25 -----------------------------
   //
   // The retrieval workloads the lane itself names — decontamination-by-
@@ -610,6 +678,12 @@ object Search {
     },
     Some(bm25BatchOracleSql))
 
+  val t47_bm25_batch_tokenized = Q(
+    "t47_bm25_batch_tokenized",
+    (s, dir) => bm25BatchTokenized(s, dir),
+    Some(bm25BatchOracleSql))
+
   val all: Seq[Q] = Seq(q62_length_quantiles, t31_bm25, t32_bm25_probe,
-    t35_bm25_batch, t36_bm25_batch_probe, t46_bm25_tokenized)
+    t35_bm25_batch, t36_bm25_batch_probe, t46_bm25_tokenized,
+    t47_bm25_batch_tokenized)
 }

@@ -146,4 +146,24 @@ class TokenizedCorpusSpec extends SparkSpec {
     assert(probed.inputFiles.length < allFiles,
       s"term probe opened all $allFiles postings files")
   }
+
+  test("batched rankings: tokenized-served == inline, fast rank-matches") {
+    val dir = "/root/testdata/sf0.001"
+    val S = graft.queries.Search
+    val tokRoot = S.pristineTokRoot(spark, dir)
+    val queries = S.bm25BatchQueriesDf(spark)
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select($"query_id", $"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inline = key(S.bm25BatchOver(
+      graft.core.Tables(spark, dir, "documents"), queries, S.Bm25BatchK))
+    val served = key(S.bm25BatchFromTokenized(
+      spark, tokRoot, queries, S.Bm25BatchK))
+    assert(served == inline,
+      "tokenized-served batch ranking diverged from the inline batch")
+    val fast = key(S.bm25BatchFromTokenizedFast(
+      spark, tokRoot, queries, S.Bm25BatchK))
+    assert(fast == inline,
+      "fast tokenized batch diverged in selection or order")
+  }
 }
