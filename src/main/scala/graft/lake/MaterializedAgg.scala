@@ -401,6 +401,10 @@ object MaterializedAgg {
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .withColumn(KeyCol, keyExpr(spec))
       .withColumn(BucketCol, bucketExpr(nBuckets))
+      // barrier: the delta feeds the bucket probe, the sidecar rollup's
+      // key set, and the merge — without it each action re-reads the
+      // changed directories at both versions
+      .cache()
     // Without min/max, groups whose ring deltas are ALL zero (e.g. a
     // compaction's identical rewrite) drop out of the merge entirely.
     // WITH min/max they must stay: a multiset can change under zero
@@ -415,6 +419,7 @@ object MaterializedAgg {
       // row-preserving rewrites only (OPTIMIZE, re-clustering): the
       // view already equals base@latest — re-anchor without minting a
       // content-identical version
+      deltaAll.unpersist(false)
       writeSideFile(spark, mvRoot, f"applied-v$m%08d",
         latestB.toString, overwrite = true)
       return m
@@ -497,8 +502,10 @@ object MaterializedAgg {
     // 5. marker BEFORE commit (see crash protocol in the scaladoc)
     writeSideFile(spark, mvRoot, f"applied-v${m + 1}%08d",
       latestB.toString, overwrite = false)
-    val v = SnapshotTable.applyChanges(spark, mvRoot, viewChanges,
-      key = KeyCol, partitionBy = Seq(BucketCol), opCol = "_mv_op")
+    val v =
+      try SnapshotTable.applyChanges(spark, mvRoot, viewChanges,
+        key = KeyCol, partitionBy = Seq(BucketCol), opCol = "_mv_op")
+      finally deltaAll.unpersist(false)
     require(v == m + 1, s"view commit landed at v$v, marker at " +
       s"v${m + 1} — concurrent maintainer violates the single-" +
       "maintainer contract")
