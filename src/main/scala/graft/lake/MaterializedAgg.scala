@@ -425,15 +425,31 @@ object MaterializedAgg {
       return m
     }
 
-    // 3. min/max partials sidecar: retired directories tombstone, the
+    // 3. min/max partials sidecar: dead directories tombstone, the
     // changed tuples' new directories get fresh partials, and affected
     // groups re-derive their extrema from the sidecar alone. Runs
     // BEFORE the marker: idempotent on replay (same tombstones, same
-    // values), so a crash anywhere re-converges.
+    // values), so a crash anywhere re-converges. Tombstones are "every
+    // sidecar row whose directory is not live at latest" — NOT just
+    // the applied-version diff's old dirs: a refresh that crashed
+    // after its sidecar commit but before its view commit left
+    // partials keyed to a directory generation BETWEEN applied and
+    // latest, and once the base advances that generation appears in no
+    // later diff — diff-only tombstoning would let a deleted extremum
+    // resurface forever. The sidecar scan this needs is already paid
+    // by the rollup below.
+    val v = try {
     val mmByKey: Option[DataFrame] = if (!trackMM) None else {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
       val aRoot = auxRoot(mvRoot)
       val aux0 = SnapshotTable.read(spark, aRoot)
-      val tombs = aux0.filter(col(DirCol).isin(oldDirs: _*))
+      val liveDirs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          newMap.values.toSeq.map(Row(_)), 1),
+        StructType(Seq(StructField("_live_dir", StringType))))
+      val tombs = aux0.join(broadcast(liveDirs),
+          col(DirCol) === col("_live_dir"), "left_anti")
         .withColumn("_mv_op", lit("d"))
       val fresh = changedRows(newDirs)
         .map(partialsFrame(_, spec, mmTypes, nBuckets)
@@ -502,10 +518,13 @@ object MaterializedAgg {
     // 5. marker BEFORE commit (see crash protocol in the scaladoc)
     writeSideFile(spark, mvRoot, f"applied-v${m + 1}%08d",
       latestB.toString, overwrite = false)
-    val v =
-      try SnapshotTable.applyChanges(spark, mvRoot, viewChanges,
-        key = KeyCol, partitionBy = Seq(BucketCol), opCol = "_mv_op")
-      finally deltaAll.unpersist(false)
+    SnapshotTable.applyChanges(spark, mvRoot, viewChanges,
+      key = KeyCol, partitionBy = Seq(BucketCol), opCol = "_mv_op")
+    // the try covers steps 3-5: a failure ANYWHERE after the cache
+    // (sidecar commit, rollup, marker, view commit) must still release
+    // the cached delta — a long-lived CDC maintainer would otherwise
+    // pin one dataset per failed refresh
+    } finally deltaAll.unpersist(false)
     require(v == m + 1, s"view commit landed at v$v, marker at " +
       s"v${m + 1} — concurrent maintainer violates the single-" +
       "maintainer contract")

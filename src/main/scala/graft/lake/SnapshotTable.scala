@@ -288,28 +288,39 @@ object SnapshotTable {
       base.fileSizes.filter(s => live(s._1)) ++ d.m.fileSizes)
   }
 
+  /** A version's checkpoint sidecar, parsed — None when absent OR
+    * unreadable/torn: checkpoints are ADVISORY everywhere (the delta
+    * chain is the truth), so a corrupt one must degrade to the longer
+    * fold, never break a read. */
+  private def readCheckpoint(
+      spark: SparkSession, root: String, v: Int): Option[Manifest] =
+    try {
+      val f = fs(spark, root)
+      if (!f.exists(checkpointPath(root, v))) None
+      else Some(parseManifestFile(spark, root, checkpointPath(root, v)).m)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** A version's STATE: the nearest checkpoint / full manifest at or
     * below `v`, with the delta suffix folded forward. Chain length is
     * bounded by [[CheckpointEvery]] (checkpoints are best-effort, so a
-    * missing one just means a longer fold, never a wrong answer). */
+    * missing — or corrupt — one just means a longer fold, never a
+    * wrong answer). */
   private def readManifest(
       spark: SparkSession, root: String, v: Int): Manifest = {
-    val f = fs(spark, root)
     var cur = v
     var deltas = List.empty[RawManifest]
     var base: Option[Manifest] = None
     while (base.isEmpty) {
-      if (f.exists(checkpointPath(root, cur)))
-        base = Some(parseManifestFile(spark, root,
-          checkpointPath(root, cur)).m)
-      else {
-        val raw = parseManifestFile(spark, root, manifestPath(root, cur))
-        raw.deltaBase match {
-          case None => base = Some(raw.m)
-          case Some(b) =>
-            deltas ::= raw // prepend: final list is ascending
-            cur = b
-        }
+      readCheckpoint(spark, root, cur) match {
+        case Some(cp) => base = Some(cp)
+        case None =>
+          val raw = parseManifestFile(spark, root, manifestPath(root, cur))
+          raw.deltaBase match {
+            case None => base = Some(raw.m)
+            case Some(b) =>
+              deltas ::= raw // prepend: final list is ascending
+              cur = b
+          }
       }
     }
     deltas.foldLeft(base.get)(applyDelta)
@@ -363,16 +374,27 @@ object SnapshotTable {
     * writer already checkpointed v) or failing to write is harmless —
     * readers fold the delta chain instead. Never the commit point. */
   private def writeCheckpoint(
-      spark: SparkSession, root: String, v: Int, full: Manifest): Unit = {
-    val f = fs(spark, root)
-    val tmp = new Path(manifestDir(root),
-      f".v$v%08d.cp.${java.util.UUID.randomUUID()}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(renderManifest(full, None, Nil).getBytes("UTF-8"))
-    finally out.close()
-    Snapshots.publishExclusive(f, tmp, checkpointPath(root, v))
-    ()
-  }
+      spark: SparkSession, root: String, v: Int, full: Manifest): Boolean =
+    try {
+      val f = fs(spark, root)
+      val tmp = new Path(manifestDir(root),
+        f".v$v%08d.cp.${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(renderManifest(full, None, Nil).getBytes("UTF-8"))
+      finally out.close()
+      Snapshots.publishExclusive(f, tmp, checkpointPath(root, v))
+      // a lost publish race means another writer's checkpoint is in
+      // place — for every caller that is as good as ours landing
+      f.exists(checkpointPath(root, v))
+    } catch {
+      // never the commit point, so never a caller-visible failure from
+      // the COMMIT path: the manifest is already published when this
+      // runs, and surfacing an IO error there would make a COMMITTED
+      // mutation look failed (a CDC retry would then double-apply a
+      // batch that landed). Callers that REQUIRE the checkpoint
+      // (vacuum's chain self-containment) check the returned flag.
+      case scala.util.control.NonFatal(_) => false
+    }
 
   private def entriesAt(
       spark: SparkSession, root: String, version: Int): Seq[(String, String)] =
@@ -495,9 +517,12 @@ object SnapshotTable {
     val residual = predicates.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     // predicates that can prune: a declared stat column of known type
+    // with NON-NULL bounds (a NULL bound makes the residual match
+    // nothing — three-valued logic — so pruning must not parse it)
     val usable = predicates.flatMap { case (c, lower, upper) =>
       m.schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
-        .filter(_ => m.statsCols.contains(c))
+        .filter(_ => m.statsCols.contains(c) &&
+          lower != null && upper != null)
         .map(dt => (c, renderBound(lower), renderBound(upper), dt))
     }
     if (m.entries.isEmpty || usable.isEmpty)
@@ -541,9 +566,16 @@ object SnapshotTable {
     val residual = col(column).isin(values: _*)
     val dt = m.schema.flatMap(_.fields.find(_.name == column))
       .map(_.dataType).filter(_ => m.statsCols.contains(column))
+    // NULL values can't match the isin residual and must not reach the
+    // stat parse; a values list of ONLY nulls keeps no file at all
+    val nonNull = values.filter(_ != null)
     if (m.entries.isEmpty || dt.isEmpty)
       return read(spark, root, version).filter(residual)
-    val rendered = values.map(renderBound)
+    if (nonNull.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema.get)
+    val rendered = nonNull.map(renderBound)
     val byFile = m.fileStats.filter(_.column == column)
       .map(fs => fs.relPath -> fs).toMap
     val keep = censusKeep(spark, root, m) { rel =>
@@ -602,7 +634,12 @@ object SnapshotTable {
     * recorded schema IS the union schema of that version's vintages
     * (commit-time merge), so files from before a schema evolution read
     * with NULLs for the added columns, same result as the footer
-    * merge. Pre-schema-line manifests (legacy) fall back. */
+    * merge. Pre-schema-line manifests (legacy) fall back. Caveat for
+    * tables written by pre-union writers (before round 12): their
+    * partial commits recorded the REWRITE's schema, which can be
+    * narrower than the live vintages' union — re-commit (any upsert)
+    * or rewrite such tables before relying on pinned reads of those
+    * historical versions. */
   private def readFiles(
       spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
     m.schema match {
@@ -1084,16 +1121,7 @@ object SnapshotTable {
         }
       }
     onBeforeCommit()
-    // A partial commit RECORDS THE UNION of the table's schema and the
-    // rewrite's: untouched directories may carry a wider vintage than
-    // the touched rows (e.g. a delete rewriting only pre-evolution
-    // partitions), and the recorded schema is what [[readFiles]] pins
-    // reads to — narrowing it would vanish the evolved column.
     val newSchema = schemaOverride.getOrElse(newRows.schema)
-    val schema =
-      if (replaceAll) newSchema
-      else baseManifest.flatMap(_.schema)
-        .map(unionSchema(_, newSchema)).getOrElse(newSchema)
     val baseTouched = baseManifest.map(_.entries).getOrElse(Nil)
       .filter(e => touchedKeys(e._1)).toSet
     var raceRetries = 0
@@ -1102,6 +1130,21 @@ object SnapshotTable {
       val latestM =
         if (latestV == 0) None else Some(readManifest(spark, root, latestV))
       val latest = latestM.map(_.entries).getOrElse(Nil)
+      // A partial commit RECORDS THE UNION of the table's schema and
+      // the rewrite's: untouched directories may carry a wider vintage
+      // than the touched rows (a delete rewriting only pre-evolution
+      // partitions), and the recorded schema is what [[readFiles]] pins
+      // reads to — narrowing it would vanish the evolved column. The
+      // union is against the LATEST manifest INSIDE the retry loop,
+      // not the caller's base: a concurrent disjoint commit may have
+      // evolved the schema after this writer read its base, and a
+      // delta's schema replaces the folded state's outright — unioning
+      // a stale base would silently drop the racer's new column from
+      // every schema-pinned read.
+      val schema =
+        if (replaceAll) newSchema
+        else latestM.flatMap(_.schema)
+          .map(unionSchema(_, newSchema)).getOrElse(newSchema)
       if (!replaceAll) {
         val nowTouched = latest.filter(e => touchedKeys(e._1)).toSet
         if (nowTouched != baseTouched)
@@ -1282,8 +1325,14 @@ object SnapshotTable {
     // is deleted (ascending order, so a checkpoint written for an older
     // kept version already shortens the chain of newer ones)
     keep.foreach { v =>
-      if (chainBroken(spark, root, v, dropSet))
-        writeCheckpoint(spark, root, v, readManifest(spark, root, v))
+      if (chainBroken(spark, root, v, dropSet) &&
+          !writeCheckpoint(spark, root, v, readManifest(spark, root, v)))
+        // LOUD here, unlike the commit path: deleting the chain after
+        // a silently-failed self-containment checkpoint would leave a
+        // kept version unreadable
+        throw new java.io.IOException(
+          s"vacuum could not self-contain kept version v$v under " +
+            s"$root; aborting before deleting its delta chain")
     }
     drop.foreach { v =>
       f.delete(manifestPath(root, v), false)
@@ -1307,6 +1356,12 @@ object SnapshotTable {
       if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
         f.delete(st.getPath, true)
     }
+    // re-anchor the latest-version hint: vacuum is the one operation
+    // that creates GAPS in the version sequence (protected old versions
+    // survive below dropped ranges), and latestVersion's forward probe
+    // assumes contiguity above the hint — a hint stuck below a gap
+    // would resolve "latest" to a protected OLD version
+    if (keep.nonEmpty) writeHint(spark, root, keep.last)
     (drop.size, removed)
   }
 
@@ -1316,11 +1371,13 @@ object SnapshotTable {
   private def chainBroken(
       spark: SparkSession, root: String, v: Int,
       dropSet: Set[Int]): Boolean = {
-    val f = fs(spark, root)
     var cur = v
     while (true) {
       if (dropSet(cur)) return true
-      if (f.exists(checkpointPath(root, cur))) return false
+      // readCheckpoint, not a bare exists(): a torn checkpoint must not
+      // vouch for self-containment — the chain behind it is about to
+      // be deleted
+      if (readCheckpoint(spark, root, cur).isDefined) return false
       parseManifestFile(spark, root, manifestPath(root, cur)).deltaBase
         match {
           case None => return false

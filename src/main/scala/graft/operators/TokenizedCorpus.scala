@@ -101,30 +101,32 @@ object TokenizedCorpus {
         s"tokenized-corpus marker rename failed under $tokRoot")
   }
 
-  /** `(partition cols…, doc_id, dl, tok, tf)` for `docs` — documents
-    * whose tokenization is empty contribute NOTHING (dl = 0 documents
-    * are outside every BM25/statistics denominator, same rule as
-    * [[graft.queries.Search.tokenized]]). */
-  private def postingsFrame(
-      docs: DataFrame, partitionBy: Seq[String]): DataFrame = {
-    val part = partitionBy.map(col)
+  /** The ONE tokenization pass a refresh pays: documents whose
+    * tokenization is empty contribute NOTHING (dl = 0 documents are
+    * outside every BM25/statistics denominator, same rule as
+    * [[graft.queries.Search.tokenized]]). Callers cache this and
+    * derive BOTH tables from it — tokenizing twice per refresh would
+    * re-pay the exact constant this module exists to eliminate. */
+  private def tokenizedFrame(docs: DataFrame): DataFrame =
     docs.withColumn("toks", expr(graft.queries.Text.toksExpr))
       .withColumn("dl", size(col("toks")).cast("long"))
       .where(col("dl") > 0)
-      .select(part :+ col("doc_id") :+ col("dl") :+
+
+  /** `(partition cols…, doc_id, dl, tok, tf)` off a [[tokenizedFrame]]. */
+  private def postingsFrame(
+      tok: DataFrame, partitionBy: Seq[String]): DataFrame = {
+    val part = partitionBy.map(col)
+    tok.select(part :+ col("doc_id") :+ col("dl") :+
         explode(col("toks")).as("tok"): _*)
       .groupBy(part :+ col("doc_id") :+ col("dl") :+ col("tok"): _*)
       .agg(count(lit(1)).as("tf"))
   }
 
   /** One row per partition tuple: `(partition cols…, n_docs,
-    * total_dl)` over its dl>0 documents. */
+    * total_dl)` off a [[tokenizedFrame]]. */
   private def statsFrame(
-      docs: DataFrame, partitionBy: Seq[String]): DataFrame =
-    docs.withColumn("dl",
-        size(expr(graft.queries.Text.toksExpr)).cast("long"))
-      .where(col("dl") > 0)
-      .groupBy(partitionBy.map(col): _*)
+      tok: DataFrame, partitionBy: Seq[String]): DataFrame =
+    tok.groupBy(partitionBy.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
 
   /** Bring the tokenized tables up to the base's LATEST version.
@@ -151,34 +153,40 @@ object TokenizedCorpus {
               SnapshotTable.read(spark, baseRoot, latestB).limit(0)
             else spark.read.option("mergeSchema", "true").parquet(
               newDirs.map(d => new Path(baseRoot, d).toString): _*)
+          val tok = tokenizedFrame(changedDocs).cache()
           // dropKeys = every changed tuple: present ones are also in
           // the recomputed rows (so they rewrite), vanished or
           // all-empty-tokenization ones tombstone
-          SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
-            postingsFrame(changedDocs, partitionBy), partitionBy,
-            dropKeys = changed, filesPerPartition = PostingsFiles)
-          SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
-            statsFrame(changedDocs, partitionBy), partitionBy,
-            dropKeys = changed)
+          try {
+            SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
+              postingsFrame(tok, partitionBy), partitionBy,
+              dropKeys = changed, filesPerPartition = PostingsFiles)
+            SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
+              statsFrame(tok, partitionBy), partitionBy,
+              dropKeys = changed)
+          } finally tok.unpersist(false)
         }
         writeApplied(spark, tokRoot, latestB)
         latestB
       case _ =>
         // never built, or the applied version was vacuumed away:
         // full (re)build against base@latest
-        val docs = SnapshotTable.read(spark, baseRoot, latestB)
+        val tok = tokenizedFrame(
+          SnapshotTable.read(spark, baseRoot, latestB)).cache()
         def staleKeys(root: String): Set[String] =
           SnapshotTable.versions(spark, root).lastOption
             .map(v => SnapshotTable.entriesFor(spark, root, v)
               .map(_._1).toSet).getOrElse(Set.empty)
-        SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
-          postingsFrame(docs, partitionBy), partitionBy,
-          dropKeys = staleKeys(postingsRoot(tokRoot)),
-          filesPerPartition = PostingsFiles,
-          statsFor = Seq("tok"), clusterBy = Seq("tok"))
-        SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
-          statsFrame(docs, partitionBy), partitionBy,
-          dropKeys = staleKeys(statsRoot(tokRoot)))
+        try {
+          SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
+            postingsFrame(tok, partitionBy), partitionBy,
+            dropKeys = staleKeys(postingsRoot(tokRoot)),
+            filesPerPartition = PostingsFiles,
+            statsFor = Seq("tok"), clusterBy = Seq("tok"))
+          SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
+            statsFrame(tok, partitionBy), partitionBy,
+            dropKeys = staleKeys(statsRoot(tokRoot)))
+        } finally tok.unpersist(false)
         writeApplied(spark, tokRoot, latestB)
         latestB
     }

@@ -1,0 +1,150 @@
+package graft.lake
+
+import graft.SparkSpec
+import graft.lake.MaterializedAgg.MvSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Round-12 adversarial-review regressions: each case reproduces a
+  * failure the review found in the new manifest-log / schema-pinning /
+  * partials machinery and pins the fix. */
+class ReviewRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a racing disjoint evolution survives the other writer's commit") {
+    // Writer A evolves partition s2 (adds 'extra'); writer B, holding
+    // a PRE-evolution base, commits a disjoint s1 upsert afterwards.
+    // B's delta records the UNION with the LATEST schema — a union
+    // against B's stale base would drop 'extra' from every pinned read.
+    val root = tmpDir("rr-race-evolve")
+    val base = Seq((1L, "a", "s1"), (2L, "b", "s2"))
+      .toDF("id", "v", "src")
+    SnapshotTable.write(spark, root, base, Seq("src"))
+    // interleave via the pre-commit hook: when B reaches its commit,
+    // A's evolving upsert has already landed
+    var fired = false
+    SnapshotTable.onBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        SnapshotTable.onBeforeCommit = () => ()
+        SnapshotTable.upsert(spark, root,
+          Seq((2L, "b2", "s2", "en")).toDF("id", "v", "src", "extra"),
+          "id", Seq("src"), mergeSchema = true)
+      }
+    }
+    try SnapshotTable.upsert(spark, root,
+      Seq((1L, "a2", "s1")).toDF("id", "v", "src"), "id", Seq("src"))
+    finally SnapshotTable.onBeforeCommit = () => ()
+    val after = SnapshotTable.read(spark, root)
+    assert(after.columns.contains("extra"),
+      "the racer's evolved column vanished from the pinned read")
+    assert(after.filter($"id" === 2L).select("extra")
+      .collect()(0).getString(0) == "en")
+    assert(after.filter($"id" === 1L).select("v")
+      .collect()(0).getString(0) == "a2")
+  }
+
+  test("crashed-then-superseded refresh cannot resurrect stale partials") {
+    // Refresh R1's sidecar commit lands but its view commit dies; the
+    // base then advances AGAIN before the replay. R1's partials are
+    // keyed to a directory generation that appears in no later
+    // manifest diff — the sidecar must tombstone by liveness, not by
+    // the diff, or the deleted extremum lives forever.
+    val spec = MvSpec(Seq("g"), sums = Seq("total" -> "v"),
+      countName = "n", mins = Seq("min_v" -> "v"))
+    val baseRoot = tmpDir("rr-stale-base"); val mvRoot = tmpDir("rr-stale-mv")
+    SnapshotTable.write(spark, baseRoot,
+      Seq((1L, "g1", 5L), (2L, "g1", 9L), (3L, "g2", 7L))
+        .toDF("id", "g", "v"),
+      Seq("g"))
+    MaterializedAgg.init(spark, baseRoot, mvRoot, spec, nBuckets = 4)
+    // base commit 1: g1 gains a NEW minimum (v=1)
+    SnapshotTable.upsert(spark, baseRoot,
+      Seq((4L, "g1", 1L)).toDF("id", "g", "v"), "id", Seq("g"))
+    // R1 "crashes" after its sidecar update, before its view commit:
+    // run the sidecar half by hand — a refresh against a COPY of the
+    // marker state. Simplest faithful simulation: full refresh now,
+    // then delete the view's latest version files to mimic the lost
+    // commit while keeping the sidecar's newer generation.
+    val mvV = SnapshotTable.versions(spark, mvRoot).last
+    MaterializedAgg.refresh(spark, baseRoot, mvRoot, spec, 4)
+    val committed = SnapshotTable.versions(spark, mvRoot).last
+    assert(committed == mvV + 1)
+    // roll the VIEW back to the pre-refresh version (manifest delete =
+    // the crash landed between sidecar and view commit); the marker
+    // for the rolled-back version must go too
+    val f = new Path(mvRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(
+      new Path(mvRoot, f"_versions/v$committed%08d.manifest"), false))
+    f.delete(new Path(mvRoot, f"_versions/v$committed%08d.checkpoint"),
+      false)
+    f.delete(new Path(mvRoot, "_versions/_latest.hint"), false)
+    assert(f.delete(
+      new Path(mvRoot, f"_mv/applied-v$committed%08d"), false))
+    // base commit 2: the interim minimum (v=1) is DELETED — its dir
+    // generation now appears in no applied->latest diff
+    SnapshotTable.deleteWhere(spark, baseRoot, $"id" === 4L, Seq("g"))
+    MaterializedAgg.refresh(spark, baseRoot, mvRoot, spec, 4)
+    val g1 = MaterializedAgg.read(spark, mvRoot).filter($"g" === "g1")
+      .select($"min_v", $"n").collect()(0)
+    assert(g1.getLong(0) == 5L,
+      s"stale partials resurrected the deleted minimum: ${g1.getLong(0)}")
+    assert(g1.getLong(1) == 2L)
+  }
+
+  test("vacuum re-anchors the hint so gaps cannot shadow newer versions") {
+    val root = tmpDir("rr-hint-gap")
+    SnapshotTable.write(spark, root,
+      Seq(("a", 1L)).toDF("p", "v"), Seq("p"))
+    (2 to 6).foreach { i =>
+      SnapshotTable.upsert(spark, root,
+        Seq(("a", i.toLong)).toDF("p", "v"), "v", Seq("p"))
+    }
+    // wedge the hint at a version vacuum will PROTECT, then vacuum a
+    // range above it away — the stale hint would resolve v2 as latest
+    // if vacuum did not re-anchor it
+    val hint = new java.io.File(root, "_versions/_latest.hint")
+    java.nio.file.Files.write(hint.toPath, "2".getBytes("UTF-8"))
+    SnapshotTable.vacuum(spark, root, keepVersions = 2, protect = Set(2))
+    assert(SnapshotTable.versions(spark, root) == Seq(2, 5, 6))
+    assert(scala.io.Source.fromFile(hint).mkString.trim == "6")
+    assert(SnapshotTable.read(spark, root).count() == 6)
+  }
+
+  test("NULL bounds and values degrade to the residual, never a parse") {
+    val root = tmpDir("rr-null-bounds")
+    SnapshotTable.write(spark, root,
+      spark.range(100L).select(lit("a").as("p"), col("id").as("k")),
+      Seq("p"), statsFor = Seq("k"), clusterBy = Seq("k"),
+      filesPerPartition = 4)
+    // mixed null: prunes on the non-null values, matches them
+    val mixed = SnapshotTable.readIn(spark, root, "k", Seq(5L, null, 7L))
+    assert(mixed.select("k").as[Long].collect().toSet == Set(5L, 7L))
+    // all-null point set: nothing can match
+    assert(SnapshotTable.readIn(spark, root, "k", Seq(null)).count() == 0)
+    // null range bound: three-valued logic, empty — and no exception
+    assert(SnapshotTable.readBetween(spark, root, "k", null, 10L)
+      .count() == 0)
+  }
+
+  test("a failing checkpoint write never fails the committed mutation") {
+    val root = tmpDir("rr-cp-fail")
+    SnapshotTable.write(spark, root,
+      Seq(("a", 1L)).toDF("p", "v"), Seq("p"))
+    (2 to 7).foreach { i =>
+      SnapshotTable.upsert(spark, root,
+        Seq(("a", i.toLong)).toDF("p", "v"), "v", Seq("p"))
+    }
+    // v8 is the checkpoint commit: pre-create a DIRECTORY at the
+    // checkpoint path so the sidecar write fails — the commit itself
+    // must succeed and reads must fold the chain instead
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(root, "_versions/v00000008.checkpoint"))
+    val v = SnapshotTable.upsert(spark, root,
+      Seq(("a", 8L)).toDF("p", "v"), "v", Seq("p"))
+    assert(v == 8)
+    assert(SnapshotTable.read(spark, root).count() == 8)
+  }
+}
