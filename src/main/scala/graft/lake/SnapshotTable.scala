@@ -192,8 +192,11 @@ object SnapshotTable {
     * 5-minute CDC cadence that listing is 100k entries/year on object
     * stores that price LIST by the page). The hint is ADVISORY: a
     * torn write, a stale value, or deleting the file entirely only
-    * costs the listing fallback, never a wrong answer. */
-  private def writeHint(spark: SparkSession, root: String, v: Int): Unit =
+    * costs the listing fallback, never a wrong answer — EXCEPT after a
+    * [[vacuum]] that opens a gap below the latest version, which is why
+    * vacuum alone treats a failed re-anchor as loud (see there).
+    * Returns whether the hint now holds `v` (rename landed). */
+  private def writeHint(spark: SparkSession, root: String, v: Int): Boolean =
     try {
       val f = fs(spark, root)
       val tmp = new Path(manifestDir(root),
@@ -201,12 +204,23 @@ object SnapshotTable {
       val out = f.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
       f.delete(hintPath(root), false)
-      if (!f.rename(tmp, hintPath(root))) f.delete(tmp, false)
-    } catch { case scala.util.control.NonFatal(_) => () }
+      f.rename(tmp, hintPath(root)) || { f.delete(tmp, false); false }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Latest committed version: hint + forward probe, listing fallback.
     * A concurrent commit between the probe and the read is the same
-    * race a listing has — the OCC layer owns that, not this. */
+    * race a listing has — the OCC layer owns that, not this. Public so
+    * derived-table maintainers ([[graft.operators.TokenizedCorpus]])
+    * resolve "base latest" through the same O(1) path instead of
+    * re-listing `_versions` per refresh (round-12 advice item 2). */
+  def latest(spark: SparkSession, root: String): Option[Int] =
+    latestVersion(spark, root)
+
+  /** Whether version `v` is committed — ONE existence check, no
+    * listing (the O(1) twin of `versions(...).contains(v)`). */
+  def hasVersion(spark: SparkSession, root: String, v: Int): Boolean =
+    fs(spark, root).exists(manifestPath(root, v))
+
   private def latestVersion(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, root)
     val hinted: Option[Int] =
@@ -1359,9 +1373,37 @@ object SnapshotTable {
     // re-anchor the latest-version hint: vacuum is the one operation
     // that creates GAPS in the version sequence (protected old versions
     // survive below dropped ranges), and latestVersion's forward probe
-    // assumes contiguity above the hint — a hint stuck below a gap
-    // would resolve "latest" to a protected OLD version
-    if (keep.nonEmpty) writeHint(spark, root, keep.last)
+    // assumes contiguity above the hint — a hint stuck at a SURVIVING
+    // version below a gap would resolve "latest" to that protected OLD
+    // version. Unlike the commit path (where a failed hint write only
+    // costs the listing fallback), a GAP-FORMING vacuum must re-anchor
+    // LOUDLY (round-12 advice item 1): if the write fails, remove the
+    // possibly-stale hint (a MISSING hint falls back to the listing —
+    // always correct); if even that leaves a stale value on disk,
+    // throw — silently returning would serve the old version forever.
+    // Non-gap-forming vacuums (keep entirely above drop) stay
+    // best-effort: a stale hint there names a DELETED manifest, which
+    // latestVersion already rejects into the listing fallback.
+    val gapFormed =
+      keep.nonEmpty && drop.nonEmpty && keep.min < drop.max
+    if (keep.nonEmpty && !writeHint(spark, root, keep.last) && gapFormed) {
+      val stale =
+        try {
+          f.delete(hintPath(root), false)
+          f.exists(hintPath(root)) && {
+            val in = f.open(hintPath(root))
+            val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim finally in.close()
+            scala.util.Try(s.toInt).toOption.exists(_ != keep.last)
+          }
+        } catch { case scala.util.control.NonFatal(_) => true }
+      if (stale)
+        throw new java.io.IOException(
+          s"vacuum dropped versions under $root but could neither " +
+            s"re-anchor nor remove ${hintPath(root)}; a stale hint " +
+            "below a version gap would silently serve an old version " +
+            "as latest — repair the hint file before reading")
+    }
     (drop.size, removed)
   }
 

@@ -138,10 +138,18 @@ object TokenizedCorpus {
   def refresh(
       spark: SparkSession, baseRoot: String, tokRoot: String,
       partitionBy: Seq[String]): Int = {
-    val latestB = SnapshotTable.versions(spark, baseRoot).last
+    // hint + forward probe (SnapshotTable.latest), NOT a _versions
+    // listing: per-batch CDC maintenance calls refresh every few
+    // minutes, and this resolution is the only metadata it pays on the
+    // already-current path (round-12 advice item 2 — the old
+    // versions().last here re-paid the O(retained-versions) LIST the
+    // hint pointer exists to eliminate, up to three times per call)
+    val latestB = SnapshotTable.latest(spark, baseRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot-table version committed under $baseRoot"))
     appliedBaseVersion(spark, tokRoot) match {
       case Some(v) if v == latestB => latestB
-      case Some(v) if SnapshotTable.versions(spark, baseRoot).contains(v) =>
+      case Some(v) if SnapshotTable.hasVersion(spark, baseRoot, v) =>
         val oldMap = SnapshotTable.entriesFor(spark, baseRoot, v).toMap
         val newMap = SnapshotTable.entriesFor(spark, baseRoot, latestB).toMap
         val changed = (oldMap.keySet ++ newMap.keySet)
@@ -174,7 +182,7 @@ object TokenizedCorpus {
         val tok = tokenizedFrame(
           SnapshotTable.read(spark, baseRoot, latestB)).cache()
         def staleKeys(root: String): Set[String] =
-          SnapshotTable.versions(spark, root).lastOption
+          SnapshotTable.latest(spark, root)
             .map(v => SnapshotTable.entriesFor(spark, root, v)
               .map(_._1).toSet).getOrElse(Set.empty)
         try {

@@ -112,6 +112,47 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 6)
   }
 
+  test("vacuum is LOUD when the hint can neither re-anchor nor clear") {
+    // round-12 advice item 1: the re-anchor above was best-effort — a
+    // persistently unwritable hint path plus a routine vacuum left the
+    // hint wedged at a PROTECTED version below the dropped range, and
+    // latestVersion silently served that old version as latest. Now a
+    // gap-forming vacuum throws when a stale hint value survives.
+    val root = tmpDir("rr-hint-loud")
+    SnapshotTable.write(spark, root,
+      Seq(("a", 1L)).toDF("p", "v"), Seq("p"))
+    // 9 versions so the kept tail (v8 checkpoint, v9 delta-on-8) is
+    // self-contained WITHOUT vacuum writing new checkpoints — the
+    // wedge below blocks all writes into _versions, and a checkpoint
+    // failure would (correctly) throw the self-containment error
+    // before the hint logic this test pins
+    (2 to 9).foreach { i =>
+      SnapshotTable.upsert(spark, root,
+        Seq(("a", i.toLong)).toDF("p", "v"), "v", Seq("p"))
+    }
+    // wedge: hint stuck at the protected v1 (the dangerous value — its
+    // manifest SURVIVES the vacuum, so the forward probe would accept
+    // it), then run the vacuum through a filesystem that refuses every
+    // write to `_latest.hint` (tests run as root, so permission bits
+    // cannot simulate an unwritable hint object; `wedged:` can)
+    val hint = new java.io.File(root, "_versions/_latest.hint")
+    java.nio.file.Files.write(hint.toPath, "1".getBytes("UTF-8"))
+    spark.sparkContext.hadoopConfiguration.setIfUnset(
+      "fs.wedged.impl", classOf[HintWedgedFileSystem].getName)
+    val e = intercept[java.io.IOException] {
+      SnapshotTable.vacuum(spark, s"wedged:$root", keepVersions = 2,
+        protect = Set(1))
+    }
+    assert(e.getMessage.contains("_latest.hint"),
+      s"loud-vacuum message should name the hint file: ${e.getMessage}")
+    // unwedged, the same vacuum completes and re-anchors past the gap
+    SnapshotTable.vacuum(spark, root, keepVersions = 2, protect = Set(1))
+    assert(SnapshotTable.latest(spark, root).contains(9))
+    assert(scala.io.Source.fromFile(hint).mkString.trim == "9")
+    assert(SnapshotTable.hasVersion(spark, root, 1))
+    assert(!SnapshotTable.hasVersion(spark, root, 3))
+  }
+
   test("NULL bounds and values degrade to the residual, never a parse") {
     val root = tmpDir("rr-null-bounds")
     SnapshotTable.write(spark, root,
@@ -147,4 +188,18 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(v == 8)
     assert(SnapshotTable.read(spark, root).count() == 8)
   }
+}
+
+/** Local filesystem that refuses every mutation of `_latest.hint` —
+  * the test stand-in for an unwritable/undeletable hint object (the
+  * suite runs as root, so permission bits cannot produce one). Every
+  * other path delegates to [[RawLocalFileSystem]] verbatim. */
+class HintWedgedFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "wedged"
+  override def getUri: java.net.URI = java.net.URI.create("wedged:///")
+  override def rename(src: Path, dst: Path): Boolean =
+    if (dst.getName == "_latest.hint") false else super.rename(src, dst)
+  override def delete(p: Path, recursive: Boolean): Boolean =
+    if (p.getName == "_latest.hint") false else super.delete(p, recursive)
 }
