@@ -29,6 +29,26 @@ import org.apache.spark.sql.SparkSession
   * load average says "noise", a tight spread at a high median says
   * "plan cost".
   *
+  * The bench also DEFENDS the artifact against a bad window instead of
+  * only describing one (round-12 verdict item 1 — the official r12
+  * artifact carried a 13x t42 regression and an 11x t47 spread
+  * silently, both absent from a clean window):
+  *  - per-query loadavg (`load` in the detail line), sampled as each
+  *    query's timed runs start — which rows paid for window
+  *    contention is record, not inference;
+  *  - spread guard: a query whose max/min exceeds 3x (above a 0.2 s
+  *    absolute floor) re-runs its full timed set once and keeps the
+  *    lower-median set, recording the first median as `med_first`;
+  *  - suspect list: any med exceeding 2x its committed clean-window
+  *    reference (tools/spark_meds.tsv, same sf + host only) is named
+  *    in the contract line's `suspect` array — `"suspect":[]` is the
+  *    attestation that the guard ran and found nothing;
+  *  - `baseline_gen`: a content hash of the DuckDB baseline's data
+  *    rows rides the contract line, so two rounds' like_for_like
+  *    ratios are machine-checkably same-denominator; a baseline whose
+  *    recorded `#gen` header disagrees with its content drops the
+  *    ratio entirely.
+  *
   * Scale accountability: each query's cold-computation shuffle-write
   * bytes (measured on the warmup run via ShuffleMeter — warm runs skip
   * exchanges feeding cached subtrees) ride the detail line as
@@ -41,6 +61,14 @@ import org.apache.spark.sql.SparkSession
   * prior run left on disk.
   */
 object Bench {
+  /** One query's measurement: med/min/max over the kept timed-run set,
+    * cold-run shuffle bytes, the 1-min loadavg as its timed runs began,
+    * and — when the spread guard re-measured — the FIRST set's median
+    * (so a correction is auditable in the artifact, never silent). */
+  private final case class BenchRow(
+      name: String, mn: Double, med: Double, mx: Double,
+      shuf: Long, load: Double, firstMed: Option[Double])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -144,6 +172,36 @@ object Bench {
       SparkEntry.queries.view.filterKeys(names).toMap)
     val subsetMark = only.fold("")(_ =>
       s""""subset":"${picked.size}/${SparkEntry.queries.size}",""")
+    // Committed per-query Spark medians (tools/spark_meds.tsv, written
+    // by tools/bench_compare.py in a clean window) — the reference the
+    // SUSPECT guard below compares against. Only trusted when SF and
+    // host both match; a new query simply has no reference row.
+    val medsPath = sys.env.getOrElse(
+      "SPARK_GRAFT_SPARK_MEDS", "tools/spark_meds.tsv")
+    val sfName = new java.io.File(sfDir).getName
+    val committedMeds: Map[String, Double] =
+      try {
+        // explicit UTF-8: bare `java` (the driver's launch mode) can
+        // default to an ASCII charset, and a non-ASCII byte anywhere in
+        // the file would throw and silently disable the guard
+        val src = scala.io.Source.fromFile(medsPath, "UTF-8")
+        val lines = try src.getLines().toList finally src.close()
+        val okSf = lines.exists(_.trim == s"#sf\t$sfName")
+        val host =
+          try java.net.InetAddress.getLocalHost.getHostName
+          catch { case scala.util.control.NonFatal(_) => "" }
+        val okHost = host.nonEmpty &&
+          lines.exists(_.trim == s"#host\t$host")
+        if (!okSf || !okHost) Map.empty
+        else lines.filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+          .flatMap { l =>
+            val p = l.split('\t')
+            if (p.length >= 2)
+              scala.util.Try(p(0) -> p(1).toDouble).toOption
+            else None
+          }.toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
     val loadStart = loadAvg()
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       // The warmup run is ALSO the shuffle measurement: it starts from a
@@ -155,11 +213,17 @@ object Bench {
       val (_, shuf) = graft.tools.ShuffleMeter.measure(spark) {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
+      // Per-query 1-min loadavg, sampled as this query's timed runs
+      // start: the round-12 driver artifact showed the WINDOW degrading
+      // exactly over the alphabetical tail, but only start/end loadavg
+      // existed — which query paid for the contention was inference,
+      // not record (round-12 verdict item 1).
+      val qLoad = loadAvg()
       // A run that throws records -1 (not its elapsed time, which would
       // launder a crash into a plausible number); any failed run marks
       // the query -1 in the artifact and keeps it out of the total, so a
       // broken lane degrades the contract line instead of zeroing it.
-      val times = (1 to runs).map { _ =>
+      def timedRuns(): Seq[Double] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -172,6 +236,26 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }.sorted
+      val first = timedRuns()
+      // SPREAD GUARD (round-12 verdict item 1): a query whose max/min
+      // exceeds 3x (with an absolute floor so 10ms queries' GC jitter
+      // doesn't trigger it) was hit by transient interference mid-set —
+      // the round-12 driver artifact carried an 11x t47 spread
+      // silently. Re-run the full timed set ONCE and keep the set with
+      // the lower median; both medians ride the detail line so the
+      // correction is auditable, never silent.
+      val needsRemeasure = first.head > 0 &&
+        first.last / first.head > 3.0 && first.last - first.head > 0.2
+      val (times, firstMed) =
+        if (!needsRemeasure) (first, None)
+        else {
+          val second = timedRuns()
+          val m1 = first(first.length / 2)
+          val m2 =
+            if (second.head < 0) Double.MaxValue
+            else second(second.length / 2)
+          if (m2 < m1) (second, Some(m1)) else (first, Some(m1))
+        }
       // Intra-query cache() blocks (optimizer barriers in d08/d06/t06 …)
       // are only needed within one query's execution; drain them here so
       // 70+ queries' worth of cached partitions don't pile up in executor
@@ -185,13 +269,22 @@ object Bench {
       val (mn, med, mx) =
         if (times.head < 0) (-1.0, -1.0, -1.0)
         else (times.head, times(times.length / 2), times.last)
-      (name, mn, med, mx, shuf.bytesWritten)
+      BenchRow(name, mn, med, mx, shuf.bytesWritten, qLoad, firstMed)
     }
     val loadEnd = loadAvg()
-    val failed = results.filter(_._3 < 0).map(_._1)
-    val total = results.map(_._3).filter(_ >= 0).sum
-    val totalShuf = results.map(_._5).sum
-    val sf = new java.io.File(sfDir).getName
+    // SUSPECT marker (round-12 verdict item 1): a med more than 2x its
+    // committed clean-window reference (plus an absolute floor) is
+    // flagged on the CONTRACT line — the consumer sees "this row is
+    // load-contaminated or genuinely regressed, do not grade it as
+    // clean" instead of inferring it from spread forensics.
+    val suspects = results.filter { r =>
+      r.med >= 0 && committedMeds.get(r.name).exists(ref =>
+        r.med > 2.0 * ref && r.med - ref > 0.2)
+    }.map(_.name)
+    val failed = results.filter(_.med < 0).map(_.name)
+    val total = results.map(_.med).filter(_ >= 0).sum
+    val totalShuf = results.map(_.shuf).sum
+    val sf = sfName
 
     // Like-for-like accountability (round-9 verdict item 6): the
     // ex-graph ratio vs the DuckDB oracle used to live only in
@@ -205,8 +298,8 @@ object Bench {
     // oracles measure a different algorithm, not the same work.
     val graphQueries =
       Set("d12_dup_clusters", "d17_dup_rate_by_source", "d19_dup_pagerank")
-    val exGraph = results.filter(r => !graphQueries(r._1) && r._3 >= 0)
-    val totalExGraph = exGraph.map(_._3).sum
+    val exGraph = results.filter(r => !graphQueries(r.name) && r.med >= 0)
+    val totalExGraph = exGraph.map(_.med).sum
     val baselinePath = sys.env.getOrElse(
       "SPARK_GRAFT_DUCKDB_BASELINE", "tools/duckdb_baseline.tsv")
     // (ratio, overlap count, same host?) — a baseline produced on a
@@ -215,11 +308,30 @@ object Bench {
     // r10 item 4: a fixed-baseline ratio only normalizes load drift
     // when both sides ran on the same hardware). An untagged
     // (pre-#host) baseline counts as unknown -> cross-machine.
-    val likeForLike: Option[(Double, Int, Boolean)] =
+    // baselineGen (round-12 verdict item 7): a short content hash of
+    // the baseline's data rows rides the contract line, so two rounds'
+    // ratios are machine-checkably same-denominator — like_for_like
+    // swung 1.51 -> 0.36 across a baseline regeneration with nothing
+    // in the artifacts saying "different denominator". When the tsv's
+    // recorded `#gen` header disagrees with the recomputed hash (a
+    // hand-edited baseline), the ratio is DROPPED and the field says
+    // "mismatch" — same spirit as the host check.
+    val (likeForLike, baselineGen):
+        (Option[(Double, Int, Boolean)], Option[String]) =
       try {
-        val src = scala.io.Source.fromFile(baselinePath)
+        val src = scala.io.Source.fromFile(baselinePath, "UTF-8")
         val lines =
           try src.getLines().toList finally src.close()
+        val dataLines = lines
+          .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        val gen = {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          md.update(dataLines.mkString("\n").getBytes("UTF-8"))
+          md.digest().take(6).map(b => f"$b%02x").mkString
+        }
+        val recordedGen = lines.collectFirst {
+          case l if l.startsWith("#gen\t") => l.stripPrefix("#gen\t").trim
+        }
         val baseSf = lines.collectFirst {
           case l if l.startsWith("#sf\t") => l.stripPrefix("#sf\t").trim
         }
@@ -230,23 +342,25 @@ object Bench {
           try java.net.InetAddress.getLocalHost.getHostName
           catch { case scala.util.control.NonFatal(_) => "" }
         val sameHost = baseHost.contains(thisHost) && thisHost.nonEmpty
-        if (!baseSf.contains(sf)) None // baseline from a different SF
+        if (recordedGen.exists(_ != gen)) (None, Some("mismatch"))
+        else if (!baseSf.contains(sf)) (None, Some(gen))
         else {
-          val base = lines
-            .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+          val base = dataLines
             .flatMap { l =>
               val p = l.split('\t')
               if (p.length >= 2)
                 scala.util.Try(p(0) -> p(1).toDouble).toOption
               else None
             }.toMap
-          val overlap = exGraph.filter(r => base.contains(r._1))
-          val dd = overlap.map(r => base(r._1)).sum
-          if (overlap.nonEmpty && dd > 0)
-            Some((overlap.map(_._3).sum / dd, overlap.size, sameHost))
-          else None
+          val overlap = exGraph.filter(r => base.contains(r.name))
+          val dd = overlap.map(r => base(r.name)).sum
+          val ratio =
+            if (overlap.nonEmpty && dd > 0)
+              Some((overlap.map(_.med).sum / dd, overlap.size, sameHost))
+            else None
+          (ratio, Some(gen))
         }
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(_) => (None, None) }
 
     // number formatting for the compact line: 2dp, trailing zeros trimmed.
     // Locale.ROOT — a comma-decimal default locale would break the JSON.
@@ -258,9 +372,14 @@ object Bench {
     }
     // Detail line: full-precision per-query spread. min≈median with a
     // spiked max = one contaminated run; median≫min = sustained
-    // interference or a genuinely expensive plan (cross-check loadavg).
-    val detail = results.map { case (k, mn, med, mx, shuf) =>
-      "\"" + k + s"""":{"min":$mn,"med":$med,"max":$mx,"shuffle_bytes":$shuf}"""
+    // interference or a genuinely expensive plan (cross-check the
+    // per-query `load`). `med_first` appears only on spread-guard
+    // re-measured rows: the contaminated first median, kept auditable.
+    val detail = results.map { r =>
+      val extra = r.firstMed.fold("")(m => s""","med_first":$m""")
+      "\"" + r.name +
+        s"""":{"min":${r.mn},"med":${r.med},"max":${r.mx},""" +
+        s""""shuffle_bytes":${r.shuf},"load":${r.load}$extra}"""
     }.mkString("{", ",", "}")
     val ib = indexBuilds.map { case (n, s) => "\"" + n + s"""":$s""" }
       .mkString("{", ",", "}")
@@ -269,9 +388,20 @@ object Bench {
     println(detailLine)
     // Contract line: bounded by construction — 10 slowest medians only
     // (the plausible-regression set), never the full pack.
-    val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(10)
-      .map { case (k, _, med, _, _) => "\"" + k + "\":" + fmt(med) }
+    val slowest = results.filter(_.med >= 0).sortBy(-_.med).take(10)
+      .map(r => "\"" + r.name + "\":" + fmt(r.med))
       .mkString("{", ",", "}")
+    // suspect list: bounded (10 names) like failed_names; ALWAYS
+    // present — "suspect":[] is the attestation that the guard ran and
+    // found nothing, absence would be indistinguishable from an old
+    // binary. Suffixed with +N when truncated.
+    val suspectMark = {
+      val names = suspects.take(10).map("\"" + _ + "\"")
+      val over = if (suspects.size > 10)
+        s""","+${suspects.size - 10} more"""" else ""
+      s""""suspect":${names.mkString("[", ",", "")}$over],""" +
+        s""""suspect_ref_n":${committedMeds.size},"""
+    }
     // `failed` is an AGGREGATE marker: a consumer reading only the
     // contract line sees a degraded run as failed>0 + names, instead of
     // having to notice that the total quietly covers fewer queries.
@@ -316,8 +446,9 @@ object Bench {
       val field = if (sameHost) "like_for_like" else "cross_machine_ratio"
       s""""$field":${fmt(ratio)},"${field}_n":$n,"""
     }
+    val genMark = baselineGen.fold("")(g => s""""baseline_gen":"$g",""")
     val contract =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failedMark$subsetMark"total_ex_graph":${fmt(totalExGraph)},$lflMark"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},$benchFileMark"index_build":$ibShort,"slowest":$slowest,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failedMark$subsetMark$suspectMark"total_ex_graph":${fmt(totalExGraph)},$lflMark$genMark"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},$benchFileMark"index_build":$ibShort,"slowest":$slowest,"sf":"$sf"}"""
     // The file carries BOTH lines (full spread + contract) — it is the
     // complete artifact; stdout's bounded tail only needs the contract.
     benchFile.foreach { out =>

@@ -54,31 +54,54 @@ def duckdb_bench(oracle):
         times[name] = sorted(runs)[1]  # median of 3
     return times
 
+def gen_hash(rows):
+    """12-hex content hash over the data rows — graft.Bench recomputes
+    this and carries it as `baseline_gen` in the contract line, so two
+    rounds' ratios are machine-checkably same-denominator; a recorded
+    #gen that disagrees with the content drops the ratio."""
+    import hashlib
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:12]
+
+def write_tsv(fname, desc, meds):
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
+    rows = [f"{name}\t{meds[name]:.4f}" for name in sorted(meds)]
+    with open(out, "w") as f:
+        f.write(f"# {desc}\n")
+        f.write("# Written by tools/bench_compare.py; consumed by "
+                "graft.Bench (like_for_like / suspect contract fields).\n")
+        f.write(f"#sf\t{os.path.basename(SF.rstrip('/'))}\n")
+        # host tag: graft.Bench renames like_for_like to
+        # cross_machine_ratio (and disables the suspect guard) when the
+        # bench host differs — a committed baseline must never silently
+        # normalize another machine's runs
+        f.write(f"#host\t{os.uname().nodename}\n")
+        f.write(f"#gen\t{gen_hash(rows)}\n")
+        for r in rows:
+            f.write(r + "\n")
+
 def write_baseline(db):
     """Persist the DuckDB per-query medians as the committed baseline
     graft.Bench folds into its contract line (like_for_like): one
     `name<TAB>seconds` row per oracle query, tagged with the SF so a
     bench at a different scale never divides by the wrong numbers."""
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "duckdb_baseline.tsv")
-    with open(out, "w") as f:
-        f.write("# DuckDB oracle per-query seconds (median of 3, warm), "
-                "same machine/parquet as the Spark bench.\n")
-        f.write("# Written by tools/bench_compare.py; consumed by "
-                "graft.Bench for the like_for_like contract field.\n")
-        f.write(f"#sf\t{os.path.basename(SF.rstrip('/'))}\n")
-        # host tag: graft.Bench renames like_for_like to
-        # cross_machine_ratio when the bench host differs — a committed
-        # baseline must never silently normalize another machine's runs
-        f.write(f"#host\t{os.uname().nodename}\n")
-        for name in sorted(db):
-            f.write(f"{name}\t{db[name]:.4f}\n")
+    write_tsv("duckdb_baseline.tsv",
+              "DuckDB oracle per-query seconds (median of 3, warm), "
+              "same machine/parquet as the Spark bench.", db)
+
+def write_spark_meds(sb):
+    """Persist the Spark per-query medians from THIS clean window as
+    the suspect-guard reference: graft.Bench flags any run whose med
+    exceeds 2x these numbers on the same sf + host."""
+    write_tsv("spark_meds.tsv",
+              "graft.Bench per-query seconds (median of 3, warm) from a "
+              "clean window - the suspect-guard reference.", sb)
 
 def main():
     oracle = json.load(open("/tmp/graft_verify/oracle_sql.json"))
     sb = spark_bench()
     db = duckdb_bench(oracle)
     write_baseline(db)
+    write_spark_meds(sb["queries"])
     print(f"# Bench notes — graft vs DuckDB oracle at {SF}")
     print()
     print("Both warm (steady state), same machine, same parquet inputs.")
