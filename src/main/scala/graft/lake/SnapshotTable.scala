@@ -442,6 +442,19 @@ object SnapshotTable {
     readManifest(spark, root, v)
   }
 
+  /** A version's scan inputs — absolute data-directory paths plus the
+    * recorded schema — for consumers that build their OWN scan over the
+    * immutable version instead of going through [[read]]: the DSv2 SQL
+    * surface ([[LakeCatalog]]) feeds these to Spark's parquet source so
+    * `SELECT … FROM lake.t [VERSION AS OF n]` scans exactly the files
+    * this version's manifest references, with the same pinned schema. */
+  def scanInputs(
+      spark: SparkSession, root: String,
+      version: Int = -1): (Seq[String], Option[StructType]) = {
+    val m = manifestAt(spark, root, version)
+    (m.entries.map(e => new Path(root, e._2).toString), m.schema)
+  }
+
   /** Read a version (latest when `version < 0`). `mergeSchema` is on:
     * after an evolving upsert (see [[upsert]]'s `mergeSchema`) a
     * version's directories can carry different vintages of the schema —

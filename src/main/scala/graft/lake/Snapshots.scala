@@ -193,14 +193,20 @@ object Snapshots {
   }
 
   /** Read a version (latest when `version < 0`). */
-  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame =
+    spark.read.parquet(dirsFor(spark, root, version): _*)
+
+  /** A version's absolute data-directory paths — the scan inputs the
+    * DSv2 SQL surface ([[LakeCatalog]]) feeds to Spark's parquet
+    * source (this flat layer records no schema; the catalog table
+    * infers from footers like [[read]] does). */
+  def dirsFor(
+      spark: SparkSession, root: String, version: Int = -1): Seq[String] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshot committed under $root")
     val v = if (version < 0) vs.last else version
     require(vs.contains(v), s"unknown snapshot v$v (have ${vs.mkString(",")})")
-    val dirs = readManifest(spark, root, v)
-      .map(d => new Path(root, d).toString)
-    spark.read.parquet(dirs: _*)
+    readManifest(spark, root, v).map(d => new Path(root, d).toString)
   }
 
   /** Version numbers of `root` that the session's snapshot bindings

@@ -1,0 +1,127 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL/catalog surface (round-12 verdict item 3): SnapshotTable /
+  * Snapshots roots queryable BY NAME through a DSv2 TableCatalog, with
+  * standard `VERSION AS OF` time travel, `SHOW TABLES`, loud
+  * read-only semantics, and rows identical to the API read. */
+class LakeCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): (String, String) = {
+    val root = tmpDir(prefix)
+    val base = spark.range(200L).select(
+      concat(lit("s"), (col("id") % 4).cast("string")).as("src"),
+      col("id").as("k"), (col("id") * 7 % 31).as("v"))
+    SnapshotTable.write(spark, root, base, Seq("src"),
+      statsFor = Seq("k"), clusterBy = Seq("k"), filesPerPartition = 2)
+    // v2: delete one partition's multiples of 3, upsert a few rows
+    SnapshotTable.deleteWhere(spark, root,
+      $"src" === "s1" && $"k" % 3 === 0, Seq("src"))
+    SnapshotTable.upsert(spark, root,
+      Seq(("s2", 1000L, -1L), ("s2", 1001L, -2L)).toDF("src", "k", "v"),
+      "k", Seq("src"))
+    val name = prefix.replace('-', '_')
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, name, root)
+    (name, root)
+  }
+
+  test("SQL by name == API read; VERSION AS OF time-travels byte-stable") {
+    val (name, root) = freshTable("lakecat-basic")
+    val api = SnapshotTable.read(spark, root)
+      .orderBy("k").collect().toSeq
+    val sql = spark.sql(s"SELECT * FROM lake.$name ORDER BY k")
+      .collect().toSeq
+    assert(sql == api, "SQL rows differ from the API read")
+
+    // time travel to v1 (pre-delete, pre-upsert): exactly the base
+    val v1 = spark.sql(
+      s"SELECT * FROM lake.$name VERSION AS OF 1 ORDER BY k")
+    assert(v1.count() == 200)
+    assert(v1.filter($"src" === "s1" && $"k" % 3 === 0).count() > 0,
+      "v1 must still hold the rows v3 deleted")
+    // byte-stable: a pinned version returns identical rows even AFTER
+    // the live table moves on
+    val h1 = spark.sql(s"SELECT * FROM lake.$name VERSION AS OF 2")
+      .orderBy("k").collect().toSeq
+    SnapshotTable.upsert(spark, root,
+      Seq(("s3", 5000L, 9L)).toDF("src", "k", "v"), "k", Seq("src"))
+    val h2 = spark.sql(s"SELECT * FROM lake.$name VERSION AS OF 2")
+      .orderBy("k").collect().toSeq
+    assert(h1 == h2, "pinned version drifted after a later commit")
+    // and the un-pinned name tracks latest
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name")
+      .collect()(0).getLong(0) ==
+      SnapshotTable.read(spark, root).count())
+  }
+
+  test("recorded schema is pinned; filters push into the parquet scan") {
+    val (name, _) = freshTable("lakecat-plan")
+    val df = spark.sql(
+      s"SELECT k FROM lake.$name WHERE v > 15 AND src = 's2'")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(v,15"),
+      s"filter did not push into the DSv2 parquet scan:\n$plan")
+    // column pruning: a bare 1-column projection reads ONLY that column
+    val proj = spark.sql(s"SELECT k FROM lake.$name")
+    proj.collect()
+    val projPlan = proj.queryExecution.executedPlan.toString
+    assert(projPlan.contains("ReadSchema: struct<k:bigint>"),
+      s"scan reads more than the projected column:\n$projPlan")
+  }
+
+  test("SHOW TABLES lists bindings; unknown names and writes fail loudly") {
+    val (name, _) = freshTable("lakecat-ddl")
+    val shown = spark.sql("SHOW TABLES IN lake")
+      .select("tableName").as[String].collect().toSet
+    assert(shown.contains(name), s"SHOW TABLES missing $name: $shown")
+    val missing = intercept[Exception] {
+      spark.sql("SELECT * FROM lake.nope_not_bound").collect()
+    }
+    assert(missing.getMessage.toLowerCase.contains("nope_not_bound"))
+    val ro = intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.$name VALUES ('s1', 1, 1)")
+    }
+    // refusal may surface as our read-only error or as Spark rejecting
+    // a table without write capability — either way the INSERT dies
+    assert(ro != null)
+    val tt = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM lake.$name TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(tt.getMessage.contains("VERSION AS OF"),
+      s"timestamp travel should point at VERSION AS OF: ${tt.getMessage}")
+  }
+
+  test("flat Snapshots roots serve through the same catalog") {
+    val root = tmpDir("lakecat-flat")
+    Snapshots.overwrite(spark, root,
+      spark.range(50L).select(col("id"), (col("id") * 2).as("d")))
+    Snapshots.append(spark, root,
+      spark.range(50L, 80L).select(col("id"), (col("id") * 2).as("d")))
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "lakecat_flat", root)
+    assert(spark.sql("SELECT count(*) FROM lake.lakecat_flat")
+      .collect()(0).getLong(0) == 80)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.lakecat_flat VERSION AS OF 1")
+      .collect()(0).getLong(0) == 50)
+  }
+
+  test("a pinned binding serves its pin as latest; AS OF overrides") {
+    val (name, root) = freshTable("lakecat-pin")
+    LakeCatalog.register(spark, name, root, version = Some(1))
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name")
+      .collect()(0).getLong(0) == 200, "pinned binding must serve v1")
+    val latest = SnapshotTable.latest(spark, root).get
+    assert(spark.sql(
+      s"SELECT count(*) FROM lake.$name VERSION AS OF $latest")
+      .collect()(0).getLong(0) ==
+      SnapshotTable.read(spark, root).count())
+  }
+}
