@@ -566,8 +566,12 @@ object Corpus {
     * crashed run finishes the missing step). Scale shape: the v2
     * commit rewrites ONLY the touched partitions (manifest-pruned),
     * and the read-side aggregate is the usual per-source rollup. */
-  private[queries] def snapshotCdc(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** The deterministic two-version CDC table t40 gates (v1 = the
+    * documents corpus, v2 = one applyChanges batch of tombstones +
+    * recurations), built once per corpus fingerprint and reused by
+    * every gate that needs a real SnapshotTable (t40, t48). */
+  private[queries] def cdcRoot(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     import graft.lake.SnapshotTable
     val root = graft.core.IndexRoot.of(dir, "documents.parquet",
       "graft_snaptable_cdc_v1")
@@ -588,6 +592,13 @@ object Corpus {
         tombstones.unionByName(upserts), "doc_id", Seq("source"),
         opCol = "op")
     }
+    root
+  }
+
+  private[queries] def snapshotCdc(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    val root = cdcRoot(spark, dir)
     SnapshotTable.read(spark, root, 2)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -614,6 +625,52 @@ object Corpus {
       FROM v2
       GROUP BY source
       ORDER BY source"""))
+
+  /** The catalog-SQL gate (round-12 verdict item 3): the SAME
+    * governed-table query plane the reference runs on Athena —
+    * `SELECT … FROM <catalog table>` by NAME, plus time travel — served
+    * end-to-end through [[graft.lake.LakeCatalog]] (a DSv2
+    * TableCatalog) over the t40 CDC SnapshotTable. The query text is
+    * PURE SQL: no DataFrame API touches the data path, so the gate
+    * proves name resolution, `VERSION AS OF`, the pinned recorded
+    * schema, and the DSv2 parquet scan all at once. v1 must equal the
+    * untouched corpus (time travel across the CDC batch), v2 the
+    * post-CDC state — the oracle recomputes both from `documents`. */
+  private[queries] def lakeSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val root = cdcRoot(spark, dir)
+    graft.lake.LakeCatalog.install(spark)
+    graft.lake.LakeCatalog.register(spark, "snap_docs", root)
+    spark.sql("""
+      SELECT 1 AS v, source, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      FROM lake.snap_docs VERSION AS OF 1 GROUP BY source
+      UNION ALL
+      SELECT 2 AS v, source, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      FROM lake.snap_docs VERSION AS OF 2 GROUP BY source
+      ORDER BY v, source""")
+  }
+
+  val t48_lake_sql = Q(
+    "t48_lake_sql",
+    (s, dir) => lakeSql(s, dir),
+    Some("""
+      WITH v2 AS (
+        SELECT source,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' [recurated]'
+                    ELSE text END AS text
+        FROM documents
+        WHERE doc_id % 97 <> 0)
+      SELECT * FROM (
+        SELECT 1 AS v, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source
+        UNION ALL
+        SELECT 2 AS v, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        FROM v2 GROUP BY source)
+      ORDER BY v, source"""))
 
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
@@ -1103,5 +1160,5 @@ object Corpus {
       t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample,
       t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
       t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize,
-      t45_incremental_mv_minmax)
+      t45_incremental_mv_minmax, t48_lake_sql)
 }
