@@ -83,25 +83,49 @@ object MaterializedAgg {
     * column per (name, sql-expression) in `sums` (each `SUM(expr)`),
     * `avgs` (each `AVG(expr)`, derived at read time), `mins`/`maxs`
     * (each `MIN(expr)`/`MAX(expr)`, maintained via the partials
-    * sidecar), plus a `COUNT(*)` as `countName`. */
+    * sidecar), `kmvs` (each an approximate `COUNT(DISTINCT expr)` —
+    * exact below `kmvK` — maintained as per-(group, directory)
+    * K-minimum-values sketches in the same sidecar), plus a `COUNT(*)`
+    * as `countName`.
+    *
+    * KMV maintenance (round-12 verdict item 6): COUNT(DISTINCT) is not
+    * group-invertible (deleting a row may or may not remove a distinct
+    * value), so it rides the min/max partials machinery: each sidecar
+    * row stores the k smallest distinct `md5`-hashes of the expression
+    * within one (group, base-directory); a refresh recomputes exactly
+    * the changed directories' sketches, tombstones retired ones, and
+    * re-derives each affected group's estimate by merging its partial
+    * sketches (k smallest of the union — KMV's mergeability) from the
+    * metadata-sized sidecar, never rescanning unchanged base data. The
+    * hash is the q60 rule (first 15 hex digits of md5 as a 60-bit
+    * integer), bit-identical in DuckDB, so estimates are oracle-
+    * checkable; below k the sketch IS the distinct set and the
+    * "estimate" is exact. */
   final case class MvSpec(
       groupBy: Seq[String],
       sums: Seq[(String, String)],
       countName: String = "n_rows",
       avgs: Seq[(String, String)] = Nil,
       mins: Seq[(String, String)] = Nil,
-      maxs: Seq[(String, String)] = Nil) {
+      maxs: Seq[(String, String)] = Nil,
+      kmvs: Seq[(String, String)] = Nil,
+      kmvK: Int = 1024) {
     require(groupBy.nonEmpty, "groupBy must name at least one column")
     require(sums.nonEmpty, "at least one SUM column required")
+    require(kmvK > 1, "kmvK must exceed 1 (the estimator divides by " +
+      "the k-th minimum and needs k-1 > 0)")
     /** Internally maintained sums: user sums plus one hidden sum per
       * AVG (the numerator; the denominator is its non-null count). */
     private[lake] def effSums: Seq[(String, String)] =
       sums ++ avgs.map { case (n, e) => (s"_mv_avg_$n", e) }
     private[lake] def mmNames: Seq[String] =
       mins.map(_._1) ++ maxs.map(_._1)
+    /** Every column maintained through the partials sidecar. */
+    private[lake] def auxNames: Seq[String] =
+      mmNames ++ kmvs.map(_._1)
     val outNames: Seq[String] =
       sums.map(_._1) ++ avgs.map(_._1) ++ mins.map(_._1) ++
-        maxs.map(_._1) :+ countName
+        maxs.map(_._1) ++ kmvs.map(_._1) :+ countName
     require(outNames.distinct.size == outNames.size &&
       outNames.forall(n => !groupBy.contains(n)),
       "aggregate output names must be distinct and not group columns")
@@ -184,34 +208,97 @@ object MaterializedAgg {
     rows.groupBy(spec.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Per-(group, base-directory) min/max partials over `rows` — the
-    * sidecar's content for the directories `rows` spans. */
+  /** The q60 hash rule — first 15 hex digits of md5 as a 60-bit long —
+    * the ONE hash Spark and DuckDB compute bit-identically, so KMV
+    * estimates are cross-engine checkable. NULL inputs hash to NULL
+    * (and are filtered out: COUNT(DISTINCT) ignores NULLs). */
+  private def hvExpr(e: String): Column =
+    conv(substring(md5(expr(e).cast("string")), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** The 60-bit hash domain size, as the q60 estimator uses it. */
+  private val KmvDomain = 1152921504606846976L
+
+  /** KMV estimate off (k_actual, kth_min): exact below k, else the
+    * standard (k-1) · domain / kth-minimum estimator — the EXACT
+    * expression shape q60 gates, so doubles match DuckDB bit-wise. */
+  private def kmvEstimate(k: Int, ka: Column, kth: Column): Column =
+    when(ka < k, ka.cast("double"))
+      .otherwise((ka.cast("double") - lit(1.0)) * lit(KmvDomain) / kth)
+
+  /** Per-(group, base-directory) partials over `rows` — the sidecar's
+    * content for the directories `rows` spans: min/max values plus one
+    * KMV sketch array (k smallest distinct hashes) per `kmvs` entry.
+    * Sketches build shuffle/sort-bounded — distinct (group, dir, hash)
+    * triples rank through a window, never an unbounded in-memory set —
+    * so a directory with millions of distinct values costs a spillable
+    * sort, not an aggregation buffer. Every (group, dir) present in
+    * `rows` gets a sidecar row even when all sketch inputs are NULL
+    * (empty array), so group-level re-derivation can never mistake
+    * "all values deleted" for "no information". */
   private def partialsFrame(
       rows: DataFrame, spec: MvSpec, mmTypes: Seq[DataType],
       nBuckets: Int): DataFrame = {
-    val aggs = (spec.mins.map { case (n, e) => (n, e, true) } ++
+    val mmAggs = (spec.mins.map { case (n, e) => (n, e, true) } ++
       spec.maxs.map { case (n, e) => (n, e, false) })
       .zip(mmTypes).map { case ((n, e, isMin), t) =>
         (if (isMin) min(expr(e)) else max(expr(e))).cast(t).as(n)
       }
-    rows.groupBy(keyExpr(spec).as(KeyCol), dirExpr.as(DirCol))
+    // a kmv-only spec still needs one agg to anchor the (group, dir)
+    // row universe; the partial row count is harmless and only exists
+    // on sidecars of such specs (legacy min/max sidecars keep their
+    // schema exactly)
+    val aggs =
+      if (mmAggs.nonEmpty) mmAggs
+      else Seq(count(lit(1)).cast(LongType).as("_mv_pn"))
+    val keyed = rows.withColumn(KeyCol, keyExpr(spec))
+      .withColumn(DirCol, dirExpr)
+    val anchored = keyed.groupBy(col(KeyCol), col(DirCol))
       .agg(aggs.head, aggs.tail: _*)
+    val withSketches = spec.kmvs.foldLeft(anchored) { case (acc, (n, e)) =>
+      val hv = keyed.select(col(KeyCol), col(DirCol),
+          hvExpr(e).as("_mv_hv"))
+        .where(col("_mv_hv").isNotNull).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(KeyCol), col(DirCol)).orderBy(col("_mv_hv"))
+      val sk = hv.withColumn("_mv_rn", row_number().over(w))
+        .where(col("_mv_rn") <= spec.kmvK)
+        .groupBy(col(KeyCol), col(DirCol))
+        .agg(sort_array(collect_list(col("_mv_hv"))).as(n))
+      acc.join(sk, Seq(KeyCol, DirCol), "left")
+        .withColumn(n, coalesce(col(n), array().cast("array<long>")))
+    }
+    withSketches
       .withColumn(AKeyCol, concat(col(KeyCol), lit("|"), col(DirCol)))
       .withColumn(ABucketCol, pmod(xxhash64(col(DirCol)),
         lit(nBuckets.toLong)))
   }
 
-  /** min/max per group over the sidecar's partials, restricted to
-    * `keys` — the re-derivation step. The sidecar is metadata-sized
-    * (|groups × directories they span|), so this scan is the
-    * incremental-min/max analog of reading the manifest, not the
-    * table. */
+  /** min/max/KMV per group over the sidecar's partials, restricted to
+    * `keys` — the re-derivation step. min/max fold directly; KMV
+    * merges by keeping the k smallest of the union of the group's
+    * partial sketches (the sketch's mergeability), then derives the
+    * estimate. The sidecar is metadata-sized (|groups × directories
+    * they span| rows, sketch arrays ≤ k longs), so this scan is the
+    * incremental analog of reading the manifest, not the table. */
   private def rollup(
       aux: DataFrame, spec: MvSpec, keys: DataFrame): DataFrame = {
     val aggs = spec.mins.map { case (n, _) => min(col(n)).as(n) } ++
-      spec.maxs.map { case (n, _) => max(col(n)).as(n) }
-    aux.join(keys, Seq(KeyCol), "left_semi")
+      spec.maxs.map { case (n, _) => max(col(n)).as(n) } ++
+      spec.kmvs.map { case (n, _) =>
+        flatten(collect_list(col(n))).as(s"_mv_sk_$n") }
+    val g = aux.join(keys, Seq(KeyCol), "left_semi")
       .groupBy(col(KeyCol)).agg(aggs.head, aggs.tail: _*)
+    spec.kmvs.foldLeft(g) { case (df, (n, _)) =>
+      val merged = slice(
+        array_sort(array_distinct(col(s"_mv_sk_$n"))), 1, spec.kmvK)
+      val ka = size(merged)
+      // `when` evaluates branches lazily, so element_at never sees an
+      // empty array: ka = 0 < k takes the exact branch
+      df.withColumn(n,
+          kmvEstimate(spec.kmvK, ka, element_at(merged, ka)))
+        .drop(s"_mv_sk_$n")
+    }
   }
 
   // ---- spec + applied-version sidecar ------------------------------
@@ -252,7 +339,11 @@ object MaterializedAgg {
       spec.sums.map { case (n, e) => s"sum\t$n\t$e" } ++
       spec.avgs.map { case (n, e) => s"avg\t$n\t$e" } ++
       spec.mins.map { case (n, e) => s"min\t$n\t$e" } ++
-      spec.maxs.map { case (n, e) => s"max\t$n\t$e" }).mkString("\n")
+      spec.maxs.map { case (n, e) => s"max\t$n\t$e" } ++
+      // k rides each kmv line; a kmv-less spec emits NOTHING here so
+      // stored specs from before the kmv feature still compare equal
+      spec.kmvs.map { case (n, e) => s"kmv\t$n\t$e\t${spec.kmvK}" })
+      .mkString("\n")
 
   /** Base version that view version `v` reflects (None: no marker —
     * either never initialized or a pre-marker crash). */
@@ -310,11 +401,29 @@ object MaterializedAgg {
         (if (isMin) min(expr(e)) else max(expr(e))).cast(t).as(n) }
     val aggs = sumAggs ++ nnAggs :+
       count(lit(1)).cast(LongType).as(spec.countName)
-    val full = base.groupBy(spec.groupBy.map(col): _*)
+    val grouped = base.groupBy(spec.groupBy.map(col): _*)
       .agg((aggs ++ mmAggs).head, (aggs ++ mmAggs).tail: _*)
       .withColumn(KeyCol, keyExpr(spec))
-      .withColumn(BucketCol, bucketExpr(nBuckets))
-    if (spec.mmNames.nonEmpty)
+    // KMV estimates join in per group (same window-ranked k-minima
+    // build as the sidecar, at group granularity): the full recompute
+    // and the incremental rollup reduce to the same "k smallest
+    // distinct hashes per group", so they agree exactly
+    val full = spec.kmvs.foldLeft(grouped) { case (acc, (n, e)) =>
+      val hv = base.select(keyExpr(spec).as(KeyCol), hvExpr(e).as("_mv_hv"))
+        .where(col("_mv_hv").isNotNull).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(KeyCol)).orderBy(col("_mv_hv"))
+      val est = hv.withColumn("_mv_rn", row_number().over(w))
+        .where(col("_mv_rn") <= spec.kmvK)
+        .groupBy(col(KeyCol))
+        .agg(count(lit(1)).as("_mv_ka"), max(col("_mv_hv")).as("_mv_kth"))
+        .select(col(KeyCol),
+          kmvEstimate(spec.kmvK, col("_mv_ka"), col("_mv_kth")).as(n))
+      acc.join(est, Seq(KeyCol), "left")
+        // a group whose inputs are all NULL has distinct count 0
+        .withColumn(n, coalesce(col(n), lit(0.0)))
+    }.withColumn(BucketCol, bucketExpr(nBuckets))
+    if (spec.auxNames.nonEmpty)
       SnapshotTable.write(spark, auxRoot(mvRoot),
         partialsFrame(base, spec, mmTypes, nBuckets), Seq(ABucketCol))
     val target = SnapshotTable.versions(spark, mvRoot).lastOption
@@ -359,7 +468,9 @@ object MaterializedAgg {
       new Path(mvMeta(mvRoot), f"applied-v${m + 1}%08d"), false)
     if (!baseVs.contains(applied))
       return fullRefresh(spark, baseRoot, mvRoot, spec, nBuckets)
-    val trackMM = spec.mmNames.nonEmpty
+    // any sidecar-maintained column (min/max OR kmv) needs the
+    // zero-delta multiset rule and the rollup overwrite below
+    val trackAux = spec.auxNames.nonEmpty
 
     // 1. changed partition tuples, straight off the two manifests
     val oldMap = SnapshotTable.entriesFor(spark, baseRoot, applied).toMap
@@ -405,17 +516,18 @@ object MaterializedAgg {
       // key set, and the merge — without it each action re-reads the
       // changed directories at both versions
       .cache()
-    // Without min/max, groups whose ring deltas are ALL zero (e.g. a
-    // compaction's identical rewrite) drop out of the merge entirely.
-    // WITH min/max they must stay: a multiset can change under zero
-    // sum/count/nn deltas (drop a 1 and a 3, add a 0 and a 4) and the
-    // extremum re-derivation below is what catches it.
+    // Without sidecar columns, groups whose ring deltas are ALL zero
+    // (e.g. a compaction's identical rewrite) drop out of the merge
+    // entirely. WITH them they must stay: a multiset can change under
+    // zero sum/count/nn deltas (drop a 1 and a 3, add a 0 and a 4) and
+    // the sidecar re-derivation below — extrema AND distinct sketches —
+    // is what catches it.
     val delta =
-      if (trackMM) deltaAll
+      if (trackAux) deltaAll
       else deltaAll.filter(deltaNames
         .map(n => coalesce(col(n) =!= lit(0), lit(false)))
         .reduce(_ || _))
-    if (!trackMM && delta.isEmpty) {
+    if (!trackAux && delta.isEmpty) {
       // row-preserving rewrites only (OPTIMIZE, re-clustering): the
       // view already equals base@latest — re-anchor without minting a
       // content-identical version
@@ -439,7 +551,7 @@ object MaterializedAgg {
     // resurface forever. The sidecar scan this needs is already paid
     // by the rollup below.
     val v = try {
-    val mmByKey: Option[DataFrame] = if (!trackMM) None else {
+    val mmByKey: Option[DataFrame] = if (!trackAux) None else {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
       val aRoot = auxRoot(mvRoot)
@@ -493,9 +605,9 @@ object MaterializedAgg {
         coalesce(col(s"c.$BucketCol"), col(s"d.$BucketCol"))
           .as(BucketCol)) ++
       spec.groupBy.map(pick) ++ ringCols ++
-      // min/max placeholders: current values carry, affected groups
-      // overwritten from the sidecar rollup below
-      spec.mmNames.map(n => col(s"c.$n").as(n))
+      // sidecar-column placeholders (min/max + kmv): current values
+      // carry, affected groups overwritten from the rollup below
+      spec.auxNames.map(n => col(s"c.$n").as(n))
     val merged = c.join(d, col(s"c.$KeyCol") === col(s"d.$KeyCol"),
         "full_outer")
       .select(mergedCols: _*)
@@ -504,9 +616,9 @@ object MaterializedAgg {
       case Some(roll) =>
         val r = roll.withColumn("_mv_hit", lit(1)).as("r")
         val mAlias = merged.as("m")
-        val keep = merged.columns.filterNot(spec.mmNames.contains)
+        val keep = merged.columns.filterNot(spec.auxNames.contains)
           .map(n => col(s"m.$n").as(n)).toSeq
-        val mm = spec.mmNames.map(n =>
+        val mm = spec.auxNames.map(n =>
           when(col("r._mv_hit").isNotNull, col(s"r.$n"))
             .otherwise(col(s"m.$n")).as(n))
         mAlias.join(r, col(s"m.$KeyCol") === col(s"r.$KeyCol"), "left")

@@ -1154,11 +1154,97 @@ object Corpus {
       GROUP BY source
       ORDER BY source"""))
 
+  /** COUNT(DISTINCT) maintenance gated end-to-end (round-12 verdict
+    * item 6): same deterministic CDC batch as t43/t45, but the view
+    * also maintains two approximate-distinct columns via per-(group,
+    * directory) KMV sketches in the partials sidecar —
+    * `approx_docs` (distinct doc_ids per source, k=128 < the ~300
+    * distinct per group at sf0.01, so the ESTIMATOR path is exercised
+    * and must match DuckDB's evaluation of the identical k-minima
+    * formula bit-for-bit) and `n_langs` (distinct langs, far below k,
+    * so the sketch IS the exact distinct set). The %97 tombstones
+    * remove distinct doc_ids — the non-invertible case — and the
+    * refresh re-derives both columns from the metadata-sized sidecar,
+    * never rescanning unchanged base partitions
+    * (`MaterializedAggKmvSpec` pins that destructively). */
+  private[queries] def incrementalMvDistinct(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.lake.{MaterializedAgg, SnapshotTable}
+    import graft.lake.MaterializedAgg.MvSpec
+    val baseRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_mv3_base_v1")
+    val mvRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_mv3_view_v1")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+    if (SnapshotTable.versions(spark, baseRoot).isEmpty)
+      SnapshotTable.write(spark, baseRoot, docs, Seq("source"))
+    val spec = MvSpec(Seq("source"),
+      sums = Seq("total_chars" -> "n_chars"),
+      countName = "n_docs",
+      kmvs = Seq("approx_docs" -> "doc_id", "n_langs" -> "lang"),
+      kmvK = 128)
+    MaterializedAgg.init(spark, baseRoot, mvRoot, spec, nBuckets = 8)
+    if (SnapshotTable.versions(spark, baseRoot).size < 2) {
+      val tombstones = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("op", lit("d"))
+      val upserts = docs
+        .filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" [recurated]")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("op", lit("u"))
+      SnapshotTable.applyChanges(spark, baseRoot,
+        tombstones.unionByName(upserts), "doc_id", Seq("source"),
+        opCol = "op")
+    }
+    MaterializedAgg.refresh(spark, baseRoot, mvRoot, spec, nBuckets = 8)
+    MaterializedAgg.read(spark, mvRoot)
+      .select(col("source"), col("total_chars"), col("approx_docs"),
+        col("n_langs"), col("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val t49_mv_distinct = Q(
+    "t49_mv_distinct",
+    (s, dir) => incrementalMvDistinct(s, dir),
+    Some("""
+      WITH v2 AS (
+        SELECT source, doc_id, lang,
+               CASE WHEN doc_id % 89 = 0
+                    THEN CAST(length(text || ' [recurated]') AS BIGINT)
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE doc_id % 97 <> 0),
+      h AS (SELECT DISTINCT source,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                AS hv
+            FROM v2),
+      r AS (SELECT source, hv,
+              row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM h),
+      k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ka, MAX(hv) AS kth
+            FROM r WHERE rn <= 128 GROUP BY source),
+      est AS (SELECT source,
+                CASE WHEN ka < 128 THEN CAST(ka AS DOUBLE)
+                     ELSE (CAST(ka AS DOUBLE) - 1.0) *
+                          1152921504606846976 / kth
+                END AS approx_docs
+              FROM k)
+      SELECT v2.source,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             ANY_VALUE(approx_docs) AS approx_docs,
+             CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM v2 JOIN est ON v2.source = est.source
+      GROUP BY v2.source
+      ORDER BY v2.source"""))
+
   val all: Seq[Q] =
     Seq(t26_seq_pack, t27_pii_scan, t28_pack_segments, t29_gopher_filter,
       t30_temperature_mix, d18_span_dedup, q60_kmv_distinct, t33_bpe_pairs,
       t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample,
       t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
       t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize,
-      t45_incremental_mv_minmax, t48_lake_sql)
+      t45_incremental_mv_minmax, t48_lake_sql, t49_mv_distinct)
 }

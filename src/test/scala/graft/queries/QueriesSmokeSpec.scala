@@ -368,14 +368,14 @@ class QueriesSmokeSpec extends SparkSpec {
     // rosters so any disappearance is a named failure. Update the count
     // deliberately when adding queries — never let it float.
     val names = graft.SparkEntry.queries.keySet
-    assert(names.size == 149, s"query pack shrank/grew: ${names.size}")
+    assert(names.size == 150, s"query pack shrank/grew: ${names.size}")
     val corpusLane = Set("t26_seq_pack", "t27_pii_scan", "t28_pack_segments",
       "t29_gopher_filter", "t30_temperature_mix", "d18_span_dedup",
       "q60_kmv_distinct", "t33_bpe_pairs", "t34_filter_agreement",
       "t37_train_shuffle", "t38_quality_budget_sample", "t39_bpe_encode",
       "t40_snapshot_cdc", "t41_snapshot_skipread", "t42_bpe_encode_ranks",
       "t43_incremental_mv", "t44_snapshot_optimize",
-      "t45_incremental_mv_minmax", "t48_lake_sql")
+      "t45_incremental_mv_minmax", "t48_lake_sql", "t49_mv_distinct")
     assert((corpusLane -- names).isEmpty,
       s"corpus-prep lane missing: ${corpusLane -- names}")
     val searchLane = Set("q62_length_quantiles", "t31_bm25",
