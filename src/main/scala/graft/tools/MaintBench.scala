@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Maintenance-path + Zipf-retrieval decade measurements (round-12
+  * verdict items 2 and 5): the costs that make the lakehouse claims
+  * real, measured per SF so SCALING.md can show they do NOT grow with
+  * corpus size.
+  *
+  * Per sfDir argument, prints one JSON line with:
+  *  - `zipf_build`      cold tokenize-once build of the Zipf corpus
+  *  - `zipf_served`     batched BM25 from the tokenized corpus (med/3)
+  *  - `zipf_inline`     same workload re-tokenizing the stored text
+  *                      (med/3) — served < inline is what the
+  *                      tokenize-once layer buys once the vocabulary
+  *                      is realistic (the t47 31-word corpus could not
+  *                      show it; the ~32k-term Zipf corpus can)
+  *  - `tok_refresh_noop`   TokenizedCorpus.refresh when already
+  *                         current (pure metadata)
+  *  - `tok_refresh_1p`     refresh after a single-partition CDC batch
+  *                         (med/3, fresh batch each run)
+  *  - `mv_refresh_1p`      MaterializedAgg.refresh after a
+  *                         single-partition upsert (med/3)
+  *  - `optimize_plan`      SnapshotTable.optimize when every partition
+  *                         is already at target (planning from the
+  *                         manifest byte census, no data moved)
+  *
+  * Usage: graft.tools.MaintBench <sfDir> [<sfDir> ...]
+  */
+object MaintBench {
+  private def time[T](body: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  private def med3(body: => Unit): Double =
+    (1 to 3).map(_ => time(body)._1).sorted.apply(1)
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: MaintBench <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.lake.{MaterializedAgg, SnapshotTable}
+    import graft.lake.MaterializedAgg.MvSpec
+    import graft.operators.TokenizedCorpus
+    import graft.core.Tables
+    import graft.queries.Search
+
+    args.foreach { sfDir =>
+      val sf = new java.io.File(sfDir).getName
+
+      // --- Zipf corpus: cold build, then served vs inline -------------
+      val zipfBase = graft.core.IndexRoot.of(sfDir, "documents.parquet",
+        "graft_zipf_base_v1")
+      val zipfTok = graft.core.IndexRoot.of(sfDir, "documents.parquet",
+        "graft_zipf_tok_v1")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(zipfBase))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(zipfTok))
+      val (buildS, _) = time { Search.zipfTokRoot(spark, sfDir) }
+      val queries = Search.zipfQueriesDf(spark)
+      // warmup both shapes once, then med/3
+      Search.bm25BatchFromTokenized(spark, zipfTok, queries,
+        Search.Bm25BatchK).count()
+      val servedS = med3 {
+        Search.bm25BatchFromTokenized(spark, zipfTok, queries,
+          Search.Bm25BatchK).count(); ()
+      }
+      def inlineOnce(): Unit = {
+        Search.bm25BatchOver(SnapshotTable.read(spark, zipfBase),
+          queries, Search.Bm25BatchK).count()
+        spark.catalog.clearCache() // bm25BatchOver caches the tokenize
+      }
+      inlineOnce()
+      val inlineS = med3 { inlineOnce() }
+
+      // --- tokenized refresh: no-op, then 1-partition CDC -------------
+      val (noopS, _) = time {
+        TokenizedCorpus.refresh(spark, zipfBase, zipfTok, Seq("src"))
+      }
+      var batchId = 0L
+      def onePartitionBatch(): Unit = {
+        batchId += 1
+        // rewrite ONE doc in ONE partition (src p0): new text, new dirs
+        // for exactly that partition
+        val d = spark.range(1).select(
+          lit(8L * batchId).as("doc_id"),
+          concat(lit("w128 w129 refreshed batch "),
+            lit(batchId).cast("string")).as("text"),
+          lit("p0").as("src"))
+        SnapshotTable.upsert(spark, zipfBase, d, "doc_id", Seq("src"))
+      }
+      val tokRefresh1p = (1 to 3).map { _ =>
+        onePartitionBatch()
+        time {
+          TokenizedCorpus.refresh(spark, zipfBase, zipfTok, Seq("src"))
+        }._1
+      }.sorted.apply(1)
+
+      // --- MaterializedAgg refresh after a 1-partition upsert ---------
+      val mvBase = graft.core.IndexRoot.of(sfDir, "documents.parquet",
+        "graft_maint_mvbase_v1")
+      val mvRoot = graft.core.IndexRoot.of(sfDir, "documents.parquet",
+        "graft_maint_mvview_v1")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvBase))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvRoot))
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      SnapshotTable.write(spark, mvBase, docs, Seq("source"))
+      val spec = MvSpec(Seq("source"),
+        sums = Seq("total_chars" -> "n_chars"), countName = "n_docs",
+        mins = Seq("min_chars" -> "n_chars"),
+        maxs = Seq("max_chars" -> "n_chars"))
+      MaterializedAgg.init(spark, mvBase, mvRoot, spec, nBuckets = 8)
+      val srcs = docs.select(col("source")).distinct()
+        .limit(1).collect().map(_.getString(0))
+      val mvRefresh1p = (1 to 3).map { i =>
+        SnapshotTable.upsert(spark, mvBase,
+          spark.range(1).select(
+            lit(1000000000L + i).as("doc_id"), lit("en").as("lang"),
+            lit(i * 100L).as("n_chars"), lit(srcs.head).as("source")),
+          "doc_id", Seq("source"))
+        time { MaterializedAgg.refresh(spark, mvBase, mvRoot, spec, 8) }._1
+      }.sorted.apply(1)
+
+      // --- OPTIMIZE planning cost (census-only, nothing to move) ------
+      SnapshotTable.optimize(spark, mvBase, Seq("source"))
+      val (optPlanS, _) = time {
+        SnapshotTable.optimize(spark, mvBase, Seq("source"))
+      }
+
+      def f(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      println(
+        s"""{"metric":"maint","sf":"$sf","zipf_build":${f(buildS)},""" +
+        s""""zipf_served":${f(servedS)},"zipf_inline":${f(inlineS)},""" +
+        s""""tok_refresh_noop":${f(noopS)},""" +
+        s""""tok_refresh_1p":${f(tokRefresh1p)},""" +
+        s""""mv_refresh_1p":${f(mvRefresh1p)},""" +
+        s""""optimize_plan":${f(optPlanS)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -368,7 +368,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // rosters so any disappearance is a named failure. Update the count
     // deliberately when adding queries — never let it float.
     val names = graft.SparkEntry.queries.keySet
-    assert(names.size == 150, s"query pack shrank/grew: ${names.size}")
+    assert(names.size == 151, s"query pack shrank/grew: ${names.size}")
     val corpusLane = Set("t26_seq_pack", "t27_pii_scan", "t28_pack_segments",
       "t29_gopher_filter", "t30_temperature_mix", "d18_span_dedup",
       "q60_kmv_distinct", "t33_bpe_pairs", "t34_filter_agreement",
@@ -380,7 +380,8 @@ class QueriesSmokeSpec extends SparkSpec {
       s"corpus-prep lane missing: ${corpusLane -- names}")
     val searchLane = Set("q62_length_quantiles", "t31_bm25",
       "t32_bm25_probe", "t35_bm25_batch", "t36_bm25_batch_probe",
-      "t46_bm25_tokenized", "t47_bm25_batch_tokenized")
+      "t46_bm25_tokenized", "t47_bm25_batch_tokenized",
+      "t50_bm25_batch_zipf")
     assert((searchLane -- names).isEmpty,
       s"search lane missing: ${searchLane -- names}")
     val eventsLane = Set("q13_events_hourly", "q15_sessionize",
