@@ -1,0 +1,237 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, MapType, StructType}
+
+/** Row-level change feed over [[SnapshotTable]] versions — the READ
+  * side of the CDC story. [[graft.streaming.CdcStream]] applies change
+  * batches INTO a table; this derives the changes back OUT of the
+  * committed version history, so downstream consumers (a search index,
+  * a feature store, a replica) can follow a governed table without
+  * access to the upstream feed — the same role Delta's
+  * `table_changes`/CDF and Iceberg's incremental reads play.
+  *
+  * The feed is computed, not logged: a version step's changes are the
+  * exact row-level difference between the step's TOUCHED partitions at
+  * the two versions (`EXCEPT ALL` both ways), where "touched" comes
+  * from the manifest diff — the (partition key -> directory) mapping
+  * names exactly the partitions a commit rewrote, because directories
+  * are immutable and every commit re-maps the keys it changed
+  * ([[SnapshotTable.entriesFor]]). Untouched partitions are never
+  * listed, let alone read, so a step's cost is O(changed partitions) —
+  * the same bound as the commit that produced it — and an update shows
+  * up as the standard delete+insert pair. No change files are written
+  * at commit time and no write-path cost is added; the trade is that
+  * deriving a step re-reads the touched partitions at both versions,
+  * which is the right side of the trade at a 5-minute CDC cadence
+  * (commits must be cheap; feeds drain on their own schedule).
+  *
+  * Availability follows retention: deriving step v needs versions v-1
+  * and v readable, so a consumer that falls behind
+  * [[SnapshotTable.vacuum]]'s retention window fails LOUDLY (the
+  * missing-version check below) instead of silently skipping changes —
+  * the vacuum caller owns the "keep what the slowest consumer needs"
+  * contract, same as its protected-anchor handling for the
+  * incremental maintainers.
+  *
+  * Output schema: the table's columns (newest version's order, with
+  * columns that existed only at older versions appended — rows from
+  * vintages lacking a column carry NULL, the read contract evolution
+  * already has) plus [[ChangeTypeCol]] ("insert" | "delete") and
+  * [[VersionCol]] (the version that committed the change). Map-typed
+  * columns are rejected up front: `EXCEPT ALL` needs set-op-comparable
+  * rows, and maps are the one Spark type without an equality — feed a
+  * map column through `map_entries` in a derived table if it must be
+  * followed.
+  */
+object ChangeFeed {
+  val ChangeTypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+  val Insert = "insert"
+  val Delete = "delete"
+
+  /** Changes committed AFTER `fromVersion`, up to and including
+    * `toVersion` (default: latest), labeled per committing version —
+    * `between(root, 0)` replays the whole history, bootstrap commit
+    * included, as inserts/deletes in commit order. One frame, safe to
+    * aggregate or write; deterministic row set (ordering within the
+    * frame is not defined — changes are sets, order by [[VersionCol]]
+    * and a key downstream when order matters). */
+  def between(
+      spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int = -1): DataFrame = {
+    val toV =
+      if (toVersion >= 0) toVersion
+      else SnapshotTable.latest(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot-table version committed under $root"))
+    require(fromVersion >= 0,
+      s"fromVersion must be >= 0 (0 = before the bootstrap commit), " +
+        s"got $fromVersion")
+    require(fromVersion <= toV,
+      s"fromVersion v$fromVersion is after toVersion v$toV")
+    // fail loudly when retention already dropped part of the range: a
+    // feed with silent holes is worse than a dead feed
+    val needed = math.max(fromVersion, 1) to toV
+    val gone = needed.filterNot(SnapshotTable.hasVersion(spark, root, _))
+    require(gone.isEmpty,
+      s"change feed needs versions v${needed.head}..v$toV of $root, " +
+        s"but ${gone.map("v" + _).mkString(", ")} " +
+        "have been vacuumed — resync the consumer from a full read")
+
+    val steps = ((fromVersion + 1) to toV).map { v =>
+      val oldE: Map[String, String] =
+        if (v == 1) Map.empty
+        else SnapshotTable.entriesFor(spark, root, v - 1).toMap
+      val newE = SnapshotTable.entriesFor(spark, root, v).toMap
+      val changed = (oldE.keySet ++ newE.keySet)
+        .filter(k => oldE.get(k) != newE.get(k))
+      val old =
+        if (v == 1 || changed.forall(!oldE.contains(_))) None
+        else Some(SnapshotTable.selectDirs(spark, root, v - 1,
+          k => changed(k) && oldE.contains(k)))
+      val nw =
+        if (changed.forall(!newE.contains(_))) None
+        else Some(SnapshotTable.selectDirs(spark, root, v,
+          k => changed(k) && newE.contains(k)))
+      (v, old, nw)
+    }
+
+    // one column universe across every involved vintage: newest
+    // version's order first, older-only columns appended
+    val latestSchema = feedBaseSchema(spark, root, toV)
+    val cols = scala.collection.mutable.LinkedHashMap[String, DataType](
+      latestSchema.fields.map(f => f.name -> f.dataType).toIndexedSeq: _*)
+    steps.foreach { case (_, o, n) =>
+      (o.toSeq ++ n.toSeq).foreach(_.schema.fields.foreach { f =>
+        if (!cols.contains(f.name)) cols += f.name -> f.dataType
+      })
+    }
+    cols.foreach { case (name, dt) =>
+      require(!containsMap(dt),
+        s"change feed cannot compare map-typed column '$name' " +
+          "(no equality on maps); derive a map_entries view instead")
+    }
+    def align(df: DataFrame): DataFrame =
+      df.select(cols.map { case (name, dt) =>
+        if (df.columns.contains(name)) col(name).cast(dt)
+        else lit(null).cast(dt).as(name)
+      }.toSeq: _*)
+    val empty = align(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        latestSchema))
+
+    val parts = steps.flatMap { case (v, o, n) =>
+      val oldA = o.map(align).getOrElse(empty)
+      val newA = n.map(align).getOrElse(empty)
+      Seq(
+        newA.exceptAll(oldA)
+          .withColumn(ChangeTypeCol, lit(Insert))
+          .withColumn(VersionCol, lit(v.toLong)),
+        oldA.exceptAll(newA)
+          .withColumn(ChangeTypeCol, lit(Delete))
+          .withColumn(VersionCol, lit(v.toLong)))
+    }
+    parts.reduceOption(_.union(_)).getOrElse(
+      empty
+        .withColumn(ChangeTypeCol, lit(Insert))
+        .withColumn(VersionCol, lit(0L))
+        .limit(0))
+  }
+
+  /** The NET change between two versions as one diff — what a
+    * state-replicating consumer (a replica table, a cache) applies
+    * when it does not care which intermediate commit moved a row:
+    * rows that churned back to their `fromVersion` state across the
+    * range cancel out entirely, and a partition rewritten five times
+    * is read twice, not ten. [[VersionCol]] carries `toVersion` on
+    * every row. Same touched-partition bound, derived from the two
+    * endpoint manifests only — intermediate versions need not even be
+    * retained. */
+  def netBetween(
+      spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int = -1): DataFrame = {
+    val toV =
+      if (toVersion >= 0) toVersion
+      else SnapshotTable.latest(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot-table version committed under $root"))
+    require(fromVersion >= 0 && fromVersion <= toV,
+      s"need 0 <= fromVersion <= toVersion, got v$fromVersion..v$toV")
+    if (fromVersion > 0)
+      require(SnapshotTable.hasVersion(spark, root, fromVersion),
+        s"version v$fromVersion of $root has been vacuumed — " +
+          "resync the consumer from a full read")
+    val oldE: Map[String, String] =
+      if (fromVersion == 0) Map.empty
+      else SnapshotTable.entriesFor(spark, root, fromVersion).toMap
+    val newE = SnapshotTable.entriesFor(spark, root, toV).toMap
+    val changed = (oldE.keySet ++ newE.keySet)
+      .filter(k => oldE.get(k) != newE.get(k))
+
+    val latestSchema = feedBaseSchema(spark, root, toV)
+    val old =
+      if (fromVersion == 0 || changed.forall(!oldE.contains(_))) None
+      else Some(SnapshotTable.selectDirs(spark, root, fromVersion,
+        k => changed(k) && oldE.contains(k)))
+    val nw =
+      if (changed.forall(!newE.contains(_))) None
+      else Some(SnapshotTable.selectDirs(spark, root, toV,
+        k => changed(k) && newE.contains(k)))
+
+    val cols = scala.collection.mutable.LinkedHashMap[String, DataType](
+      latestSchema.fields.map(f => f.name -> f.dataType).toIndexedSeq: _*)
+    (old.toSeq ++ nw.toSeq).foreach(_.schema.fields.foreach { f =>
+      if (!cols.contains(f.name)) cols += f.name -> f.dataType
+    })
+    cols.foreach { case (name, dt) =>
+      require(!containsMap(dt),
+        s"change feed cannot compare map-typed column '$name' " +
+          "(no equality on maps); derive a map_entries view instead")
+    }
+    def align(df: DataFrame): DataFrame =
+      df.select(cols.map { case (name, dt) =>
+        if (df.columns.contains(name)) col(name).cast(dt)
+        else lit(null).cast(dt).as(name)
+      }.toSeq: _*)
+    val empty = align(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        latestSchema))
+    val oldA = old.map(align).getOrElse(empty)
+    val newA = nw.map(align).getOrElse(empty)
+    newA.exceptAll(oldA)
+      .withColumn(ChangeTypeCol, lit(Insert))
+      .withColumn(VersionCol, lit(toV.toLong))
+      .union(
+        oldA.exceptAll(newA)
+          .withColumn(ChangeTypeCol, lit(Delete))
+          .withColumn(VersionCol, lit(toV.toLong)))
+  }
+
+  /** The feed's output schema at `version` (default latest): table
+    * columns + the two change columns — what the streaming source
+    * declares before any batch runs. */
+  def feedSchema(
+      spark: SparkSession, root: String, version: Int = -1): StructType = {
+    val base = feedBaseSchema(spark, root, version)
+    new StructType(base.fields)
+      .add(ChangeTypeCol, org.apache.spark.sql.types.StringType,
+        nullable = false)
+      .add(VersionCol, org.apache.spark.sql.types.LongType,
+        nullable = false)
+  }
+
+  private def feedBaseSchema(
+      spark: SparkSession, root: String, version: Int): StructType =
+    SnapshotTable.read(spark, root, version).schema
+
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+}

@@ -4,11 +4,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -46,11 +50,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * references, with the manifest's recorded schema pinned — so filter
   * pushdown, column pruning, and vectorized reading are the stock
   * parquet path, and the rows are identical to [[SnapshotTable.read]]
-  * (pinned in `LakeCatalogSpec`). Writes are refused: snapshot commits
-  * exist only through the OCC manifest protocol ([[SnapshotTable]]'s
-  * upsert/applyChanges/overwritePartitions), never through INSERT — a
-  * write path that bypassed the manifest would corrupt the version
-  * history invisibly.
+  * (pinned in `LakeCatalogSpec`).
+  *
+  * DML (round 13): `INSERT INTO` / `INSERT OVERWRITE` / `DELETE FROM`
+  * work against a [[SnapshotTable]] resolved at LATEST — each routes
+  * through the SAME OCC manifest protocol as the API mutators
+  * ([[SnapshotTable.append]] / `write` / `deleteWhere`), so a SQL
+  * mutation is a normal version commit: touched-partition rewrite,
+  * create-exclusive manifest publish, time travel keeps reading the
+  * pre-DML versions. Nothing writes data files behind the manifest's
+  * back. A version-pinned resolution (`VERSION AS OF`, an `@vN`
+  * binding) and the flat [[Snapshots]] layer stay read-only — a
+  * historical version is immutable by contract, and the flat layer
+  * has no recorded layout to mutate by name. DDL
+  * (CREATE/ALTER/DROP) remains refused: tables register via
+  * [[LakeCatalog.register]], and versions exist only through commits.
   *
   * Both snapshot layers are served, format-probed per lookup like
   * [[graft.core.Tables]]: a [[SnapshotTable]] root reads its manifest
@@ -131,7 +145,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalArgumentException(
           s"unknown version v$version of $display (root $root)")
       val (dirs, schema) = SnapshotTable.scanInputs(s, root, version)
-      LakeTable(s"$display@v$version", root, version, dirs, schema)
+      // DML only against the live table: a VERSION AS OF load or an
+      // @vN-pinned binding names an immutable historical state
+      LakeTable(s"$display@v$version", root, version, dirs, schema,
+        writable = versionOverride.isEmpty && pinned.isEmpty)
     } else {
       val vs = Snapshots.versions(s, root)
       if (vs.isEmpty) throw new NoSuchTableException(ident)
@@ -226,8 +243,9 @@ object LakeCatalog {
   * role-view loads to canonicalize identically across analyses. */
 final case class LakeTable(
     tableName: String, root: String, snapshotVersion: Int,
-    paths: Seq[String], recordedSchema: Option[StructType])
-  extends Table with SupportsRead {
+    paths: Seq[String], recordedSchema: Option[StructType],
+    writable: Boolean = false)
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   @transient private lazy val delegate =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
@@ -248,12 +266,116 @@ final case class LakeTable(
     Map("root" -> root, "version" -> snapshotVersion.toString).asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (baseOptions.asScala ++ options.asScala).asJava)
     delegate.newScanBuilder(merged)
+  }
+
+  private def requireWritable(op: String): Unit =
+    if (!writable) throw new UnsupportedOperationException(
+      s"$op on $tableName: historical versions and flat-layer tables " +
+        "are immutable — DML runs against a SnapshotTable resolved at " +
+        "latest (no VERSION AS OF, no @vN binding pin)")
+
+  /** `INSERT INTO` (append) / `INSERT OVERWRITE` (full replace) as a
+    * V1 write: the fallback exists precisely for sinks whose commit is
+    * a driver-side transaction over an already-distributed write —
+    * here [[SnapshotTable.append]]'s touched-partition merge and OCC
+    * manifest publish. The distributed work (shuffle to layout, one
+    * writer task per partition file) happens inside the same
+    * `commitRewrite` every API mutation uses. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("INSERT")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = {
+        val ow = overwrite
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, ov: Boolean): Unit = {
+                val s = SparkSession.active
+                val pby = SnapshotTable.partitionColumns(s, root)
+                if (pby.isEmpty) throw new UnsupportedOperationException(
+                  s"$tableName has no recorded partition columns (last " +
+                    "commit predates the #partitionby manifest line); " +
+                    "run any API mutation to record the layout, then " +
+                    "INSERT by name")
+                if (ow) {
+                  // full replace inherits the table's declarations —
+                  // write() redeclares, so restate them explicitly
+                  val (stats, cluster) =
+                    SnapshotTable.declaredColumns(s, root)
+                  SnapshotTable.write(s, root, data, pby,
+                    statsFor = stats, clusterBy = cluster)
+                } else SnapshotTable.append(s, root, data)
+              }
+            }
+        }
+      }
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    writable && LakeFilters.translate(filters).isDefined
+
+  /** `DELETE FROM … WHERE p` — row-level delete through
+    * [[SnapshotTable.deleteWhere]]: touched partitions rewritten
+    * without the matching rows, one OCC commit, old versions intact. */
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    requireWritable("DELETE")
+    val s = SparkSession.active
+    val pby = SnapshotTable.partitionColumns(s, root)
+    if (pby.isEmpty) throw new UnsupportedOperationException(
+      s"$tableName has no recorded partition columns; run any API " +
+        "mutation to record the layout, then DELETE by name")
+    val pred = LakeFilters.translate(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"untranslatable DELETE predicate: ${filters.mkString(", ")}"))
+    SnapshotTable.deleteWhere(s, root, pred, pby)
+  }
+}
+
+/** V1 source filters -> [[Column]] predicates, for routing a SQL
+  * DELETE's condition into [[SnapshotTable.deleteWhere]]'s row-level
+  * rewrite. Null-semantics note: `Not(EqualTo)` etc. translate to the
+  * same three-valued SQL the filter means; `deleteWhere` keeps rows
+  * where the predicate is false OR NULL (`coalesce(!p, true)`), which
+  * matches SQL DELETE (a NULL condition deletes nothing). */
+private[lake] object LakeFilters {
+  def translate(filters: Array[sources.Filter]): Option[Column] =
+    filters.foldLeft(Option(lit(true))) { (acc, f) =>
+      acc.flatMap(a => one(f).map(a && _))
+    }
+
+  private def one(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) =>
+      Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.And(l, r) => for (a <- one(l); b <- one(r)) yield a && b
+    case sources.Or(l, r) => for (a <- one(l); b <- one(r)) yield a || b
+    case sources.Not(c) => one(c).map(not)
+    case sources.StringStartsWith(a, v) =>
+      Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
+    case _ => None
   }
 }

@@ -140,7 +140,13 @@ object SnapshotTable {
       statsCols: Seq[String],
       clusterBy: Seq[String],
       fileStats: Seq[FileStat],
-      fileSizes: Seq[(String, Long)])
+      fileSizes: Seq[(String, Long)],
+      // partition COLUMN NAMES (directory keys carry values only) —
+      // recorded since round 13 so the SQL DML plane (INSERT/DELETE
+      // through [[LakeCatalog]]) can route a by-name mutation through
+      // the same commit protocol without the caller restating the
+      // layout; absent on pre-recording manifests (accessors require)
+      partitionBy: Seq[String] = Nil)
 
   /** One manifest FILE as written: either a full state (`deltaBase`
     * empty — the initial commit, a replace-all, or a checkpoint) or a
@@ -277,7 +283,7 @@ object SnapshotTable {
     }
     RawManifest(deltaBase, removed,
       Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
-        fileStats, fileSizes))
+        fileStats, fileSizes, tabList("#partitionby")))
   }
 
   /** Fold one delta onto a base state. A key present in the delta's
@@ -299,7 +305,10 @@ object SnapshotTable {
       d.m.schema.orElse(base.schema),
       d.m.statsCols, d.m.clusterBy,
       base.fileStats.filter(s => live(s.relPath)) ++ d.m.fileStats,
-      base.fileSizes.filter(s => live(s._1)) ++ d.m.fileSizes)
+      base.fileSizes.filter(s => live(s._1)) ++ d.m.fileSizes,
+      // like schema: a delta from a pre-recording writer must not
+      // erase the layout a newer commit already recorded
+      if (d.m.partitionBy.nonEmpty) d.m.partitionBy else base.partitionBy)
   }
 
   /** A version's checkpoint sidecar, parsed — None when absent OR
@@ -348,6 +357,8 @@ object SnapshotTable {
         Seq(("#statscols" +: m.statsCols).mkString("\t")) else Nil) ++
       (if (m.clusterBy.nonEmpty)
         Seq(("#clusterby" +: m.clusterBy).mkString("\t")) else Nil) ++
+      (if (m.partitionBy.nonEmpty)
+        Seq(("#partitionby" +: m.partitionBy).mkString("\t")) else Nil) ++
       removed.map(k => s"#rm\t$k") ++
       m.fileStats.map(fs =>
         s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}") ++
@@ -715,7 +726,7 @@ object SnapshotTable {
     case other => String.valueOf(other)
   }
 
-  private def selectDirs(
+  private[lake] def selectDirs(
       spark: SparkSession, root: String, version: Int,
       want: String => Boolean): DataFrame = {
     val m = manifestAt(spark, root, version)
@@ -804,6 +815,63 @@ object SnapshotTable {
       touchedKeys = Set.empty, replaceAll = true,
       filesPerPartition, crashBeforeCommit = false,
       declaredStats = statsFor, declaredCluster = clusterBy)
+
+  /** The table's recorded partition column NAMES (manifest
+    * `#partitionby`, written by every commit since the recording was
+    * added) — the piece of layout a by-name mutation (SQL INSERT /
+    * DELETE through [[LakeCatalog]]) needs and the directory keys
+    * alone cannot supply (they carry values, not names). Empty on a
+    * table whose last commit predates the recording: any mutation
+    * through the API (which restates the layout) records it. */
+  def partitionColumns(
+      spark: SparkSession, root: String, version: Int = -1): Seq[String] =
+    manifestAt(spark, root, version).partitionBy
+
+  /** The table's declared per-file-stats / range-cluster columns —
+    * what a full-replace through the SQL plane must restate so an
+    * `INSERT OVERWRITE` does not silently drop the skip-read
+    * declarations every later mutation inherits. */
+  def declaredColumns(
+      spark: SparkSession, root: String,
+      version: Int = -1): (Seq[String], Seq[String]) = {
+    val m = manifestAt(spark, root, version)
+    (m.statsCols, m.clusterBy)
+  }
+
+  /** Append `rows` — plain INSERT semantics: no key, no dedup, every
+    * row lands (SQL `INSERT INTO` through [[LakeCatalog]] routes
+    * here). Partition layout comes from the manifest's recorded
+    * `#partitionby`; only partitions the batch touches are read and
+    * rewritten (merged = live ∪ new, one OCC commit), untouched
+    * directories carry forward — the same bound as [[upsert]] minus
+    * the key anti-join. Returns the new version. */
+  def append(
+      spark: SparkSession, root: String, rows: DataFrame,
+      filesPerPartition: Int = 1): Int = withConflictRetry {
+    val base = manifestAt(spark, root, -1)
+    val partitionBy = base.partitionBy
+    require(partitionBy.nonEmpty,
+      s"table $root has no recorded partition columns (last commit " +
+        "predates the #partitionby recording) — run any API mutation " +
+        "(upsert/deleteWhere/optimize), which restates the layout, " +
+        "before appending by name")
+    val entries = base.entries
+    val tableCols = tableColumns(spark, root, entries, base.schema)
+    require(tableCols.forall(rows.columns.contains),
+      s"append batch is missing table columns " +
+        s"${tableCols.filterNot(rows.columns.contains).mkString(",")}")
+    val projected = rows.select(tableCols.map(col).toSeq: _*)
+    val touchedKeys = touchedCompositeKeys(projected, partitionBy)
+    val liveTouched = entries.filter(e => touchedKeys(e._1))
+    val merged =
+      if (liveTouched.isEmpty) projected
+      else spark.read.option("mergeSchema", "true").parquet(
+          liveTouched.map(e => new Path(root, e._2).toString): _*)
+        .unionByName(projected, allowMissingColumns = true)
+    commitRewrite(spark, root, merged, partitionBy, Some(base),
+      touchedKeys, replaceAll = false, filesPerPartition,
+      crashBeforeCommit = false)
+  }
 
   /** Upsert `updates` (same contract as [[Lake.upsert]]: full schema,
     * unique non-null keys, stable partition per key): rows whose `key`
@@ -1197,7 +1265,7 @@ object SnapshotTable {
           case (k, _) if touchedKeys(k) && !movedKeys(k) => k
         }
       val payload = Manifest(moved, Some(schema), statsCols, clusterBy,
-        newStats, newSizes)
+        newStats, newSizes, partitionBy)
       try {
         commitManifest(spark, root, v, payload,
           if (asDelta) Some(latestV) else None, removed)
@@ -1214,7 +1282,7 @@ object SnapshotTable {
             latestM.map(_.fileStats).getOrElse(Nil)
               .filter(s => carried(s.relPath)) ++ newStats,
             latestM.map(_.fileSizes).getOrElse(Nil)
-              .filter(s => carried(s._1)) ++ newSizes))
+              .filter(s => carried(s._1)) ++ newSizes, partitionBy))
         }
         return v
       } catch {

@@ -84,12 +84,20 @@ class LakeCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM lake.nope_not_bound").collect()
     }
     assert(missing.getMessage.toLowerCase.contains("nope_not_bound"))
+    // DML is live against LATEST (LakeDmlSpec) — but a version-pinned
+    // binding names an immutable state, so INSERT into it dies loudly
+    val (pinName, pinRoot) = freshTable("lakecat-ropin")
+    LakeCatalog.register(spark, pinName, pinRoot, version = Some(1))
     val ro = intercept[Exception] {
-      spark.sql(s"INSERT INTO lake.$name VALUES ('s1', 1, 1)")
+      spark.sql(s"INSERT INTO lake.$pinName VALUES ('s1', 1, 1)")
     }
-    // refusal may surface as our read-only error or as Spark rejecting
-    // a table without write capability — either way the INSERT dies
     assert(ro != null)
+    val ddl = intercept[Exception] {
+      spark.sql(s"DROP TABLE lake.$name")
+    }
+    assert(ddl.getMessage.toLowerCase.contains("read-only") ||
+      ddl.getMessage.toLowerCase.contains("unsupported"),
+      s"DDL must stay refused: ${ddl.getMessage}")
     val tt = intercept[Exception] {
       spark.sql(
         s"SELECT * FROM lake.$name TIMESTAMP AS OF '2026-01-01'").collect()
