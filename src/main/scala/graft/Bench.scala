@@ -43,6 +43,16 @@ import org.apache.spark.sql.SparkSession
   *    reference (tools/spark_meds.tsv, same sf + host only) is named
   *    in the contract line's `suspect` array — `"suspect":[]` is the
   *    attestation that the guard ran and found nothing;
+  *  - settle gate + suspect re-measure tail (round-13 verdict item 2:
+  *    the r13 driver window ran at loadavg 5-7.6 and flagged 16 rows a
+  *    clean window shows at normal levels): the timed section waits —
+  *    bounded by SPARK_GRAFT_BENCH_SETTLE_SEC — for the 1-min load to
+  *    drop under SPARK_GRAFT_BENCH_SETTLE_LOAD, and every pack-window
+  *    suspect gets one more full timed set at the END of the pack
+  *    (after another settle wait); the lower median wins, with the
+  *    contaminated median kept as `med_first` and the tail's size as
+  *    `remeasured` — a row that re-measures high is a real regression
+  *    and stays suspect;
   *  - `baseline_gen`: a content hash of the DuckDB baseline's data
   *    rows rides the contract line, so two rounds' like_for_like
   *    ratios are machine-checkably same-denominator; a baseline whose
@@ -202,8 +212,54 @@ object Bench {
           }.toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+    // Settle gate (round-13 verdict item 2): the r13 driver window ran
+    // at background loadavg 5-7.6 throughout and flagged 16 rows that a
+    // clean window shows at normal levels. Before the timed section —
+    // and again before the suspect re-measure tail below — wait
+    // (bounded) for the 1-min load to drop under the target, so the
+    // measurement defends itself instead of documenting contamination.
+    val settleTarget = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_SETTLE_LOAD", "4.0").toDouble
+    val settleWaitSec = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_SETTLE_SEC", "120").toInt
+    def settle(maxWaitSec: Int): Double = {
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      var l = loadAvg()
+      while (l > settleTarget && System.nanoTime() < deadline) {
+        Thread.sleep(5000)
+        l = loadAvg()
+      }
+      l
+    }
+    settle(settleWaitSec)
+
+    // One query's timed-run set, sorted ascending (a failed run records
+    // -1 and sorts first, poisoning the set — see below). Shared by the
+    // main loop, the spread guard, and the suspect re-measure tail.
+    def timedSetFor(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Seq[Double] = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] WARNING: query '$name' failed: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }.sorted
+
+    def suspectsOf(rs: Seq[BenchRow]): Seq[String] = rs.filter { r =>
+      r.med >= 0 && committedMeds.get(r.name).exists(ref =>
+        r.med > 2.0 * ref && r.med - ref > 0.2)
+    }.map(_.name)
+
     val loadStart = loadAvg()
-    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       // The warmup run is ALSO the shuffle measurement: it starts from a
       // cleared cache, so its shuffle-write bytes are the query's full
       // cold-computation traffic (later warm runs skip exchanges feeding
@@ -223,20 +279,7 @@ object Bench {
       // launder a crash into a plausible number); any failed run marks
       // the query -1 in the artifact and keeps it out of the total, so a
       // broken lane degrades the contract line instead of zeroing it.
-      def timedRuns(): Seq[Double] = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(
-                s"[bench] WARNING: query '$name' failed: " +
-                  s"${e.getClass.getSimpleName}: ${e.getMessage}")
-              false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }.sorted
-      val first = timedRuns()
+      val first = timedSetFor(name, fn)
       // SPREAD GUARD (round-12 verdict item 1): a query whose max/min
       // exceeds 3x (with an absolute floor so 10ms queries' GC jitter
       // doesn't trigger it) was hit by transient interference mid-set —
@@ -249,7 +292,7 @@ object Bench {
       val (times, firstMed) =
         if (!needsRemeasure) (first, None)
         else {
-          val second = timedRuns()
+          val second = timedSetFor(name, fn)
           val m1 = first(first.length / 2)
           val m2 =
             if (second.head < 0) Double.MaxValue
@@ -271,16 +314,47 @@ object Bench {
         else (times.head, times(times.length / 2), times.last)
       BenchRow(name, mn, med, mx, shuf.bytesWritten, qLoad, firstMed)
     }
+    // SUSPECT RE-MEASURE TAIL (round-13 verdict item 2): rows flagged
+    // against their committed clean-window reference get ONE more full
+    // timed set at the END of the pack — after a bounded settle wait —
+    // where transient window contention has usually passed. The lower
+    // median wins; a correction keeps the contaminated pack-window
+    // median as `med_first` so it stays auditable, never silent. A row
+    // that re-measures high is a REAL regression and stays suspect.
+    val packSuspects = suspectsOf(firstPass)
+    val results =
+      if (packSuspects.isEmpty) firstPass
+      else {
+        System.err.println(
+          s"[bench] re-measuring ${packSuspects.size} suspect row(s) " +
+            s"at end of pack: ${packSuspects.mkString(",")}")
+        settle(settleWaitSec)
+        val byName = picked
+        firstPass.map { r =>
+          if (!packSuspects.contains(r.name) || r.med < 0) r
+          else byName.get(r.name).fold(r) { fn =>
+            // warmup repopulates the intra-query cache the pack loop
+            // drained, so the tail measures the same shape as the pack
+            try fn(spark, sfDir).count()
+            catch { case _: Throwable => () }
+            val qLoad = loadAvg()
+            val t = timedSetFor(r.name, fn)
+            spark.catalog.clearCache()
+            val med2 = if (t.head < 0) -1.0 else t(t.length / 2)
+            if (med2 >= 0 && med2 < r.med)
+              r.copy(mn = t.head, med = med2, mx = t.last,
+                load = qLoad, firstMed = Some(r.med))
+            else r
+          }
+        }
+      }
     val loadEnd = loadAvg()
     // SUSPECT marker (round-12 verdict item 1): a med more than 2x its
     // committed clean-window reference (plus an absolute floor) is
     // flagged on the CONTRACT line — the consumer sees "this row is
     // load-contaminated or genuinely regressed, do not grade it as
     // clean" instead of inferring it from spread forensics.
-    val suspects = results.filter { r =>
-      r.med >= 0 && committedMeds.get(r.name).exists(ref =>
-        r.med > 2.0 * ref && r.med - ref > 0.2)
-    }.map(_.name)
+    val suspects = suspectsOf(results)
     val failed = results.filter(_.med < 0).map(_.name)
     val total = results.map(_.med).filter(_ >= 0).sum
     val totalShuf = results.map(_.shuf).sum
@@ -400,7 +474,8 @@ object Bench {
       val over = if (suspects.size > 10)
         s""","+${suspects.size - 10} more"""" else ""
       s""""suspect":${names.mkString("[", ",", "")}$over],""" +
-        s""""suspect_ref_n":${committedMeds.size},"""
+        s""""suspect_ref_n":${committedMeds.size},""" +
+        s""""remeasured":${packSuspects.size},"""
     }
     // `failed` is an AGGREGATE marker: a consumer reading only the
     // contract line sees a degraded run as failed>0 + names, instead of

@@ -164,6 +164,13 @@ object ChangeFeed {
       require(SnapshotTable.hasVersion(spark, root, fromVersion),
         s"version v$fromVersion of $root has been vacuumed — " +
           "resync the consumer from a full read")
+    // an explicitly-passed toVersion gets the same guidance as from:
+    // a vacuumed/never-committed endpoint must not surface as a raw
+    // manifest-read failure
+    if (toVersion >= 0 && toV > 0)
+      require(SnapshotTable.hasVersion(spark, root, toV),
+        s"version v$toV of $root has been vacuumed or never " +
+          "committed — resync the consumer from a full read")
     val oldE: Map[String, String] =
       if (fromVersion == 0) Map.empty
       else SnapshotTable.entriesFor(spark, root, fromVersion).toMap

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
@@ -26,8 +26,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     `stack.py:196-207` pins workgroups to them) — where before this
   *     the [[SnapshotTable]] / [[Snapshots]] layers were API-only
   *     Scala objects;
-  *   - `SELECT … FROM lake.snap_docs VERSION AS OF 3` time-travels
-  *     through the standard DSv2 [[TableCatalog.loadTable]] overload —
+  *   - `SELECT … FROM lake.snap_docs VERSION AS OF 3` (and
+  *     `TIMESTAMP AS OF '…'` — resolved against manifest commit
+  *     mtimes, [[SnapshotTable.versionAtTimestamp]]) time-travels
+  *     through the standard DSv2 [[TableCatalog.loadTable]] overloads —
   *     the same SQL Delta/Iceberg users write;
   *   - `SHOW TABLES IN lake` lists the session's bindings;
   *   - [[graft.security.Rbac.runAs]] can protect a lake table by name:
@@ -125,10 +127,21 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     resolve(ident, Some(v))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF is not supported: snapshot history is keyed by " +
-        "integer version, use VERSION AS OF <n>")
+  /** `TIMESTAMP AS OF <ts>` — DSv2 passes the instant in MICROseconds.
+    * Resolution is [[SnapshotTable.versionAtTimestamp]]: a version's
+    * commit time is its manifest file's mtime (the create-exclusive
+    * publish IS the commit), so no extra metadata is written and both
+    * snapshot layers resolve identically. A timestamp before the
+    * earliest retained commit fails loudly there. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    checkNamespace(ident.namespace())
+    val s = spark
+    val binding = s.conf.getOption(BindingPrefix + ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
+    val (root, _) = parseBinding(binding)
+    val v = SnapshotTable.versionAtTimestamp(s, root, timestamp / 1000L)
+    resolve(ident, Some(v))
+  }
 
   private def resolve(ident: Identifier, versionOverride: Option[Int]): Table = {
     checkNamespace(ident.namespace())
@@ -148,7 +161,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       // DML only against the live table: a VERSION AS OF load or an
       // @vN-pinned binding names an immutable historical state
       LakeTable(s"$display@v$version", root, version, dirs, schema,
-        writable = versionOverride.isEmpty && pinned.isEmpty)
+        writable = versionOverride.isEmpty && pinned.isEmpty,
+        partitionCols = SnapshotTable.partitionColumns(s, root, version))
     } else {
       val vs = Snapshots.versions(s, root)
       if (vs.isEmpty) throw new NoSuchTableException(ident)
@@ -244,7 +258,7 @@ object LakeCatalog {
 final case class LakeTable(
     tableName: String, root: String, snapshotVersion: Int,
     paths: Seq[String], recordedSchema: Option[StructType],
-    writable: Boolean = false)
+    writable: Boolean = false, partitionCols: Seq[String] = Nil)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   @transient private lazy val delegate =
@@ -260,7 +274,14 @@ final case class LakeTable(
 
   override def schema(): StructType = (delegate: Table).schema()
 
-  override def partitioning(): Array[Transform] = Array.empty
+  /** The manifest-recorded partition columns as identity transforms —
+    * what lets a static `INSERT OVERWRITE … PARTITION (k=v)` spec
+    * validate and land as an overwrite-by-filter. Empty for the flat
+    * layer and pre-recording manifests (no declared layout to name). */
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   override def properties(): util.Map[String, String] =
     Map("root" -> root, "version" -> snapshotVersion.toString).asJava
@@ -268,7 +289,8 @@ final case class LakeTable(
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(
@@ -284,20 +306,39 @@ final case class LakeTable(
         "are immutable — DML runs against a SnapshotTable resolved at " +
         "latest (no VERSION AS OF, no @vN binding pin)")
 
-  /** `INSERT INTO` (append) / `INSERT OVERWRITE` (full replace) as a
-    * V1 write: the fallback exists precisely for sinks whose commit is
-    * a driver-side transaction over an already-distributed write —
-    * here [[SnapshotTable.append]]'s touched-partition merge and OCC
-    * manifest publish. The distributed work (shuffle to layout, one
-    * writer task per partition file) happens inside the same
-    * `commitRewrite` every API mutation uses. */
+  /** `INSERT INTO` (append) / `INSERT OVERWRITE` (full replace) /
+    * `INSERT OVERWRITE … PARTITION (k=v)` (partition-scoped replace,
+    * via Spark's overwrite-by-filter) as a V1 write: the fallback
+    * exists precisely for sinks whose commit is a driver-side
+    * transaction over an already-distributed write — here
+    * [[SnapshotTable]]'s touched-partition merges and OCC manifest
+    * publish. The distributed work (shuffle to layout, one writer task
+    * per partition file) happens inside the same `commitRewrite` every
+    * API mutation uses.
+    *
+    * `partitionOverwriteMode=dynamic` is refused LOUDLY by Spark's own
+    * capability check (dynamic overwrite has no V1 fallback — it needs
+    * a real executor-side BatchWrite, which would bypass the manifest
+    * commit): use a static `PARTITION (k=v)` spec — same
+    * partition-scoped result, filter pinned at analysis — or
+    * [[SnapshotTable.overwritePartitions]] for replace-what-the-batch-
+    * contains semantics. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("INSERT")
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
+      // Nil = plain append; Some(filters) = overwrite rows matching
+      // them (AlwaysTrue/empty = full replace — what truncate() maps
+      // to through SupportsOverwrite's default)
+      private var overwriteFilters: Option[Array[sources.Filter]] = None
+      override def truncate(): WriteBuilder = {
+        overwriteFilters = Some(Array.empty); this
+      }
+      override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+        overwriteFilters = Some(filters.filterNot(
+          _.isInstanceOf[sources.AlwaysTrue])); this
+      }
       override def build(): Write = {
-        val ow = overwrite
+        val ow = overwriteFilters
         new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
@@ -309,14 +350,25 @@ final case class LakeTable(
                     "commit predates the #partitionby manifest line); " +
                     "run any API mutation to record the layout, then " +
                     "INSERT by name")
-                if (ow) {
-                  // full replace inherits the table's declarations —
-                  // write() redeclares, so restate them explicitly
-                  val (stats, cluster) =
-                    SnapshotTable.declaredColumns(s, root)
-                  SnapshotTable.write(s, root, data, pby,
-                    statsFor = stats, clusterBy = cluster)
-                } else SnapshotTable.append(s, root, data)
+                ow match {
+                  case None =>
+                    SnapshotTable.append(s, root, data)
+                  case Some(fs) if fs.isEmpty =>
+                    // full replace inherits the table's declarations —
+                    // write() redeclares, so restate them explicitly
+                    val (stats, cluster) =
+                      SnapshotTable.declaredColumns(s, root)
+                    SnapshotTable.write(s, root, data, pby,
+                      statsFor = stats, clusterBy = cluster)
+                  case Some(fs) =>
+                    // PARTITION (k=v) spec: delete-matching + insert in
+                    // ONE commit; untouched partitions carry forward
+                    val pred = LakeFilters.translate(fs).getOrElse(
+                      throw new UnsupportedOperationException(
+                        "untranslatable INSERT OVERWRITE filter: " +
+                          fs.mkString(", ")))
+                    SnapshotTable.overwriteWhere(s, root, data, pred)
+                }
               }
             }
         }

@@ -227,6 +227,52 @@ object SnapshotTable {
   def hasVersion(spark: SparkSession, root: String, v: Int): Boolean =
     fs(spark, root).exists(manifestPath(root, v))
 
+  /** Resolve a wall-clock instant to the version that was LATEST at
+    * that instant — `TIMESTAMP AS OF` resolution ([[LakeCatalog]]'s
+    * DSv2 hook routes here). The commit time of a version IS its
+    * manifest file's modification time: the create-exclusive publish
+    * is the commit, so the filesystem already records exactly the
+    * instant each version became visible — nothing extra is written.
+    * Works for both snapshot layers (flat [[Snapshots]] shares the
+    * `_versions/v%08d.manifest` layout). One `_versions` listing per
+    * call — time travel is an interactive path, not a hot one.
+    *
+    * Loud failures, mirroring Delta's: a timestamp BEFORE the earliest
+    * retained commit (earlier history vacuumed, or the table did not
+    * exist yet) names the boundary instead of silently serving the
+    * oldest version. A timestamp after the newest commit serves the
+    * newest version (the table's state AT that instant). Clock-skewed
+    * mtimes cannot produce a wrong answer, only a conservative one:
+    * the max eligible version is taken, so a version is served only if
+    * its own commit stamp is <= the asked instant. */
+  def versionAtTimestamp(
+      spark: SparkSession, root: String, tsMillis: Long): Int = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    require(f.exists(dir),
+      s"no snapshot-table version committed under $root")
+    val stamped = f.listStatus(dir)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("v") && n.endsWith(".manifest")
+      }
+      .map(s => (s.getPath.getName.stripPrefix("v")
+        .stripSuffix(".manifest").toInt, s.getModificationTime))
+      .sortBy(_._1).toSeq
+    require(stamped.nonEmpty,
+      s"no snapshot-table version committed under $root")
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty, {
+      val (v0, t0) = stamped.head
+      s"timestamp ${java.time.Instant.ofEpochMilli(tsMillis)} predates " +
+        s"the earliest retained commit of $root (v$v0 at " +
+        s"${java.time.Instant.ofEpochMilli(t0)}) — earlier history is " +
+        "vacuumed or the table did not exist yet; use VERSION AS OF " +
+        "or a later timestamp"
+    })
+    eligible.map(_._1).max
+  }
+
   private def latestVersion(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, root)
     val hinted: Option[Int] =
@@ -758,19 +804,25 @@ object SnapshotTable {
         .mkString("/"))
       .toSet
 
-  /** Column set the table currently carries: from a live data
-    * directory when one exists, else from the recorded schema of an
-    * emptied table (so a change batch can still be validated/projected
-    * against the columns the table had before it was emptied). */
+  /** Column set the table currently carries — the manifest's RECORDED
+    * union schema first (commitRewrite maintains it across evolutions;
+    * a single directory footer is NOT authoritative after a
+    * mergeSchema evolution, because an untouched pre-evolution
+    * directory lacks the evolved column and projecting an insert batch
+    * to its columns would silently drop the new column's values).
+    * Footer fallback exists only for pre-recording manifests. */
   private def tableColumns(
       spark: SparkSession, root: String,
       entries: Seq[(String, String)],
-      schema: Option[StructType]): Seq[String] =
-    if (entries.nonEmpty)
-      spark.read.parquet(new Path(root, entries.head._2).toString)
+      schema: Option[StructType]): Seq[String] = schema match {
+    case Some(s) => s.fieldNames.toSeq
+    case None if entries.nonEmpty =>
+      spark.read.option("mergeSchema", "true").parquet(
+          entries.map(e => new Path(root, e._2).toString): _*)
         .columns.toSeq
-    else schema.getOrElse(throw new IllegalStateException(
-      "table has an empty manifest and no recorded schema")).fieldNames.toSeq
+    case None => throw new IllegalStateException(
+      "table has an empty manifest and no recorded schema")
+  }
 
   /** Retry a whole read-merge-stage-commit attempt when a CONCURRENT
     * commit invalidated its merge (overlapping touched partitions):
@@ -1037,6 +1089,48 @@ object SnapshotTable {
           touchedKeys, replaceAll = false, filesPerPartition,
           crashBeforeCommit = false)
       }
+    }
+
+  /** Atomically replace the rows matching `predicate` with `rows` —
+    * the `INSERT OVERWRITE … PARTITION (k=v)` primitive ([[LakeCatalog]]
+    * routes Spark's overwrite-by-filter here): matching rows are
+    * deleted and `rows` inserted in ONE manifest commit, so no reader
+    * ever sees the deleted-but-not-yet-inserted intermediate state a
+    * deleteWhere+append pair would expose. Touched partitions =
+    * partitions holding matching rows ∪ partitions the new rows land
+    * in; everything else carries forward untouched. NULL-predicate
+    * rows are kept (SQL three-valued logic, same as [[deleteWhere]]).
+    * A partition left empty drops out of the manifest. */
+  def overwriteWhere(
+      spark: SparkSession, root: String, rows: DataFrame,
+      predicate: Column, filesPerPartition: Int = 1): Int =
+    withConflictRetry {
+      val base = manifestAt(spark, root, -1)
+      val partitionBy = base.partitionBy
+      require(partitionBy.nonEmpty,
+        s"table $root has no recorded partition columns — run any API " +
+          "mutation (which restates the layout) before overwriting " +
+          "by name")
+      val tableCols = tableColumns(spark, root, base.entries, base.schema)
+      require(tableCols.forall(rows.columns.contains),
+        s"overwrite batch is missing table columns " +
+          s"${tableCols.filterNot(rows.columns.contains).mkString(",")}")
+      val projected = rows.select(tableCols.map(col).toSeq: _*)
+      val touchedKeys =
+        touchedCompositeKeys(read(spark, root).filter(predicate),
+          partitionBy) ++
+          touchedCompositeKeys(projected, partitionBy)
+      val liveTouched = base.entries.filter(e => touchedKeys(e._1))
+      val merged =
+        if (liveTouched.isEmpty) projected
+        else spark.read.option("mergeSchema", "true").parquet(
+            liveTouched.map(e => new Path(root, e._2).toString): _*)
+          .filter(coalesce(!predicate, lit(true)))
+          .unionByName(projected, allowMissingColumns = true)
+          .select(tableCols.map(col).toSeq: _*)
+      commitRewrite(spark, root, merged, partitionBy, Some(base),
+        touchedKeys, replaceAll = false, filesPerPartition,
+        crashBeforeCommit = false)
     }
 
   /** Replace whole partition TUPLES in one commit — the derived-table

@@ -672,6 +672,48 @@ object Corpus {
         FROM v2 GROUP BY source)
       ORDER BY v, source"""))
 
+  /** The change-feed gate (round-13 verdict item 5): the FEED ROWS
+    * themselves, oracle-checked — `ChangeFeed.between(0, 2)` over the
+    * t40 CDC table must produce exactly (v1) every original document
+    * as an insert, and (v2) a delete for each tombstoned doc, plus the
+    * delete+insert pair for each recurated doc — all three sets
+    * re-derivable by the oracle from `documents` arithmetic alone.
+    * This gates the manifest-diff partition naming, the per-vintage
+    * EXCEPT ALL, and the change-column labeling in one query; a feed
+    * that silently dropped a step, mislabeled a change, or leaked an
+    * untouched row hash-mismatches. Scale shape: each step reads only
+    * its touched partitions at the two adjacent versions (the same
+    * bound as the commit that produced it). */
+  private[queries] def changeFeedReplay(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.lake.ChangeFeed
+    val root = cdcRoot(spark, dir)
+    ChangeFeed.between(spark, root, 0, 2)
+      .orderBy(col(ChangeFeed.VersionCol), col(ChangeFeed.ChangeTypeCol),
+        col("doc_id"))
+  }
+
+  val t51_change_feed = Q(
+    "t51_change_feed",
+    (s, dir) => changeFeedReplay(s, dir),
+    Some("""
+      SELECT doc_id, text, lang, n_chars, source,
+             'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      FROM documents
+      UNION ALL
+      SELECT doc_id, text, lang, n_chars, source,
+             'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+      FROM documents
+      WHERE doc_id % 97 = 0 OR (doc_id % 89 = 0 AND doc_id % 97 <> 0)
+      UNION ALL
+      SELECT doc_id, text || ' [recurated]' AS text, lang,
+             CAST(length(text || ' [recurated]') AS BIGINT) AS n_chars,
+             source,
+             'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+      FROM documents
+      WHERE doc_id % 89 = 0 AND doc_id % 97 <> 0
+      ORDER BY _commit_version, _change_type, doc_id"""))
+
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
     * default threshold (0.5), t29's Gopher composite, and a
@@ -1246,5 +1288,6 @@ object Corpus {
       t34_filter_agreement, t37_train_shuffle, t38_quality_budget_sample,
       t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
       t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize,
-      t45_incremental_mv_minmax, t48_lake_sql, t49_mv_distinct)
+      t45_incremental_mv_minmax, t48_lake_sql, t49_mv_distinct,
+      t51_change_feed)
 }

@@ -97,15 +97,39 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
           spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) {
           val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim.toInt
-          finally in.close()
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim
+            finally in.close()
+          // validate loudly: a corrupt pin must say what it is and how
+          // to recover, not surface as a bare NumberFormatException
+          val v = scala.util.Try(content.toInt).getOrElse(
+            throw new IllegalStateException(
+              s"corrupt graft-changes start pin at $p " +
+                s"(content '${content.take(40)}'); delete the " +
+                "checkpoint and restart to re-resolve 'latest'"))
+          require(v >= 1,
+            s"corrupt graft-changes start pin at $p (version $v)")
+          v
         } else {
           val v = SnapshotTable.latest(spark, root).getOrElse(0) + 1
-          val out = fs.create(p, false)
+          // temp-file + rename so a crash mid-write can never leave a
+          // readable-but-partial pin (the KafkaSource initial-offset
+          // pattern); rename is atomic on the same filesystem
+          val tmp = new org.apache.hadoop.fs.Path(
+            metadataPath, s"graft-changes-start.tmp.${System.nanoTime()}")
+          val out = fs.create(tmp, false)
           try out.write(v.toString.getBytes("UTF-8"))
           finally out.close()
-          v
+          if (!fs.rename(tmp, p)) {
+            // a concurrent (re)start won the race: read ITS pin so
+            // every instance of this checkpoint agrees on one start
+            fs.delete(tmp, false)
+            val in = fs.open(p)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim.toInt
+            finally in.close()
+          } else v
         }
       case Some(v) =>
         val n =
@@ -154,11 +178,22 @@ class ChangeFeedSource(
       throw new IllegalStateException(
         s"table $root evolved new column(s) ${extra.mkString(", ")} " +
           "mid-stream; restart the stream to pick up the widened schema")
-    // pre-evolution columns that dropped out of no vintage: align to
-    // the pinned order (between() returns newest-first order already,
-    // but the checkpointed run must be byte-stable against the pin)
-    val aligned = batch.select(pinnedSchema.fieldNames.map(
-      org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
+    // Align to the pinned order (between() returns newest-first order
+    // already, but the checkpointed run must be byte-stable against the
+    // pin). A pinned column MISSING from the batch is legitimate on
+    // restart replay: pinnedSchema is recomputed at the CURRENT latest
+    // on source re-creation, but a pending (offset-logged, uncommitted)
+    // batch replays an older range — if a schema-evolving commit landed
+    // after that range's end, the replayed between() never carries the
+    // new column. Padding NULL (exactly how between() aligns older
+    // vintages) instead of failing keeps the restart from crash-looping
+    // on a checkpoint that can never contain the column.
+    val batchCols = batch.columns.toSet
+    val aligned = batch.select(pinnedSchema.fields.map { f =>
+      if (batchCols(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
     Bridge.streamingFrame(aligned)
   }
 

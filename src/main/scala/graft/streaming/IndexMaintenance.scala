@@ -117,4 +117,54 @@ object IndexMaintenance {
         ()
       }
       .start()
+
+  /** Maintain a stream-owned BM25 postings index by FOLLOWING a
+    * governed [[graft.lake.SnapshotTable]] through the `graft-changes`
+    * streaming source (round-13 verdict item 6) — the production shape
+    * of the maintenance story: the index consumer needs no access to
+    * the upstream ingest feed, only the committed table, and the
+    * checkpoint's resume point IS the table's own version number
+    * ([[ChangeFeedSource]]'s offsets-are-versions contract). Each
+    * drained micro-batch is one-or-more committed versions' insert
+    * rows, appended through the same replay-safe per-batch layout as
+    * [[maintainInvertedIndex]].
+    *
+    * APPEND-ONLY consumer by contract: postings are an additive bag,
+    * so a delete or update pre-image in the feed FAILS the batch
+    * loudly rather than silently leaving stale postings behind — a
+    * corpus that re-curates documents maintains retrieval through
+    * [[graft.operators.TokenizedCorpus]]'s refresh path (which
+    * re-derives touched partitions) or rebuilds, not through this
+    * maintainer. */
+  def followTableIntoInvertedIndex(
+      spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+      indexRoot: String,
+      compactEveryBatches: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    import graft.lake.ChangeFeed
+    spark.readStream.format("graft-changes")
+      .option("root", tableRoot).load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$indexRoot/_maintenance_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val nonInsert = batch
+          .filter(col(ChangeFeed.ChangeTypeCol) =!= ChangeFeed.Insert)
+          .limit(1).count()
+        require(nonInsert == 0,
+          s"change feed of $tableRoot carries deletes/updates — " +
+            "postings are an additive bag; re-curated corpora maintain " +
+            "retrieval via TokenizedCorpus.refresh or a rebuild, not " +
+            "this append-only maintainer")
+        graft.operators.InvertedIndex.appendIdempotent(
+          batch.sparkSession, indexRoot,
+          batch.select(col("doc_id"), col("text")), id)
+        if (compactEveryBatches.exists(k => k > 0 && (id + 1) % k == 0))
+          graft.operators.InvertedIndex.compactBatches(
+            batch.sparkSession, indexRoot)
+        ()
+      }
+      .start()
+  }
 }

@@ -94,6 +94,17 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.netBetween(spark, root, 1, 3).count() == 0)
   }
 
+  test("netBetween validates an explicit toVersion like fromVersion") {
+    val root = tmpDir("cf-net-tov")
+    SnapshotTable.write(spark, root, base(20L), Seq("src"))
+    // never-committed endpoint: actionable resync guidance, not a raw
+    // manifest-read failure (round-14 advice, low)
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.netBetween(spark, root, 0, 99)
+    }
+    assert(e.getMessage.contains("resync"), e.getMessage)
+  }
+
   test("a vacuumed range fails loudly, never silently skips") {
     val root = tmpDir("cf-vacuum")
     SnapshotTable.write(spark, root, base(50L), Seq("src"))

@@ -132,4 +132,54 @@ class LakeCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) ==
       SnapshotTable.read(spark, root).count())
   }
+
+  test("TIMESTAMP AS OF resolves via commit mtimes; boundaries loud") {
+    // round-13 verdict item 7: a version's commit time IS its manifest
+    // file's mtime (the create-exclusive publish is the commit), so
+    // timestamp time travel needs no extra metadata
+    val root = tmpDir("lakecat-ts")
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(30)
+    SnapshotTable.write(spark, root,                          // v1
+      Seq(("s1", 1L)).toDF("src", "k"), Seq("src"))
+    Thread.sleep(30)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    SnapshotTable.upsert(spark, root,                         // v2
+      Seq(("s1", 2L)).toDF("src", "k"), "k", Seq("src"))
+    Thread.sleep(30)
+    val t2 = System.currentTimeMillis()
+
+    // API boundaries
+    assert(SnapshotTable.versionAtTimestamp(spark, root, t1) == 1)
+    assert(SnapshotTable.versionAtTimestamp(spark, root, t2) == 2)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.versionAtTimestamp(spark, root, t0)
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+
+    // the SQL surface: literal parses in the session's UTC zone
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "lakecat_ts", root)
+    def lit(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).toString
+        .replace("T", " ").replace("Z", "")
+    assert(spark.sql("SELECT count(*) FROM lake.lakecat_ts " +
+      s"TIMESTAMP AS OF '${lit(t1)}'").collect()(0).getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM lake.lakecat_ts " +
+      s"TIMESTAMP AS OF '${lit(t2)}'").collect()(0).getLong(0) == 2)
+    val sqlErr = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM lake.lakecat_ts " +
+        s"TIMESTAMP AS OF '${lit(t0)}'").collect()
+    }
+    assert(sqlErr.getMessage.contains("predates") ||
+      Option(sqlErr.getCause).exists(_.getMessage.contains("predates")),
+      sqlErr.toString)
+    // a timestamp-resolved table is a historical state: read-only
+    val dml = intercept[Exception] {
+      spark.sql("INSERT INTO lake.lakecat_ts " +
+        s"TIMESTAMP AS OF '${lit(t1)}' VALUES ('s1', 9)")
+    }
+    assert(dml != null)
+  }
 }

@@ -99,6 +99,65 @@ class LakeDmlSpec extends SparkSpec {
       "no refused statement may have committed")
   }
 
+  test("INSERT INTO after schema evolution keeps the evolved value") {
+    // Round-14 advice (high): append() used to derive the table's
+    // column set from ONE data directory footer — after a mergeSchema
+    // evolution that directory is typically pre-evolution, so the
+    // projection silently dropped the inserted row's evolved-column
+    // value (SQL accepted it, NULL landed). The column set now comes
+    // from the manifest's recorded union schema.
+    val (name, root) = freshTable()
+    // evolve partition s2 only: s0/s1/s3 directories stay pre-evolution
+    SnapshotTable.upsert(spark, root,
+      Seq(("s2", 9999L, 1L, 5L)).toDF("src", "k", "v", "extra"),
+      "k", Seq("src"), mergeSchema = true)
+    spark.sql(s"INSERT INTO lake.$name VALUES ('s0', 7000, 1, 77)")
+    val got = spark.sql(
+      s"SELECT extra FROM lake.$name WHERE k = 7000").collect()
+    assert(got.length == 1 && !got(0).isNullAt(0) &&
+      got(0).getLong(0) == 77L,
+      s"evolved column dropped by INSERT: ${got.mkString(",")}")
+  }
+
+  test("INSERT OVERWRITE PARTITION replaces only that partition") {
+    val (name, root) = freshTable()
+    spark.sql(s"INSERT OVERWRITE lake.$name PARTITION (src = 's1') " +
+      "SELECT id, id * 2 FROM range(3)")
+    val live = SnapshotTable.read(spark, root)
+    assert(live.filter($"src" === "s1").count() == 3,
+      "the named partition must be replaced wholesale")
+    assert(live.filter($"src" =!= "s1").count() == 75,
+      "other partitions must carry forward")
+    // one commit, carried forward = same directories, not rewritten
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2),
+      "partition overwrite must be ONE atomic commit")
+    val e1 = SnapshotTable.entriesFor(spark, root, 1).toMap
+    val e2 = SnapshotTable.entriesFor(spark, root, 2).toMap
+    Seq("s0", "s2", "s3").foreach { s =>
+      assert(e1(s) == e2(s), s"partition overwrite rewrote untouched $s")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100, "history intact")
+  }
+
+  test("partitionOverwriteMode=dynamic is refused with guidance") {
+    val (name, _) = freshTable()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // Spark's own capability check refuses this loudly (dynamic
+      // overwrite has no V1 fallback — it would bypass the manifest
+      // commit); the supported routes are the static PARTITION spec
+      // or SnapshotTable.overwritePartitions
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE lake.$name VALUES ('s1', 1, 2)")
+      }
+      assert(Option(e.getMessage).exists(
+        _.toLowerCase.contains("dynamic overwrite")),
+        s"expected the loud dynamic-overwrite refusal, got: $e")
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("SQL and API mutations interleave on one version line") {
     val (name, root) = freshTable()
     spark.sql(s"INSERT INTO lake.$name VALUES ('s1', 1000, 1)")

@@ -44,6 +44,37 @@ class ReviewRegressionSpec extends SparkSpec {
       .collect()(0).getString(0) == "a2")
   }
 
+  test("append after evolution keeps the evolved column's values") {
+    // Round-14 advice (high): tableColumns read ONE directory footer;
+    // after a mergeSchema evolution an untouched pre-evolution
+    // directory lacks the evolved column, so append()'s projection
+    // silently dropped the batch's values for it. The column set now
+    // comes from the manifest's recorded union schema.
+    val root = tmpDir("rr-append-evolved")
+    SnapshotTable.write(spark, root,
+      Seq((1L, "a", "s1"), (2L, "b", "s2")).toDF("id", "v", "src"),
+      Seq("src"))
+    // evolve s2 only — s1's directory stays pre-evolution, and entry
+    // order made it the footer the old code read
+    SnapshotTable.upsert(spark, root,
+      Seq((2L, "b2", "s2", 42L)).toDF("id", "v", "src", "extra"),
+      "id", Seq("src"), mergeSchema = true)
+    SnapshotTable.append(spark, root,
+      Seq((3L, "c", "s1", 7L)).toDF("id", "v", "src", "extra"))
+    val got = SnapshotTable.read(spark, root)
+      .filter($"id" === 3L).select($"extra").collect()
+    assert(got.length == 1 && !got(0).isNullAt(0) &&
+      got(0).getLong(0) == 7L,
+      s"append dropped the evolved column: ${got.mkString(",")}")
+    // and a batch MISSING the evolved column fails loudly instead of
+    // silently narrowing the table
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root,
+        Seq((4L, "d", "s1")).toDF("id", "v", "src"))
+    }
+    assert(e.getMessage.contains("extra"), e.getMessage)
+  }
+
   test("crashed-then-superseded refresh cannot resurrect stale partials") {
     // Refresh R1's sidecar commit lands but its view commit dies; the
     // base then advances AGAIN before the replay. R1's partials are

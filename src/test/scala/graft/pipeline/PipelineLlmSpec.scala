@@ -166,6 +166,52 @@ class PipelineLlmSpec extends SparkSpec {
     assert(batchDirs(s"$workDir/index/dedup/bands") == 0)
   }
 
+  test("postings maintenance driven purely by the governed table's change feed") {
+    // Round-13 verdict item 6: the production shape — the index
+    // consumer follows the GOVERNED curated table itself through
+    // format("graft-changes") (offsets ARE table versions), no access
+    // to the upstream ingest feed. Two commits, two drains of the same
+    // checkpointed stream; the probes must stay row-identical to the
+    // inline t31 ranking over the table's full live state.
+    import org.apache.spark.sql.functions._
+    import graft.lake.SnapshotTable
+    import graft.operators.InvertedIndex
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        concat(lit("s"), pmod(col("doc_id"), lit(4L)).cast("string"))
+          .as("src"))
+    val tableRoot = tmpDir("cfgov-table")
+    val invRoot = tmpDir("cfgov-inv")
+    SnapshotTable.write(spark, tableRoot,
+      docs.filter(col("doc_id") % 10 =!= 0), Seq("src"))     // v1: 90%
+    def drain(): Unit = {
+      val q = graft.streaming.IndexMaintenance
+        .followTableIntoInvertedIndex(spark, tableRoot, invRoot)
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    SnapshotTable.upsert(spark, tableRoot,                   // v2: +10%
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", Seq("src"))
+    drain()
+    InvertedIndex.compactBatches(spark, invRoot)
+    val served = InvertedIndex.probe(spark, invRoot,
+      Search.Bm25Terms).collect().toSeq
+    val inline = Search.t31_bm25.run(spark, sfDir).collect().toSeq
+    assert(inline.nonEmpty)
+    assert(served == inline,
+      s"change-feed-maintained index diverged: ${served.size} vs " +
+        s"${inline.size} rows")
+    // and a feed carrying a delete fails the maintainer loudly
+    SnapshotTable.deleteWhere(spark, tableRoot,
+      col("doc_id") === 7L, Seq("src"))                      // v3
+    val e = intercept[Exception] { drain() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(
+      _.contains("additive bag"))),
+      s"expected the append-only refusal, got: $e")
+  }
+
   test("work-dir ANN index answers probes like the batch query") {
     val batch = Similarity.s05_ann_index.run(spark, sfDir).collect().toSeq
     val piped = annHits.collect().toSeq

@@ -88,6 +88,51 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"expected the vacuumed-version error, got: $e")
   }
 
+  test("restart replay pads columns evolved after the replayed range") {
+    // Round-14 advice (medium): on restart, pinnedSchema is recomputed
+    // at the CURRENT latest, but a pending offset-logged batch replays
+    // an older range. If a schema-evolving commit landed after that
+    // range's end, the replayed between() can never carry the new
+    // column — select used to throw unresolved-column on every
+    // restart, a crash loop only fixable by discarding the checkpoint.
+    val root = tmpDir("cfs-replaypad")
+    SnapshotTable.write(spark, root, base(12L), Seq("src"))        // v1
+    SnapshotTable.upsert(spark, root,                              // v2
+      Seq(("s1", 1L, 7L, "x")).toDF("src", "k", "v", "w"),
+      "k", Seq("src"), mergeSchema = true)
+    // a source created NOW pins the evolved schema; the replayed
+    // pending batch covers (0, 1] which predates column w
+    val src = new ChangeFeedSource(spark, root, 1)
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val batch = src.getBatch(None, LongOffset(1L))
+    assert(batch.schema.fieldNames.toSeq ==
+      src.schema.fieldNames.toSeq,
+      s"replayed batch must match the pinned schema: ${batch.schema}")
+    assert(batch.schema.fieldNames.contains("w"),
+      "the post-range evolved column must be padded, not dropped")
+  }
+
+  test("a corrupt latest-start pin fails with actionable guidance") {
+    val root = tmpDir("cfs-pin")
+    val ckpt = tmpDir("cfs-pin-ckpt")
+    SnapshotTable.write(spark, root, base(8L), Seq("src"))
+    // plant garbage where the pin lives (sources/0 is the V1 source's
+    // metadata dir under the checkpoint)
+    val meta = new java.io.File(ckpt, "sources/0")
+    assert(meta.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(meta, "graft-changes-start").toPath,
+      "12garbage".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      drain(root, ckpt, Map("startingVersion" -> "latest"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("corrupt") && m.contains("delete the"))),
+      s"expected the corrupt-pin guidance, got: $e")
+  }
+
   test("offsets are versions: the checkpoint pins the resume point") {
     val root = tmpDir("cfs-offsets")
     val ckpt = tmpDir("cfs-offsets-ckpt")
