@@ -50,6 +50,33 @@ object ChangeFeed {
   val VersionCol = "_commit_version"
   val Insert = "insert"
   val Delete = "delete"
+  val UpdatePre = "update_preimage"
+  val UpdatePost = "update_postimage"
+
+  /** Delta-CDF-style update pairing over a feed frame: within one
+    * committed version, a delete and an insert sharing `key` are the
+    * two faces of ONE update — relabel them [[UpdatePre]] /
+    * [[UpdatePost]] so consumers that treat updates specially (audit
+    * trails, before/after diffs) need no self-join. Keys with only one
+    * face in a version (a true insert or delete), or with several
+    * (duplicate-key tables), keep their raw labels — pairing is only
+    * claimed where it is unambiguous. Pure frame transform, composable
+    * with [[between]] / [[netBetween]] / the streaming source's
+    * batches; cost is one feed-sized shuffle on (version, key). */
+  def withUpdatePairs(changes: DataFrame, key: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(VersionCol), col(key))
+    val nDel = sum(when(col(ChangeTypeCol) === Delete, 1L)
+      .otherwise(0L)).over(w)
+    val nIns = sum(when(col(ChangeTypeCol) === Insert, 1L)
+      .otherwise(0L)).over(w)
+    changes
+      .withColumn(ChangeTypeCol,
+        when(nDel === 1L && nIns === 1L,
+          when(col(ChangeTypeCol) === Delete, lit(UpdatePre))
+            .otherwise(lit(UpdatePost)))
+          .otherwise(col(ChangeTypeCol)))
+  }
 
   /** Changes committed AFTER `fromVersion`, up to and including
     * `toVersion` (default: latest), labeled per committing version —

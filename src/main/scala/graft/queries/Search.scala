@@ -744,15 +744,30 @@ object Search {
       .withColumn("src",
         concat(lit("p"), pmod(col("doc_id"), lit(8L)).cast("string")))
 
-  /** Build-once tokenized materialization of the Zipf corpus. */
+  /** Build-once tokenized materialization of the Zipf corpus.
+    * `variant` separates INDEPENDENT copies of the corpus (e.g.
+    * `graft.tools.MaintBench` mutates its own "_maint" copy with CDC
+    * batches) — the GATE's copy must stay the pure derivation or the
+    * oracle cannot re-derive it. Self-heal: the pure build commits
+    * exactly v1, so any other version line means something mutated
+    * this root (round-14 bug: MaintBench upserted synthetic docs into
+    * the shared gate root and t50 hash-mismatched at sf0.1 only) —
+    * rebuild instead of serving an underivable corpus. */
   def zipfTokRoot(
-      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      variant: String = ""): String = {
     import graft.lake.SnapshotTable
     import graft.operators.TokenizedCorpus
     val baseRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
-      "graft_zipf_base_v1")
+      s"graft_zipf${variant}_base_v1")
     val tokRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
-      "graft_zipf_tok_v1")
+      s"graft_zipf${variant}_tok_v1")
+    if (SnapshotTable.versions(spark, baseRoot) != Seq(1)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(baseRoot))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tokRoot))
+    }
     if (SnapshotTable.versions(spark, baseRoot).isEmpty)
       SnapshotTable.write(spark, baseRoot,
         zipfCorpus(Tables(spark, dir, "documents")), Seq("src"))

@@ -59,15 +59,19 @@ object MaintBench {
       val sf = new java.io.File(sfDir).getName
 
       // --- Zipf corpus: cold build, then served vs inline -------------
+      // OWN "_maint" copy of the corpus: the CDC upserts below mutate
+      // the base, and the t50 GATE's copy must stay the pure
+      // derivation the DuckDB oracle re-derives (round-14 bug: this
+      // bench shared the gate roots and t50 hash-mismatched at sf0.1)
       val zipfBase = graft.core.IndexRoot.of(sfDir, "documents.parquet",
-        "graft_zipf_base_v1")
+        "graft_zipf_maint_base_v1")
       val zipfTok = graft.core.IndexRoot.of(sfDir, "documents.parquet",
-        "graft_zipf_tok_v1")
+        "graft_zipf_maint_tok_v1")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(zipfBase))
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(zipfTok))
-      val (buildS, _) = time { Search.zipfTokRoot(spark, sfDir) }
+      val (buildS, _) = time { Search.zipfTokRoot(spark, sfDir, "_maint") }
       val queries = Search.zipfQueriesDf(spark)
       // warmup both shapes once, then med/3
       Search.bm25BatchFromTokenized(spark, zipfTok, queries,

@@ -94,6 +94,38 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.netBetween(spark, root, 1, 3).count() == 0)
   }
 
+  test("withUpdatePairs relabels exactly the unambiguous update pairs") {
+    val root = tmpDir("cf-updpairs")
+    SnapshotTable.write(spark, root, base(60L), Seq("src"))
+    // v2: one update (k=5 gets a new v), one delete (k=7), one brand-new
+    // key (k=1000) — all in one applyChanges commit
+    val changes = Seq(
+      ("s1", 5L, 999L, "u"), ("s3", 7L, 0L, "d"), ("s0", 1000L, 1L, "u"))
+      .toDF("src", "k", "v", "op")
+    SnapshotTable.applyChanges(spark, root, changes, "k", Seq("src"),
+      opCol = "op")
+    val feed = ChangeFeed.withUpdatePairs(
+      ChangeFeed.between(spark, root, 1), "k")
+    def types(k: Long): Set[String] = feed.filter($"k" === k)
+      .select(ChangeFeed.ChangeTypeCol).collect()
+      .map(_.getString(0)).toSet
+    assert(types(5L) ==
+      Set(ChangeFeed.UpdatePre, ChangeFeed.UpdatePost),
+      s"updated key must pair: ${types(5L)}")
+    assert(types(7L) == Set(ChangeFeed.Delete),
+      "a true delete keeps its raw label")
+    assert(types(1000L) == Set(ChangeFeed.Insert),
+      "a true insert keeps its raw label")
+    // the pre/post images carry the old and new values respectively
+    val pre = feed.filter($"k" === 5L &&
+      col(ChangeFeed.ChangeTypeCol) === ChangeFeed.UpdatePre)
+      .select("v").collect()(0).getLong(0)
+    val post = feed.filter($"k" === 5L &&
+      col(ChangeFeed.ChangeTypeCol) === ChangeFeed.UpdatePost)
+      .select("v").collect()(0).getLong(0)
+    assert(pre == 5L * 7 % 31 && post == 999L, s"pre=$pre post=$post")
+  }
+
   test("netBetween validates an explicit toVersion like fromVersion") {
     val root = tmpDir("cf-net-tov")
     SnapshotTable.write(spark, root, base(20L), Seq("src"))
