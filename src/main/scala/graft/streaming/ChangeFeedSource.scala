@@ -148,10 +148,21 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
 }
 
 /** One running stream over one table root; `startingVersion` is the
-  * first version whose changes this stream serves. */
+  * first version whose changes this stream serves.
+  *
+  * Implements [[SupportsTriggerAvailableNow]] the way KafkaSource (a
+  * V1 source on the same seam) does, so `Trigger.AvailableNow` gets
+  * its EXACT contract instead of the engine's single-batch fallback:
+  * the drain's end version is pinned once at `prepareForTrigger
+  * AvailableNow`, commits landing DURING the drain are left for the
+  * next run, and the engine's admission-control path
+  * ([[latestOffset]]) serves both AvailableNow and continuous
+  * triggers from one code path. */
 class ChangeFeedSource(
     spark: SparkSession, root: String, startingVersion: Int)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
 
   private val pinnedSchema = ChangeFeed.feedSchema(spark, root)
 
@@ -168,6 +179,35 @@ class ChangeFeedSource(
       case Some(v) if v >= startingVersion => Some(LongOffset(v.toLong))
       case _ => None
     }
+
+  // --- admission control (the engine prefers this over getOffset) ---
+
+  /** The version an AvailableNow run drains TO, pinned at prepare
+    * time; None outside AvailableNow. */
+  private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(SnapshotTable.latest(spark, root).getOrElse(0))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): OffsetV2 =
+    LongOffset(startingVersion - 1L)
+
+  /** Null = no new data (the admission-control contract). A commit
+    * landing after an AvailableNow prepare is NOT served this run.
+    * `start` is null on a fresh checkpoint's first batch (the engine
+    * passes the prior committed offset, not [[initialOffset]]). */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur = availableNowTarget.getOrElse(
+      SnapshotTable.latest(spark, root).getOrElse(0))
+    val startV =
+      if (start == null) startingVersion - 1L
+      else start.json.trim.toLong
+    if (cur >= startingVersion && cur > startV) LongOffset(cur.toLong)
+    else null
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion - 1)

@@ -133,6 +133,26 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"expected the corrupt-pin guidance, got: $e")
   }
 
+  test("AvailableNow pins its end version at prepare time") {
+    // the exact Trigger.AvailableNow contract (not the single-batch
+    // fallback): a commit landing AFTER prepare is left for the next
+    // run — the drain's target is pinned, like KafkaSource's
+    val root = tmpDir("cfs-an")
+    SnapshotTable.write(spark, root, base(10L), Seq("src"))        // v1
+    SnapshotTable.upsert(spark, root,                              // v2
+      Seq(("s1", 1L, 50L)).toDF("src", "k", "v"), "k", Seq("src"))
+    val src = new ChangeFeedSource(spark, root, 1)
+    src.prepareForTriggerAvailableNow()
+    SnapshotTable.upsert(spark, root,                              // v3
+      Seq(("s2", 2L, 60L)).toDF("src", "k", "v"), "k", Seq("src"))
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val end = src.latestOffset(src.initialOffset(), ReadLimit.allAvailable())
+    assert(end != null && end.json.trim.toLong == 2L,
+      s"AvailableNow must drain to the PREPARED version (2), got $end")
+    // drained to the pin: nothing more this run
+    assert(src.latestOffset(end, ReadLimit.allAvailable()) == null)
+  }
+
   test("offsets are versions: the checkpoint pins the resume point") {
     val root = tmpDir("cfs-offsets")
     val ckpt = tmpDir("cfs-offsets-ckpt")
