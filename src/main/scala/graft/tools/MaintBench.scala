@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *                         current (pure metadata)
   *  - `tok_refresh_1p`     refresh after a single-partition CDC batch
   *                         (med/3, fresh batch each run)
+  *  - `cdc_feed_step`      ChangeFeed.between(v-1, v) after a
+  *                         single-partition commit (med/3) — the
+  *                         consumer-side cost of following a governed
+  *                         table, O(touched bytes)
   *  - `mv_refresh_1p`      MaterializedAgg.refresh after a
   *                         single-partition upsert (med/3)
   *  - `optimize_plan`      SnapshotTable.optimize when every partition
@@ -111,6 +115,20 @@ object MaintBench {
         }._1
       }.sorted.apply(1)
 
+      // --- change-feed step after a 1-partition commit -----------------
+      // the consumer-side cost of following a governed table: deriving
+      // one version step's changes reads the touched partition at the
+      // two adjacent versions (manifest-diff names it; EXCEPT ALL both
+      // ways) — O(touched bytes), untouched partitions never listed
+      val feedStep = (1 to 3).map { _ =>
+        onePartitionBatch()
+        val latest = graft.lake.SnapshotTable.latest(spark, zipfBase).get
+        time {
+          graft.lake.ChangeFeed.between(spark, zipfBase, latest - 1, latest)
+            .count()
+        }._1
+      }.sorted.apply(1)
+
       // --- MaterializedAgg refresh after a 1-partition upsert ---------
       val mvBase = graft.core.IndexRoot.of(sfDir, "documents.parquet",
         "graft_maint_mvbase_v1")
@@ -150,6 +168,7 @@ object MaintBench {
         s""""zipf_served":${f(servedS)},"zipf_inline":${f(inlineS)},""" +
         s""""tok_refresh_noop":${f(noopS)},""" +
         s""""tok_refresh_1p":${f(tokRefresh1p)},""" +
+        s""""cdc_feed_step":${f(feedStep)},""" +
         s""""mv_refresh_1p":${f(mvRefresh1p)},""" +
         s""""optimize_plan":${f(optPlanS)}}""")
     }
