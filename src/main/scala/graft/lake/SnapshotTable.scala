@@ -790,6 +790,82 @@ object SnapshotTable {
     else ExternalCatalogUtils.escapePathName(rendered)
   }
 
+  private def unescapeKey(segment: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (segment == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+    else ExternalCatalogUtils.unescapePathName(segment)
+  }
+
+  /** When `predicate` references ONLY partition columns, the manifest's
+    * keys already carry every value needed to name the touched
+    * partitions — evaluate the predicate over one tiny driver-built
+    * frame of partition tuples (unescaped key segments cast to the
+    * recorded types) and return the matching escaped keys. None when
+    * the predicate needs data columns, carries a subquery, uses
+    * qualified names, or a value does not round-trip through its
+    * recorded type — callers fall back to the data scan. The point is
+    * metadata I/O at scale: a partition-column DELETE / partition-spec
+    * INSERT OVERWRITE must discover its touched directories from the
+    * manifest alone (O(partitions) driver work), not by opening every
+    * file's footer of a 100 TB table. NULL-predicate tuples do not
+    * match (SQL three-valued logic, same as the data-scan path);
+    * `col IS NULL` matches the null partition. */
+  private def partitionKeysMatching(
+      spark: SparkSession, base: Manifest,
+      predicate: Column): Option[Set[String]] = {
+    val pby = base.partitionBy
+    val keyCol = "__graft_key"
+    val rawPfx = "__graft_raw_"
+    if (pby.isEmpty || pby.exists(c => c == keyCol || c.startsWith(rawPfx)))
+      return None
+    val types: Map[String, DataType] = base.schema
+      .map(s => s.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    val keys = base.entries.map(_._1).distinct
+    if (keys.exists(_.split("/", -1).length != pby.length))
+      return None // malformed key: be safe, use the data scan
+    val rows = keys.map { k =>
+      org.apache.spark.sql.Row.fromSeq(
+        k +: k.split("/", -1).map(unescapeKey).toSeq)
+    }
+    val rawSchema = StructType(
+      org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      pby.map(c => org.apache.spark.sql.types.StructField(
+        s"$rawPfx$c", org.apache.spark.sql.types.StringType)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), rawSchema)
+    val typedCols =
+      Seq(col(keyCol)) ++
+        pby.map(c => col(s"$rawPfx$c").cast(types.getOrElse(c,
+          org.apache.spark.sql.types.StringType)).as(c)) ++
+        pby.map(c => col(s"$rawPfx$c"))
+    val typed = raw.select(typedCols: _*)
+    // a rendered value that does not survive the cast would silently
+    // drop its partition from the match — fall back to the data scan
+    val lossy = pby.map(c => col(c).isNull && col(s"$rawPfx$c").isNotNull)
+      .reduce(_ || _)
+    if (typed.filter(lossy).limit(1).count() > 0) return None
+    // whether the predicate is partition-column-only is decided by
+    // ANALYSIS, not tree inspection (the Column API hands us a lazy
+    // ColumnNode wrapper): resolving it against a frame that has ONLY
+    // the partition columns fails exactly when a data column is
+    // referenced — that failure IS the fallback signal
+    try {
+      val filtered = typed.filter(predicate)
+      val analyzed = filtered.queryExecution.analyzed
+      // a non-deterministic predicate (rand() < x) matches per ROW in
+      // the data-scan path but per PARTITION here — different
+      // semantics, so it must take the scan path
+      if (analyzed.exists(_.expressions.exists(e => !e.deterministic)))
+        None
+      else Some(filtered.select(keyCol).collect()
+        .map(_.getString(0)).toSet)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+  }
+
   /** Distinct composite keys of `df`'s partition tuples — each column
     * rendered by Spark's own cast-to-string, escaped, "/"-joined: the
     * exact strings [[commitRewrite]] reads off the staged directory
@@ -1069,25 +1145,40 @@ object SnapshotTable {
     withConflictRetry {
       val base = manifestAt(spark, root, -1)
       val entries = base.entries
-      val all = read(spark, root)
-      val touchedKeys =
-        touchedCompositeKeys(all.filter(predicate), partitionBy)
+      // partition-column predicates resolve their touched set from the
+      // MANIFEST alone (the 100 TB shape for `DELETE WHERE date = …`):
+      // a partition's values either all match or none do, so matching
+      // partitions drop WHOLESALE — the commit is pure metadata, zero
+      // data or footer I/O (Hive's DROP PARTITION cost). Anything else
+      // scans for matches and rewrites the touched partitions.
+      val pruned = partitionKeysMatching(spark, base, predicate)
+      val touchedKeys = pruned.getOrElse(touchedCompositeKeys(
+        read(spark, root).filter(predicate), partitionBy))
       val liveTouched = entries.filter(e => touchedKeys(e._1))
       // nothing matched: the current version IS the result — an identical
       // re-commit would only mint garbage for vacuum
       if (liveTouched.isEmpty) versions(spark, root).last
-      else {
-        // mergeSchema like every other touched-partition read: after an
-        // evolving upsert the touched directories can span schema
-        // vintages, and a footer-arbitrary narrow read here would
-        // silently drop the evolved column from the rewritten
-        // partitions (round-9 advice item 2)
-        val kept = spark.read.option("mergeSchema", "true").parquet(
-            liveTouched.map(e => new Path(root, e._2).toString): _*)
-          .filter(coalesce(!predicate, lit(true)))
-        commitRewrite(spark, root, kept, partitionBy, Some(base),
-          touchedKeys, replaceAll = false, filesPerPartition,
-          crashBeforeCommit = false)
+      else (pruned, base.schema) match {
+        case (Some(_), Some(schema)) =>
+          // whole-partition drop: nothing survives in the touched dirs
+          commitRewrite(spark, root,
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              schema),
+            partitionBy, Some(base), touchedKeys, replaceAll = false,
+            filesPerPartition, crashBeforeCommit = false)
+        case _ =>
+          // mergeSchema like every other touched-partition read: after an
+          // evolving upsert the touched directories can span schema
+          // vintages, and a footer-arbitrary narrow read here would
+          // silently drop the evolved column from the rewritten
+          // partitions (round-9 advice item 2)
+          val kept = spark.read.option("mergeSchema", "true").parquet(
+              liveTouched.map(e => new Path(root, e._2).toString): _*)
+            .filter(coalesce(!predicate, lit(true)))
+          commitRewrite(spark, root, kept, partitionBy, Some(base),
+            touchedKeys, replaceAll = false, filesPerPartition,
+            crashBeforeCommit = false)
       }
     }
 
@@ -1116,18 +1207,34 @@ object SnapshotTable {
         s"overwrite batch is missing table columns " +
           s"${tableCols.filterNot(rows.columns.contains).mkString(",")}")
       val projected = rows.select(tableCols.map(col).toSeq: _*)
+      // same manifest-only fast path as deleteWhere: the SQL
+      // `INSERT OVERWRITE … PARTITION (k=v)` predicate is always
+      // partition-column-only, so the touched set needs no data scan,
+      // and a partition matching the predicate contributes NOTHING to
+      // the rewrite — only dirs the new rows land in that do NOT match
+      // need their live rows read and merged
+      val pruned = partitionKeysMatching(spark, base, predicate)
+      val matchedKeys = pruned.getOrElse(touchedCompositeKeys(
+        read(spark, root).filter(predicate), partitionBy))
       val touchedKeys =
-        touchedCompositeKeys(read(spark, root).filter(predicate),
-          partitionBy) ++
-          touchedCompositeKeys(projected, partitionBy)
+        matchedKeys ++ touchedCompositeKeys(projected, partitionBy)
       val liveTouched = base.entries.filter(e => touchedKeys(e._1))
+      val keepDirs =
+        if (pruned.isDefined) liveTouched.filterNot(e => matchedKeys(e._1))
+        else liveTouched
       val merged =
-        if (liveTouched.isEmpty) projected
-        else spark.read.option("mergeSchema", "true").parquet(
-            liveTouched.map(e => new Path(root, e._2).toString): _*)
-          .filter(coalesce(!predicate, lit(true)))
-          .unionByName(projected, allowMissingColumns = true)
-          .select(tableCols.map(col).toSeq: _*)
+        if (keepDirs.isEmpty) projected
+        else {
+          val live = spark.read.option("mergeSchema", "true").parquet(
+            keepDirs.map(e => new Path(root, e._2).toString): _*)
+          // under the fast path none of keepDirs' rows can match (their
+          // partition values did not); the residual filter is only for
+          // the data-scan fallback
+          (if (pruned.isDefined) live
+           else live.filter(coalesce(!predicate, lit(true))))
+            .unionByName(projected, allowMissingColumns = true)
+            .select(tableCols.map(col).toSeq: _*)
+        }
       commitRewrite(spark, root, merged, partitionBy, Some(base),
         touchedKeys, replaceAll = false, filesPerPartition,
         crashBeforeCommit = false)

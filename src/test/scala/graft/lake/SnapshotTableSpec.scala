@@ -120,6 +120,79 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root, v3).count() == n0 - victims)
   }
 
+  test("partition-column DELETE is pure metadata: no data file opened") {
+    // Round 14: a predicate over partition columns resolves its
+    // touched set from the MANIFEST (a partition's values either all
+    // match or none do), and the matching partitions drop WHOLESALE —
+    // the commit reads no parquet at all. Proven destructively: every
+    // data file of the to-be-dropped partition is garbage on disk,
+    // and the delete still succeeds; survivors read back intact.
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("snap-metadel")
+    val df = spark.range(40L).select(
+      concat(lit("s"), (col("id") % 4).cast("string")).as("src"),
+      col("id").as("k"))
+    SnapshotTable.write(spark, root, df, Seq("src"))
+    val dir = SnapshotTable.entriesFor(spark, root, 1).toMap.apply("s2")
+    new java.io.File(root, dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.write(Paths.get(f.getPath),
+        "garbage".getBytes("UTF-8")))
+    import spark.implicits._
+    SnapshotTable.deleteWhere(spark, root, $"src" === "s2", Seq("src"))
+    val live = SnapshotTable.read(spark, root)
+    assert(live.filter($"src" === "s2").count() == 0)
+    assert(live.count() == 30, "survivors must be intact")
+    // data-column predicates still take the scan path and work
+    SnapshotTable.deleteWhere(spark, root, $"k" === 1L, Seq("src"))
+    assert(SnapshotTable.read(spark, root).count() == 29)
+  }
+
+  test("partition predicates match typed values and the null partition") {
+    import spark.implicits._
+    val root = tmpDir("snap-typednull")
+    val df = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("p", "v")
+      .withColumn("p", when($"p" === 3L, lit(null)).otherwise($"p"))
+    SnapshotTable.write(spark, root, df, Seq("p"))
+    // numeric comparison on the partition column: manifest values cast
+    // back to the recorded LONG type, so p < 2 is a numeric match, not
+    // a string-prefix accident
+    SnapshotTable.deleteWhere(spark, root, $"p" < 2L, Seq("p"))
+    assert(SnapshotTable.read(spark, root).select("v").collect()
+      .map(_.getString(0)).toSet == Set("c", "d"))
+    // IS NULL names the null partition
+    SnapshotTable.deleteWhere(spark, root, $"p".isNull, Seq("p"))
+    assert(SnapshotTable.read(spark, root).select("v").collect()
+      .map(_.getString(0)).toSet == Set("c"))
+  }
+
+  test("overwriteWhere: fast path skips matching partitions' data") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val root = tmpDir("snap-owfast")
+    val df = spark.range(40L).select(
+      concat(lit("s"), (col("id") % 4).cast("string")).as("src"),
+      col("id").as("k"))
+    SnapshotTable.write(spark, root, df, Seq("src"))
+    // the to-be-replaced partition's bytes are garbage: a one-commit
+    // partition overwrite must never read what it replaces
+    val dir = SnapshotTable.entriesFor(spark, root, 1).toMap.apply("s1")
+    new java.io.File(root, dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.write(Paths.get(f.getPath),
+        "garbage".getBytes("UTF-8")))
+    SnapshotTable.overwriteWhere(spark, root,
+      Seq(("s1", 1000L), ("s1", 1001L)).toDF("src", "k"),
+      $"src" === "s1")
+    val live = SnapshotTable.read(spark, root)
+    assert(live.filter($"src" === "s1").select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1000L, 1001L))
+    assert(live.count() == 32, "untouched partitions carry forward")
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2),
+      "one atomic commit")
+  }
+
   test("readPartitions opens only the manifest-selected directories") {
     val root = freshTable()
     val got = SnapshotTable.readPartitions(spark, root, Seq(Seq("src3"), Seq("src7")))
