@@ -158,11 +158,18 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalArgumentException(
           s"unknown version v$version of $display (root $root)")
       val (dirs, schema) = SnapshotTable.scanInputs(s, root, version)
+      // (escaped partition key -> absolute dir) pairs power the scan's
+      // manifest-dir pruning on partition filters
+      val keyed = SnapshotTable.entriesFor(s, root, version).map {
+        case (k, rel) =>
+          k -> new org.apache.hadoop.fs.Path(root, rel).toString
+      }
       // DML only against the live table: a VERSION AS OF load or an
       // @vN-pinned binding names an immutable historical state
       LakeTable(s"$display@v$version", root, version, dirs, schema,
         writable = versionOverride.isEmpty && pinned.isEmpty,
-        partitionCols = SnapshotTable.partitionColumns(s, root, version))
+        partitionCols = SnapshotTable.partitionColumns(s, root, version),
+        keyedDirs = keyed)
     } else {
       val vs = Snapshots.versions(s, root)
       if (vs.isEmpty) throw new NoSuchTableException(ident)
@@ -258,7 +265,8 @@ object LakeCatalog {
 final case class LakeTable(
     tableName: String, root: String, snapshotVersion: Int,
     paths: Seq[String], recordedSchema: Option[StructType],
-    writable: Boolean = false, partitionCols: Seq[String] = Nil)
+    writable: Boolean = false, partitionCols: Seq[String] = Nil,
+    keyedDirs: Seq[(String, String)] = Nil)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   @transient private lazy val delegate =
@@ -297,7 +305,20 @@ final case class LakeTable(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (baseOptions.asScala ++ options.asScala).asJava)
-    delegate.newScanBuilder(merged)
+    if (keyedDirs.isEmpty || partitionCols.isEmpty)
+      delegate.newScanBuilder(merged)
+    else
+      // partition filters prune manifest DIRECTORIES before the
+      // parquet source ever lists a file — the SQL plane's analog of
+      // SnapshotTable.readPartitions: at 100 TB, `WHERE date = …` must
+      // not open every directory's footers just to discard their rows
+      new LakePruningScanBuilder(keyedDirs, partitionCols,
+        recordedSchema,
+        ps => org.apache.spark.sql.execution.datasources.v2.parquet
+          .ParquetTable(tableName, SparkSession.active, merged, ps,
+            recordedSchema,
+            classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+          .newScanBuilder(merged))
   }
 
   private def requireWritable(op: String): Unit =
@@ -394,6 +415,93 @@ final case class LakeTable(
         s"untranslatable DELETE predicate: ${filters.mkString(", ")}"))
     SnapshotTable.deleteWhere(s, root, pred, pby)
   }
+}
+
+/** DSv2 ScanBuilder that prunes manifest DIRECTORIES on partition
+  * filters before delegating to Spark's parquet builder — the lake
+  * catalog's partition pruning. Filters whose references are all
+  * partition columns (deterministic, no subqueries) are evaluated
+  * against the manifest's partition tuples
+  * ([[SnapshotTable.matchingKeys]] — driver-side, zero file I/O), and
+  * only the matching directories reach the parquet source; EVERY
+  * filter is also forwarded to the inner builder, so parquet's own
+  * footer-stats row-group skipping still applies to the survivors.
+  * Non-partition filters, lossy casts, or anything else `matchingKeys`
+  * declines simply skip the pruning — correctness never depends on it.
+  * Implements the same `SupportsPushDownCatalystFilters` seam
+  * Spark's own `FileScanBuilder` sits on. */
+private[lake] class LakePruningScanBuilder(
+    keyedDirs: Seq[(String, String)],
+    partitionCols: Seq[String],
+    recordedSchema: Option[StructType],
+    mkInner: Seq[String] => ScanBuilder)
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, PlanExpression}
+
+  private var inner: ScanBuilder = _
+  private var requiredSchema: Option[StructType] = None
+
+  private def ensureInner(paths: Seq[String]): ScanBuilder = {
+    inner = mkInner(paths)
+    requiredSchema.foreach(r => inner
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(r))
+    inner
+  }
+
+  private def currentInner: ScanBuilder =
+    if (inner != null) inner else ensureInner(keyedDirs.map(_._2))
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val pbyLower = partitionCols
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val partOnly = filters.filter { f =>
+      f.deterministic &&
+        !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        f.references.nonEmpty &&
+        f.references.forall(a =>
+          pbyLower(a.name.toLowerCase(java.util.Locale.ROOT)))
+    }
+    val paths =
+      if (partOnly.isEmpty) keyedDirs.map(_._2)
+      else {
+        // resolved attribute refs carry exprIds from the relation —
+        // rebind by NAME so the predicate resolves against the
+        // partition-tuple frame matchingKeys builds
+        val byName = partOnly.reduce[Expression](And(_, _)).transform {
+          case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+        }
+        SnapshotTable.matchingKeys(SparkSession.active, keyedDirs,
+          partitionCols, recordedSchema,
+          org.apache.spark.sql.graft.Bridge.column(byName)) match {
+          case Some(keys) => keyedDirs.filter(e => keys(e._1)).map(_._2)
+          case None => keyedDirs.map(_._2)
+        }
+      }
+    ensureInner(paths)
+      .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+      .pushFilters(filters)
+  }
+
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    currentInner
+      .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+      .pushedFilters
+
+  override def pruneColumns(s: StructType): Unit = {
+    requiredSchema = Some(s)
+    if (inner != null) inner
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(s)
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    currentInner.build()
 }
 
 /** V1 source filters -> [[Column]] predicates, for routing a SQL

@@ -812,16 +812,27 @@ object SnapshotTable {
     * `col IS NULL` matches the null partition. */
   private def partitionKeysMatching(
       spark: SparkSession, base: Manifest,
+      predicate: Column): Option[Set[String]] =
+    matchingKeys(spark, base.entries, base.partitionBy, base.schema,
+      predicate)
+
+  /** The reusable core of [[partitionKeysMatching]] — also the dir
+    * pruner behind [[LakeCatalog]]'s SQL scans (partition filters
+    * prune manifest directories before the parquet source ever lists
+    * a file). */
+  private[lake] def matchingKeys(
+      spark: SparkSession, entries: Seq[(String, String)],
+      partitionBy: Seq[String], schema: Option[StructType],
       predicate: Column): Option[Set[String]] = {
-    val pby = base.partitionBy
+    val pby = partitionBy
     val keyCol = "__graft_key"
     val rawPfx = "__graft_raw_"
     if (pby.isEmpty || pby.exists(c => c == keyCol || c.startsWith(rawPfx)))
       return None
-    val types: Map[String, DataType] = base.schema
+    val types: Map[String, DataType] = schema
       .map(s => s.fields.map(f => f.name -> f.dataType).toMap)
       .getOrElse(Map.empty)
-    val keys = base.entries.map(_._1).distinct
+    val keys = entries.map(_._1).distinct
     if (keys.exists(_.split("/", -1).length != pby.length))
       return None // malformed key: be safe, use the data scan
     val rows = keys.map { k =>

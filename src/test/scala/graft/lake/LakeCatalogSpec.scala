@@ -133,6 +133,41 @@ class LakeCatalogSpec extends SparkSpec {
       SnapshotTable.read(spark, root).count())
   }
 
+  test("partition filters prune manifest dirs before the parquet scan") {
+    // Round 14: the SQL plane's partition pruning — filters over
+    // partition columns drop whole directories from the scan's path
+    // list (manifest-evaluated, zero file I/O). Proven destructively:
+    // every OTHER partition's bytes are garbage on disk, and the
+    // filtered query still answers; an unprunable query would open
+    // their footers and die.
+    import java.nio.file.Files
+    val root = tmpDir("lakecat-prune")
+    val df = spark.range(80L).select(
+      concat(lit("s"), (col("id") % 4).cast("string")).as("src"),
+      col("id").as("k"))
+    SnapshotTable.write(spark, root, df, Seq("src"))
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "lakecat_prune", root)
+    val e = SnapshotTable.entriesFor(spark, root, 1).toMap
+    Seq("s0", "s2", "s3").foreach { kk =>
+      new java.io.File(root, e(kk)).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.write(f.toPath, "garbage".getBytes("UTF-8")))
+    }
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.lakecat_prune WHERE src = 's1'")
+      .collect()(0).getLong(0) == 20)
+    // a mixed conjunction: the partition conjunct prunes dirs, the
+    // data conjunct still filters rows (and reaches parquet pushdown)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.lakecat_prune WHERE src = 's1' AND k < 9")
+      .collect()(0).getLong(0) == 2)
+    // zero matching partitions: empty result, not an error
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.lakecat_prune WHERE src = 'zz'")
+      .collect()(0).getLong(0) == 0)
+  }
+
   test("TIMESTAMP AS OF resolves via commit mtimes; boundaries loud") {
     // round-13 verdict item 7: a version's commit time IS its manifest
     // file's mtime (the create-exclusive publish is the commit), so
