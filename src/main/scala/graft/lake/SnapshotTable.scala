@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Partitioned table with MULTI-PARTITION ATOMIC upsert/delete —
   * [[Lake.upsert]]'s merge semantics composed with [[Snapshots]]'
@@ -146,7 +146,14 @@ object SnapshotTable {
       // through [[LakeCatalog]]) can route a by-name mutation through
       // the same commit protocol without the caller restating the
       // layout; absent on pre-recording manifests (accessors require)
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      // the table's ROW KEY column (round 15): recorded by every keyed
+      // mutation ([[upsert]]/[[applyChanges]]) or declared explicitly
+      // ([[declareKey]]), so the SQL mutation plane (MERGE INTO through
+      // [[graft.lake.LakeDml]]) can route by NAME without the statement
+      // restating the table's identity column. At most one element —
+      // a Seq only for render symmetry with partitionBy.
+      rowKey: Seq[String] = Nil)
 
   /** One manifest FILE as written: either a full state (`deltaBase`
     * empty — the initial commit, a replace-all, or a checkpoint) or a
@@ -329,7 +336,7 @@ object SnapshotTable {
     }
     RawManifest(deltaBase, removed,
       Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
-        fileStats, fileSizes, tabList("#partitionby")))
+        fileStats, fileSizes, tabList("#partitionby"), tabList("#rowkey")))
   }
 
   /** Fold one delta onto a base state. A key present in the delta's
@@ -354,7 +361,8 @@ object SnapshotTable {
       base.fileSizes.filter(s => live(s._1)) ++ d.m.fileSizes,
       // like schema: a delta from a pre-recording writer must not
       // erase the layout a newer commit already recorded
-      if (d.m.partitionBy.nonEmpty) d.m.partitionBy else base.partitionBy)
+      if (d.m.partitionBy.nonEmpty) d.m.partitionBy else base.partitionBy,
+      if (d.m.rowKey.nonEmpty) d.m.rowKey else base.rowKey)
   }
 
   /** A version's checkpoint sidecar, parsed — None when absent OR
@@ -405,6 +413,8 @@ object SnapshotTable {
         Seq(("#clusterby" +: m.clusterBy).mkString("\t")) else Nil) ++
       (if (m.partitionBy.nonEmpty)
         Seq(("#partitionby" +: m.partitionBy).mkString("\t")) else Nil) ++
+      (if (m.rowKey.nonEmpty)
+        Seq(("#rowkey" +: m.rowKey).mkString("\t")) else Nil) ++
       removed.map(k => s"#rm\t$k") ++
       m.fileStats.map(fs =>
         s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}") ++
@@ -977,6 +987,95 @@ object SnapshotTable {
     (m.statsCols, m.clusterBy)
   }
 
+  /** The table's recorded ROW KEY column (manifest `#rowkey`) — written
+    * by every keyed mutation ([[upsert]]/[[applyChanges]]) and by
+    * [[declareKey]]; what lets the SQL mutation plane (`MERGE INTO`
+    * through [[graft.lake.LakeDml]]) identify rows by table NAME
+    * without the statement restating the identity column. Empty on a
+    * table that has only ever seen key-less mutations. */
+  def rowKey(
+      spark: SparkSession, root: String, version: Int = -1): Option[String] =
+    manifestAt(spark, root, version).rowKey.headOption
+
+  /** Declare (or re-declare) the table's row key as a METADATA-ONLY
+    * commit — no data file is opened or written; the new version's
+    * manifest is a delta carrying no entries, so the commit is O(1)
+    * whatever the table size. The column must exist in the recorded
+    * schema. Key UNIQUENESS stays the caller's contract, exactly as it
+    * is for [[upsert]] (validated per mutation batch, never by a table
+    * scan — a declaration on a 100 TB table must not cost a read). */
+  def declareKey(spark: SparkSession, root: String, key: String): Int =
+    commitMetadata(spark, root) { m =>
+      val cols = tableColumns(spark, root, m.entries, m.schema)
+      require(cols.contains(key),
+        s"cannot declare row key '$key': table $root has no such " +
+          s"column (columns: ${cols.mkString(", ")})")
+      m.copy(rowKey = Seq(key))
+    }
+
+  /** Evolve the recorded schema by APPENDING `fields` — the
+    * `ALTER TABLE … ADD COLUMN` analog (the reference's crawler
+    * UPDATE_IN_DATABASE policy, stack.py:180-193, as explicit DDL), as
+    * a METADATA-ONLY commit. Existing directories are untouched: reads
+    * project the evolved union schema (pre-evolution rows carry NULL
+    * for the new columns — [[read]]'s schema-pinned path), time travel
+    * to a pre-evolution version returns the old schema, and the next
+    * INSERT must supply the new columns ([[append]] requires the full
+    * recorded column set). The same evolution an evolving upsert
+    * performs implicitly (`mergeSchema = true`), without data. */
+  def addColumns(
+      spark: SparkSession, root: String, fields: Seq[StructField]): Int =
+    commitMetadata(spark, root) { m =>
+      require(fields.nonEmpty, "ADD COLUMN: no columns given")
+      val schema = m.schema.getOrElse(
+        throw new UnsupportedOperationException(
+          s"table $root has no recorded schema (last commit predates " +
+            "the #schema manifest line); run any API mutation first"))
+      val taken = scala.collection.mutable.Set(
+        schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)): _*)
+      fields.foreach { f =>
+        require(taken.add(f.name.toLowerCase(java.util.Locale.ROOT)),
+          s"ADD COLUMN '${f.name}': column already exists in $root")
+        require(f.nullable,
+          s"ADD COLUMN '${f.name}': new columns must be nullable — " +
+            "rows in pre-evolution directories cannot supply a value")
+      }
+      m.copy(schema = Some(StructType(schema.fields ++ fields)))
+    }
+
+  /** Commit `transform(latest)` as a new version WITHOUT touching any
+    * data: the manifest written is a delta carrying no entries and no
+    * stats/census lines, so the fold inherits every directory, stat
+    * and census line from the base while the (possibly evolved)
+    * declarations — schema, stats/cluster columns, partition layout,
+    * row key — restate. Same rename-race posture as [[commitRewrite]]'s
+    * loop; there is no touched-set to conflict on, so a lost race just
+    * re-runs `transform` against the new latest. */
+  private def commitMetadata(spark: SparkSession, root: String)(
+      transform: Manifest => Manifest): Int = {
+    var raceRetries = 0
+    while (true) {
+      val latestV = versions(spark, root).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot-table version committed under $root"))
+      val latest = readManifest(spark, root, latestV)
+      val next = transform(latest)
+      val v = latestV + 1
+      try {
+        commitManifest(spark, root, v,
+          next.copy(entries = Nil, fileStats = Nil, fileSizes = Nil),
+          Some(latestV), Nil)
+        if (v % CheckpointEvery == 0) writeCheckpoint(spark, root, v, next)
+        return v
+      } catch {
+        case e: CommitRaceException =>
+          raceRetries += 1
+          if (raceRetries > 8) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Append `rows` — plain INSERT semantics: no key, no dedup, every
     * row lands (SQL `INSERT INTO` through [[LakeCatalog]] routes
     * here). Partition layout comes from the manifest's recorded
@@ -1045,6 +1144,9 @@ object SnapshotTable {
       val base =
         if (versions(spark, root).isEmpty) None
         else Some(manifestAt(spark, root, -1))
+      base.flatMap(_.rowKey.headOption).foreach(k0 => require(k0 == key,
+        s"table $root records row key '$k0'; an upsert keyed by '$key' " +
+          "would split the table's identity — one key per table"))
       val entries = base.map(_.entries).getOrElse(Nil)
       val schema = base.flatMap(_.schema)
       val touchedKeys = touchedCompositeKeys(updates, partitionBy)
@@ -1073,7 +1175,8 @@ object SnapshotTable {
           }
         }
       commitRewrite(spark, root, merged, partitionBy, base, touchedKeys,
-        replaceAll = false, filesPerPartition, crashBeforeCommit)
+        replaceAll = false, filesPerPartition, crashBeforeCommit,
+        declaredKey = Some(key))
     }
   }
 
@@ -1111,6 +1214,9 @@ object SnapshotTable {
         "must declare its operation ('d' = delete, else upsert)")
     withConflictRetry {
       val base = manifestAt(spark, root, -1)
+      base.rowKey.headOption.foreach(k0 => require(k0 == key,
+        s"table $root records row key '$k0'; a change batch keyed by " +
+          s"'$key' would split the table's identity — one key per table"))
       val entries = base.entries
       val schema = base.schema
       val touchedKeys = touchedCompositeKeys(changes, partitionBy)
@@ -1140,7 +1246,7 @@ object SnapshotTable {
         }
       commitRewrite(spark, root, merged, partitionBy, Some(base),
         touchedKeys, replaceAll = false, filesPerPartition,
-        crashBeforeCommit = false)
+        crashBeforeCommit = false, declaredKey = Some(key))
     }
   }
 
@@ -1306,7 +1412,8 @@ object SnapshotTable {
       declaredStats: Seq[String] = Nil,
       declaredCluster: Seq[String] = Nil,
       layoutDone: Boolean = false,
-      schemaOverride: Option[StructType] = None): Int = {
+      schemaOverride: Option[StructType] = None,
+      declaredKey: Option[String] = None): Int = {
     require(partitionBy.nonEmpty, "partitionBy must name at least one column")
     // write() (re)declares; every other mutation inherits the table's
     // persisted declarations, so stats maintenance is automatic
@@ -1476,8 +1583,14 @@ object SnapshotTable {
         else latest.collect {
           case (k, _) if touchedKeys(k) && !movedKeys(k) => k
         }
+      // the row key persists like the schema: a keyed mutation records
+      // it, every other commit (including full replace) carries the
+      // latest declaration forward — a table's identity column does not
+      // vanish because an INSERT OVERWRITE restated its contents
+      val rowKey = declaredKey.map(Seq(_)).getOrElse(
+        latestM.map(_.rowKey).getOrElse(Nil))
       val payload = Manifest(moved, Some(schema), statsCols, clusterBy,
-        newStats, newSizes, partitionBy)
+        newStats, newSizes, partitionBy, rowKey)
       try {
         commitManifest(spark, root, v, payload,
           if (asDelta) Some(latestV) else None, removed)
@@ -1494,7 +1607,7 @@ object SnapshotTable {
             latestM.map(_.fileStats).getOrElse(Nil)
               .filter(s => carried(s.relPath)) ++ newStats,
             latestM.map(_.fileSizes).getOrElse(Nil)
-              .filter(s => carried(s._1)) ++ newSizes, partitionBy))
+              .filter(s => carried(s._1)) ++ newSizes, partitionBy, rowKey))
         }
         return v
       } catch {

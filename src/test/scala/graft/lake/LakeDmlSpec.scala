@@ -178,4 +178,207 @@ class LakeDmlSpec extends SparkSpec {
       col(ChangeFeed.ChangeTypeCol) === "delete" &&
       $"k" === 7).count() == 1)
   }
+
+  // ---- round 15: MERGE INTO / UPDATE / ALTER TABLE / table_changes ----
+
+  test("MERGE INTO lands update+delete+insert as ONE commit, " +
+      "identical to applyChanges") {
+    val (name, root) = freshTable()
+    SnapshotTable.declareKey(spark, root, "k") // metadata-only commit
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+    assert(SnapshotTable.rowKey(spark, root).contains("k"))
+    val changes = Seq(
+      ("s1", 1L, 777L, "u"),   // matched -> UPDATE
+      ("s1", 5L, -1L, "d"),    // matched -> DELETE
+      ("s2", 5000L, 888L, "u") // unmatched -> INSERT
+    ).toDF("src", "k", "v", "op")
+    changes.createOrReplaceTempView("mergesrc")
+    spark.sql(s"""MERGE INTO lake.$name AS t USING mergesrc AS s
+      ON t.k = s.k
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND s.op <> 'd' THEN
+        INSERT (src, k, v) VALUES (s.src, s.k, s.v)""")
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3),
+      "MERGE must mint exactly one version")
+    val live = SnapshotTable.read(spark, root)
+    assert(live.filter($"k" === 1 && $"v" === 777).count() == 1)
+    assert(live.filter($"k" === 5).count() == 0)
+    assert(live.filter($"k" === 5000 && $"src" === "s2" &&
+      $"v" === 888).count() == 1)
+    assert(live.count() == 100) // 100 - 1 deleted + 1 inserted
+    // untouched partitions carried forward (only s1/s2 touched)
+    val e2 = SnapshotTable.entriesFor(spark, root, 2).toMap
+    val e3 = SnapshotTable.entriesFor(spark, root, 3).toMap
+    Seq("s0", "s3").foreach(s =>
+      assert(e2(s) == e3(s), s"MERGE rewrote untouched partition $s"))
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100, "history intact")
+    // the SQL spelling is the SAME commit as the API mutator: a twin
+    // table taking the identical batch via applyChanges matches rows
+    val twin = tmpDir("lakedml-twin")
+    val base = spark.range(100L).select(
+      concat(lit("s"), (col("id") % 4).cast("string")).as("src"),
+      col("id").as("k"), (col("id") * 7 % 31).as("v"))
+    SnapshotTable.write(spark, twin, base, Seq("src"),
+      statsFor = Seq("k"), clusterBy = Seq("k"))
+    SnapshotTable.applyChanges(spark, twin, changes, "k", Seq("src"), "op")
+    val got = live.orderBy("k").collect().map(_.toString).toSeq
+    val want = SnapshotTable.read(spark, twin)
+      .select("src", "k", "v").orderBy("k").collect()
+      .map(_.toString).toSeq
+    assert(got == want, "SQL MERGE diverged from applyChanges")
+  }
+
+  test("MERGE refuses: no recorded key / historical pin / cardinality " +
+      "/ partition move / unmatched-key insert") {
+    val (name, root) = freshTable()
+    Seq(("s1", 1L, 9L)).toDF("src", "k", "v")
+      .createOrReplaceTempView("m_one")
+    // no recorded row key yet -> loud, with the declare path named
+    val noKey = intercept[Exception] {
+      spark.sql(s"MERGE INTO lake.$name t USING m_one s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    }
+    assert(noKey.getMessage.contains("declareKey"), noKey.getMessage)
+    SnapshotTable.declareKey(spark, root, "k")
+    // a version-pinned binding is immutable
+    val pinned = name + "_mpin"
+    LakeCatalog.register(spark, pinned, root, version = Some(1))
+    val hist = intercept[Exception] {
+      spark.sql(s"MERGE INTO lake.$pinned t USING m_one s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    }
+    assert(hist.getMessage.toLowerCase.contains("immutable"),
+      hist.getMessage)
+    // two source rows matching one target row -> ambiguous
+    Seq(("s1", 1L, 9L), ("s1", 1L, 10L)).toDF("src", "k", "v")
+      .createOrReplaceTempView("m_dup")
+    val card = intercept[Exception] {
+      spark.sql(s"MERGE INTO lake.$name t USING m_dup s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    }
+    assert(card.getMessage.toLowerCase.contains("cardinality"),
+      card.getMessage)
+    // an update may not move a key across partitions
+    val move = intercept[Exception] {
+      spark.sql(s"MERGE INTO lake.$name t USING m_one s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET src = 's0'")
+    }
+    assert(move.getMessage.toLowerCase.contains("partition"),
+      move.getMessage)
+    // a non-key ON condition whose insert collides with a live key
+    val collide = intercept[Exception] {
+      spark.sql(s"MERGE INTO lake.$name t USING m_one s " +
+        "ON t.k = s.k AND t.v < -100 " +
+        "WHEN NOT MATCHED THEN INSERT (src, k, v) VALUES (s.src, s.k, s.v)")
+    }
+    assert(collide.getMessage.toLowerCase.contains("collides"),
+      collide.getMessage)
+    assert(SnapshotTable.read(spark, root)
+      .filter($"k" === 1 && $"v" =!= 7).count() == 0,
+      "no refused MERGE may have mutated the table")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE acts on unreferenced rows") {
+    val (name, root) = freshTable()
+    SnapshotTable.declareKey(spark, root, "k")
+    // keep keys < 4, delete every other target row not in the source
+    spark.range(4).select(lit("s0").as("src"), $"id".as("k"),
+      lit(0L).as("v")).createOrReplaceTempView("m_keep")
+    spark.sql(s"MERGE INTO lake.$name t USING m_keep s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + 1000 " +
+      "WHEN NOT MATCHED BY SOURCE AND t.k >= 90 THEN DELETE")
+    val live = SnapshotTable.read(spark, root)
+    assert(live.count() == 90, "k in [90,100) deleted")
+    assert(live.filter($"k" < 4 && $"v" < 1000).count() == 0,
+      "matched rows updated from the target's own values")
+    assert(live.filter($"k" >= 4 && $"k" < 90 && $"v" >= 1000).count() == 0)
+  }
+
+  test("UPDATE rewrites matching rows; partition moves are handled") {
+    val (name, root) = freshTable()
+    spark.sql(s"UPDATE lake.$name SET v = v + 1000 " +
+      "WHERE src = 's1' AND k < 8")
+    val live = SnapshotTable.read(spark, root)
+    assert(live.filter($"v" >= 1000).count() == 2, "k=1 and k=5 match")
+    assert(live.filter($"k" === 1 && $"v" === 1007).count() == 1)
+    assert(live.count() == 100)
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2),
+      "UPDATE must be ONE commit")
+    // unlike MERGE, UPDATE routes through overwriteWhere and may move
+    // rows across partitions (delete-matching + insert, one commit)
+    spark.sql(s"UPDATE lake.$name SET src = 's9' WHERE k = 3")
+    val moved = SnapshotTable.read(spark, root)
+    assert(moved.filter($"k" === 3 && $"src" === "s9").count() == 1)
+    assert(moved.filter($"k" === 3).count() == 1, "no duplicate row")
+    assert(moved.count() == 100)
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100, "history intact")
+    // subqueries are refused loudly (put the logic in a MERGE source)
+    val sub = intercept[Exception] {
+      spark.sql(s"UPDATE lake.$name SET v = 0 WHERE k IN " +
+        s"(SELECT k FROM lake.$name WHERE v > 1000)")
+    }
+    assert(sub.getMessage.toLowerCase.contains("subquer"), sub.getMessage)
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only schema evolution") {
+    val (name, root) = freshTable()
+    spark.sql(s"ALTER TABLE lake.$name ADD COLUMN extra BIGINT")
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2),
+      "ALTER must mint one metadata version")
+    assert(SnapshotTable.entriesFor(spark, root, 1) ==
+      SnapshotTable.entriesFor(spark, root, 2),
+      "ALTER must not touch any data directory")
+    // live reads serve NULL for pre-evolution rows
+    val live = spark.sql(s"SELECT * FROM lake.$name")
+    assert(live.columns.toSeq == Seq("src", "k", "v", "extra"))
+    assert(live.filter($"extra".isNotNull).count() == 0)
+    // time travel returns the pre-ALTER schema
+    assert(spark.sql(s"SELECT * FROM lake.$name VERSION AS OF 1")
+      .columns.toSeq == Seq("src", "k", "v"))
+    // the next INSERT must (and can) carry the evolved column
+    spark.sql(s"INSERT INTO lake.$name VALUES ('s1', 6000, 1, 42)")
+    assert(spark.sql(s"SELECT extra FROM lake.$name WHERE k = 6000")
+      .collect()(0).getLong(0) == 42L)
+    // duplicate / unsupported changes are refused loudly
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.$name ADD COLUMN extra STRING")
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    val drop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.$name DROP COLUMN v")
+    }
+    assert(drop != null)
+    val pinned = name + "_apin"
+    LakeCatalog.register(spark, pinned, root, version = Some(1))
+    val pin = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.$pinned ADD COLUMN e2 INT")
+    }
+    assert(pin.getMessage.toLowerCase.contains("immutable"), pin.getMessage)
+  }
+
+  test("table_changes('t', from[, to]) serves the feed from SQL") {
+    val (name, root) = freshTable()
+    spark.sql(s"INSERT INTO lake.$name VALUES ('s1', 1000, 1)")
+    spark.sql(s"DELETE FROM lake.$name WHERE k = 7")
+    val sqlFeed = spark.sql(s"SELECT * FROM table_changes('$name', 1)")
+    val api = ChangeFeed.between(spark, root, 1)
+    assert(sqlFeed.columns.toSeq == api.columns.toSeq)
+    val key = Seq("k", ChangeFeed.VersionCol, ChangeFeed.ChangeTypeCol)
+    assert(sqlFeed.orderBy(key.map(col): _*).collect().toSeq ==
+      api.orderBy(key.map(col): _*).collect().toSeq,
+      "the TVF must serve exactly ChangeFeed.between's rows")
+    // an explicit upper bound scopes the range
+    assert(spark.sql(s"SELECT * FROM table_changes('$name', 1, 2)")
+      .select(ChangeFeed.VersionCol).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // unknown binding and non-literal args fail loudly
+    val unknown = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('no_such_binding', 1)")
+    }
+    assert(unknown.getMessage.contains("no lake binding"),
+      unknown.getMessage)
+  }
 }
