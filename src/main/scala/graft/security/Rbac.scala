@@ -68,6 +68,38 @@ object Rbac {
     }: _*)
   }
 
+  /** Compose a role's grants onto a CHANGE-FEED frame
+    * ([[graft.lake.ChangeFeed.between]] / the `table_changes` TVF /
+    * `graft-changes` streaming batches) — the pinned governance policy
+    * for CDC (round-14 verdict item 4). Lake Formation's contract is
+    * that the filter applies to EVERY query
+    * (rbac-demo/README.md:119-128); extended to the feed that means:
+    * the row filter applies to every change row — so the delete
+    * PREIMAGE of a row the role could never see never surfaces —
+    * masked columns stay masked, and the projection keeps the feed's
+    * own metadata columns (`_change_type`, `_commit_version`) so the
+    * secured feed is still a feed. The raw feed surfaces (a raw-root
+    * `format("graft-changes")` load, `ChangeFeed.between` on a root
+    * path) are storage-level APIs, same trust level as reading the
+    * parquet directly; the GOVERNED surfaces fail closed instead:
+    * under [[runAs]] both `VERSION AS OF` reads of the protected table
+    * and the `table_changes` TVF are denied loudly (pinned in
+    * `RbacRewriteSpec`), because the role view is defined over the
+    * LIVE table and a historical or preimage read does not provably
+    * compose with it. */
+  def secureFeed(changes: DataFrame, role: Role): DataFrame = {
+    import graft.lake.ChangeFeed.{ChangeTypeCol, VersionCol}
+    val meta = Seq(ChangeTypeCol, VersionCol).filter(changes.columns.contains)
+    val filtered = role.rowFilter.fold(changes)(changes.where)
+    val cols = role.allowedColumns
+      .getOrElse(changes.columns.toSeq.filterNot(meta.contains)) ++ meta
+    filtered.selectExpr(cols.map {
+      case c if role.maskedColumns.contains(c) =>
+        s"md5(CAST(`$c` AS STRING)) AS `$c`"
+      case c => s"`$c`"
+    }: _*)
+  }
+
   /** Run `body` with each (table → role) grant bound for this session:
     * every [[graft.core.Tables]] load of a bound table inside `body` is
     * secured, so the lane queries themselves run UNCHANGED and return

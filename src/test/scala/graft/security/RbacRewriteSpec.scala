@@ -335,6 +335,66 @@ class RbacRewriteSpec extends SparkSpec {
     assert(e.getMessage.contains("payload"))
   }
 
+  test("time travel on a protected table is denied under runAs") {
+    // Pinned policy (round-14 verdict item 4): the role view is defined
+    // over the LIVE table; a VERSION AS OF read reaches table state the
+    // filter was never applied to, so it fails closed instead of
+    // silently serving historical rows.
+    val role = Rbac.Role("core", Some("endpoint = 'api-a'"),
+      Some(Seq("endpoint", "k")))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, role, lakeTable,
+        s"SELECT COUNT(*) AS n FROM $lakeTable VERSION AS OF 1").collect()
+    }
+    assert(e != null)
+    // the same read outside runAs is fine (time travel itself works)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM $lakeTable VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100)
+  }
+
+  test("the change-feed TVF is denied under runAs; secureFeed is the " +
+      "sanctioned composition") {
+    lakeTable // force registration of the binding + catalog
+    val role = Rbac.Role("core", Some("endpoint = 'api-a'"),
+      Some(Seq("endpoint", "k")))
+    // table_changes resolves to a path-backed scan with no catalog
+    // identity — runAs's structural backstop fails closed, so the
+    // protected table's history and delete preimages cannot leak
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Rbac.runAs(spark, role, lakeTable,
+        "SELECT COUNT(*) AS n FROM table_changes('snap_rbac', 0)")
+        .collect()
+    }
+    assert(e.getMessage.contains("access denied") ||
+      e.getMessage.contains("catalog"), e.getMessage)
+    // sanctioned: compose the role onto feed rows — the row filter
+    // applies to EVERY change row (LF semantics extended to CDC), so a
+    // filtered-out row's delete preimage never surfaces
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("rbac-feed")
+    graft.lake.SnapshotTable.write(spark, root,
+      spark.range(10L).select(
+        concat(lit("api-"),
+          when(col("id") % 5 === 0, "a").otherwise("b")).as("endpoint"),
+        col("id").as("k"), (col("id") * 3).as("payload")),
+      Seq("endpoint"))
+    graft.lake.SnapshotTable.deleteWhere(spark, root,
+      col("k") === 0 || col("k") === 1, Seq("endpoint"))
+    val feed = graft.lake.ChangeFeed.between(spark, root, 0)
+    val secured = Rbac.secureFeed(feed, role)
+    assert(secured.columns.toSeq ==
+      Seq("endpoint", "k", graft.lake.ChangeFeed.ChangeTypeCol,
+        graft.lake.ChangeFeed.VersionCol),
+      "the secured feed keeps its metadata columns, drops denied ones")
+    val deletes = secured.filter(col(graft.lake.ChangeFeed.ChangeTypeCol)
+      === graft.lake.ChangeFeed.Delete).collect()
+    assert(deletes.map(_.getLong(1)).toSet == Set(0L),
+      "only the api-a delete preimage (k=0) may surface; k=1 is api-b")
+    assert(secured.count() == 2 + 1,
+      "2 bootstrap inserts (k=0,5) + 1 visible delete (k=0)")
+  }
+
   test("a view smuggling the lake table past runAs is denied") {
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_smuggle AS
       SELECT * FROM $lakeTable""")
