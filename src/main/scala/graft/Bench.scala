@@ -319,9 +319,13 @@ object Bench {
     // against their committed clean-window reference get ONE more full
     // timed set at the END of the pack — after a bounded settle wait —
     // where transient window contention has usually passed. The lower
-    // median wins; a correction keeps the contaminated pack-window
-    // median as `med_first` so it stays auditable, never silent. A row
-    // that re-measures high is a REAL regression and stays suspect.
+    // median wins ONLY when the settle wait actually reached the load
+    // target (round-14 advice item 5: an unconditional lower-of-two is
+    // a best-of-two bias — a tail measured under the SAME contention
+    // proves nothing, so it is discarded); a correction keeps the
+    // contaminated pack-window median as `med_first` so it stays
+    // auditable, never silent. A row that re-measures high is a REAL
+    // regression and stays suspect.
     val packSuspects = suspectsOf(firstPass)
     val results =
       if (packSuspects.isEmpty) firstPass
@@ -329,7 +333,10 @@ object Bench {
         System.err.println(
           s"[bench] re-measuring ${packSuspects.size} suspect row(s) " +
             s"at end of pack: ${packSuspects.mkString(",")}")
-        settle(settleWaitSec)
+        val settled = settle(settleWaitSec) <= settleTarget
+        if (!settled) System.err.println(
+          "[bench] settle wait expired above the load target — tail " +
+            "medians will be measured for the log but NOT accepted")
         val byName = picked
         firstPass.map { r =>
           if (!packSuspects.contains(r.name) || r.med < 0) r
@@ -342,7 +349,7 @@ object Bench {
             val t = timedSetFor(r.name, fn)
             spark.catalog.clearCache()
             val med2 = if (t.head < 0) -1.0 else t(t.length / 2)
-            if (med2 >= 0 && med2 < r.med)
+            if (settled && med2 >= 0 && med2 < r.med)
               r.copy(mn = t.head, med = med2, mx = t.last,
                 load = qLoad, firstMed = Some(r.med))
             else r
@@ -375,6 +382,35 @@ object Bench {
       Set("d12_dup_clusters", "d17_dup_rate_by_source", "d19_dup_pagerank")
     val exGraph = results.filter(r => !graphQueries(r.name) && r.med >= 0)
     val totalExGraph = exGraph.map(_.med).sum
+    // Honest-cut sets (round-14 verdict item 5): the headline
+    // like_for_like needs no prose to interpret once the contract also
+    // carries the cut that removes its two composition artifacts —
+    //  - minhashFamily: the 8 rows whose DuckDB side walks the SlotC2
+    //    128-bit hash math as an interpreted expression tree (d04:
+    //    42 s for what Spark codegens in 0.4 s) — those rows compare
+    //    evaluator architectures, not engine throughput;
+    //  - platformFloor: lakehouse-semantics gates whose Spark side
+    //    replays real machinery (manifest round-trips, EXCEPT ALL
+    //    version diffs, OCC guards) while the oracle is a trivial
+    //    rollup over pre-mutated parquet — a 0.1-1.4 s fixed floor
+    //    divided by a 0.01-0.06 s rollup is not a throughput ratio,
+    //    and SCALING.md's decade tables show the floor flat across
+    //    100x data.
+    // `lfl_ex_family` excludes both sets; `median_ratio` is the
+    // per-query median over the SAME overlap like_for_like sums —
+    // robust to any single row's composition. The full exclusion
+    // lists ride the detail line (`lfl_exclusions`), so the artifact
+    // names exactly what each cut removed.
+    val minhashFamily = Set(
+      "d03_minhash_sig", "d04_lsh_pairs", "d07_source_minhash",
+      "d12_dup_clusters", "d13_containment", "d15_lsh_probe",
+      "d17_dup_rate_by_source", "d19_dup_pagerank")
+    val platformFloor = Set(
+      "q63_rbac_roles", "t37_train_shuffle", "t40_snapshot_cdc",
+      "t41_snapshot_skipread", "t42_bpe_encode_ranks",
+      "t43_incremental_mv", "t44_snapshot_optimize",
+      "t45_incremental_mv_minmax", "t48_lake_sql", "t49_mv_distinct",
+      "t51_change_feed")
     val baselinePath = sys.env.getOrElse(
       "SPARK_GRAFT_DUCKDB_BASELINE", "tools/duckdb_baseline.tsv")
     // (ratio, overlap count, same host?) — a baseline produced on a
@@ -391,8 +427,9 @@ object Bench {
     // recorded `#gen` header disagrees with the recomputed hash (a
     // hand-edited baseline), the ratio is DROPPED and the field says
     // "mismatch" — same spirit as the host check.
-    val (likeForLike, baselineGen):
-        (Option[(Double, Int, Boolean)], Option[String]) =
+    val (likeForLike, exFamilyCut, medianRatio, baselineGen):
+        (Option[(Double, Int, Boolean)], Option[(Double, Int)],
+          Option[Double], Option[String]) =
       try {
         val src = scala.io.Source.fromFile(baselinePath, "UTF-8")
         val lines =
@@ -417,8 +454,8 @@ object Bench {
           try java.net.InetAddress.getLocalHost.getHostName
           catch { case scala.util.control.NonFatal(_) => "" }
         val sameHost = baseHost.contains(thisHost) && thisHost.nonEmpty
-        if (recordedGen.exists(_ != gen)) (None, Some("mismatch"))
-        else if (!baseSf.contains(sf)) (None, Some(gen))
+        if (recordedGen.exists(_ != gen)) (None, None, None, Some("mismatch"))
+        else if (!baseSf.contains(sf)) (None, None, None, Some(gen))
         else {
           val base = dataLines
             .flatMap { l =>
@@ -433,9 +470,27 @@ object Bench {
             if (overlap.nonEmpty && dd > 0)
               Some((overlap.map(_.med).sum / dd, overlap.size, sameHost))
             else None
-          (ratio, Some(gen))
+          val exFam = overlap.filterNot(r =>
+            minhashFamily(r.name) || platformFloor(r.name))
+          val ddEx = exFam.map(r => base(r.name)).sum
+          val exCut =
+            if (exFam.nonEmpty && ddEx > 0)
+              Some((exFam.map(_.med).sum / ddEx, exFam.size))
+            else None
+          val perQuery = overlap
+            .filter(r => base(r.name) > 0)
+            .map(r => r.med / base(r.name)).sorted
+          val med =
+            if (perQuery.isEmpty) None
+            else if (perQuery.size % 2 == 1)
+              Some(perQuery(perQuery.size / 2))
+            else Some((perQuery(perQuery.size / 2 - 1) +
+              perQuery(perQuery.size / 2)) / 2.0)
+          (ratio, exCut, med, Some(gen))
         }
-      } catch { case scala.util.control.NonFatal(_) => (None, None) }
+      } catch {
+        case scala.util.control.NonFatal(_) => (None, None, None, None)
+      }
 
     // number formatting for the compact line: 2dp, trailing zeros trimmed.
     // Locale.ROOT — a comma-decimal default locale would break the JSON.
@@ -458,8 +513,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val ib = indexBuilds.map { case (n, s) => "\"" + n + s"""":$s""" }
       .mkString("{", ",", "}")
+    // names behind every like_for_like cut — the artifact, not prose,
+    // says what lfl_ex_family removed
+    val exclusions = {
+      def arr(s: Set[String]) =
+        s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""""lfl_exclusions":{"graph":${arr(graphQueries)},""" +
+        s""""minhash_family":${arr(minhashFamily)},""" +
+        s""""platform_floor":${arr(platformFloor)}}"""
+    }
     val detailLine =
-      s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"shuffle_bytes":$totalShuf,"index_build":$ib,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"shuffle_bytes":$totalShuf,"index_build":$ib,$exclusions,"queries":$detail,"sf":"$sfDir"}"""
     println(detailLine)
     // Contract line: bounded by construction — 10 slowest medians only
     // (the plausible-regression set), never the full pack.
@@ -520,7 +584,13 @@ object Bench {
       .mkString("{", ",", "}")
     val lflMark = likeForLike.fold("") { case (ratio, n, sameHost) =>
       val field = if (sameHost) "like_for_like" else "cross_machine_ratio"
-      s""""$field":${fmt(ratio)},"${field}_n":$n,"""
+      // the honest cut and the per-query median ride NEXT TO the
+      // headline: the exclusion-list names are on the detail line
+      val exMark = exFamilyCut.fold("") { case (r, en) =>
+        s""""lfl_ex_family":${fmt(r)},"lfl_ex_family_n":$en,""" }
+      val medMark = medianRatio.fold("")(m =>
+        s""""median_ratio":${fmt(m)},""")
+      s""""$field":${fmt(ratio)},"${field}_n":$n,$exMark$medMark"""
     }
     val genMark = baselineGen.fold("")(g => s""""baseline_gen":"$g",""")
     val contract =
