@@ -714,6 +714,97 @@ object Corpus {
       WHERE doc_id % 89 = 0 AND doc_id % 97 <> 0
       ORDER BY _commit_version, _change_type, doc_id"""))
 
+  /** The SQL-MERGE gate (round-14 verdict item 1): the same CDC shape
+    * t40 lands through [[graft.lake.SnapshotTable.applyChanges]] —
+    * tombstones + recurations, PLUS brand-new rows so all three clause
+    * families execute — landed as ONE pure-SQL `MERGE INTO` statement
+    * against a catalog-named lake table, then read back by name. The
+    * oracle reconstructs the post-MERGE state from `documents`
+    * arithmetic alone, so a MERGE that mis-keys a clause, double-fires
+    * an action, or leaks a half-applied version hash-mismatches.
+    * Requires a session built with `graft.sql.GraftSqlExtensions`
+    * (Bench/Verify are) — the statement routes through
+    * [[graft.lake.MergeIntoLakeCommand]] onto the same OCC commit line
+    * as t40's API batch. Deterministic + idempotent like [[cdcRoot]]:
+    * the table lives under a content-fingerprinted root and mutates
+    * only while fewer than 2 versions exist. */
+  private[queries] def sqlMergeRoot(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.lake.{LakeCatalog, SnapshotTable}
+    val root = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_snaptable_sqlmerge_v1")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+    if (SnapshotTable.versions(spark, root).isEmpty)
+      // upsert (not write) so the bootstrap commit RECORDS the row key
+      // the MERGE statement needs — one commit, #rowkey included
+      SnapshotTable.upsert(spark, root, docs, "doc_id", Seq("source"))
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "merge_docs", root)
+    if (SnapshotTable.versions(spark, root).size < 2) {
+      val insText = concat(lit("inserted:"), col("doc_id").cast("string"))
+      val changes = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("op", lit("d"))
+        .unionByName(docs
+          .filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" [recurated]")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("op", lit("u")))
+        .unionByName(docs.filter(col("doc_id") % 101 === 0)
+          .select((-(col("doc_id") + 1)).cast("long").as("doc_id"),
+            insText.as("text"), col("lang"),
+            length(insText).cast("long").as("n_chars"), col("source"))
+          .withColumn("op", lit("i")))
+      changes.createOrReplaceTempView("t52_changes")
+      spark.sql("""
+        MERGE INTO lake.merge_docs t USING t52_changes s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET text = s.text, n_chars = s.n_chars
+        WHEN NOT MATCHED THEN
+          INSERT (doc_id, text, lang, n_chars, source)
+          VALUES (s.doc_id, s.text, s.lang, s.n_chars, s.source)""")
+    }
+    root
+  }
+
+  private[queries] def sqlMergeCdc(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    sqlMergeRoot(spark, dir)
+    spark.sql("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             SUM(CASE WHEN text LIKE '%[recurated]' THEN 1 ELSE 0 END)
+               AS n_recurated,
+             SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS n_inserted
+      FROM lake.merge_docs GROUP BY source ORDER BY source""")
+  }
+
+  val t52_sql_merge = Q(
+    "t52_sql_merge",
+    (s, dir) => sqlMergeCdc(s, dir),
+    Some("""
+      WITH final AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' [recurated]'
+                    ELSE text END AS text,
+               source
+        FROM documents
+        WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT -(doc_id + 1) AS doc_id,
+               'inserted:' || CAST(doc_id AS VARCHAR) AS text, source
+        FROM documents
+        WHERE doc_id % 101 = 0)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN text LIKE '%[recurated]' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_recurated,
+             CAST(SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_inserted
+      FROM final GROUP BY source ORDER BY source"""))
+
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
     * default threshold (0.5), t29's Gopher composite, and a
@@ -1289,5 +1380,5 @@ object Corpus {
       t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
       t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize,
       t45_incremental_mv_minmax, t48_lake_sql, t49_mv_distinct,
-      t51_change_feed)
+      t51_change_feed, t52_sql_merge)
 }
