@@ -522,7 +522,22 @@ final case class LakeTable(
   * Non-partition filters, lossy casts, or anything else `matchingKeys`
   * declines simply skip the pruning — correctness never depends on it.
   * Implements the same `SupportsPushDownCatalystFilters` seam
-  * Spark's own `FileScanBuilder` sits on. */
+  * Spark's own `FileScanBuilder` sits on.
+  *
+  * Known limitation (round-14 advice item 2): the wrapper forwards the
+  * two pushdowns the parquet FileScanBuilder actually implements —
+  * catalyst filters and required columns — and HIDES any other
+  * optional ScanBuilder mixin. Today that costs nothing (Spark's
+  * parquet ScanBuilder implements no aggregate pushdown;
+  * `SupportsPushDownAggregates` is a JDBC/DSv2-connector seam), but if
+  * a future Spark version adds one, partitioned lake tables would
+  * silently lose it while unpartitioned ones keep it — re-audit the
+  * inner builder's mixins on Spark upgrades. Blind structural
+  * forwarding is not done deliberately: the inner builder is REBUILT
+  * whenever pushFilters prunes the directory list, so any mixin state
+  * pushed before that point would be dropped mid-handshake unless this
+  * wrapper replays it, and a wrong replay is a correctness bug while
+  * the missing mixin is only ever a performance one. */
 private[lake] class LakePruningScanBuilder(
     keyedDirs: Seq[(String, String)],
     partitionCols: Seq[String],

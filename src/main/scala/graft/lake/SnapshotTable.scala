@@ -854,19 +854,40 @@ object SnapshotTable {
         org.apache.spark.sql.types.StringType, nullable = false) +:
       pby.map(c => org.apache.spark.sql.types.StructField(
         s"$rawPfx$c", org.apache.spark.sql.types.StringType)))
+    // a LOCAL relation, deliberately (round-14 advice item 1): the
+    // optimizer's ConvertToLocalRelation folds deterministic
+    // Project/Filter over LocalRelation at OPTIMIZATION time, driver-
+    // side — so evaluating the predicate over the partition tuples
+    // launches NO Spark job. matchingKeys sits inside
+    // LakePruningScanBuilder.pushFilters, i.e. inside query PLANNING
+    // of every filtered SQL read of a partitioned lake table; two
+    // scheduler round-trips per planning were pure overhead.
     val raw = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), rawSchema)
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, rawSchema)
     val typedCols =
       Seq(col(keyCol)) ++
         pby.map(c => col(s"$rawPfx$c").cast(types.getOrElse(c,
           org.apache.spark.sql.types.StringType)).as(c)) ++
         pby.map(c => col(s"$rawPfx$c"))
     val typed = raw.select(typedCols: _*)
+    // rows of an already-optimized-to-local plan, no job; None when the
+    // optimizer could not fold (defensive — callers then run the tiny
+    // local-scan job the old path always ran)
+    def localRows(df: DataFrame)
+        : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+      df.queryExecution.optimizedPlan match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          Some(l.data)
+        case _ => None
+      }
     // a rendered value that does not survive the cast would silently
     // drop its partition from the match — fall back to the data scan
     val lossy = pby.map(c => col(c).isNull && col(s"$rawPfx$c").isNotNull)
       .reduce(_ || _)
-    if (typed.filter(lossy).limit(1).count() > 0) return None
+    val lossyProbe = typed.filter(lossy).select(keyCol).limit(1)
+    val anyLossy = localRows(lossyProbe).map(_.nonEmpty)
+      .getOrElse(lossyProbe.count() > 0)
+    if (anyLossy) return None
     // whether the predicate is partition-column-only is decided by
     // ANALYSIS, not tree inspection (the Column API hands us a lazy
     // ColumnNode wrapper): resolving it against a frame that has ONLY
@@ -880,8 +901,13 @@ object SnapshotTable {
       // semantics, so it must take the scan path
       if (analyzed.exists(_.expressions.exists(e => !e.deterministic)))
         None
-      else Some(filtered.select(keyCol).collect()
-        .map(_.getString(0)).toSet)
+      else {
+        val sel = filtered.select(keyCol)
+        Some(localRows(sel)
+          .map(_.map(_.getUTF8String(0).toString))
+          .getOrElse(sel.collect().toSeq.map(_.getString(0)))
+          .toSet)
+      }
     } catch {
       case _: org.apache.spark.sql.AnalysisException => None
     }

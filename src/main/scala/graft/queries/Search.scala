@@ -762,7 +762,15 @@ object Search {
       s"graft_zipf${variant}_base_v1")
     val tokRoot = graft.core.IndexRoot.of(dir, "documents.parquet",
       s"graft_zipf${variant}_tok_v1")
-    if (SnapshotTable.versions(spark, baseRoot) != Seq(1)) {
+    // BOTH roots must sit on the pure single-version derivation: the
+    // base commits exactly v1, and the tokenized materialization of a
+    // v1 base is exactly one commit too — so any other version line on
+    // EITHER root means something mutated it (round-14 advice item 4:
+    // checking only the base let a mutated tokRoot with an intact v1
+    // base serve an underivable tokenized corpus). Rebuild both.
+    if (SnapshotTable.versions(spark, baseRoot) != Seq(1) ||
+        !Seq(Seq.empty[Int], Seq(1))
+          .contains(SnapshotTable.versions(spark, tokRoot))) {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(baseRoot))
       org.apache.commons.io.FileUtils.deleteQuietly(

@@ -166,6 +166,15 @@ class ChangeFeedSource(
 
   private val pinnedSchema = ChangeFeed.feedSchema(spark, root)
 
+  /** The version the pin was computed AT — what separates a legitimate
+    * restart replay (batch range ends at or before this version, so an
+    * evolved column can genuinely be absent from the older range) from
+    * a mid-stream schema NARROWING (a full-replace write with fewer
+    * columns in a range PAST the pin), which must stay a loud failure
+    * (round-14 advice item 3). */
+  private val pinnedAtVersion: Int =
+    SnapshotTable.latest(spark, root).getOrElse(0)
+
   override def schema: StructType = pinnedSchema
 
   private def versionOf(o: Offset): Int = (o match {
@@ -220,15 +229,26 @@ class ChangeFeedSource(
           "mid-stream; restart the stream to pick up the widened schema")
     // Align to the pinned order (between() returns newest-first order
     // already, but the checkpointed run must be byte-stable against the
-    // pin). A pinned column MISSING from the batch is legitimate on
-    // restart replay: pinnedSchema is recomputed at the CURRENT latest
-    // on source re-creation, but a pending (offset-logged, uncommitted)
-    // batch replays an older range — if a schema-evolving commit landed
-    // after that range's end, the replayed between() never carries the
-    // new column. Padding NULL (exactly how between() aligns older
-    // vintages) instead of failing keeps the restart from crash-looping
-    // on a checkpoint that can never contain the column.
+    // pin). A pinned column MISSING from the batch is legitimate ONLY
+    // on restart replay: pinnedSchema is recomputed at the CURRENT
+    // latest on source re-creation, but a pending (offset-logged,
+    // uncommitted) batch replays an older range — if a schema-evolving
+    // commit landed after that range's end, the replayed between()
+    // never carries the new column. Padding NULL (exactly how
+    // between() aligns older vintages) keeps the restart from
+    // crash-looping on a checkpoint that can never contain the column.
+    // A range ending PAST the pin version, though, means the live
+    // table NARROWED mid-stream (a full-replace write with fewer
+    // columns) — that stays a loud failure, not silent nulls
+    // (round-14 advice item 3).
     val batchCols = batch.columns.toSet
+    val missing = pinnedSchema.fieldNames.filterNot(batchCols)
+    if (missing.nonEmpty && to > pinnedAtVersion)
+      throw new IllegalStateException(
+        s"table $root lost pinned column(s) ${missing.mkString(", ")} " +
+          s"in a range (v$from..v$to) past the pin (v$pinnedAtVersion) " +
+          "— the table narrowed mid-stream; restart the stream against " +
+          "the new schema")
     val aligned = batch.select(pinnedSchema.fields.map { f =>
       if (batchCols(f.name)) org.apache.spark.sql.functions.col(f.name)
       else org.apache.spark.sql.functions.lit(null)

@@ -166,6 +166,25 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM lake.lakecat_prune WHERE src = 'zz'")
       .collect()(0).getLong(0) == 0)
+    // the pruning itself launches NO Spark job (round-14 advice item
+    // 1): matchingKeys evaluates the predicate over a LocalRelation of
+    // partition tuples, which the optimizer folds driver-side —
+    // PLANNING a filtered query must not pay scheduler round-trips
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q = spark.sql(
+        "SELECT count(*) FROM lake.lakecat_prune WHERE src = 's1'")
+      q.queryExecution.executedPlan // forces planning incl. pushdown
+      Thread.sleep(500) // listener bus is async; jobs would enqueue fast
+      assert(jobs.get() == 0,
+        s"planning a pruned lake scan launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("TIMESTAMP AS OF resolves via commit mtimes; boundaries loud") {
