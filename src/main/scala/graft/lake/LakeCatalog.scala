@@ -335,6 +335,21 @@ object LakeCatalog {
     spark.conf.set(BindingPrefix + name,
       root + "@" + version.fold("latest")(v => s"v$v"))
 
+  /** Resolve a catalog table NAME to its (root, version pin) — the
+    * seam that lets non-SQL consumers (streaming maintainers, tools)
+    * address a governed table the way the SQL plane does, instead of
+    * carrying storage coordinates. Accepts `lake.name` (any catalog
+    * prefix — the binding namespace is shared) or a bare binding
+    * name. */
+  def resolveBinding(
+      spark: SparkSession, table: String): (String, Option[Int]) = {
+    val name = table.split('.').last
+    val binding = spark.conf.getOption(BindingPrefix + name).getOrElse(
+      throw new NoSuchTableException(
+        Identifier.of(Array.empty[String], name)))
+    parseBinding(binding)
+  }
+
   /** `<root>@v<N>|latest` (bare `<root>` = latest). */
   private[lake] def parseBinding(s: String): (String, Option[Int]) = {
     val at = s.lastIndexOf('@')

@@ -173,6 +173,59 @@ object CdcStream {
       maintenance.run(batch.sparkSession, root, partitionBy, batchId)
     }
 
+  /** The NAME-addressed CDC drain (round-14 verdict item 8) — the
+    * write-side completion of what `followTableIntoInvertedIndex` did
+    * for reads: an intake pipeline lands in a governed table by its
+    * CATALOG NAME, with the root, partition layout, and row key all
+    * resolved from the binding + manifest declarations — the pipeline
+    * carries zero storage coordinates, and a re-pointed binding
+    * re-points the pipeline. Same OCC/replay guarantees as the
+    * root-addressed maintainer (it IS [[maintainChangesAtomic]] after
+    * resolution). A version-pinned binding refuses (immutable), a
+    * table without a recorded key refuses with the declare path
+    * named — the same loud contracts as SQL MERGE. */
+  def maintainChangesAtomicIntoTable(
+      spark: org.apache.spark.sql.SparkSession,
+      updates: DataFrame,
+      table: String,
+      opCol: String,
+      versionCol: Option[String] = None,
+      maintenance: TableMaintenance = TableMaintenance()): StreamingQuery = {
+    val (root, key, pby) = resolveWritable(spark, table)
+    maintainChangesAtomic(updates, root, key, pby, opCol, versionCol,
+      maintenance)
+  }
+
+  /** Upsert-only sibling of [[maintainChangesAtomicIntoTable]]. */
+  def maintainUpsertsAtomicIntoTable(
+      spark: org.apache.spark.sql.SparkSession,
+      updates: DataFrame,
+      table: String,
+      versionCol: Option[String] = None,
+      maintenance: TableMaintenance = TableMaintenance()): StreamingQuery = {
+    val (root, key, pby) = resolveWritable(spark, table)
+    maintainUpsertsAtomic(updates, root, key, pby, versionCol, maintenance)
+  }
+
+  private def resolveWritable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): (String, String, Seq[String]) = {
+    import graft.lake.{LakeCatalog, SnapshotTable}
+    val (root, pinned) = LakeCatalog.resolveBinding(spark, table)
+    require(pinned.isEmpty,
+      s"$table pins v${pinned.get}: a historical version is immutable — " +
+        "bind at latest to stream into the table")
+    val key = SnapshotTable.rowKey(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no recorded row key: run any keyed mutation " +
+          "(upsert/applyChanges) or SnapshotTable.declareKey once"))
+    val pby = SnapshotTable.partitionColumns(spark, root)
+    require(pby.nonEmpty,
+      s"$table has no recorded partition columns; run any API mutation " +
+        "to record the layout first")
+    (root, key, pby)
+  }
+
   private def maintain(
       updates: DataFrame, root: String, key: String,
       versionCol: Option[String])(

@@ -164,6 +164,59 @@ class CdcStreamSpec extends SparkSpec {
     assert(after.filter(col("doc_id") === 100009L).count() == 1)
   }
 
+  test("a stream lands in a governed table by CATALOG NAME") {
+    // round-14 verdict item 8: the intake pipeline carries no storage
+    // coordinates — root, partition layout and row key all resolve
+    // from the binding + manifest declarations
+    import graft.lake.{LakeCatalog, SnapshotTable}
+    val root = tmpDir("cdc-byname")
+    // bootstrap via upsert so the ROW KEY is recorded in the manifest
+    SnapshotTable.upsert(spark, root,
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("source")),
+      "doc_id", Seq("source"))
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "cdc_byname", root)
+    val changes = tmpDir("cdc-byname-in")
+    spark.createDataFrame(Seq(
+      ("u", 3L, "renamed three", "en", 13L, "src3", 1L),
+      ("d", 5L, null.asInstanceOf[String], null.asInstanceOf[String],
+        0L, "src5", 1L)))
+      .toDF("op", "doc_id", "text", "lang", "n_chars", "source", "version")
+      .coalesce(1).write.parquet(s"$changes/all")
+    val cschema = StructType(
+      StructField("op", StringType) +: schema.fields :+
+        StructField("version", LongType))
+    val stream = spark.readStream.schema(cschema).parquet(s"$changes/all")
+    val q = CdcStream.maintainChangesAtomicIntoTable(spark, stream,
+      "lake.cdc_byname", opCol = "op", versionCol = Some("version"))
+    try q.awaitTermination() finally q.stop()
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2),
+      "one drained batch, one commit — same OCC line as the root API")
+    val after = SnapshotTable.read(spark, root)
+    assert(after.filter(col("doc_id") === 3L).select("text")
+      .collect()(0).getString(0) == "renamed three")
+    assert(after.filter(col("doc_id") === 5L).isEmpty)
+    // loud contracts: a pinned binding and a key-less table refuse
+    LakeCatalog.register(spark, "cdc_byname_pin", root, version = Some(1))
+    val pin = intercept[IllegalArgumentException] {
+      CdcStream.maintainChangesAtomicIntoTable(spark, stream,
+        "lake.cdc_byname_pin", opCol = "op")
+    }
+    assert(pin.getMessage.contains("immutable"), pin.getMessage)
+    val keyless = tmpDir("cdc-byname-keyless")
+    SnapshotTable.write(spark, keyless,
+      spark.createDataFrame(Seq(("s1", 1L))).toDF("source", "doc_id"),
+      Seq("source"))
+    LakeCatalog.register(spark, "cdc_byname_keyless", keyless)
+    val nk = intercept[IllegalArgumentException] {
+      CdcStream.maintainChangesAtomicIntoTable(spark, stream,
+        "lake.cdc_byname_keyless", opCol = "op")
+    }
+    assert(nk.getMessage.contains("declareKey"), nk.getMessage)
+  }
+
   test("re-applying a change batch converges (at-least-once contract)") {
     val root = baseDataset()
     val updates = spark.createDataFrame(Seq(
