@@ -355,6 +355,115 @@ object AnnIndex {
     }
   }
 
+  /** Per-cell occupancy (label, n) — works on both layouts (built /
+    * stream-owned). Cheap at scale: `label` is the partition directory,
+    * so the count scans no data columns. */
+  def cellStats(spark: SparkSession, root: String): DataFrame =
+    vectorsDf(spark, root).groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The IVF health number: max cell size over mean cell size. 1.0 =
+    * perfectly balanced; large = the quantizer has drifted from the
+    * corpus, and a probe landing in the hot cell reads far more than
+    * nProbe/k of the data — the IVF failure mode at 100 TB. A corpus
+    * maintained by [[append]] keeps EXACT centroids but never
+    * re-assigns old vectors, so drifty ingest concentrates in few
+    * cells; watch this and [[recluster]] when it degrades. */
+  def imbalance(spark: SparkSession, root: String): Double = {
+    val r = cellStats(spark, root)
+      .agg(max(col("n")).cast("double").as("mx"),
+        avg(col("n")).as("mean")).collect()(0)
+    if (r.isNullAt(0) || r.getDouble(1) == 0.0) 1.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Re-learn the quantizer and re-assign every vector to its nearest
+    * centroid — the `OPTIMIZE` analog for the ANN index (round-14
+    * verdict item 7). [[append]] keeps centroids EXACT over base ∪
+    * delta but never moves old vectors, so a drifting corpus
+    * concentrates into few cells and probe cost degrades toward a
+    * scan; recluster restores the nProbe/k read bound.
+    *
+    * Algorithm: warm-start Lloyd from the CURRENT centroids (no re-init
+    * — they are exact means already), `iterations` assignment passes
+    * (cosine, matching the probe's cell-ranking metric; map-side
+    * `max(struct(score, label))` argmax, so the k×N expansion partial-
+    * aggregates before any shuffle), then ONE staged rewrite: vectors
+    * land in a staging tree partitioned by their new label, the exact
+    * decimal state recomputes from the staged files, and the tree swaps
+    * in. Cost is O(corpus) — inherent to re-assignment — but the state
+    * stays exact, so subsequent [[append]]s remain bit-identical to a
+    * rebuild.
+    *
+    * Crash posture = [[append]]'s marker discipline: `centroids/
+    * _SUCCESS` retracts FIRST and is rewritten LAST, so an interrupted
+    * recluster degrades to a full rebuild on the next
+    * [[buildIfMissing]], never a half-swapped index served as
+    * complete. Probe results are IDENTICAL across a recluster when the
+    * probe covers the index (nProbe >= cell count) — no vector is
+    * lost, duplicated, or rescored; cell LABELS are storage-internal
+    * and may change (pinned in `AnnIndexSpec`). Build/append-layout
+    * roots only: a stream-owned root compacts through
+    * [[compactBatches]] and rebuilds instead. */
+  def recluster(
+      spark: SparkSession, root: String, iterations: Int = 1): Unit = {
+    require(iterations >= 1, "recluster needs at least one pass")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$root/centroid_state")),
+      s"recluster supports built/appended roots (centroid_state): " +
+        s"$root looks stream-owned — compactBatches + rebuild instead")
+    fs.delete(new Path(s"$root/centroids/_SUCCESS"), false)
+
+    def assign(cent: DataFrame): DataFrame =
+      read(spark, s"$root/vectors").drop("label")
+        .crossJoin(broadcast(cent))
+        .withColumn("score",
+          when(col("norm") > 0 && col("cnorm") > 0,
+            vec_dot(col("embedding"), col("cvec")) /
+              (col("norm") * col("cnorm"))).otherwise(-2.0))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("score"), col("label"))).as("m"),
+          first(col("embedding")).as("embedding"),
+          first(col("norm")).as("norm"))
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("m.label").as("label"))
+
+    var cent = read(spark, s"$root/centroids")
+    (1 until iterations).foreach { _ =>
+      // intermediate passes refine the quantizer with double means;
+      // only the FINAL assignment derives the persisted exact state
+      cent = assign(cent)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cvec"))
+        .withColumn("cnorm", vec_norm(col("cvec")))
+    }
+    val staging = s"$root/.recluster-${java.util.UUID.randomUUID()}"
+    assign(cent)
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$staging/vectors")
+    // exact state from the STAGED files (one cheap columnar re-read) —
+    // never from a frame whose lineage reads the path being replaced
+    val staged = spark.read.parquet(s"$staging/vectors")
+    stateOf(staged.select(col("label"), col("embedding")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/centroid_state")
+    fs.delete(new Path(s"$root/vectors"), true)
+    if (!fs.rename(new Path(s"$staging/vectors"), new Path(s"$root/vectors")))
+      throw new java.io.IOException(
+        s"cannot swap reclustered vectors into $root/vectors")
+    fs.delete(new Path(staging), true)
+    writeCentroids(spark, root,
+      spark.read.parquet(s"$root/centroid_state"))
+    invalidate(root)
+  }
+
   def probe(
       spark: SparkSession,
       root: String,

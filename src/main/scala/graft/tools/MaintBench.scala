@@ -161,6 +161,32 @@ object MaintBench {
         SnapshotTable.optimize(spark, mvBase, Seq("source"))
       }
 
+      // --- ANN quantizer health: imbalance probe + re-cluster --------
+      // the IVF maintenance story (round-14 verdict item 7): imbalance
+      // is the cheap watch metric (partition-dir census, no vector
+      // read); recluster is the O(corpus) repair — measured per decade
+      // so the repair cost's growth is on record next to the metric's
+      import graft.operators.AnnIndex
+      val annRoot = graft.core.IndexRoot.of(sfDir, "embeddings.parquet",
+        "graft_maint_ann_v1")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(annRoot))
+      AnnIndex.buildIfMissing(spark, sfDir, annRoot)
+      val dims = Tables(spark, sfDir, "embeddings")
+        .select(size(col("embedding"))).first().getInt(0)
+      AnnIndex.append(spark, annRoot,
+        spark.range(2000000L, 2000400L).select(
+          col("id").as("vec_id"),
+          expr(s"transform(sequence(1, $dims), " +
+            "i -> 7.5 + cast(id % 3 as double) / 1000.0)")
+            .cast("array<float>").as("embedding"),
+          lit(0).as("label")))
+      val (annImbalS, annImbal) =
+        time { AnnIndex.imbalance(spark, annRoot) }
+      val (annReclusterS, _) =
+        time { AnnIndex.recluster(spark, annRoot) }
+      val annImbalAfter = AnnIndex.imbalance(spark, annRoot)
+
       def f(v: Double) =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       println(
@@ -170,7 +196,11 @@ object MaintBench {
         s""""tok_refresh_1p":${f(tokRefresh1p)},""" +
         s""""cdc_feed_step":${f(feedStep)},""" +
         s""""mv_refresh_1p":${f(mvRefresh1p)},""" +
-        s""""optimize_plan":${f(optPlanS)}}""")
+        s""""optimize_plan":${f(optPlanS)},""" +
+        s""""ann_imbalance_probe":${f(annImbalS)},""" +
+        s""""ann_imbalance":${f(annImbal)},""" +
+        s""""ann_recluster":${f(annReclusterS)},""" +
+        s""""ann_imbalance_after":${f(annImbalAfter)}}""")
     }
     spark.stop()
   }
