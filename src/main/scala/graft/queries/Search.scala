@@ -254,10 +254,11 @@ object Search {
     val corpus = base.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .where(col("tok").isin(Bm25Terms: _*))
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), _.isin(Bm25Terms: _*))).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .cache() // two consumers: df stats + the scoring join (see bm25)
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     bm25ScoreFast(tf, dfStats, corpus)
   }
@@ -274,11 +275,19 @@ object Search {
       .cache()
     val corpus = base.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    // query-term filter INSIDE the explode (round-14 verdict item 6):
+    // exploding every token of every document just to discard ~97% of
+    // the rows was the postings stage's real cost — the lambda filter
+    // compiles to an InSet probe per array element, so only matching
+    // occurrences ever become rows. The postings are CACHED because
+    // two consumers read them (the df-stats broadcast job and the
+    // scoring join) — uncached, the explode+aggregate ran twice.
     val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .where(col("tok").isin(Bm25Terms: _*))
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), _.isin(Bm25Terms: _*))).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     bm25Score(tf, dfStats, corpus)
   }
@@ -451,6 +460,8 @@ object Search {
     val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
     val postings = TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+      .cache() // two consumers: df stats + the query join — uncached,
+               // the pruned postings read ran twice (round-14 item 6)
     val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val tfq = postings.join(broadcast(q), "tok")
     bm25ScoreBatch(tfq, dfStats, corpus, k)
@@ -468,6 +479,7 @@ object Search {
     val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
     val postings = TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+      .cache() // see bm25BatchFromTokenized
     val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val tfq = postings.join(broadcast(q), "tok")
     bm25ScoreBatchFast(tfq, dfStats, corpus, k)
@@ -556,17 +568,25 @@ object Search {
   def bm25BatchOver(
       docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("query_id"), col("tok")).distinct()
-    val qterms = q.select(col("tok")).distinct()
+    // the workload's term set is driver-sized BY DEFINITION (it was
+    // already broadcast); collecting it lets the term filter run
+    // INSIDE the explode as an InSet probe per array element — only
+    // matching occurrences ever become rows, instead of exploding the
+    // whole corpus's tokens and discarding ~97% in a join (round-14
+    // verdict item 6: this stage was ~0.65 s of t35's 1.8 s at sf0.1)
+    val terms = q.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
     val base = tokenized(docs)
       .select(col("doc_id"), col("dl"), col("toks"))
       .cache() // same barrier as bm25: stats + postings share the tokenize
     val corpus = base.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .join(broadcast(qterms), "tok") // term filter BEFORE the grouping
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), _.isin(terms: _*))).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .cache() // two consumers: df stats + the query join (see bm25)
     // df is per TERM over the whole corpus — computed before the query
     // join, so two queries sharing a term cannot double-count it
     val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -580,17 +600,19 @@ object Search {
   def bm25BatchFastOver(
       docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("query_id"), col("tok")).distinct()
-    val qterms = q.select(col("tok")).distinct()
+    val terms = q.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
     val base = tokenized(docs)
       .select(col("doc_id"), col("dl"), col("toks"))
       .cache()
     val corpus = base.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .join(broadcast(qterms), "tok")
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), _.isin(terms: _*))).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .cache() // two consumers: df stats + the query join (see bm25)
     val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val tfq = postings.join(broadcast(q), "tok")
     bm25ScoreBatchFast(tfq, dfStats, corpus, k)

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-stage breakdown of the t35 inline batched-BM25 pipeline — the
+  * reproducible measurement behind BENCH_NOTES' "where does t35's time
+  * go" table (round-14 verdict item 6). Stages are timed CUMULATIVELY
+  * (each stage includes its prefix, so adjacent deltas are the stage
+  * costs) on a fresh cache per run, median of 3:
+  *
+  *   tok_cache   tokenize the corpus (regexp_extract_all) + cache.count
+  *   postings    explode + qterm semi-join + (doc, tok) tf aggregate
+  *   exact_score the full t35: df stats + query join + DECIMAL(38,0)
+  *               ladder + native per-query top-k
+  *   fast_score  same pipeline with the double fast path (rank-equal)
+  *
+  * Usage: graft.tools.RetrievalProf <sfDir>
+  */
+object RetrievalProf {
+  private def med3(spark: SparkSession)(body: => Long): (Double, Long) = {
+    val rs = (1 to 3).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    (rs.map(_._1).sorted.apply(1), rs.head._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.queries.Search
+
+    def docs = graft.core.Tables(spark, sfDir, "documents")
+    val queries = Search.bm25BatchQueriesDf(spark)
+    val q = queries.select(col("query_id"), col("tok")).distinct()
+    val qterms = q.select(col("tok")).distinct()
+
+    def base = Search.tokenized(docs)
+      .select(col("doc_id"), col("dl"), col("toks")).cache()
+    def postingsOf(b: org.apache.spark.sql.DataFrame) = b
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .join(broadcast(qterms), "tok")
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+    // warm the JIT + file listings once
+    Search.bm25BatchOver(docs, queries, Search.Bm25BatchK).count()
+
+    val (tokS, nDocs) = med3(spark) { base.count() }
+    val (postS, nPost) = med3(spark) {
+      val b = base
+      b.count() // materialize the shared cache exactly like t35 does
+      postingsOf(b).count()
+    }
+    val (exactS, _) = med3(spark) {
+      Search.bm25BatchOver(docs, queries, Search.Bm25BatchK).count()
+    }
+    val (fastS, _) = med3(spark) {
+      Search.bm25BatchFastOver(docs, queries, Search.Bm25BatchK).count()
+    }
+    def f(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(
+      s"""{"metric":"t35_stages","sf":"${new java.io.File(sfDir).getName}",""" +
+      s""""tok_cache":${f(tokS)},"postings_cum":${f(postS)},""" +
+      s""""exact_full":${f(exactS)},"fast_full":${f(fastS)},""" +
+      s""""n_docs":$nDocs,"n_postings":$nPost}""")
+    spark.stop()
+  }
+}
