@@ -409,6 +409,33 @@ final case class LakeTable(
         TableCapability.OVERWRITE_BY_FILTER)
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** Per-directory (bytes, rows) from the manifest census — what lets
+    * the scan report PRUNED statistics to the planner ([[LakeStatsScan]])
+    * without listing a file: broadcast-vs-shuffle join decisions on a
+    * governed table see the bytes of the partitions the query actually
+    * reads, plus an exact row count parquet's listing-based estimate
+    * never carries. Rows are None for any directory whose census
+    * predates the `#n` recording. */
+  @transient private lazy val dirCensus
+      : Map[String, (Long, Option[Long])] = {
+    val m = SnapshotTable.manifestAt(SparkSession.active, root,
+      snapshotVersion)
+    def dirOf(rel: String): String = rel.take(rel.lastIndexOf('/'))
+    val byDir = m.fileSizes.groupBy(e => dirOf(e._1))
+    val rowsByFile = m.fileRows.toMap
+    m.entries.flatMap { case (_, rel) =>
+      byDir.get(rel).map { fs =>
+        val files = fs.map(_._1)
+        val rows =
+          if (files.forall(rowsByFile.contains))
+            Some(files.map(rowsByFile).sum)
+          else None
+        new org.apache.hadoop.fs.Path(root, rel).toString ->
+          (fs.map(_._2).sum, rows)
+      }
+    }.toMap
+  }
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
@@ -426,7 +453,8 @@ final case class LakeTable(
           .ParquetTable(tableName, SparkSession.active, merged, ps,
             recordedSchema,
             classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-          .newScanBuilder(merged))
+          .newScanBuilder(merged),
+        () => dirCensus)
   }
 
   private def requireWritable(op: String): Unit =
@@ -557,7 +585,8 @@ private[lake] class LakePruningScanBuilder(
     keyedDirs: Seq[(String, String)],
     partitionCols: Seq[String],
     recordedSchema: Option[StructType],
-    mkInner: Seq[String] => ScanBuilder)
+    mkInner: Seq[String] => ScanBuilder,
+    dirCensus: () => Map[String, (Long, Option[Long])] = () => Map.empty)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -567,8 +596,10 @@ private[lake] class LakePruningScanBuilder(
 
   private var inner: ScanBuilder = _
   private var requiredSchema: Option[StructType] = None
+  private var selectedPaths: Seq[String] = keyedDirs.map(_._2)
 
   private def ensureInner(paths: Seq[String]): ScanBuilder = {
+    selectedPaths = paths
     inner = mkInner(paths)
     requiredSchema.foreach(r => inner
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
@@ -623,8 +654,63 @@ private[lake] class LakePruningScanBuilder(
       .pruneColumns(s)
   }
 
-  override def build(): org.apache.spark.sql.connector.read.Scan =
-    currentInner.build()
+  /** The built scan reports PRUNED manifest statistics when the census
+    * covers every surviving directory (bytes always recorded per
+    * commit; rows since the `#n` recording): the planner's
+    * broadcast-vs-shuffle decision for a partition-filtered lake read
+    * sees the bytes it will actually scan, not the whole table — and
+    * an exact numRows, which parquet's listing estimate never has.
+    * Partial coverage keeps the inner scan's own estimate. */
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val scan = currentInner.build()
+    val census = dirCensus()
+    if (selectedPaths.nonEmpty && selectedPaths.forall(census.contains)) {
+      val picked = selectedPaths.map(census)
+      val bytes = picked.map(_._1).sum
+      val rows =
+        if (picked.forall(_._2.isDefined)) Some(picked.map(_._2.get).sum)
+        else None
+      new LakeStatsScan(scan, bytes, rows)
+    } else scan
+  }
+}
+
+/** Delegating [[Scan]] that overrides only the statistics estimate
+  * with manifest-census numbers (see
+  * [[LakePruningScanBuilder.build]]). */
+private[lake] class LakeStatsScan(
+    inner: org.apache.spark.sql.connector.read.Scan,
+    bytes: Long, rows: Option[Long])
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  import org.apache.spark.sql.connector.read.{Scan => V2Scan}
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    inner.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    inner.toMicroBatchStream(checkpointLocation)
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    inner.toContinuousStream(checkpointLocation)
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+  override def columnarSupportMode(): V2Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
 }
 
 /** V1 source filters -> [[Column]] predicates, for routing a SQL

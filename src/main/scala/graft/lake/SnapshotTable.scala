@@ -153,7 +153,15 @@ object SnapshotTable {
       // [[graft.lake.LakeDml]]) can route by NAME without the statement
       // restating the table's identity column. At most one element —
       // a Seq only for render symmetry with partitionBy.
-      rowKey: Seq[String] = Nil)
+      rowKey: Seq[String] = Nil,
+      // per-file ROW COUNTS (round 15, `#n` lines): recorded by every
+      // data commit alongside the byte census, maintained through the
+      // same live-file fold — what lets COUNT(*) / per-partition counts
+      // over a governed table answer from the manifest with zero file
+      // opens ([[MetadataAggregate]]). Files from pre-recording commits
+      // simply have no line; consumers requiring full coverage fall
+      // back to the data scan.
+      fileRows: Seq[(String, Long)] = Nil)
 
   /** One manifest FILE as written: either a full state (`deltaBase`
     * empty — the initial commit, a replace-all, or a checkpoint) or a
@@ -330,13 +338,18 @@ object SnapshotTable {
       val parts = l.split('\t')
       (parts(1), parts(2).toLong)
     }
+    val fileRows = lines.filter(_.startsWith("#n\t")).map { l =>
+      val parts = l.split('\t')
+      (parts(1), parts(2).toLong)
+    }
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val i = line.indexOf('\t')
       (line.substring(0, i), line.substring(i + 1))
     }
     RawManifest(deltaBase, removed,
       Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
-        fileStats, fileSizes, tabList("#partitionby"), tabList("#rowkey")))
+        fileStats, fileSizes, tabList("#partitionby"), tabList("#rowkey"),
+        fileRows))
   }
 
   /** Fold one delta onto a base state. A key present in the delta's
@@ -362,7 +375,8 @@ object SnapshotTable {
       // like schema: a delta from a pre-recording writer must not
       // erase the layout a newer commit already recorded
       if (d.m.partitionBy.nonEmpty) d.m.partitionBy else base.partitionBy,
-      if (d.m.rowKey.nonEmpty) d.m.rowKey else base.rowKey)
+      if (d.m.rowKey.nonEmpty) d.m.rowKey else base.rowKey,
+      base.fileRows.filter(s => live(s._1)) ++ d.m.fileRows)
   }
 
   /** A version's checkpoint sidecar, parsed — None when absent OR
@@ -418,7 +432,8 @@ object SnapshotTable {
       removed.map(k => s"#rm\t$k") ++
       m.fileStats.map(fs =>
         s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}") ++
-      m.fileSizes.map { case (r, b) => s"#sz\t$r\t$b" }
+      m.fileSizes.map { case (r, b) => s"#sz\t$r\t$b" } ++
+      m.fileRows.map { case (r, n) => s"#n\t$r\t$n" }
     (meta ++ m.entries.map { case (k, d) => s"$k\t$d" })
       .mkString("", "\n", "\n")
   }
@@ -490,7 +505,7 @@ object SnapshotTable {
       spark: SparkSession, root: String, version: Int): Seq[(String, String)] =
     entriesAt(spark, root, version)
 
-  private def manifestAt(
+  private[lake] def manifestAt(
       spark: SparkSession, root: String, version: Int): Manifest = {
     // resolve WITHOUT listing the whole _versions dir: latest via the
     // hint pointer (+ forward probe), explicit versions via one
@@ -751,7 +766,7 @@ object SnapshotTable {
   /** Float/double stat renderings BigDecimal cannot parse — and whose
     * presence in a file's min/max means Spark's NaN-is-greatest order
     * was in play, so the recorded range is not a usable skip bound. */
-  private def nonFinite(dt: DataType, s: String): Boolean = {
+  private[lake] def nonFinite(dt: DataType, s: String): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case FloatType | DoubleType =>
@@ -760,7 +775,7 @@ object SnapshotTable {
     }
   }
 
-  private def cmp(dt: DataType, a: String, b: String): Int = {
+  private[lake] def cmp(dt: DataType, a: String, b: String): Int = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType |
@@ -800,7 +815,7 @@ object SnapshotTable {
     else ExternalCatalogUtils.escapePathName(rendered)
   }
 
-  private def unescapeKey(segment: String): String = {
+  private[lake] def unescapeKey(segment: String): String = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     if (segment == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
     else ExternalCatalogUtils.unescapePathName(segment)
@@ -1089,7 +1104,8 @@ object SnapshotTable {
       val v = latestV + 1
       try {
         commitManifest(spark, root, v,
-          next.copy(entries = Nil, fileStats = Nil, fileSizes = Nil),
+          next.copy(entries = Nil, fileStats = Nil, fileSizes = Nil,
+            fileRows = Nil),
           Some(latestV), Nil)
         if (v % CheckpointEvery == 0) writeCheckpoint(spark, root, v, next)
         return v
@@ -1517,6 +1533,26 @@ object SnapshotTable {
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(st => (s"$dir/${st.getPath.getName}", st.getLen))
     }
+    // Per-file ROW COUNTS of the just-written files (round 15, `#n`
+    // manifest lines): driver-side FOOTER reads of only the fresh
+    // files — one seek each, no data pages, same cost class as the
+    // byte census above — so the count is exact parquet metadata, not
+    // a second data pass. This is what [[MetadataAggregate]] answers
+    // COUNT(*) / per-partition counts from with zero file opens at
+    // query time. A file whose footer read fails gets no line (the
+    // metadata-aggregate path requires full coverage and falls back to
+    // the data scan), never a wrong count.
+    val newRowCounts: Seq[(String, Long)] = {
+      val conf = spark.sessionState.newHadoopConf()
+      newSizes.flatMap { case (rel, _) =>
+        try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(root, rel), conf))
+          try Some((rel, r.getRecordCount)) finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
     // relPath derivation for census rows: match each file's PARENT
     // against the just-moved directories as Paths (not via a URI
     // percent-encoding round-trip that can disagree with escaped names
@@ -1616,7 +1652,7 @@ object SnapshotTable {
       val rowKey = declaredKey.map(Seq(_)).getOrElse(
         latestM.map(_.rowKey).getOrElse(Nil))
       val payload = Manifest(moved, Some(schema), statsCols, clusterBy,
-        newStats, newSizes, partitionBy, rowKey)
+        newStats, newSizes, partitionBy, rowKey, newRowCounts)
       try {
         commitManifest(spark, root, v, payload,
           if (asDelta) Some(latestV) else None, removed)
@@ -1633,7 +1669,9 @@ object SnapshotTable {
             latestM.map(_.fileStats).getOrElse(Nil)
               .filter(s => carried(s.relPath)) ++ newStats,
             latestM.map(_.fileSizes).getOrElse(Nil)
-              .filter(s => carried(s._1)) ++ newSizes, partitionBy, rowKey))
+              .filter(s => carried(s._1)) ++ newSizes, partitionBy, rowKey,
+            latestM.map(_.fileRows).getOrElse(Nil)
+              .filter(s => carried(s._1)) ++ newRowCounts))
         }
         return v
       } catch {

@@ -805,6 +805,70 @@ object Corpus {
                AS BIGINT) AS n_inserted
       FROM final GROUP BY source ORDER BY source"""))
 
+  /** Metadata-only aggregate gate (round 15): COUNT / MIN / MAX with a
+    * partition filter and GROUP BY over a governed lake table must
+    * answer from the manifest's `#n` row counts and `#f` stats ALONE
+    * ([[graft.lake.MetadataAggregate]]) — the query function REFUSES a
+    * scan-backed plan, so this row gates both halves at once: the
+    * rewrite fired (plan shape), and the manifest arithmetic equals
+    * DuckDB's recomputation over the logical table (values). A
+    * row-level DELETE lands before the read so the counts are proven
+    * across a partition rewrite, not just the bootstrap commit — the
+    * 100 TB dashboard shape (`SELECT dt, COUNT(*) … GROUP BY dt`)
+    * opening zero data files. Deterministic + idempotent like
+    * [[sqlMergeRoot]]. */
+  private[queries] def metaAggRoot(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.lake.{LakeCatalog, SnapshotTable}
+    val root = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_snaptable_metaagg_v1")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+    if (SnapshotTable.versions(spark, root).isEmpty)
+      SnapshotTable.write(spark, root, docs, Seq("source"),
+        statsFor = Seq("doc_id", "n_chars"))
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "meta_docs", root)
+    if (SnapshotTable.versions(spark, root).size < 2)
+      // a data-column predicate: touched partitions rewrite, and the
+      // rewrite's fresh files re-record their `#n`/`#f` lines
+      SnapshotTable.deleteWhere(spark, root,
+        col("doc_id") % 97 === 0, Seq("source"))
+    root
+  }
+
+  private[queries] def metaAgg(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    metaAggRoot(spark, dir)
+    val q = spark.sql("""
+      SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+             MAX(doc_id) AS max_id, MIN(n_chars) AS min_chars,
+             MAX(n_chars) AS max_chars
+      FROM lake.meta_docs WHERE source >= 'src15'
+      GROUP BY source ORDER BY source""")
+    val scanned = q.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => s
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r
+    }
+    require(scanned.isEmpty, "t53_meta_agg: expected a manifest-only " +
+      s"plan, got a data scan:\n${q.queryExecution.optimizedPlan}")
+    q
+  }
+
+  val t53_meta_agg = Q(
+    "t53_meta_agg",
+    (s, dir) => metaAgg(s, dir),
+    Some("""
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM documents
+      WHERE doc_id % 97 <> 0 AND source >= 'src15'
+      GROUP BY source ORDER BY source"""))
+
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
     * default threshold (0.5), t29's Gopher composite, and a
@@ -1380,5 +1444,5 @@ object Corpus {
       t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
       t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize,
       t45_incremental_mv_minmax, t48_lake_sql, t49_mv_distinct,
-      t51_change_feed, t52_sql_merge)
+      t51_change_feed, t52_sql_merge, t53_meta_agg)
 }

@@ -14,14 +14,18 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * What it adds: SQL `MERGE INTO` / `UPDATE` on lake-catalog tables
   * ([[graft.lake.LakeDml]] — routed through the same OCC manifest
-  * commits as the API mutators), and the engine's native SQL functions
-  * (`vec_dot`/`vec_cosine`/`vec_qdot`). Everything else about the lake
-  * catalog ([[graft.lake.LakeCatalog.install]]) stays runtime conf and
-  * needs no extension.
+  * commits as the API mutators), metadata-only aggregates over lake
+  * tables ([[graft.lake.MetadataAggregate]] — COUNT/MIN/MAX/partition
+  * GROUP BY answered from the manifest with zero file opens), and the
+  * engine's native SQL functions (`vec_dot`/`vec_cosine`/`vec_qdot`).
+  * Everything else about the lake catalog
+  * ([[graft.lake.LakeCatalog.install]]) stays runtime conf and needs
+  * no extension.
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => graft.lake.LakeDml)
+    e.injectOptimizerRule(_ => graft.lake.MetadataAggregate)
     new graft.functions.GraftFunctions.Installer()(e)
   }
 }

@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   *  - `optimize_plan`      SnapshotTable.optimize when every partition
   *                         is already at target (planning from the
   *                         manifest byte census, no data moved)
+  *  - `meta_agg`/`scan_agg` (round 15) the SAME COUNT/MIN/MAX +
+  *                         GROUP BY partition aggregate answered from
+  *                         the manifest (MetadataAggregate; plan
+  *                         required manifest-only) vs executed as a
+  *                         data scan — the manifest row should stay
+  *                         decade-flat while the scan grows
   *
   * Usage: graft.tools.MaintBench <sfDir> [<sfDir> ...]
   */
@@ -47,6 +53,7 @@ object MaintBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -161,6 +168,41 @@ object MaintBench {
         SnapshotTable.optimize(spark, mvBase, Seq("source"))
       }
 
+      // --- metadata-only aggregate vs the same aggregate as a scan ----
+      // (round 15): COUNT/MIN/MAX + GROUP BY partition answered from
+      // the manifest ([[graft.lake.MetadataAggregate]]) must stay flat
+      // across decades while the scan grows with the data — measured
+      // side by side on the same table. The session must carry
+      // GraftSqlExtensions for the rewrite to exist.
+      val metaRoot = graft.core.IndexRoot.of(sfDir, "documents.parquet",
+        "graft_maint_meta_v1")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(metaRoot))
+      SnapshotTable.write(spark, metaRoot, docs, Seq("source"),
+        statsFor = Seq("n_chars"))
+      graft.lake.LakeCatalog.install(spark)
+      graft.lake.LakeCatalog.register(spark, "maint_meta", metaRoot)
+      def metaQ() = spark.sql(
+        "SELECT source, COUNT(*) AS n, MIN(n_chars) AS mn, " +
+          "MAX(n_chars) AS mx FROM lake.maint_meta GROUP BY source")
+      // the number is only honest if the plan IS manifest-only
+      require(metaQ().queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => s
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.isEmpty, "meta_agg row would measure a data scan")
+      metaQ().count() // warm
+      val metaAggS = med3 { metaQ().count(); () }
+      def scanAgg(): Unit = {
+        docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), min(col("n_chars")).as("mn"),
+            max(col("n_chars")).as("mx")).count()
+        ()
+      }
+      scanAgg() // warm
+      val scanAggS = med3 { scanAgg() }
+
       // --- ANN quantizer health: imbalance probe + re-cluster --------
       // the IVF maintenance story (round-14 verdict item 7): imbalance
       // is the cheap watch metric (partition-dir census, no vector
@@ -197,6 +239,7 @@ object MaintBench {
         s""""cdc_feed_step":${f(feedStep)},""" +
         s""""mv_refresh_1p":${f(mvRefresh1p)},""" +
         s""""optimize_plan":${f(optPlanS)},""" +
+        s""""meta_agg":${f(metaAggS)},"scan_agg":${f(scanAggS)},""" +
         s""""ann_imbalance_probe":${f(annImbalS)},""" +
         s""""ann_imbalance":${f(annImbal)},""" +
         s""""ann_recluster":${f(annReclusterS)},""" +

@@ -154,9 +154,13 @@ class LakeCatalogSpec extends SparkSpec {
         .filter(_.getName.endsWith(".parquet"))
         .foreach(f => Files.write(f.toPath, "garbage".getBytes("UTF-8")))
     }
+    // sum(k) forces a real data read (a bare count(*) would be
+    // manifest-answered by MetadataAggregate since round 15 and prove
+    // nothing about the scan) — the pruning claim needs the SCAN to
+    // survive the other partitions' garbage
     assert(spark.sql(
-      "SELECT count(*) FROM lake.lakecat_prune WHERE src = 's1'")
-      .collect()(0).getLong(0) == 20)
+      "SELECT sum(k) FROM lake.lakecat_prune WHERE src = 's1'")
+      .collect()(0).getLong(0) == (1L until 80 by 4).sum)
     // a mixed conjunction: the partition conjunct prunes dirs, the
     // data conjunct still filters rows (and reaches parquet pushdown)
     assert(spark.sql(
@@ -185,6 +189,35 @@ class LakeCatalogSpec extends SparkSpec {
       assert(jobs.get() == 0,
         s"planning a pruned lake scan launched ${jobs.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a pruned scan reports manifest statistics: pruned bytes + " +
+      "exact rows") {
+    // Round 15: the scan the planner sees carries the manifest
+    // census of ONLY the surviving directories — sizeInBytes is what
+    // the query will actually read (broadcast-vs-shuffle decisions on
+    // a partition-filtered lake read stop seeing whole-table bytes),
+    // and numRows is exact from the `#n` lines, which a listing-based
+    // parquet estimate never has.
+    val (name, root) = freshTable("lakecat-stats")
+    // force a data read (projection without aggregation) so the plan
+    // keeps its scan; s2 was rewritten by the fixture's upsert
+    val q = spark.sql(s"SELECT k, v FROM lake.$name WHERE src = 's2'")
+    val scanStats = q.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => s.stats
+    }.get
+    assert(q.count() == 52) // 50 base + 2 upserted
+    assert(scanStats.rowCount.contains(BigInt(52)),
+      s"expected exact manifest rowCount, got ${scanStats.rowCount}")
+    val latest = SnapshotTable.latest(spark, root).get
+    val s2dir = SnapshotTable.entriesFor(spark, root, latest).toMap
+      .apply("s2")
+    val s2bytes = new java.io.File(root, s2dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(scanStats.sizeInBytes == BigInt(s2bytes),
+      s"sizeInBytes must be the PRUNED census: got " +
+        s"${scanStats.sizeInBytes}, s2 on disk is $s2bytes")
   }
 
   test("TIMESTAMP AS OF resolves via commit mtimes; boundaries loud") {

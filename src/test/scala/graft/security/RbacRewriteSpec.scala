@@ -324,6 +324,42 @@ class RbacRewriteSpec extends SparkSpec {
     assert(pii.collect()(0).getLong(0) == 100)
   }
 
+  test("metadata-only COUNT composes with the role's row filter") {
+    // The fixture role's filter is a PARTITION-column predicate, so
+    // [[graft.lake.MetadataAggregate]] may answer the count from the
+    // manifest — WITH the filter applied over the partition tuples
+    // (LF semantics: the filter applies to every query, including
+    // metadata-answered ones). A role filter on a DATA column fails
+    // the partition-only reference check and takes the (role-filtered)
+    // scan instead — both shapes pinned here.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+    def metadataAnswered(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan
+      p.collectFirst { case s: DataSourceV2ScanRelation => s }.isEmpty &&
+        p.collectFirst { case r: DataSourceV2Relation => r }.isEmpty &&
+        p.collectFirst { case l: LocalRelation => l }.nonEmpty
+    }
+    val core = Rbac.runAs(spark,
+      Rbac.Role("core", Some("endpoint = 'api-a'"),
+        Some(Seq("endpoint", "k"))),
+      lakeTable, s"SELECT COUNT(*) AS n FROM $lakeTable")
+    assert(metadataAnswered(core),
+      "partition-column role filter: the count must answer from the " +
+        s"manifest\n${core.queryExecution.optimizedPlan}")
+    assert(core.collect()(0).getLong(0) == 20,
+      "the metadata answer must still be the ROLE's count, not the " +
+        "table's")
+    val core2 =
+      Rbac.Role("core2", Some("k % 2 = 0"), Some(Seq("endpoint", "k")))
+    Rbac.createRoleViews(spark, lakeTable, Seq(core2))
+    val dataFiltered = Rbac.runAs(spark, core2,
+      lakeTable, s"SELECT COUNT(*) AS n FROM $lakeTable")
+    assert(!metadataAnswered(dataFiltered),
+      "data-column role filter must take the scan")
+    assert(dataFiltered.collect()(0).getLong(0) == 50)
+  }
+
   test("lake-table column denial fails loudly, like the reference demo") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Rbac.runAs(spark,
