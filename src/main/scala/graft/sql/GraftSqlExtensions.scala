@@ -16,8 +16,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * ([[graft.lake.LakeDml]] — routed through the same OCC manifest
   * commits as the API mutators), metadata-only aggregates over lake
   * tables ([[graft.lake.MetadataAggregate]] — COUNT/MIN/MAX/partition
-  * GROUP BY answered from the manifest with zero file opens), and the
-  * engine's native SQL functions (`vec_dot`/`vec_cosine`/`vec_qdot`).
+  * GROUP BY answered from the manifest with zero file opens),
+  * `OPTIMIZE t` / `VACUUM t RETAIN n VERSIONS` maintenance statements
+  * ([[GraftSqlParser]]), and the engine's native SQL functions
+  * (`vec_dot`/`vec_cosine`/`vec_qdot`).
   * Everything else about the lake catalog
   * ([[graft.lake.LakeCatalog.install]]) stays runtime conf and needs
   * no extension.
@@ -26,6 +28,7 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => graft.lake.LakeDml)
     e.injectOptimizerRule(_ => graft.lake.MetadataAggregate)
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     new graft.functions.GraftFunctions.Installer()(e)
   }
 }

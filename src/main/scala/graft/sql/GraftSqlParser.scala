@@ -1,0 +1,53 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL spellings for the two lake-table MAINTENANCE operations that
+  * have no Spark-SQL grammar — the same parser-injection seam Delta
+  * uses for its `OPTIMIZE`/`VACUUM`:
+  *
+  *   OPTIMIZE <table>                      → [[graft.lake.SnapshotTable.optimize]]
+  *   VACUUM <table> RETAIN <n> VERSIONS    → [[graft.lake.SnapshotTable.vacuum]]
+  *
+  * Only statements matching these exact shapes are intercepted (one
+  * anchored, case-insensitive match on the raw text); EVERYTHING else
+  * — including malformed OPTIMIZE/VACUUM variants — falls through to
+  * Spark's own parser and its own error surface. `RETAIN n VERSIONS`
+  * is mandatory for VACUUM: a defaulted retention horizon silently
+  * deleting history is the one lakehouse foot-gun this engine refuses
+  * to ship (the API requires the same explicit argument).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Optimize(t) => graft.lake.OptimizeLakeTableCommand(t)
+    case Vacuum(t, n) => graft.lake.VacuumLakeTableCommand(t, n.toInt)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}

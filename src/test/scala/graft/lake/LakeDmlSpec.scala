@@ -381,4 +381,72 @@ class LakeDmlSpec extends SparkSpec {
     assert(unknown.getMessage.contains("no lake binding"),
       unknown.getMessage)
   }
+
+  // ---- round 15: OPTIMIZE / VACUUM as SQL statements ----------------
+
+  test("OPTIMIZE lake.t compacts fragmented partitions; rows and " +
+      "history intact") {
+    val (name, root) = freshTable()
+    // fragment one partition: an API append laying s1 out in 4 files
+    SnapshotTable.append(spark, root,
+      spark.range(5L).select(lit("s1").as("src"),
+        (col("id") + 5000).as("k"), col("id").as("v")),
+      filesPerPartition = 4)
+    def filesOf(dir: String): Int =
+      new java.io.File(root, dir).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val before = SnapshotTable.entriesFor(spark, root,
+      SnapshotTable.latest(spark, root).get).toMap
+    assert(filesOf(before("s1")) > 1, "fixture must be fragmented")
+    val rowsBefore = spark.sql(s"SELECT * FROM lake.$name")
+      .collect().toSet
+    val out = spark.sql(s"OPTIMIZE lake.$name").collect()
+    assert(out.length == 1 && out(0).getInt(0) ==
+      SnapshotTable.latest(spark, root).get,
+      "OPTIMIZE must return the resulting version")
+    val after = SnapshotTable.entriesFor(spark, root,
+      SnapshotTable.latest(spark, root).get).toMap
+    assert(filesOf(after("s1")) == 1,
+      s"s1 must compact to one file, has ${filesOf(after("s1"))}")
+    assert(spark.sql(s"SELECT * FROM lake.$name").collect().toSet ==
+      rowsBefore, "OPTIMIZE must not change a single row")
+    // pre-compaction versions still read (history intact)
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100)
+    // a pinned binding refuses
+    val pinned = s"${name}_pin"
+    LakeCatalog.register(spark, pinned, root, version = Some(1))
+    val pin = intercept[Exception] {
+      spark.sql(s"OPTIMIZE lake.$pinned")
+    }
+    assert(pin.getMessage.contains("immutable"), pin.getMessage)
+  }
+
+  test("VACUUM lake.t RETAIN n VERSIONS drops old versions and their " +
+      "unreferenced data") {
+    val (name, root) = freshTable()
+    spark.sql(s"INSERT INTO lake.$name VALUES ('s1', 9000, 1)")
+    spark.sql(s"DELETE FROM lake.$name WHERE src = 's3'")
+    val latest = SnapshotTable.latest(spark, root).get
+    assert(latest >= 3)
+    val out = spark.sql(s"VACUUM lake.$name RETAIN 1 VERSIONS").collect()
+    assert(out.length == 1 && out(0).getInt(0) == latest - 1,
+      s"must drop exactly the ${latest - 1} pre-horizon manifests: " +
+        out.mkString(","))
+    assert(out(0).getInt(1) > 0, "s3's retired directory must be deleted")
+    // the latest version still reads in full; history is gone LOUDLY
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name")
+      .collect()(0).getLong(0) == 101 - 25) // 100 + 1 insert - src s3
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM lake.$name VERSION AS OF 1")
+        .collect()
+    }
+    assert(gone.getMessage.contains("unknown version"), gone.getMessage)
+    // the RETAIN clause is mandatory: a bare VACUUM falls through to
+    // Spark's parser and fails as ordinary SQL, never as a default-
+    // horizon delete
+    intercept[Exception] { spark.sql(s"VACUUM lake.$name") }
+    assert(SnapshotTable.versions(spark, root) == Seq(latest),
+      "the malformed statement must not have vacuumed anything")
+  }
 }
