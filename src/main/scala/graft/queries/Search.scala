@@ -188,14 +188,18 @@ object Search {
     * tokenizer, df, avgdl and formula (k1 = 1.2, b = 0.75, plus-one
     * idf) to [[bm25Score]], in plain double arithmetic. The exact
     * DECIMAL(38,0) path exists so DuckDB can hash-match bit-identical
-    * scores — that cross-engine property costs ~5x runtime (t35 5.9x,
-    * t31 4.8x clean-window) and production retrieval needs RANKS, not
-    * bit-identical decimals. This path is codegen-friendly (log2 +
-    * double ops inside whole-stage codegen, no wide decimals) and is
-    * pinned RANK-IDENTICAL (top-k set + order) to the gated exact
-    * path at all three SFs, inline and index-served
-    * (`Bm25FastSpec`) — so its external anchor is transitive through
-    * the oracle-gated exact path. Ties break by doc_id, same key. */
+    * scores. When the pipeline was tokenize-dominated that exactness
+    * premium read as ~5x (round-10 window); after the round-15 shave
+    * moved the term filter inside the explode, scoring is a minority
+    * stage and the premium is ~10-25% (round-15 clean window,
+    * `Bm25FastBench`: batched 1.16 exact vs 1.02 fast, index-served
+    * batch 0.83 vs 0.63, inline single at parity) — kept because
+    * production retrieval needs RANKS and the double path stays fully
+    * inside whole-stage codegen with no wide decimals. Pinned
+    * RANK-IDENTICAL (top-k set + order) to the gated exact path at
+    * all three SFs, inline and index-served (`Bm25FastSpec`) — so its
+    * external anchor is transitive through the oracle-gated exact
+    * path. Ties break by doc_id, same key. */
   def bm25ScoreFast(
       tf: DataFrame, dfStats: DataFrame, corpus: DataFrame): DataFrame =
     scoreTermsFast(tf, dfStats, corpus, Seq(col("doc_id")))
