@@ -278,9 +278,15 @@ object LakeCatalog {
       spark: SparkSession, catalogName: String = DefaultName): Unit = {
     spark.conf.set(
       s"spark.sql.catalog.$catalogName", classOf[LakeCatalog].getName)
+    // resolve against the ACTIVE session at call time, not the
+    // installing one: cloneSession copies the function registry, and a
+    // closure-captured session would make the clone's table_changes
+    // read the INSTALLER's bindings — a wrong-table read on a
+    // governance surface (round-15 review item 6)
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-        "table_changes", tableChanges(spark, _), "scala_udf")
+        "table_changes",
+        exprs => tableChanges(SparkSession.active, exprs), "scala_udf")
   }
 
   /** SQL surface for the change feed (round-14 verdict item 3): after
@@ -416,10 +422,18 @@ final case class LakeTable(
     * reads, plus an exact row count parquet's listing-based estimate
     * never carries. Rows are None for any directory whose census
     * predates the `#n` recording. */
+  /** This snapshot version's folded manifest, read ONCE per resolved
+    * table instance: the planner (scan pruning, [[MetadataAggregate]],
+    * the census below) may consult it across several optimizer
+    * iterations, and a version's folded state is immutable — while a
+    * fresh catalog resolution always constructs a fresh instance and
+    * re-reads. */
+  @transient private[lake] lazy val manifest: SnapshotTable.Manifest =
+    SnapshotTable.manifestAt(SparkSession.active, root, snapshotVersion)
+
   @transient private lazy val dirCensus
       : Map[String, (Long, Option[Long])] = {
-    val m = SnapshotTable.manifestAt(SparkSession.active, root,
-      snapshotVersion)
+    val m = manifest
     def dirOf(rel: String): String = rel.take(rel.lastIndexOf('/'))
     val byDir = m.fileSizes.groupBy(e => dirOf(e._1))
     val rowsByFile = m.fileRows.toMap
@@ -679,8 +693,8 @@ private[lake] class LakePruningScanBuilder(
   * with manifest-census numbers (see
   * [[LakePruningScanBuilder.build]]). */
 private[lake] class LakeStatsScan(
-    inner: org.apache.spark.sql.connector.read.Scan,
-    bytes: Long, rows: Option[Long])
+    private val inner: org.apache.spark.sql.connector.read.Scan,
+    private val bytes: Long, private val rows: Option[Long])
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.read.{Scan => V2Scan}
@@ -711,6 +725,18 @@ private[lake] class LakeStatsScan(
         rows.fold(java.util.OptionalLong.empty())(
           java.util.OptionalLong.of)
     }
+
+  // scan equality drives exchange/subquery REUSE (BatchScanExec
+  // canonicalization compares the scan): two structurally-equal
+  // parquet scans of one lake table must stay equal through this
+  // wrapper, or a self-join re-scans both sides (round-15 review)
+  override def equals(other: Any): Boolean = other match {
+    case s: LakeStatsScan =>
+      inner == s.inner && bytes == s.bytes && rows == s.rows
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(inner, Long.box(bytes), rows)
 }
 
 /** V1 source filters -> [[Column]] predicates, for routing a SQL

@@ -166,6 +166,28 @@ final case class UpdateLakeCommand(
     condition: Option[Expression]) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // an UPDATE may not rewrite the table's recorded ROW KEY: the key
+    // is the uniqueness invariant every keyed consumer (MERGE's
+    // cardinality check, upsert's anti-join, the change feed's
+    // update pairing) depends on, and overwriteWhere performs no key
+    // validation — `SET key = 0` matching two rows would silently
+    // plant duplicates (round-15 review item 1). A key change is a
+    // delete + insert: spell it as MERGE INTO or applyChanges.
+    SnapshotTable.rowKey(spark, root).foreach { key =>
+      val idx = target.output.indexWhere(_.name.equalsIgnoreCase(key))
+      if (idx >= 0 && idx < assignments.length) {
+        val identity = assignments(idx).value match {
+          case ar: AttributeReference => ar.name.equalsIgnoreCase(key)
+          case _ => false
+        }
+        if (!identity) throw new AnalysisException(
+          errorClass = "INTERNAL_ERROR", messageParameters = Map(
+            "message" -> (s"UPDATE cannot assign the table's recorded " +
+              s"row key '$key' — duplicate or NULL keys would break " +
+              "every keyed consumer; a key change is a delete+insert " +
+              "(MERGE INTO / applyChanges)")))
+      }
+    }
     val t = SqlRewrite.ofRows(spark, target)
     val filtered = condition.map(c => t.filter(Bridge.column(c))).getOrElse(t)
     val updated = filtered.select(assignments.map { a =>
@@ -223,10 +245,15 @@ final case class MergeIntoLakeCommand(
     val keyAttr = target.output.find(_.name.equalsIgnoreCase(key)).getOrElse(
       deny(s"recorded row key '$key' is not a column of the table"))
 
-    // auxiliary column names guaranteed free of the table's
+    // auxiliary column names guaranteed free of the table's — the
+    // derived oldCols go through the SAME free-name probe (a table
+    // column literally named `__graft_op_old_0` must not collide —
+    // round-15 review item 8)
     val opCol = Iterator.from(0)
       .map(i => if (i == 0) "__graft_op" else s"__graft_op_$i")
-      .find(n => !cols.exists(_.equalsIgnoreCase(n))).get
+      .find(n => !cols.exists(_.equalsIgnoreCase(n)) &&
+        pby.indices.forall(j =>
+          !cols.exists(_.equalsIgnoreCase(s"${n}_old_$j")))).get
     val oldCols = pby.indices.map(i => s"${opCol}_old_$i")
 
     val t = SqlRewrite.ofRows(spark, target)
@@ -281,8 +308,15 @@ final case class MergeIntoLakeCommand(
       Some(target.output.map(a => Bridge.column(a)))
     val parts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
 
-    if (matched.nonEmpty) {
-      val joined = t.join(s, condC, "inner")
+    // the matched join feeds TWO consumers — the cardinality aggregate
+    // and the change-batch build — so it is cached for the command's
+    // lifetime; uncached, the most expensive stage (target scan +
+    // shuffle join) executed twice (round-15 review item 4)
+    val joinedCache =
+      if (matched.nonEmpty) Some(t.join(s, condC, "inner").cache())
+      else None
+    try {
+    joinedCache.foreach { joined =>
       // cardinality: a target row matched by >1 source rows makes the
       // clause outcome source-order-dependent — refuse, like every
       // lakehouse MERGE (one aggregation over the matched pairs)
@@ -340,6 +374,7 @@ final case class MergeIntoLakeCommand(
         changes.select((cols :+ opCol).map(col): _*), key, pby, opCol)
     } finally changes.unpersist()
     Nil
+    } finally joinedCache.foreach(_.unpersist())
   }
 
   /** True when the ON condition is exactly `t.key = e(source)` and every

@@ -77,6 +77,7 @@ object MetadataAggregate extends Rule[LogicalPlan] {
       catch { case scala.util.control.NonFatal(_) => agg }
   }
 
+
   /** Types whose Spark cast-to-string rendering (how `#f` stats are
     * recorded) is exactly inverted by the string-to-type cast, so a
     * manifest min/max IS the column's min/max, not an approximation:
@@ -175,8 +176,12 @@ object MetadataAggregate extends Rule[LogicalPlan] {
     }
 
     // ---- manifest coverage ----------------------------------------
+    // the manifest caches ON THE RELATION'S LakeTable instance, so
+    // fixed-point optimizer iterations over a qualifying-but-
+    // uncovered aggregate re-read it zero times (round-15 review
+    // item 9) while a fresh resolution always reads fresh state
     val spark = SparkSession.active
-    val m = SnapshotTable.manifestAt(spark, lt.root, lt.snapshotVersion)
+    val m = lt.manifest
     if (m.entries.exists(_._1.split("/", -1).length !=
         lt.partitionCols.length)) return None
     val filesByDir: Map[String, Seq[String]] = m.fileSizes.map(_._1)

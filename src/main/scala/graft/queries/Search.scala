@@ -465,7 +465,15 @@ object Search {
     val postings = TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
       .cache() // two consumers: df stats + the query join — uncached,
-               // the pruned postings read ran twice (round-14 item 6)
+               // the pruned postings read ran twice (round-14 item 6).
+               // Lifecycle contract (here and in every bm25* path):
+               // these are PER-CALL shared-scan barriers with no owner
+               // to unpersist them before the caller consumes the
+               // result — Bench/Verify drain via catalog.clearCache()
+               // between queries; a long-lived service issuing many
+               // workloads on one session should do the same (or
+               // unpersist after materializing), or storage fills
+               // with dead cached plans.
     val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val tfq = postings.join(broadcast(q), "tok")
     bm25ScoreBatch(tfq, dfStats, corpus, k)

@@ -91,8 +91,11 @@ object Rbac {
     import graft.lake.ChangeFeed.{ChangeTypeCol, VersionCol}
     val meta = Seq(ChangeTypeCol, VersionCol).filter(changes.columns.contains)
     val filtered = role.rowFilter.fold(changes)(changes.where)
+    // meta columns dedup against BOTH branches: a role whose explicit
+    // allowedColumns already grants a feed metadata column must not
+    // yield a duplicate (ambiguous) output column (round-15 review)
     val cols = role.allowedColumns
-      .getOrElse(changes.columns.toSeq.filterNot(meta.contains)) ++ meta
+      .getOrElse(changes.columns.toSeq).filterNot(meta.contains) ++ meta
     filtered.selectExpr(cols.map {
       case c if role.maskedColumns.contains(c) =>
         s"md5(CAST(`$c` AS STRING)) AS `$c`"

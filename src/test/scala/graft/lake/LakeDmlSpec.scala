@@ -449,4 +449,39 @@ class LakeDmlSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(latest),
       "the malformed statement must not have vacuumed anything")
   }
+
+  test("maintenance statements addressed at ANOTHER catalog refuse " +
+      "instead of resolving the same-named lake binding") {
+    // `VACUUM ice.t RETAIN …` (a typo'd or foreign catalog) must not
+    // silently vacuum the lake binding 't' — for VACUUM that
+    // misdirection is destructive
+    val (name, root) = freshTable()
+    val before = SnapshotTable.versions(spark, root)
+    val e = intercept[Exception] {
+      spark.sql(s"VACUUM ice.$name RETAIN 1 VERSIONS")
+    }
+    assert(e.getMessage.contains("not a graft lake catalog"),
+      e.getMessage)
+    assert(SnapshotTable.versions(spark, root) == before,
+      "the misdirected VACUUM must not have touched the lake table")
+    val o = intercept[Exception] { spark.sql(s"OPTIMIZE ice.$name") }
+    assert(o.getMessage.contains("not a graft lake catalog"),
+      o.getMessage)
+  }
+
+  test("UPDATE refuses to assign the table's recorded row key") {
+    val (name, root) = freshTable()
+    SnapshotTable.declareKey(spark, root, "k")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE lake.$name SET k = 0 WHERE src = 's1'")
+    }
+    assert(e.getMessage.contains("row key"), e.getMessage)
+    // non-key assignments still work, and the key column is untouched
+    spark.sql(s"UPDATE lake.$name SET v = -5 WHERE src = 's1' AND k = 1")
+    val live = SnapshotTable.read(spark, root)
+    assert(live.filter(col("k") === 1).select(col("v"))
+      .collect()(0).getLong(0) == -5L)
+    assert(live.filter(col("k") === 0).count() == 1,
+      "exactly the original k=0 row — no duplicates planted")
+  }
 }

@@ -429,6 +429,18 @@ class RbacRewriteSpec extends SparkSpec {
       "only the api-a delete preimage (k=0) may surface; k=1 is api-b")
     assert(secured.count() == 2 + 1,
       "2 bootstrap inserts (k=0,5) + 1 visible delete (k=0)")
+    // a role whose explicit column grant already names a feed meta
+    // column must not produce a duplicate (ambiguous) output column
+    val metaRole = Rbac.Role("core", Some("endpoint = 'api-a'"),
+      Some(Seq("endpoint", "k", graft.lake.ChangeFeed.ChangeTypeCol)))
+    val securedMeta = Rbac.secureFeed(feed, metaRole)
+    assert(securedMeta.columns.toSeq ==
+      Seq("endpoint", "k", graft.lake.ChangeFeed.ChangeTypeCol,
+        graft.lake.ChangeFeed.VersionCol),
+      s"duplicate meta column: ${securedMeta.columns.mkString(",")}")
+    // the reference is unambiguous downstream
+    assert(securedMeta.filter(col(graft.lake.ChangeFeed.ChangeTypeCol)
+      === graft.lake.ChangeFeed.Delete).count() == 1)
   }
 
   test("a view smuggling the lake table past runAs is denied") {
