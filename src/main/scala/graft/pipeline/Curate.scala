@@ -421,6 +421,7 @@ object Curate {
     val rebalance = args.contains("rebalance")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -14,6 +14,7 @@ object BucketDiag {
   def main(args: Array[String]): Unit = {
     val s = org.apache.spark.sql.SparkSession.builder
       .master("local[32]")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")

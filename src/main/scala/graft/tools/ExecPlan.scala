@@ -5,6 +5,7 @@ object ExecPlan {
     val Array(sfDir, name) = args
     val spark = SparkSession.builder()
       .master("local[8]")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
