@@ -381,7 +381,8 @@ final case class LakeTable(
     paths: Seq[String], recordedSchema: Option[StructType],
     writable: Boolean = false, partitionCols: Seq[String] = Nil,
     keyedDirs: Seq[(String, String)] = Nil)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   @transient private lazy val delegate =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
@@ -407,6 +408,81 @@ final case class LakeTable(
 
   override def properties(): util.Map[String, String] =
     Map("root" -> root, "version" -> snapshotVersion.toString).asJava
+
+  // ---- SupportsPartitionManagement (round 15): the LISTING half,
+  // manifest-served — `SHOW PARTITIONS lake.t [PARTITION (k=v)]` works
+  // natively with zero file I/O. Partition MUTATION through this seam
+  // is refused loudly: partitions come and go through the table's own
+  // committed mutations (INSERT/DELETE/MERGE/applyChanges), never as
+  // out-of-band metadata surgery.
+  override def partitionSchema(): StructType = {
+    val types = recordedSchema
+      .map(s => s.fields.map(f =>
+        f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap)
+      .getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
+    StructType(partitionCols.map(c => org.apache.spark.sql.types
+      .StructField(c, types.getOrElse(
+        c.toLowerCase(java.util.Locale.ROOT),
+        org.apache.spark.sql.types.StringType))))
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val schema = partitionSchema()
+    val nameIdx = names.map(n => schema.fieldIndex(n))
+    keyedDirs.map(_._1).distinct.flatMap { key =>
+      val frags = key.split("/", -1)
+      if (frags.length != partitionCols.length) None
+      else {
+        val values = frags.zip(schema.fields).map { case (frag, f) =>
+          val s = SnapshotTable.unescapeKey(frag)
+          if (s == null) null
+          else org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType),
+            f.dataType, Some("UTC")).eval(null)
+        }
+        val matches = nameIdx.zipWithIndex.forall { case (fi, ii) =>
+          val want =
+            if (ident.isNullAt(ii)) null
+            else ident.get(ii, schema.fields(fi).dataType)
+          java.util.Objects.equals(values(fi), want)
+        }
+        if (matches) Some(org.apache.spark.sql.catalyst.InternalRow
+          .fromSeq(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(values)))
+        else None
+      }
+    }.toArray
+  }
+
+  private def noPartitionDdl(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$op on $tableName: lake partitions are owned by the table's " +
+        "committed mutations (INSERT / DELETE / MERGE / applyChanges) " +
+        "— there is no out-of-band partition metadata to edit")
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    noPartitionDdl("ALTER TABLE … ADD PARTITION")
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    noPartitionDdl("ALTER TABLE … DROP PARTITION")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    noPartitionDdl("ALTER TABLE … SET PARTITION metadata")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] =
+    util.Collections.emptyMap()
 
   override def capabilities(): util.Set[TableCapability] =
     if (writable)

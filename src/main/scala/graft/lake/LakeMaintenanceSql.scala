@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType, TimestampType}
 
 private[lake] object LakeMaintenanceSql {
   /** `VACUUM ice.events RETAIN …` addressed at ANOTHER catalog must
@@ -77,5 +77,36 @@ final case class VacuumLakeTableCommand(table: String, keepVersions: Int)
     val (manifests, dirs) =
       SnapshotTable.vacuum(spark, root, keepVersions)
     Seq(Row(manifests, dirs))
+  }
+}
+
+/** `DESCRIBE HISTORY lake.t` — version discovery for the time-travel
+  * surface ([[SnapshotTable.history]]): one row per retained version,
+  * newest first, with the SAME commit clock `TIMESTAMP AS OF` resolves
+  * against (manifest mtimes), so the two can never disagree. Cost is
+  * one manifest-file read per retained version; no data access. */
+final case class DescribeHistoryCommand(table: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("added_partitions", IntegerType, nullable = false)(),
+    AttributeReference("removed_partitions", IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeMaintenanceSql.requireLakeCatalog(spark, table, "DESCRIBE HISTORY")
+    val (root, _) = LakeCatalog.resolveBinding(spark, table)
+    if (!SnapshotTable.isTableRoot(spark, root))
+      throw new UnsupportedOperationException(
+        s"DESCRIBE HISTORY $table: the binding is a flat snapshot " +
+          "layer (no manifest log); history applies to SnapshotTable " +
+          "roots")
+    SnapshotTable.history(spark, root).sortBy(-_._1).map {
+      case (v, ms, kind, added, removed) =>
+        Row(v, new java.sql.Timestamp(ms), kind, added, removed)
+    }
   }
 }

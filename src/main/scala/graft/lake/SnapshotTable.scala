@@ -288,6 +288,26 @@ object SnapshotTable {
     eligible.map(_._1).max
   }
 
+  /** Commit history for `DESCRIBE HISTORY` (round 15): one row per
+    * RETAINED version — (version, commit mtime millis, "full"|"delta",
+    * partitions added by that commit's own file, partition keys it
+    * removed). The commit stamp is the manifest rename's mtime — the
+    * same clock [[versionAtTimestamp]] resolves `TIMESTAMP AS OF`
+    * against, so the two surfaces can never disagree. Cost is
+    * O(retained versions) manifest-FILE reads (each commit's own file,
+    * no chain folds), no data access. */
+  def history(spark: SparkSession, root: String)
+      : Seq[(Int, Long, String, Int, Int)] = {
+    val f = fs(spark, root)
+    versions(spark, root).map { v =>
+      val p = manifestPath(root, v)
+      val raw = parseManifestFile(spark, root, p)
+      (v, f.getFileStatus(p).getModificationTime,
+        if (raw.deltaBase.isEmpty) "full" else "delta",
+        raw.m.entries.size, raw.removed.size)
+    }
+  }
+
   private def latestVersion(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, root)
     val hinted: Option[Int] =

@@ -6,12 +6,13 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** SQL spellings for the two lake-table MAINTENANCE operations that
-  * have no Spark-SQL grammar — the same parser-injection seam Delta
-  * uses for its `OPTIMIZE`/`VACUUM`:
+/** SQL spellings for the lake-table MAINTENANCE/INSPECTION statements
+  * that have no Spark-SQL grammar — the same parser-injection seam
+  * Delta uses for its `OPTIMIZE`/`VACUUM`/`DESCRIBE HISTORY`:
   *
   *   OPTIMIZE <table>                      → [[graft.lake.SnapshotTable.optimize]]
   *   VACUUM <table> RETAIN <n> VERSIONS    → [[graft.lake.SnapshotTable.vacuum]]
+  *   DESCRIBE HISTORY <table>              → [[graft.lake.SnapshotTable.history]]
   *
   * Only statements matching these exact shapes are intercepted (one
   * anchored, case-insensitive match on the raw text); EVERYTHING else
@@ -27,10 +28,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(t) => graft.lake.OptimizeLakeTableCommand(t)
     case Vacuum(t, n) => graft.lake.VacuumLakeTableCommand(t, n.toInt)
+    case History(t) => graft.lake.DescribeHistoryCommand(t)
     case _ => delegate.parsePlan(sqlText)
   }
 

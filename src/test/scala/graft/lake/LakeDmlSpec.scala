@@ -469,6 +469,41 @@ class LakeDmlSpec extends SparkSpec {
       o.getMessage)
   }
 
+  test("SHOW PARTITIONS and DESCRIBE HISTORY serve from the manifest") {
+    val (name, root) = freshTable()
+    // SHOW PARTITIONS: native Spark statement through the DSv2
+    // SupportsPartitionManagement seam — manifest keys, no file I/O
+    val parts = spark.sql(s"SHOW PARTITIONS lake.$name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("src=s0", "src=s1", "src=s2", "src=s3"), parts)
+    // a partition spec narrows the listing
+    assert(spark.sql(s"SHOW PARTITIONS lake.$name PARTITION (src='s2')")
+      .collect().map(_.getString(0)).toSeq == Seq("src=s2"))
+    // a partition-column DELETE (pure-metadata commit) drops the key
+    spark.sql(s"DELETE FROM lake.$name WHERE src = 's3'")
+    assert(spark.sql(s"SHOW PARTITIONS lake.$name").count() == 3)
+    // partition DDL is refused loudly — partitions are owned by the
+    // table's committed mutations
+    val ddl = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.$name DROP PARTITION (src='s0')")
+    }
+    assert(ddl.getMessage.contains("committed mutations"), ddl.getMessage)
+    // DESCRIBE HISTORY: newest first, the TIMESTAMP AS OF clock
+    val hist = spark.sql(s"DESCRIBE HISTORY lake.$name").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(2, 1),
+      hist.mkString(","))
+    assert(hist.map(_.getString(2)).toSeq == Seq("delta", "full"))
+    assert(hist.forall(!_.isNullAt(1)), "every commit carries its stamp")
+    // v2 was the partition delete: one key removed, nothing added
+    assert(hist(0).getInt(3) == 0 && hist(0).getInt(4) == 1)
+    assert(hist(1).getInt(3) == 4 && hist(1).getInt(4) == 0)
+    // the history stamp IS the TIMESTAMP AS OF clock: asking for the
+    // v1 commit instant serves v1
+    val t1 = hist(1).getTimestamp(1)
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name TIMESTAMP AS OF " +
+      s"'${t1}'").collect()(0).getLong(0) == 100)
+  }
+
   test("UPDATE refuses to assign the table's recorded row key") {
     val (name, root) = freshTable()
     SnapshotTable.declareKey(spark, root, "k")
