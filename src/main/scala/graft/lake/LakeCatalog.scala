@@ -349,7 +349,24 @@ object LakeCatalog {
     * name. */
   def resolveBinding(
       spark: SparkSession, table: String): (String, Option[Int]) = {
-    val name = table.split('.').last
+    val parts = table.split('.')
+    // a CATALOG-QUALIFIED name addressed at another catalog must not
+    // silently resolve the same-named lake binding (round-15 review:
+    // `VACUUM ice.events RETAIN …` would have vacuumed lake `events`;
+    // the streaming by-name writers shared the hole). The guard lives
+    // HERE so every resolver caller — SQL maintenance statements,
+    // CdcStream.*IntoTable, future tools — is covered at once.
+    if (parts.length > 1) {
+      val cat = parts.head
+      val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+      if (!impl.contains(classOf[LakeCatalog].getName))
+        throw new UnsupportedOperationException(
+          s"'$table': catalog '$cat' is not a graft lake catalog on " +
+            s"this session — refusing to resolve the bare binding " +
+            s"'${parts.last}' instead (LakeCatalog.install registers " +
+            "the catalog)")
+    }
+    val name = parts.last
     val binding = spark.conf.getOption(BindingPrefix + name).getOrElse(
       throw new NoSuchTableException(
         Identifier.of(Array.empty[String], name)))

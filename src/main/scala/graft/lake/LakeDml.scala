@@ -244,6 +244,27 @@ final case class MergeIntoLakeCommand(
     val cols = target.output.map(_.name)
     val keyAttr = target.output.find(_.name.equalsIgnoreCase(key)).getOrElse(
       deny(s"recorded row key '$key' is not a column of the table"))
+    // an UPDATE clause may not rewrite the recorded row key — the same
+    // invariant the SQL UPDATE command enforces: applyChanges keys
+    // change rows by their NEW key, so a rewritten key leaves the OLD
+    // row live (silent duplication) or collides with an unrelated
+    // existing key. The aligned assignment for the key column must be
+    // the key attribute itself (what alignUpdateAssignments produces
+    // for an unassigned column).
+    val keyIdx = cols.indexWhere(_.equalsIgnoreCase(key))
+    (matched ++ notMatchedBySource).foreach {
+      case UpdateAction(_, as, _) if keyIdx >= 0 && keyIdx < as.length =>
+        val identity = as(keyIdx).value match {
+          case ar: AttributeReference => ar.exprId == keyAttr.exprId
+          case _ => false
+        }
+        if (!identity) deny(
+          s"MERGE UPDATE assigns the table's recorded row key '$key' — " +
+            "a key change is DELETE + INSERT (two clauses), never an " +
+            "in-place rewrite: the change batch keys rows by the NEW " +
+            "key, so the old row would silently survive")
+      case _ => ()
+    }
 
     // auxiliary column names guaranteed free of the table's — the
     // derived oldCols go through the SAME free-name probe (a table

@@ -5,29 +5,6 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{IntegerType, StringType, TimestampType}
 
-private[lake] object LakeMaintenanceSql {
-  /** `VACUUM ice.events RETAIN …` addressed at ANOTHER catalog must
-    * not silently operate on the same-named lake binding
-    * ([[LakeCatalog.resolveBinding]] drops the prefix — round-15
-    * review item 2; for VACUUM that misdirection is destructive).
-    * Any catalog prefix in the statement must be registered as a
-    * graft [[LakeCatalog]] on this session; bare names resolve as
-    * bindings, as everywhere else. */
-  def requireLakeCatalog(
-      spark: SparkSession, table: String, stmt: String): Unit = {
-    val parts = table.split('.')
-    if (parts.length > 1) {
-      val cat = parts.head
-      val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
-      if (!impl.contains(classOf[LakeCatalog].getName))
-        throw new UnsupportedOperationException(
-          s"$stmt $table: catalog '$cat' is not a graft lake catalog " +
-            s"on this session — refusing to resolve the bare binding " +
-            s"'${parts.last}' instead")
-    }
-  }
-}
-
 /** `OPTIMIZE lake.t` — the SQL spelling of
   * [[SnapshotTable.optimize]]: compact fragmented partitions toward
   * the byte target, candidates planned from the manifest's `#sz`
@@ -43,7 +20,6 @@ final case class OptimizeLakeTableCommand(table: String)
     AttributeReference("version", IntegerType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeMaintenanceSql.requireLakeCatalog(spark, table, "OPTIMIZE")
     val (root, pin) = LakeCatalog.resolveBinding(spark, table)
     if (pin.nonEmpty) throw new UnsupportedOperationException(
       s"OPTIMIZE $table: the binding pins @v${pin.get} — historical " +
@@ -72,7 +48,6 @@ final case class VacuumLakeTableCommand(table: String, keepVersions: Int)
     AttributeReference("data_dirs_deleted", IntegerType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeMaintenanceSql.requireLakeCatalog(spark, table, "VACUUM")
     val (root, _) = LakeCatalog.resolveBinding(spark, table)
     val (manifests, dirs) =
       SnapshotTable.vacuum(spark, root, keepVersions)
@@ -97,7 +72,6 @@ final case class DescribeHistoryCommand(table: String)
       nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeMaintenanceSql.requireLakeCatalog(spark, table, "DESCRIBE HISTORY")
     val (root, _) = LakeCatalog.resolveBinding(spark, table)
     if (!SnapshotTable.isTableRoot(spark, root))
       throw new UnsupportedOperationException(

@@ -299,12 +299,17 @@ object SnapshotTable {
   def history(spark: SparkSession, root: String)
       : Seq[(Int, Long, String, Int, Int)] = {
     val f = fs(spark, root)
-    versions(spark, root).map { v =>
-      val p = manifestPath(root, v)
-      val raw = parseManifestFile(spark, root, p)
-      (v, f.getFileStatus(p).getModificationTime,
-        if (raw.deltaBase.isEmpty) "full" else "delta",
-        raw.m.entries.size, raw.removed.size)
+    versions(spark, root).flatMap { v =>
+      // a version a CONCURRENT vacuum removes between the listing and
+      // the read simply drops from the answer — inspection must not
+      // crash on the retention maintenance this engine itself runs
+      try {
+        val p = manifestPath(root, v)
+        val raw = parseManifestFile(spark, root, p)
+        Some((v, f.getFileStatus(p).getModificationTime,
+          if (raw.deltaBase.isEmpty) "full" else "delta",
+          raw.m.entries.size, raw.removed.size))
+      } catch { case _: java.io.FileNotFoundException => None }
     }
   }
 

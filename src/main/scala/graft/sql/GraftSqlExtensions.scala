@@ -28,7 +28,8 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => graft.lake.LakeDml)
     e.injectOptimizerRule(_ => graft.lake.MetadataAggregate)
-    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
     new graft.functions.GraftFunctions.Installer()(e)
   }
 }

@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * deleting history is the one lakehouse foot-gun this engine refuses
   * to ship (the API requires the same explicit argument).
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(
+    session: org.apache.spark.sql.SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s*;?\s*""".r
@@ -31,10 +33,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
+  /** `DESCRIBE HISTORY t` is the ONE intercepted shape that collides
+    * with real Spark grammar: `DESCRIBE history <column>` describes a
+    * column of a table named `history`. Disambiguate by the lake
+    * binding namespace — intercept only when the named table actually
+    * resolves as a lake binding (and any catalog prefix is a lake
+    * catalog); everything else reaches Spark's own DESCRIBE. */
+  private def isLakeBinding(t: String): Boolean =
+    try {
+      val parts = t.split('.')
+      parts.length <= 2 &&
+        (parts.length == 1 || session.conf
+          .getOption(s"spark.sql.catalog.${parts.head}")
+          .contains(classOf[graft.lake.LakeCatalog].getName)) &&
+        session.conf.getOption(
+          graft.lake.LakeCatalog.BindingPrefix + parts.last).isDefined
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(t) => graft.lake.OptimizeLakeTableCommand(t)
     case Vacuum(t, n) => graft.lake.VacuumLakeTableCommand(t, n.toInt)
-    case History(t) => graft.lake.DescribeHistoryCommand(t)
+    case History(t) if isLakeBinding(t) =>
+      graft.lake.DescribeHistoryCommand(t)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -504,6 +504,43 @@ class LakeDmlSpec extends SparkSpec {
       s"'${t1}'").collect()(0).getLong(0) == 100)
   }
 
+  test("MERGE UPDATE refuses to assign the recorded row key; VACUUM " +
+      "protects session-pinned versions; DESCRIBE history delegates") {
+    val (name, root) = freshTable()
+    SnapshotTable.declareKey(spark, root, "k")
+    // (1) the MERGE path enforces the same key invariant as UPDATE
+    spark.range(3L).select(lit("s1").as("src"), (col("id") * 4 + 1).as("k"),
+      lit(0L).as("v")).createOrReplaceTempView("mergekey_src")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO lake.$name t USING mergekey_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET k = s.k + 1000, v = s.v""")
+    }
+    assert(e.getMessage.contains("row key"), e.getMessage)
+    // a key-identity UPDATE clause is fine
+    spark.sql(s"""MERGE INTO lake.$name t USING mergekey_src s
+      ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("k") === 1).select("v").collect()(0).getLong(0) == 0L)
+    // (2) VACUUM spares a version a session binding pins
+    spark.sql(s"INSERT INTO lake.$name VALUES ('s1', 9100, 7)") // v3
+    LakeCatalog.register(spark, s"${name}_pin1", root, version = Some(1))
+    spark.sql(s"VACUUM lake.$name RETAIN 1 VERSIONS").collect()
+    assert(SnapshotTable.versions(spark, root).contains(1),
+      "the session-pinned v1 must survive the retention horizon")
+    assert(spark.sql(s"SELECT count(*) FROM lake.${name}_pin1")
+      .collect()(0).getLong(0) == 100)
+    // (3) DESCRIBE HISTORY only intercepts real lake bindings — a
+    // table that happens to be named `history` keeps Spark's own
+    // DESCRIBE <table> <column> grammar
+    spark.range(3).select(col("id").as("event_time"))
+      .createOrReplaceTempView("history")
+    val d = spark.sql("DESCRIBE history event_time").collect()
+    assert(d.exists(r =>
+      r.getString(0) == "col_name" && r.getString(1) == "event_time"),
+      d.mkString(","))
+  }
+
   test("UPDATE refuses to assign the table's recorded row key") {
     val (name, root) = freshTable()
     SnapshotTable.declareKey(spark, root, "k")
