@@ -784,13 +784,46 @@ private[lake] class LakePruningScanBuilder(
 
 /** Delegating [[Scan]] that overrides only the statistics estimate
   * with manifest-census numbers (see
-  * [[LakePruningScanBuilder.build]]). */
+  * [[LakePruningScanBuilder.build]]). Also forwards the two OPTIONAL
+  * scan mixins the planner probes by `isInstanceOf` — runtime
+  * filtering ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]],
+  * what DSv2 dynamic partition pruning keys on) and EXPLAIN metadata
+  * ([[org.apache.spark.sql.internal.connector.SupportsMetadata]]) — so
+  * wrapping a census-covered scan never silently disables a capability
+  * the inner scan has (round-15 advice item 2). When the inner scan
+  * lacks a mixin the forwarded method degrades to its documented
+  * no-op: zero filterAttributes (no runtime filter planned), empty
+  * metadata. */
 private[lake] class LakeStatsScan(
     private val inner: org.apache.spark.sql.connector.read.Scan,
     private val bytes: Long, private val rows: Option[Long])
   extends org.apache.spark.sql.connector.read.Scan
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.internal.connector.SupportsMetadata {
   import org.apache.spark.sql.connector.read.{Scan => V2Scan}
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filterAttributes()
+      case _ => Array.empty
+    }
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = inner match {
+    case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+      f.filter(filters)
+    case _ => () // runtime filtering is best-effort by contract
+  }
+
+  override def getMetaData(): Map[String, String] = inner match {
+    case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+      m.getMetaData()
+    case _ => Map.empty
+  }
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = inner.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch =

@@ -788,25 +788,45 @@ object SnapshotTable {
     * uniform Spark cast rendering is order-preserving for all three
     * ('.' sorts below digits, so trimmed fractional seconds still
     * order correctly). */
-  /** Float/double stat renderings BigDecimal cannot parse — and whose
-    * presence in a file's min/max means Spark's NaN-is-greatest order
-    * was in play, so the recorded range is not a usable skip bound. */
+  /** Stat renderings whose STRING form has no usable order — a file
+    * carrying one in its min/max must never be skipped on it, and a
+    * metadata-answered aggregate must fall back to the scan:
+    *  - float/double NaN/Infinity (BigDecimal cannot parse them, and
+    *    NaN in a bound means Spark's NaN-is-greatest order was in play);
+    *  - NEGATIVE-YEAR date/timestamp renderings ("-0044-03-15"): the
+    *    ISO string order inverts among negative years ("-0044" sorts
+    *    below "-0100" lexicographically but is the LATER instant), so
+    *    the uniform lexicographic compare below would mis-order them
+    *    (round-15 advice item 1). */
   private[lake] def nonFinite(dt: DataType, s: String): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case FloatType | DoubleType =>
         s == "NaN" || s == "Infinity" || s == "-Infinity"
+      case DateType | TimestampType | TimestampNTZType =>
+        s.startsWith("-")
       case _ => false
     }
   }
 
+  /** Type-aware order over the cast-to-string stat renderings.
+    * Numerics parse back; everything else compares in UTF-8 BYTE order
+    * via [[org.apache.spark.unsafe.types.UTF8String]] — the order
+    * Spark's own MIN/MAX and `<`/`>` use for strings. Java's
+    * `String.compareTo` (UTF-16 code units) would disagree for strings
+    * mixing supplementary-plane chars (emoji) with U+E000–U+FFFF chars
+    * like U+FFFD — common in scraped corpora — making a manifest-
+    * answered MIN/MAX differ from the data scan's (round-15 advice
+    * item 1). Dates/timestamps render ASCII-only, where the two orders
+    * coincide (negative years are excluded via [[nonFinite]]). */
   private[lake] def cmp(dt: DataType, a: String, b: String): Int = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
     dt match {
       case ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType | _: DecimalType =>
         BigDecimal(a).compare(BigDecimal(b))
-      case _ => a.compareTo(b)
+      case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
     }
   }
 

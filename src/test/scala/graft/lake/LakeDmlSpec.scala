@@ -469,6 +469,24 @@ class LakeDmlSpec extends SparkSpec {
       o.getMessage)
   }
 
+  test("maintenance statements at a REGISTERED foreign catalog fall " +
+      "through to the delegate parser (round-15 advice)") {
+    // with another lakehouse extension in the chain (Delta/Iceberg),
+    // their OPTIMIZE/VACUUM must reach THEIR parser — here the
+    // delegate is Spark's, so the statement dies as ordinary parse
+    // error, never in the lake resolver
+    val (name, _) = freshTable()
+    spark.conf.set("spark.sql.catalog.other", "org.example.OtherCatalog")
+    try {
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        spark.sql(s"OPTIMIZE other.$name")
+      }
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        spark.sql(s"VACUUM other.$name RETAIN 1 VERSIONS")
+      }
+    } finally spark.conf.unset("spark.sql.catalog.other")
+  }
+
   test("SHOW PARTITIONS and DESCRIBE HISTORY serve from the manifest") {
     val (name, root) = freshTable()
     // SHOW PARTITIONS: native Spark statement through the DSv2

@@ -199,4 +199,28 @@ class MetadataAggregateSpec extends SparkSpec {
     assert(isMetadataAnswered(f))
     assert(f.collect()(0).getLong(0) == 4)
   }
+
+  test("cross-file string MIN/MAX folds in UTF-8 order (round-15 advice)") {
+    // one file holds U+FFFD (UTF-8: EF BF BD), the other a
+    // supplementary-plane emoji (F0 9F 98 80): Spark's max is the
+    // emoji; a UTF-16 code-unit fold (the old Java-String compare)
+    // returned the U+FFFD string — a user-visible wrong value under
+    // the rule's provably-exact contract
+    val root = tmpDir("metaagg-utf8")
+    val name = "metaagg_utf8"
+    val rows = Seq((1L, "�replacement", "s0"), (2L, "😀emoji", "s1"))
+      .toDF("k", "s", "src")
+    SnapshotTable.write(spark, root, rows, Seq("src"), statsFor = Seq("s"))
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, name, root)
+    val q = spark.sql(s"SELECT min(s) AS mn, max(s) AS mx FROM lake.$name")
+    assert(isMetadataAnswered(q), "expected a manifest-only plan:\n" +
+      q.queryExecution.optimizedPlan)
+    val expect = rows.agg(min($"s"), max($"s")).collect()(0)
+    val got = q.collect()(0)
+    assert(got.getString(0) == expect.getString(0) &&
+      got.getString(1) == expect.getString(1),
+      s"manifest fold ($got) diverged from the data scan ($expect)")
+    assert(got.getString(1) == "😀emoji")
+  }
 }

@@ -219,6 +219,42 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(v == 8)
     assert(SnapshotTable.read(spark, root).count() == 8)
   }
+
+  // ---- round-15 advice pins (fixed in round 16) ----------------------
+
+  test("string stat order is UTF-8 byte order, not UTF-16 code units") {
+    // U+FFFD encodes EF BF BD; U+1F600 (emoji) encodes F0 9F 98 80 —
+    // so Spark's UTF8String order puts the emoji ABOVE U+FFFD, while a
+    // Java-String (UTF-16 code-unit) compare says the opposite (0xFFFD
+    // > the 0xD83D surrogate). The old compare wrongly skipped the
+    // file below and mis-folded cross-file string MIN/MAX.
+    import org.apache.spark.sql.types.StringType
+    assert(SnapshotTable.cmp(StringType, "�", "😀") < 0)
+    val root = tmpDir("rr-utf8-order")
+    SnapshotTable.write(spark, root,
+      Seq((1L, "😀 emoji", "s1")).toDF("id", "s", "src"),
+      Seq("src"), statsFor = Seq("s"))
+    // range (U+FFFD, U+10FFFF]: contains the emoji row in UTF-8 order;
+    // the UTF-16 compare concluded max < lo and pruned the only file
+    val got = SnapshotTable.readBetween(spark, root, "s",
+      "�", "􏿿").collect()
+    assert(got.length == 1, "stats pruning wrongly skipped the file")
+  }
+
+  test("negative-year date bounds never prune (inverted lexical order)") {
+    val root = tmpDir("rr-neg-year")
+    val rows = Seq((1L, java.time.LocalDate.of(-44, 3, 15), "s1"))
+      .toDF("id", "d", "src")
+    SnapshotTable.write(spark, root, rows, Seq("src"), statsFor = Seq("d"))
+    // [-0100-01-01, -0001-12-31] contains -0044-03-15, but the ISO
+    // rendering's order INVERTS among negative years ("-0044" sorts
+    // below "-0100" lexicographically while naming the LATER date), so
+    // an unguarded compare skipped the file
+    val got = SnapshotTable.readBetween(spark, root, "d",
+      java.time.LocalDate.of(-100, 1, 1),
+      java.time.LocalDate.of(-1, 12, 31)).collect()
+    assert(got.length == 1, "negative-year bound wrongly pruned the file")
+  }
 }
 
 /** Local filesystem that refuses every mutation of `_latest.hint` —
