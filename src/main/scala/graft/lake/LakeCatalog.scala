@@ -64,9 +64,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * back. A version-pinned resolution (`VERSION AS OF`, an `@vN`
   * binding) and the flat [[Snapshots]] layer stay read-only — a
   * historical version is immutable by contract, and the flat layer
-  * has no recorded layout to mutate by name. DDL
-  * (CREATE/ALTER/DROP) remains refused: tables register via
-  * [[LakeCatalog.register]], and versions exist only through commits.
+  * has no recorded layout to mutate by name.
+  *
+  * DDL (round 16): `CREATE TABLE … PARTITIONED BY` / CTAS mint an
+  * empty governed root and self-register the binding
+  * ([[createTable]]); `DROP TABLE` unbinds (PURGE deletes);
+  * `ALTER TABLE … RENAME TO` rebinds; `ALTER TABLE … ADD COLUMN`
+  * evolves the recorded schema. [[LakeCatalog.register]] remains the
+  * way to adopt an EXISTING root by name.
   *
   * Both snapshot layers are served, format-probed per lookup like
   * [[graft.core.Tables]]: a [[SnapshotTable]] root reads its manifest
@@ -184,14 +189,116 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private def readOnly: Nothing =
     throw new UnsupportedOperationException(
-      s"catalog '$catalogName' is read-only: snapshot versions commit " +
-        "through the SnapshotTable/Snapshots API (OCC manifest " +
-        "protocol), and tables register via " +
-        s"${BindingPrefix}<name> / LakeCatalog.register")
+      s"catalog '$catalogName' is read-only for this operation: " +
+        "snapshot versions commit through the SnapshotTable/Snapshots " +
+        "API (OCC manifest protocol)")
 
+  /** `CREATE TABLE lake.t (…) PARTITIONED BY (…)` and CTAS (round-15
+    * verdict item 1) — the SQL front door: mints an empty
+    * [[SnapshotTable]] root ([[SnapshotTable.create]] — one metadata
+    * commit, v1) and self-registers the session binding, so the very
+    * first statement a lakehouse user types works without touching the
+    * Scala API. The reference's table springs into existence from data
+    * (Glue crawler, `option_a_cdk_py/option_a/stack.py:180-193`); ours
+    * springs from DDL, with the reference's declarations spelled as
+    * table properties:
+    *
+    *   - `LOCATION 'path'` — the storage root; without it the catalog's
+    *     `spark.sql.catalog.<name>.warehouse` conf supplies
+    *     `<warehouse>/<table>`;
+    *   - `PARTITIONED BY (col, …)` — identity columns only, REQUIRED
+    *     (every snapshot table is partitioned; the manifest key is the
+    *     partition tuple);
+    *   - `TBLPROPERTIES ('rowkey' = 'c')` — the MERGE identity column
+    *     ([[SnapshotTable.declareKey]]'s declaration at birth);
+    *   - `'statsfor' = 'a,b'` / `'clusterby' = 'a'` — the skip-read
+    *     declarations every commit maintains.
+    *
+    * Unknown properties are refused LOUDLY (a typo'd 'rowKey' silently
+    * dropped would surface much later as a failing MERGE); Spark's own
+    * reserved keys (provider/location/comment/owner/external/option.*)
+    * pass through. A non-parquet `USING` clause is refused — parquet is
+    * the engine's storage format. CTAS arrives as exactly this call
+    * followed by Spark's own append of the query result through the
+    * same V1 write path as `INSERT INTO`. */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly
+      properties: util.Map[String, String]): Table = {
+    checkNamespace(ident.namespace())
+    val s = spark
+    val name = ident.name()
+    val display = s"$catalogName.$name"
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName, name).map(quoteIfNeeded))
+    val props = properties.asScala
+    props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(TableCatalog.PROP_PROVIDER) => v
+    }.foreach { p =>
+      if (!p.equalsIgnoreCase("parquet"))
+        throw new UnsupportedOperationException(
+          s"CREATE TABLE $display USING $p: parquet is the engine's " +
+            "storage format — omit USING or say USING parquet")
+    }
+    val partCols = partitions.toSeq.map { t =>
+      val ok = t.name == "identity" && t.references.length == 1 &&
+        t.references()(0).fieldNames.length == 1
+      if (!ok) throw new UnsupportedOperationException(
+        s"CREATE TABLE $display: unsupported partition transform '$t' — " +
+          "lake tables partition by identity columns " +
+          "(PARTITIONED BY (col, …)); bucket/days/hours transforms " +
+          "have no manifest-key analog here")
+      t.references()(0).fieldNames()(0)
+    }
+    if (partCols.isEmpty) throw new UnsupportedOperationException(
+      s"CREATE TABLE $display: a snapshot table is partitioned — the " +
+        "manifest keys live versions by partition tuple, so declare " +
+        "PARTITIONED BY (col, …) (a single low-cardinality column is " +
+        "fine)")
+    val recognized = Set("rowkey", "statsfor", "clusterby")
+    def ignorable(k: String): Boolean = {
+      val kl = k.toLowerCase(java.util.Locale.ROOT)
+      kl == TableCatalog.PROP_PROVIDER || kl == TableCatalog.PROP_LOCATION ||
+        kl == TableCatalog.PROP_COMMENT || kl == TableCatalog.PROP_OWNER ||
+        kl == TableCatalog.PROP_EXTERNAL ||
+        kl == TableCatalog.PROP_IS_MANAGED_LOCATION ||
+        kl.startsWith(TableCatalog.OPTION_PREFIX) ||
+        kl.startsWith("spark.sql.")
+    }
+    val unknown = props.keys
+      .filterNot(k => recognized(k.toLowerCase(java.util.Locale.ROOT)) ||
+        ignorable(k))
+      .toSeq.sorted
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"CREATE TABLE $display: unknown TBLPROPERTIES " +
+        s"${unknown.mkString("'", "', '", "'")} — supported: 'rowkey' " +
+        "(MERGE identity column), 'statsfor' (comma-separated skip-read " +
+        "stats columns), 'clusterby' (comma-separated range-cluster " +
+        "columns)")
+    def listProp(key: String): Seq[String] = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v
+    }.toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val root = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(TableCatalog.PROP_LOCATION) => v
+    }.getOrElse {
+      val wh = s.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+        .getOrElse(throw new UnsupportedOperationException(
+          s"CREATE TABLE $display: no LOCATION given and no " +
+            s"spark.sql.catalog.$catalogName.warehouse configured — " +
+            "declare one of the two so the table has a storage root"))
+      new org.apache.hadoop.fs.Path(wh, name).toString
+    }
+    SnapshotTable.create(s, root, schema, partCols,
+      statsFor = listProp("statsfor"), clusterBy = listProp("clusterby"),
+      rowKey = listProp("rowkey").headOption)
+    LakeCatalog.register(s, name, root)
+    resolve(ident, None)
+  }
+
+  private def quoteIfNeeded(part: String): String =
+    if (part.matches("[a-zA-Z0-9_]+")) part
+    else "`" + part.replace("`", "``") + "`"
 
   /** `ALTER TABLE lake.t ADD COLUMN(S) …` — the one DDL with lakehouse
     * semantics here: schema evolution as a METADATA-ONLY commit
@@ -239,9 +346,87 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     resolve(ident, None)
   }
 
-  override def dropTable(ident: Identifier): Boolean = readOnly
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly
+  /** `DROP TABLE lake.t` — UNBINDS the name (the catalog's tables ARE
+    * session bindings); the storage root and its full version history
+    * stay on disk, exactly like dropping an external table. Re-binding
+    * the root ([[LakeCatalog.register]]) restores the table with
+    * history intact. `DROP TABLE … PURGE` ([[purgeTable]]) is the
+    * destructive spelling. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!ident.namespace().isEmpty) return false
+    val s = spark
+    val key = BindingPrefix + ident.name()
+    val existed = s.conf.getOption(key).isDefined
+    if (existed) s.conf.unset(key)
+    existed
+  }
+
+  /** `DROP TABLE lake.t PURGE` — unbind AND delete the storage root
+    * (every version, every data directory). Refusals, because this is
+    * the one irreversible statement on the surface: a `@vN`-pinned
+    * binding names a historical state someone is deliberately holding
+    * (unbind without PURGE instead), and a root that ANOTHER binding
+    * also serves must not vanish from under that name. */
+  override def purgeTable(ident: Identifier): Boolean = {
+    if (!ident.namespace().isEmpty) return false
+    val s = spark
+    val key = BindingPrefix + ident.name()
+    val binding = s.conf.getOption(key).getOrElse(return false)
+    val (root, pinned) = parseBinding(binding)
+    if (pinned.nonEmpty) throw new UnsupportedOperationException(
+      s"DROP TABLE $catalogName.${ident.name()} PURGE: the binding pins " +
+        s"@v${pinned.get} — a pinned historical state is deliberately " +
+        "held; DROP without PURGE unbinds the name and keeps the data")
+    // compare QUALIFIED roots: Spark qualifies a LOCATION clause
+    // (file:/…) while LakeCatalog.register stores what it was given,
+    // so raw-string equality would miss an alias of the same storage
+    def qualify(r: String): String = {
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
+    val rootQ = qualify(root)
+    val aliases = s.conf.getAll.collect {
+      case (k, v) if k.startsWith(BindingPrefix) && k != key &&
+        qualify(parseBinding(v)._1) == rootQ => k.stripPrefix(BindingPrefix)
+    }
+    if (aliases.nonEmpty) throw new UnsupportedOperationException(
+      s"DROP TABLE $catalogName.${ident.name()} PURGE: binding(s) " +
+        s"${aliases.mkString(", ")} also serve root $root — purging " +
+        "would delete their data; drop those bindings first")
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    s.conf.unset(key)
+    true
+  }
+
+  /** `ALTER TABLE lake.a RENAME TO lake.b` — pure binding surgery (the
+    * name IS the binding): rebind the root under the new name, drop the
+    * old. The manifest log never records names, so history, pins, and
+    * time travel are untouched. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // Spark hands the RENAME TO target through verbatim, so a
+    // `RENAME TO lake.b` spelling arrives with the catalog name as a
+    // namespace segment — strip it rather than mistake it for a schema
+    def strip(i: Identifier): Identifier =
+      if (i.namespace().length == 1 && i.namespace()(0) == catalogName)
+        Identifier.of(Array.empty, i.name())
+      else i
+    val from = strip(oldIdent)
+    val to = strip(newIdent)
+    checkNamespace(from.namespace())
+    checkNamespace(to.namespace())
+    val s = spark
+    val binding = s.conf.getOption(BindingPrefix + from.name())
+      .getOrElse(throw new NoSuchTableException(from))
+    if (s.conf.getOption(BindingPrefix + to.name()).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName, to.name()).map(quoteIfNeeded))
+    s.conf.set(BindingPrefix + to.name(), binding)
+    s.conf.unset(BindingPrefix + from.name())
+  }
 
   // --- SupportsNamespaces: the single flat (empty) namespace ---
   override def listNamespaces(): Array[Array[String]] = Array.empty

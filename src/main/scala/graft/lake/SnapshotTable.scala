@@ -1099,6 +1099,52 @@ object SnapshotTable {
       m.copy(rowKey = Seq(key))
     }
 
+  /** CREATE TABLE: commit v1 as an EMPTY table that fully declares its
+    * contract — recorded schema, partition layout, optional stats /
+    * cluster / row-key declarations — so the SQL front door
+    * ([[LakeCatalog.createTable]], round-15 verdict item 1) can mint a
+    * governed table BEFORE any data exists. Pure metadata: one manifest
+    * write, no data file, no directory listing — the same v1 the first
+    * data commit would have recorded, minus the data. The first
+    * INSERT / upsert / CTAS append inherits every declaration exactly
+    * as it would after a data bootstrap (append/deleteWhere read the
+    * layout from `#partitionby`, MERGE reads `#rowkey`, stats recording
+    * starts with the first file written).
+    *
+    * Refusals: a root that already holds ANY committed version is not
+    * re-creatable — adopting existing storage under a fresh declaration
+    * set would silently re-contract a table someone else owns; bind it
+    * instead ([[LakeCatalog.register]]). Every declared column must
+    * exist in the schema. Two racing CREATEs of one root surface as a
+    * loud commit-race failure (create-exclusive publish), never a
+    * silent overwrite. */
+  def create(
+      spark: SparkSession, root: String, schema: StructType,
+      partitionBy: Seq[String], statsFor: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil, rowKey: Option[String] = None): Int = {
+    require(schema.fields.nonEmpty, "CREATE TABLE: schema has no columns")
+    require(partitionBy.nonEmpty,
+      "CREATE TABLE: a snapshot table is partitioned — declare at " +
+        "least one partition column")
+    val names = schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def known(role: String, cols: Seq[String]): Unit = cols.foreach(c =>
+      require(names(c.toLowerCase(java.util.Locale.ROOT)),
+        s"CREATE TABLE: $role column '$c' is not in the schema " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})"))
+    known("partition", partitionBy)
+    known("stats", statsFor)
+    known("cluster", clusterBy)
+    known("row key", rowKey.toSeq)
+    require(versions(spark, root).isEmpty,
+      s"CREATE TABLE: $root already holds a committed snapshot table — " +
+        "re-creating would silently re-contract existing data; bind it " +
+        "by name instead (LakeCatalog.register)")
+    commitManifest(spark, root, 1,
+      Manifest(Nil, Some(schema), statsFor, clusterBy, Nil, Nil,
+        partitionBy, rowKey.toSeq, Nil), None, Nil)
+  }
+
   /** Evolve the recorded schema by APPENDING `fields` — the
     * `ALTER TABLE … ADD COLUMN` analog (the reference's crawler
     * UPDATE_IN_DATABASE policy, stack.py:180-193, as explicit DDL), as

@@ -869,6 +869,110 @@ object Corpus {
       WHERE doc_id % 97 <> 0 AND source >= 'src15'
       GROUP BY source ORDER BY source"""))
 
+  /** The SQL-DDL gate (round-15 verdict item 1): the table's ENTIRE
+    * lifecycle as pure SQL — `CREATE TABLE … PARTITIONED BY …
+    * TBLPROPERTIES ('rowkey' = …)` mints the empty governed root
+    * ([[graft.lake.LakeCatalog.createTable]] →
+    * [[graft.lake.SnapshotTable.create]], one metadata commit),
+    * `INSERT INTO` bulk-loads the corpus, `MERGE INTO` lands the t52
+    * CDC batch (tombstones + recurations + brand-new rows) off the
+    * DDL-declared row key, and the gated SELECT reads the result back
+    * by name. No API call ever touches the table — where t52 needed
+    * [[graft.lake.SnapshotTable.upsert]] to bootstrap the key, here the
+    * declaration itself is DDL, so this row gates the one front door
+    * the surface still lacked. The oracle reconstructs the final state
+    * from `documents` arithmetic alone (same algebra as t52).
+    * Deterministic + idempotent like [[sqlMergeRoot]]: content-
+    * fingerprinted root; each step runs only while the table has fewer
+    * versions than the step would leave (CREATE=v1, INSERT=v2,
+    * MERGE=v3); a later JVM run re-binds and reads the committed v3. */
+  private[queries] def sqlDdlRoot(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.lake.{LakeCatalog, SnapshotTable}
+    val root = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_snaptable_sqlddl_v1")
+    LakeCatalog.install(spark)
+    if (SnapshotTable.versions(spark, root).isEmpty)
+      spark.sql(s"""
+        CREATE TABLE lake.ddl_docs (
+          doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT,
+          source STRING)
+        PARTITIONED BY (source) LOCATION '$root'
+        TBLPROPERTIES ('rowkey' = 'doc_id')""")
+    else
+      LakeCatalog.register(spark, "ddl_docs", root)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
+    if (SnapshotTable.versions(spark, root).size < 2) {
+      docs.createOrReplaceTempView("t54_docs")
+      spark.sql("""
+        INSERT INTO lake.ddl_docs
+        SELECT doc_id, text, lang, n_chars, source FROM t54_docs""")
+    }
+    if (SnapshotTable.versions(spark, root).size < 3) {
+      val insText = concat(lit("inserted:"), col("doc_id").cast("string"))
+      val changes = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("op", lit("d"))
+        .unionByName(docs
+          .filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" [recurated]")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("op", lit("u")))
+        .unionByName(docs.filter(col("doc_id") % 101 === 0)
+          .select((-(col("doc_id") + 1)).cast("long").as("doc_id"),
+            insText.as("text"), col("lang"),
+            length(insText).cast("long").as("n_chars"), col("source"))
+          .withColumn("op", lit("i")))
+      changes.createOrReplaceTempView("t54_changes")
+      spark.sql("""
+        MERGE INTO lake.ddl_docs t USING t54_changes s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET text = s.text, n_chars = s.n_chars
+        WHEN NOT MATCHED THEN
+          INSERT (doc_id, text, lang, n_chars, source)
+          VALUES (s.doc_id, s.text, s.lang, s.n_chars, s.source)""")
+    }
+    root
+  }
+
+  private[queries] def sqlDdl(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    sqlDdlRoot(spark, dir)
+    spark.sql("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             SUM(CASE WHEN text LIKE '%[recurated]' THEN 1 ELSE 0 END)
+               AS n_recurated,
+             SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS n_inserted
+      FROM lake.ddl_docs GROUP BY source ORDER BY source""")
+  }
+
+  val t54_sql_ddl = Q(
+    "t54_sql_ddl",
+    (s, dir) => sqlDdl(s, dir),
+    Some("""
+      WITH final AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' [recurated]'
+                    ELSE text END AS text,
+               source
+        FROM documents
+        WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT -(doc_id + 1) AS doc_id,
+               'inserted:' || CAST(doc_id AS VARCHAR) AS text, source
+        FROM documents
+        WHERE doc_id % 101 = 0)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN text LIKE '%[recurated]' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_recurated,
+             CAST(SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_inserted
+      FROM final GROUP BY source ORDER BY source"""))
+
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
     * default threshold (0.5), t29's Gopher composite, and a
@@ -1444,5 +1548,5 @@ object Corpus {
       t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
       t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize,
       t45_incremental_mv_minmax, t48_lake_sql, t49_mv_distinct,
-      t51_change_feed, t52_sql_merge, t53_meta_agg)
+      t51_change_feed, t52_sql_merge, t53_meta_agg, t54_sql_ddl)
 }

@@ -76,7 +76,7 @@ class LakeCatalogSpec extends SparkSpec {
   }
 
   test("SHOW TABLES lists bindings; unknown names and writes fail loudly") {
-    val (name, _) = freshTable("lakecat-ddl")
+    val (name, root) = freshTable("lakecat-ddl")
     val shown = spark.sql("SHOW TABLES IN lake")
       .select("tableName").as[String].collect().toSet
     assert(shown.contains(name), s"SHOW TABLES missing $name: $shown")
@@ -92,18 +92,23 @@ class LakeCatalogSpec extends SparkSpec {
       spark.sql(s"INSERT INTO lake.$pinName VALUES ('s1', 1, 1)")
     }
     assert(ro != null)
-    val ddl = intercept[Exception] {
-      spark.sql(s"DROP TABLE lake.$name")
-    }
-    assert(ddl.getMessage.toLowerCase.contains("read-only") ||
-      ddl.getMessage.toLowerCase.contains("unsupported"),
-      s"DDL must stay refused: ${ddl.getMessage}")
     val tt = intercept[Exception] {
       spark.sql(
         s"SELECT * FROM lake.$name TIMESTAMP AS OF '2026-01-01'").collect()
     }
     assert(tt.getMessage.contains("VERSION AS OF"),
       s"timestamp travel should point at VERSION AS OF: ${tt.getMessage}")
+    // DROP TABLE (round 16) UNBINDS the name — external-table
+    // semantics: the versioned root stays on disk, re-binding restores
+    spark.sql(s"DROP TABLE lake.$name")
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM lake.$name").collect()
+    }
+    assert(SnapshotTable.versions(spark, root).nonEmpty,
+      "DROP without PURGE must keep the storage root")
+    LakeCatalog.register(spark, name, root)
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name").collect()(0)
+      .getLong(0) > 0)
   }
 
   test("flat Snapshots roots serve through the same catalog") {
