@@ -55,6 +55,36 @@ final case class VacuumLakeTableCommand(table: String, keepVersions: Int)
   }
 }
 
+/** `RESTORE TABLE lake.t TO VERSION AS OF n` — the SQL spelling of
+  * [[SnapshotTable.restore]]: rollback as ONE metadata-only OCC commit
+  * whose live state equals v_n's; the bad versions stay readable until
+  * vacuumed, and the change feed surfaces the restore as ordinary
+  * delete/insert rows. Refusals: a `@vN`-pinned binding already names
+  * an immutable historical state (rebind at latest to mutate), and a
+  * flat snapshot layer has no folded manifest state to restate. */
+final case class RestoreLakeTableCommand(table: String, toVersion: Int)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", IntegerType,
+      nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, pin) = LakeCatalog.resolveBinding(spark, table)
+    if (pin.nonEmpty) throw new UnsupportedOperationException(
+      s"RESTORE $table: the binding pins @v${pin.get} — it already " +
+        "names an immutable historical state; rebind to latest before " +
+        "restoring")
+    if (!SnapshotTable.isTableRoot(spark, root))
+      throw new UnsupportedOperationException(
+        s"RESTORE $table: the binding is a flat snapshot layer (no " +
+          "folded manifest state to restate); RESTORE applies to " +
+          "SnapshotTable roots")
+    Seq(Row(toVersion, SnapshotTable.restore(spark, root, toVersion)))
+  }
+}
+
 /** `DESCRIBE HISTORY lake.t` — version discovery for the time-travel
   * surface ([[SnapshotTable.history]]): one row per retained version,
   * newest first, with the SAME commit clock `TIMESTAMP AS OF` resolves

@@ -1776,6 +1776,53 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** `RESTORE TABLE … TO VERSION AS OF n` (round-15 verdict item 3):
+    * commit a NEW version whose live state equals `toVersion`'s — the
+    * rollback verb a lakehouse operator reaches for after a bad CDC
+    * batch, and the manifest line makes it nearly free: the commit is
+    * a FULL manifest restating v_n's folded state (entries, schema,
+    * declarations, per-file stats/census/rows), so it is pure metadata
+    * — no data file is read, written, or moved. History is PRESERVED:
+    * the bad versions stay readable (time travel, forensics) until
+    * vacuumed, `DESCRIBE HISTORY` shows the restore as one more
+    * commit, and the change feed surfaces it as ordinary delete/insert
+    * rows over the partitions whose live directories changed — a
+    * follower (search index, replica) converges on the restored state
+    * through the same protocol as any other commit.
+    *
+    * Works because data directories are IMMUTABLE and liveness is
+    * manifest-referenced: while v_n's manifest is retained, vacuum
+    * keeps every directory it references, so restating them is safe.
+    * A vacuumed (or never-committed) target fails loudly here.
+    * Restoring TO the current latest is a no-op returning the current
+    * version (no garbage commit). Concurrency: same optimistic rename
+    * loop as every commit — a racer's interleaved commit just moves
+    * the version the restore lands at (the restored STATE is pinned at
+    * read time, so the result is still exactly v_n's rows). */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    require(fs(spark, root).exists(manifestPath(root, toVersion)),
+      s"RESTORE: version v$toVersion of $root is unknown or vacuumed — " +
+        "DESCRIBE HISTORY lists the retained versions")
+    val target = readManifest(spark, root, toVersion)
+    var raceRetries = 0
+    while (true) {
+      val latestV = versions(spark, root).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"no snapshot-table version committed under $root"))
+      if (latestV == toVersion) return latestV
+      val v = latestV + 1
+      try {
+        commitManifest(spark, root, v, target, None, Nil)
+        return v
+      } catch {
+        case e: CommitRaceException =>
+          raceRetries += 1
+          if (raceRetries > 8) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Compact over-fragmented partitions: rewrite each partition whose
     * directory holds MORE parquet files than its byte size justifies
     * (target = ceil(bytes / targetBytes)) down to at most its target

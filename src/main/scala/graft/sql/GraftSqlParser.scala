@@ -13,6 +13,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE <table>                      → [[graft.lake.SnapshotTable.optimize]]
   *   VACUUM <table> RETAIN <n> VERSIONS    → [[graft.lake.SnapshotTable.vacuum]]
   *   DESCRIBE HISTORY <table>              → [[graft.lake.SnapshotTable.history]]
+  *   RESTORE TABLE <table> TO VERSION AS OF <n>
+  *                                         → [[graft.lake.SnapshotTable.restore]]
   *
   * Only statements matching these exact shapes are intercepted (one
   * anchored, case-insensitive match on the raw text); EVERYTHING else
@@ -32,6 +34,8 @@ class GraftSqlParser(
     """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   /** `DESCRIBE HISTORY t` is the ONE intercepted shape that collides
     * with real Spark grammar: `DESCRIBE history <column>` describes a
@@ -81,6 +85,8 @@ class GraftSqlParser(
       graft.lake.VacuumLakeTableCommand(t, n.toInt)
     case History(t) if isLakeBinding(t) =>
       graft.lake.DescribeHistoryCommand(t)
+    case Restore(t, v) if isOurMaintenance(t) =>
+      graft.lake.RestoreLakeTableCommand(t, v.toInt)
     case _ => delegate.parsePlan(sqlText)
   }
 

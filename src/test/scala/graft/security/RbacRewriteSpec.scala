@@ -389,6 +389,38 @@ class RbacRewriteSpec extends SparkSpec {
       .collect()(0).getLong(0) == 100)
   }
 
+  test("history/restore/maintenance statements are rejected under " +
+      "runAs and execute NOTHING (round-15 verdict item 7)") {
+    // Pinned policy, on purpose: DESCRIBE HISTORY serves version
+    // metadata (partition counts per commit, commit clock) the role's
+    // row filter never applied to, and RESTORE/VACUUM/OPTIMIZE would
+    // MUTATE through a query door — runAs refuses all of them as
+    // statements, before anything executes. The surfaces stay fully
+    // available outside runAs; governance here is refusal, not
+    // filtering, because half-filtered history metadata would imply a
+    // coverage the row filter cannot give.
+    val t = lakeTable
+    val (root, _) = graft.lake.LakeCatalog.resolveBinding(spark, t)
+    val before = graft.lake.SnapshotTable.versions(spark, root)
+    val role = Rbac.Role("core", Some("endpoint = 'api-a'"),
+      Some(Seq("endpoint", "k")))
+    Seq(s"DESCRIBE HISTORY $t",
+        s"RESTORE TABLE $t TO VERSION AS OF 1",
+        s"VACUUM $t RETAIN 1 VERSIONS",
+        s"OPTIMIZE $t").foreach { stmt =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        Rbac.runAs(spark, role, t, stmt).collect()
+      }
+      assert(e.getMessage.contains("only queries"),
+        s"$stmt: ${e.getMessage}")
+    }
+    assert(graft.lake.SnapshotTable.versions(spark, root) == before,
+      "a rejected statement must not have committed or vacuumed")
+    // outside runAs the same surfaces serve — role-scoped refusal, not
+    // a feature removal
+    assert(spark.sql(s"DESCRIBE HISTORY $t").count() >= 1)
+  }
+
   test("the change-feed TVF is denied under runAs; secureFeed is the " +
       "sanctioned composition") {
     lakeTable // force registration of the binding + catalog
