@@ -580,8 +580,7 @@ object SnapshotTable {
         m.schema.getOrElse(throw new IllegalStateException(
           "version has an empty manifest and no recorded schema " +
             "(pre-schema-line manifest format)")))
-    else readFiles(spark, m,
-      m.entries.map(e => new Path(root, e._2).toString))
+    else readDirs(spark, root, m, m.entries.map(_._2))
   }
 
   /** Manifest-pruned read of selected partition TUPLES: each key lists
@@ -730,26 +729,78 @@ object SnapshotTable {
     else readFiles(spark, m, keep).filter(residual)
   }
 
-  /** The census-driven keep-set: files of stats-covered directories
-    * filter through `fileOk` with no listing and no footer reads;
-    * pre-declaration directories fall back to a live listing
+  /** The census-driven keep-set — (absolute path, byte size) pairs so
+    * [[readFiles]] can plan without re-listing: files of stats-covered
+    * directories filter through `fileOk` with no listing and no footer
+    * reads; pre-declaration directories fall back to a live listing
     * (conservative: keep everything). */
   private def censusKeep(
       spark: SparkSession, root: String, m: Manifest)(
-      fileOk: String => Boolean): Seq[String] = {
+      fileOk: String => Boolean): Seq[(String, Long)] = {
     val filesByDir = m.fileStats.map(_.relPath).distinct
       .groupBy(r => r.take(r.lastIndexOf('/')))
+    val sizeByRel = m.fileSizes.toMap
     val fsys = fs(spark, root)
     m.entries.flatMap { case (_, d) =>
       if (filesByDir.contains(d))
-        filesByDir(d).filter(fileOk)
-          .map(rel => new Path(root, rel).toString)
+        filesByDir(d).filter(fileOk).map { rel =>
+          (new Path(root, rel).toString,
+            // the byte census and the stats census are written by the
+            // same commit; a rel with stats but (somehow) no #sz line
+            // falls back to one getFileStatus rather than failing
+            sizeByRel.getOrElse(rel,
+              fsys.getFileStatus(new Path(root, rel)).getLen))
+        }
       else
         fsys.listStatus(new Path(root, d)).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
+          .map(st => (st.getPath.toString, st.getLen))
     }
   }
+
+  /** Resolve rel DIR paths to their census-known (absolute path, size)
+    * files — zero filesystem calls when the `#sz` census covers the
+    * directory; pre-census directories pay one listing each. */
+  private def dirFiles(
+      spark: SparkSession, root: String, m: Manifest,
+      relDirs: Seq[String]): Seq[(String, Long)] = {
+    val byDir = m.fileSizes.groupBy(s => s._1.take(s._1.lastIndexOf('/')))
+    val fsys = fs(spark, root)
+    relDirs.flatMap { d =>
+      byDir.get(d) match {
+        case Some(fs0) => fs0.map { case (rel, len) =>
+          (new Path(root, rel).toString, len)
+        }
+        case None =>
+          fsys.listStatus(new Path(root, d)).toSeq
+            .filter(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(st => (st.getPath.toString, st.getLen))
+      }
+    }
+  }
+
+  /** Read a version's directories under the manifest contract: the
+    * recorded schema pinned and — new in round 16 — the file list
+    * served from the manifest's byte census through
+    * [[org.apache.spark.sql.graft.ManifestScan]], so PLANNING performs
+    * zero filesystem LIST calls (the t47 profile measured ~2 ms per
+    * file of eager driver-side listing in `spark.read.parquet`; on
+    * object stores each is a billable round-trip). */
+  private def readDirs(
+      spark: SparkSession, root: String, m: Manifest,
+      relDirs: Seq[String]): DataFrame =
+    m.schema match {
+      case Some(sc) =>
+        val files = dirFiles(spark, root, m, relDirs)
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        else org.apache.spark.sql.graft.ManifestScan.parquet(spark, sc, files)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(
+          relDirs.map(d => new Path(root, d).toString): _*)
+    }
 
   /** Field-by-name union: the old schema's order with the new vintage's
     * types for common fields, new-only fields appended — what parquet's
@@ -762,9 +813,12 @@ object SnapshotTable {
         nw.fields.filterNot(f => old.fieldNames.contains(f.name)))
   }
 
-  /** Read parquet paths under the manifest's RECORDED schema: zero
-    * plan-time footer reads (mergeSchema opens every file's footer on
-    * the driver — O(files) metadata I/O per query at 100 TB). The
+  /** Read known (absolute path, byte size) parquet files under the
+    * manifest's RECORDED schema: zero plan-time footer reads
+    * (mergeSchema opens every file's footer on the driver — O(files)
+    * metadata I/O per query at 100 TB) AND zero plan-time LIST calls
+    * (round 16 — the file list and sizes come from the manifest
+    * census, [[org.apache.spark.sql.graft.ManifestScan]]). The
     * recorded schema IS the union schema of that version's vintages
     * (commit-time merge), so files from before a schema evolution read
     * with NULLs for the added columns, same result as the footer
@@ -775,11 +829,14 @@ object SnapshotTable {
     * or rewrite such tables before relying on pinned reads of those
     * historical versions. */
   private def readFiles(
-      spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
+      spark: SparkSession, m: Manifest,
+      files: Seq[(String, Long)]): DataFrame =
     m.schema match {
-      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case Some(sc) =>
+        org.apache.spark.sql.graft.ManifestScan.parquet(spark, sc, files)
       case None =>
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        spark.read.option("mergeSchema", "true").parquet(
+          files.map(_._1): _*)
     }
 
   /** Type-aware order over the cast-to-string stat renderings.
@@ -846,12 +903,11 @@ object SnapshotTable {
       spark: SparkSession, root: String, version: Int,
       want: String => Boolean): DataFrame = {
     val m = manifestAt(spark, root, version)
-    val dirs = m.entries
-      .collect { case (k, d) if want(k) => new Path(root, d).toString }
+    val dirs = m.entries.collect { case (k, d) if want(k) => d }
     if (dirs.isEmpty)
       // empty frame with the table's schema (read one dir for schema)
       read(spark, root, version).limit(0)
-    else readFiles(spark, m, dirs)
+    else readDirs(spark, root, m, dirs)
   }
 
   private def escapeKey(rendered: String): String = {

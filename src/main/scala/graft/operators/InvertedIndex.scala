@@ -568,9 +568,9 @@ object InvertedIndex {
     // two queries sharing a term see one df, not one per query
     val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val corpus = corpusTotals(spark, root, visible)
-    val tfq = tf.join(broadcast(q), "tok")
-    if (fast) graft.queries.Search.bm25ScoreBatchFast(tfq, dfStats, corpus, k)
-    else graft.queries.Search.bm25ScoreBatch(tfq, dfStats, corpus, k)
+    if (fast)
+      graft.queries.Search.bm25ScoreBatchFast(tf, q, dfStats, corpus, k)
+    else graft.queries.Search.bm25ScoreBatch(tf, q, dfStats, corpus, k)
   }
 
   private def probeWhere(

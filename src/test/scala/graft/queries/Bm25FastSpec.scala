@@ -70,14 +70,14 @@ class Bm25FastSpec extends SparkSpec {
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfStats = tfq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val joined = tfq.join(broadcast(q), "tok")
     def perQuery(df: org.apache.spark.sql.DataFrame) =
       df.select(col("query_id"), col("doc_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val exact = perQuery(
-      Search.bm25ScoreBatch(joined, dfStats, corpus, Search.Bm25BatchK))
+      Search.bm25ScoreBatch(tfq, q, dfStats, corpus, Search.Bm25BatchK))
     val fast = perQuery(
-      Search.bm25ScoreBatchFast(joined, dfStats, corpus, Search.Bm25BatchK))
+      Search.bm25ScoreBatchFast(tfq, q, dfStats, corpus,
+        Search.Bm25BatchK))
     base.unpersist(false)
     assert(exact.nonEmpty && fast == exact,
       s"batched fast path diverged (first 10): fast=${fast.take(10)} " +
