@@ -322,27 +322,45 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       throw new UnsupportedOperationException(
         s"ALTER TABLE $catalogName.${ident.name()}: a flat-layer " +
           "snapshot root has no recorded schema to evolve")
-    val fields = changes.map {
-      case a: TableChange.AddColumn =>
-        if (a.fieldNames.length != 1) throw new UnsupportedOperationException(
-          s"ADD COLUMN ${a.fieldNames.mkString(".")}: adding NESTED " +
-            "fields is not supported — add a top-level column")
-        if (a.position() != null) throw new UnsupportedOperationException(
-          "ADD COLUMN … FIRST/AFTER is refused: the recorded schema is " +
-            "append-only so INSERT-by-position stays stable across " +
-            "evolutions")
-        if (!a.isNullable) throw new UnsupportedOperationException(
-          s"ADD COLUMN ${a.fieldNames()(0)} NOT NULL: rows in " +
-            "pre-evolution directories cannot supply a value")
-        val f = org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), nullable = true)
-        if (a.comment() != null) f.withComment(a.comment()) else f
-      case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER TABLE change $other: only ADD COLUMN(S) " +
-          "is DDL here — mutations commit through the SnapshotTable " +
-          "API / SQL DML, tables register via LakeCatalog.register")
+    changes match {
+      // RENAME COLUMN / DROP COLUMN (round 16): metadata-only schema
+      // evolution through column mapping — physical names in the data
+      // files never change, so no directory is rewritten
+      case Seq(r: TableChange.RenameColumn) =>
+        if (r.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"RENAME COLUMN ${r.fieldNames.mkString(".")}: nested fields " +
+            "are not supported — rename a top-level column")
+        SnapshotTable.renameColumn(s, root, r.fieldNames()(0), r.newName())
+      case Seq(d: TableChange.DeleteColumn) =>
+        if (d.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"DROP COLUMN ${d.fieldNames.mkString(".")}: nested fields " +
+            "are not supported — drop a top-level column")
+        SnapshotTable.dropColumn(s, root, d.fieldNames()(0))
+      case _ =>
+        val fields = changes.map {
+          case a: TableChange.AddColumn =>
+            if (a.fieldNames.length != 1)
+              throw new UnsupportedOperationException(
+                s"ADD COLUMN ${a.fieldNames.mkString(".")}: adding NESTED " +
+                  "fields is not supported — add a top-level column")
+            if (a.position() != null) throw new UnsupportedOperationException(
+              "ADD COLUMN … FIRST/AFTER is refused: the recorded schema is " +
+                "append-only so INSERT-by-position stays stable across " +
+                "evolutions")
+            if (!a.isNullable) throw new UnsupportedOperationException(
+              s"ADD COLUMN ${a.fieldNames()(0)} NOT NULL: rows in " +
+                "pre-evolution directories cannot supply a value")
+            val f = org.apache.spark.sql.types.StructField(
+              a.fieldNames()(0), a.dataType(), nullable = true)
+            if (a.comment() != null) f.withComment(a.comment()) else f
+          case other => throw new UnsupportedOperationException(
+            s"unsupported ALTER TABLE change $other: ADD COLUMN(S), " +
+              "RENAME COLUMN, and DROP COLUMN are the schema DDL here — " +
+              "mutations commit through the SnapshotTable API / SQL DML, " +
+              "tables register via LakeCatalog.register")
+        }
+        SnapshotTable.addColumns(s, root, fields)
     }
-    SnapshotTable.addColumns(s, root, fields)
     resolve(ident, None)
   }
 
@@ -586,9 +604,21 @@ final case class LakeTable(
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
+  /** Column mapping (round 16): data files carry PHYSICAL names, the
+    * catalog serves LOGICAL ones. The parquet delegate reads under the
+    * physical schema; [[MappedScanBuilder]] translates the pushdown
+    * handshake and re-labels the scan's readSchema — positionally the
+    * same rows, so the batch readers are untouched. Empty on unmapped
+    * tables (the common case), where everything below is pass-through. */
+  @transient private lazy val colMapping: Map[String, String] =
+    SnapshotTable.mappingOf(recordedSchema)
+
+  private def physSchema: Option[StructType] =
+    recordedSchema.map(SnapshotTable.physicalSchema)
+
   @transient private lazy val delegate =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-      tableName, SparkSession.active, baseOptions, paths, recordedSchema,
+      tableName, SparkSession.active, baseOptions, paths, physSchema,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
   private def baseOptions = new CaseInsensitiveStringMap(
@@ -597,7 +627,8 @@ final case class LakeTable(
 
   override def name(): String = tableName
 
-  override def schema(): StructType = (delegate: Table).schema()
+  override def schema(): StructType =
+    recordedSchema.getOrElse((delegate: Table).schema())
 
   /** The manifest-recorded partition columns as identity transforms —
     * what lets a static `INSERT OVERWRITE … PARTITION (k=v)` spec
@@ -732,8 +763,11 @@ final case class LakeTable(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (baseOptions.asScala ++ options.asScala).asJava)
+    val mapped: ScanBuilder => ScanBuilder =
+      if (colMapping.isEmpty) identity
+      else sb => new MappedScanBuilder(sb, recordedSchema.get)
     if (keyedDirs.isEmpty || partitionCols.isEmpty)
-      delegate.newScanBuilder(merged)
+      mapped(delegate.newScanBuilder(merged))
     else
       // partition filters prune manifest DIRECTORIES before the
       // parquet source ever lists a file — the SQL plane's analog of
@@ -741,11 +775,11 @@ final case class LakeTable(
       // not open every directory's footers just to discard their rows
       new LakePruningScanBuilder(keyedDirs, partitionCols,
         recordedSchema,
-        ps => org.apache.spark.sql.execution.datasources.v2.parquet
+        ps => mapped(org.apache.spark.sql.execution.datasources.v2.parquet
           .ParquetTable(tableName, SparkSession.active, merged, ps,
-            recordedSchema,
+            physSchema,
             classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-          .newScanBuilder(merged),
+          .newScanBuilder(merged)),
         () => dirCensus)
   }
 
@@ -1048,6 +1082,129 @@ private[lake] class LakeStatsScan(
   }
   override def hashCode(): Int =
     java.util.Objects.hash(inner, Long.box(bytes), rows)
+}
+
+/** Column-mapping translator around the parquet ScanBuilder (round 16):
+  * the catalog speaks LOGICAL names, the files speak PHYSICAL ones.
+  * Required columns and pushed filters rename logical → physical on
+  * the way in (filter attributes keep their exprIds — names are what
+  * parquet's row-group stats match on); the built scan's readSchema
+  * renames physical → logical on the way out, so
+  * `V2ScanRelationPushDown` resolves the output against the relation.
+  * Rows are positional — no per-row work is added anywhere. */
+private[lake] class MappedScanBuilder(
+    inner: ScanBuilder, logicalSchema: StructType)
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private val toPhys: Map[String, String] = logicalSchema.fields
+    .map(f => f.name -> SnapshotTable.physicalName(f)).toMap
+  private val toLogical: Map[String, String] =
+    toPhys.map(_.swap).filter(e => e._1 != e._2)
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    inner
+      .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+      .pushFilters(filters.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if toPhys.get(a.name).exists(_ != a.name) =>
+          a.withName(toPhys(a.name))
+      }))
+
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner
+      .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+      .pushedFilters
+
+  override def pruneColumns(s: StructType): Unit =
+    inner
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(StructType(s.fields.map(f =>
+        f.copy(name = toPhys.getOrElse(f.name, f.name)))))
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new MappedScan(inner.build(), toLogical)
+}
+
+/** Delegating [[Scan]] that re-labels readSchema physical → logical
+  * (see [[MappedScanBuilder]]); batches are positional and delegate
+  * untouched. Forwards the optional planner mixins like
+  * [[LakeStatsScan]]. */
+private[lake] class MappedScan(
+    private val inner: org.apache.spark.sql.connector.read.Scan,
+    private val toLogical: Map[String, String])
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  override def readSchema(): StructType =
+    StructType(inner.readSchema().fields.map(f =>
+      f.copy(name = toLogical.getOrElse(f.name, f.name))))
+
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    inner.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    inner.toMicroBatchStream(checkpointLocation)
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    inner.toContinuousStream(checkpointLocation)
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+  override def columnarSupportMode()
+      : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filterAttributes()
+      case _ => Array.empty
+    }
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = inner match {
+    case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+      f.filter(filters)
+    case _ => ()
+  }
+
+  override def getMetaData(): Map[String, String] = inner match {
+    case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+      m.getMetaData()
+    case _ => Map.empty
+  }
+
+  // scan equality drives exchange/cache reuse, like LakeStatsScan
+  override def equals(other: Any): Boolean = other match {
+    case s: MappedScan => inner == s.inner && toLogical == s.toLogical
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(inner, toLogical)
 }
 
 /** V1 source filters -> [[Column]] predicates, for routing a SQL

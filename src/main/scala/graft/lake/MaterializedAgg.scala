@@ -484,8 +484,8 @@ object MaterializedAgg {
         latestB.toString, overwrite = true)
       return m
     }
-    val oldDirs = changed.toSeq.sorted.flatMap(oldMap.get)
-    val newDirs = changed.toSeq.sorted.flatMap(newMap.get)
+    val oldKeys = changed.filter(oldMap.contains)
+    val newKeys = changed.filter(newMap.contains)
 
     // 2. signed delta over ONLY the changed tuples' directories.
     // Output types come from the VIEW's own schema (pinned at init) —
@@ -493,12 +493,13 @@ object MaterializedAgg {
     val viewSchema = SnapshotTable.read(spark, mvRoot, m).schema
     val types = spec.effSums.map { case (n, _) => viewSchema(n).dataType }
     val mmTypes = spec.mmNames.map(n => viewSchema(n).dataType)
-    def changedRows(dirs: Seq[String]): Option[DataFrame] =
-      if (dirs.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => new Path(baseRoot, d).toString): _*))
-    val added = changedRows(newDirs).map(aggFrame(_, spec, types, 1))
-    val removed = changedRows(oldDirs).map(aggFrame(_, spec, types, -1))
+    def changedRows(keys: Set[String], atVersion: Int): Option[DataFrame] =
+      if (keys.isEmpty) None
+      else Some(SnapshotTable.readPartitionKeys(
+        spark, baseRoot, keys, atVersion))
+    val added = changedRows(newKeys, latestB).map(aggFrame(_, spec, types, 1))
+    val removed = changedRows(oldKeys, applied)
+      .map(aggFrame(_, spec, types, -1))
     val signed = (added.toSeq ++ removed.toSeq).reduce(_.unionByName(_))
     val deltaNames = spec.effSums.map(_._1) ++
       spec.effSums.map(n => nnName(n._1)) :+ spec.countName
@@ -563,7 +564,7 @@ object MaterializedAgg {
       val tombs = aux0.join(broadcast(liveDirs),
           col(DirCol) === col("_live_dir"), "left_anti")
         .withColumn("_mv_op", lit("d"))
-      val fresh = changedRows(newDirs)
+      val fresh = changedRows(newKeys, latestB)
         .map(partialsFrame(_, spec, mmTypes, nBuckets)
           .withColumn("_mv_op", lit("u")))
       val auxChanges = (fresh.toSeq :+ tombs).reduce(_.unionByName(_))

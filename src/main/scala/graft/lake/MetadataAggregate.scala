@@ -190,6 +190,10 @@ object MetadataAggregate extends Rule[LogicalPlan] {
     val statByFileCol = m.fileStats
       .map(fs => (fs.relPath, fs.column) -> fs).toMap
     val statCols = (minCols ++ maxCols).toSeq.map(_.name)
+    // #f lines key by PHYSICAL column name (stable across renames);
+    // the aggregate references logical attributes
+    val colMap = SnapshotTable.mappingOf(lt.recordedSchema)
+    def physOf(c: String): String = colMap.getOrElse(c, c)
 
     // one row per live directory: raw partition fragments + summed
     // rows + per-column folded min/max renderings. Any coverage hole
@@ -207,7 +211,7 @@ object MetadataAggregate extends Rule[LogicalPlan] {
         def fold(c: String, wantMin: Boolean): Option[String] = {
           val dt = (minCols ++ maxCols).find(_.name == c).get.dataType
           val bounds = files.flatMap { f =>
-            statByFileCol.get((f, c)) match {
+            statByFileCol.get((f, physOf(c))) match {
               case Some(SnapshotTable.FileStat(_, _, None, None)) => None
               case Some(SnapshotTable.FileStat(_, _, Some(mn), Some(mx))) =>
                 val b = if (wantMin) mn else mx

@@ -161,7 +161,14 @@ object SnapshotTable {
       // opens ([[MetadataAggregate]]). Files from pre-recording commits
       // simply have no line; consumers requiring full coverage fall
       // back to the data scan.
-      fileRows: Seq[(String, Long)] = Nil)
+      fileRows: Seq[(String, Long)] = Nil,
+      // PHYSICAL column names retired by DROP COLUMN (round 16,
+      // `#droppedphys` lines): live data files still carry these
+      // columns, so a later ADD COLUMN of a colliding name must mint a
+      // FRESH physical name or old bytes would resurrect as the new
+      // column's values. Grows monotonically; every metadata commit
+      // restates the full list.
+      droppedPhys: Seq[String] = Nil)
 
   /** One manifest FILE as written: either a full state (`deltaBase`
     * empty — the initial commit, a replace-all, or a checkpoint) or a
@@ -374,7 +381,7 @@ object SnapshotTable {
     RawManifest(deltaBase, removed,
       Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
         fileStats, fileSizes, tabList("#partitionby"), tabList("#rowkey"),
-        fileRows))
+        fileRows, tabList("#droppedphys")))
   }
 
   /** Fold one delta onto a base state. A key present in the delta's
@@ -401,7 +408,10 @@ object SnapshotTable {
       // erase the layout a newer commit already recorded
       if (d.m.partitionBy.nonEmpty) d.m.partitionBy else base.partitionBy,
       if (d.m.rowKey.nonEmpty) d.m.rowKey else base.rowKey,
-      base.fileRows.filter(s => live(s._1)) ++ d.m.fileRows)
+      base.fileRows.filter(s => live(s._1)) ++ d.m.fileRows,
+      // grows monotonically, restated by every metadata commit — a
+      // data commit that omits it inherits the base's list
+      if (d.m.droppedPhys.nonEmpty) d.m.droppedPhys else base.droppedPhys)
   }
 
   /** A version's checkpoint sidecar, parsed — None when absent OR
@@ -454,6 +464,8 @@ object SnapshotTable {
         Seq(("#partitionby" +: m.partitionBy).mkString("\t")) else Nil) ++
       (if (m.rowKey.nonEmpty)
         Seq(("#rowkey" +: m.rowKey).mkString("\t")) else Nil) ++
+      (if (m.droppedPhys.nonEmpty)
+        Seq(("#droppedphys" +: m.droppedPhys).mkString("\t")) else Nil) ++
       removed.map(k => s"#rm\t$k") ++
       m.fileStats.map(fs =>
         s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}") ++
@@ -652,11 +664,14 @@ object SnapshotTable {
     // predicates that can prune: a declared stat column of known type
     // with NON-NULL bounds (a NULL bound makes the residual match
     // nothing — three-valued logic — so pruning must not parse it)
+    val colMap = mappingOf(m.schema)
     val usable = predicates.flatMap { case (c, lower, upper) =>
       m.schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
         .filter(_ => m.statsCols.contains(c) &&
           lower != null && upper != null)
-        .map(dt => (c, renderBound(lower), renderBound(upper), dt))
+        // #f lines key by PHYSICAL column name (stable across renames)
+        .map(dt => (colMap.getOrElse(c, c),
+          renderBound(lower), renderBound(upper), dt))
     }
     if (m.entries.isEmpty || usable.isEmpty)
       return read(spark, root, version).filter(residual)
@@ -709,7 +724,9 @@ object SnapshotTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         m.schema.get)
     val rendered = nonNull.map(renderBound)
-    val byFile = m.fileStats.filter(_.column == column)
+    // #f lines key by PHYSICAL column name (stable across renames)
+    val physCol = mappingOf(m.schema).getOrElse(column, column)
+    val byFile = m.fileStats.filter(_.column == physCol)
       .map(fs => fs.relPath -> fs).toMap
     val keep = censusKeep(spark, root, m) { rel =>
       byFile.get(rel) match {
@@ -796,21 +813,74 @@ object SnapshotTable {
         if (files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-        else org.apache.spark.sql.graft.ManifestScan.parquet(spark, sc, files)
+        else {
+          // read under PHYSICAL names (what the files carry), then
+          // re-label to the logical schema — the whole cost of column
+          // mapping on the read path is this zero-copy projection
+          val df = org.apache.spark.sql.graft.ManifestScan.parquet(
+            spark, physicalSchema(sc), files)
+          if (mappingOf(Some(sc)).isEmpty) df
+          else df.select(sc.fields.map(f =>
+            col(physicalName(f)).as(f.name)).toSeq: _*)
+        }
       case None =>
         spark.read.option("mergeSchema", "true").parquet(
           relDirs.map(d => new Path(root, d).toString): _*)
     }
 
+  // ---- column mapping (round 16: RENAME / DROP COLUMN) ---------------
+  //
+  // A column's PHYSICAL name — what its bytes are labeled in every
+  // data file — is assigned at birth and never changes; RENAME COLUMN
+  // only re-labels the LOGICAL name in the recorded schema, carrying
+  // the physical name in the field's metadata (the same indirection as
+  // Delta's columnMapping physicalName). Old directories keep serving
+  // untouched, time travel returns the old names (each version's
+  // manifest carries its own schema+mapping), and new files are
+  // written under physical names so one table never mixes labels.
+
+  /** StructField metadata key holding a column's physical name (absent
+    * = physical == logical, the unmapped common case). */
+  private[lake] val PhysKey = "graft.physical"
+
+  private[lake] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  /** logical -> physical for the fields where they DIFFER (empty on an
+    * unmapped table — every fast path keys off this emptiness). */
+  private[lake] def mappingOf(schema: Option[StructType]): Map[String, String] =
+    schema.map(_.fields.iterator
+      .filter(_.metadata.contains(PhysKey))
+      .map(f => f.name -> f.metadata.getString(PhysKey)).toMap)
+      .getOrElse(Map.empty)
+
+  /** The schema with physical names substituted — what data files are
+    * actually read/written under. */
+  private[lake] def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physicalName(f))))
+
   /** Field-by-name union: the old schema's order with the new vintage's
     * types for common fields, new-only fields appended — what parquet's
     * footer merge would produce over mixed-vintage files, computed from
-    * metadata instead. */
+    * metadata instead. Column-mapping metadata survives: a data
+    * commit's frame is logical-named and carries none, so the OLD
+    * field's physical-name indirection must not vanish under it. */
   private def unionSchema(old: StructType, nw: StructType): StructType = {
     val newByName = nw.fields.map(f => f.name -> f).toMap
     StructType(
-      old.fields.map(f => newByName.getOrElse(f.name, f)) ++
-        nw.fields.filterNot(f => old.fieldNames.contains(f.name)))
+      old.fields.map { f =>
+        newByName.get(f.name) match {
+          case Some(nf) =>
+            if (f.metadata.contains(PhysKey) &&
+                !nf.metadata.contains(PhysKey))
+              nf.copy(metadata = new org.apache.spark.sql.types
+                .MetadataBuilder().withMetadata(nf.metadata)
+                .putString(PhysKey, f.metadata.getString(PhysKey)).build())
+            else nf
+          case None => f
+        }
+      } ++ nw.fields.filterNot(f => old.fieldNames.contains(f.name)))
   }
 
   /** Read known (absolute path, byte size) parquet files under the
@@ -833,7 +903,11 @@ object SnapshotTable {
       files: Seq[(String, Long)]): DataFrame =
     m.schema match {
       case Some(sc) =>
-        org.apache.spark.sql.graft.ManifestScan.parquet(spark, sc, files)
+        val df = org.apache.spark.sql.graft.ManifestScan.parquet(
+          spark, physicalSchema(sc), files)
+        if (mappingOf(Some(sc)).isEmpty) df
+        else df.select(sc.fields.map(f =>
+          col(physicalName(f)).as(f.name)).toSeq: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(
           files.map(_._1): _*)
@@ -898,6 +972,16 @@ object SnapshotTable {
       else s
     case other => String.valueOf(other)
   }
+
+  /** Manifest-pruned read of partition tuples named by their ESCAPED
+    * composite keys — the shape incremental maintainers already hold
+    * (manifest-diff output), so they can read changed partitions
+    * through the schema-pinned, column-mapping-aware, census-planned
+    * path instead of raw footer reads. */
+  def readPartitionKeys(
+      spark: SparkSession, root: String, keys: Set[String],
+      version: Int = -1): DataFrame =
+    selectDirs(spark, root, version, keys.contains)
 
   private[lake] def selectDirs(
       spark: SparkSession, root: String, version: Int,
@@ -1063,6 +1147,19 @@ object SnapshotTable {
       "table has an empty manifest and no recorded schema")
   }
 
+  /** Live rows of selected directories for a MUTATION's merge: under a
+    * column-mapped schema the raw footer names are PHYSICAL, so the
+    * read pins the physical schema and re-labels to logical before the
+    * merge logic (which speaks logical names); unmapped tables keep
+    * the original mergeSchema read byte-for-byte (its vintage-union
+    * behavior is load-bearing for legacy pre-recording tables). */
+  private def readLiveDirs(
+      spark: SparkSession, root: String, m: Manifest,
+      relDirs: Seq[String]): DataFrame =
+    if (mappingOf(m.schema).nonEmpty) readDirs(spark, root, m, relDirs)
+    else spark.read.option("mergeSchema", "true").parquet(
+      relDirs.map(d => new Path(root, d).toString): _*)
+
   /** Retry a whole read-merge-stage-commit attempt when a CONCURRENT
     * commit invalidated its merge (overlapping touched partitions):
     * re-running `op` recomputes against the new latest version, so the
@@ -1221,14 +1318,110 @@ object SnapshotTable {
             "the #schema manifest line); run any API mutation first"))
       val taken = scala.collection.mutable.Set(
         schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)): _*)
-      fields.foreach { f =>
+      // PHYSICAL labels already living in data files: current fields'
+      // physicals plus DROP COLUMN tombstones. A new column whose name
+      // collides physically gets a FRESH physical label — otherwise
+      // pre-existing bytes under that label would resurrect as the new
+      // column's values instead of reading NULL.
+      val physTaken = scala.collection.mutable.Set(
+        (schema.fields.map(f =>
+          physicalName(f).toLowerCase(java.util.Locale.ROOT)) ++
+          m.droppedPhys.map(_.toLowerCase(java.util.Locale.ROOT))): _*)
+      val placed = fields.map { f =>
         require(taken.add(f.name.toLowerCase(java.util.Locale.ROOT)),
           s"ADD COLUMN '${f.name}': column already exists in $root")
         require(f.nullable,
           s"ADD COLUMN '${f.name}': new columns must be nullable — " +
             "rows in pre-evolution directories cannot supply a value")
+        if (physTaken.add(f.name.toLowerCase(java.util.Locale.ROOT))) f
+        else {
+          val fresh = Iterator.from(1).map(i => s"${f.name}__c$i")
+            .find(p => physTaken.add(p.toLowerCase(java.util.Locale.ROOT)))
+            .get
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysKey, fresh).build())
+        }
       }
-      m.copy(schema = Some(StructType(schema.fields ++ fields)))
+      m.copy(schema = Some(StructType(schema.fields ++ placed)))
+    }
+
+  /** `ALTER TABLE … RENAME COLUMN from TO to` — a METADATA-ONLY commit
+    * re-labeling the column's LOGICAL name; the physical name (what
+    * every data file carries) stays what it was at the column's birth,
+    * recorded as field metadata, so NO data is rewritten: old
+    * directories keep serving, per-file `#f` stats (keyed by physical
+    * name) stay valid, time travel returns the old name, and the next
+    * INSERT writes under the same physical label. Declared roles
+    * follow the rename (stats/cluster/row-key lists re-label).
+    * Refusals: partition columns (their values ARE the manifest keys —
+    * the layout's identity), and a target name already in use. */
+  def renameColumn(
+      spark: SparkSession, root: String, from: String, to: String): Int =
+    commitMetadata(spark, root) { m =>
+      val schema = m.schema.getOrElse(
+        throw new UnsupportedOperationException(
+          s"table $root has no recorded schema; run any API mutation " +
+            "first"))
+      val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(from))
+      require(idx >= 0,
+        s"RENAME COLUMN '$from': no such column in $root " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fields.exists(_.name.equalsIgnoreCase(to)),
+        s"RENAME COLUMN: target name '$to' already exists in $root")
+      require(!m.partitionBy.exists(_.equalsIgnoreCase(from)),
+        s"RENAME COLUMN '$from': it is a partition column — partition " +
+          "values are the manifest keys (the layout's identity); " +
+          "re-layout via a full rewrite instead")
+      val f0 = schema.fields(idx)
+      val renamed = f0.copy(name = to,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f0.metadata)
+          .putString(PhysKey, physicalName(f0)).build())
+      def relabel(cols: Seq[String]): Seq[String] =
+        cols.map(c => if (c.equalsIgnoreCase(from)) to else c)
+      m.copy(
+        schema = Some(StructType(schema.fields.updated(idx, renamed))),
+        statsCols = relabel(m.statsCols),
+        clusterBy = relabel(m.clusterBy),
+        rowKey = relabel(m.rowKey))
+    }
+
+  /** `ALTER TABLE … DROP COLUMN name` — a METADATA-ONLY commit removing
+    * the column from the recorded schema. No data file is rewritten:
+    * the bytes stay in place under their physical name, invisible to
+    * every schema-pinned read, and time travel to a pre-drop version
+    * still serves them. The physical name is tombstoned
+    * (`#droppedphys`) so a later ADD COLUMN of a colliding name mints
+    * a FRESH physical label instead of resurrecting old bytes.
+    * Refusals: partition columns and the recorded row key (both are
+    * table identity); stats/cluster membership is simply removed. A
+    * data commit racing the DROP may restate the column in the
+    * recorded schema (the schema union is deliberately additive) —
+    * re-run the DROP. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int =
+    commitMetadata(spark, root) { m =>
+      val schema = m.schema.getOrElse(
+        throw new UnsupportedOperationException(
+          s"table $root has no recorded schema; run any API mutation " +
+            "first"))
+      val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0,
+        s"DROP COLUMN '$name': no such column in $root " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})")
+      require(!m.partitionBy.exists(_.equalsIgnoreCase(name)),
+        s"DROP COLUMN '$name': it is a partition column — the manifest " +
+          "keys carry its values; re-layout via a full rewrite instead")
+      require(!m.rowKey.exists(_.equalsIgnoreCase(name)),
+        s"DROP COLUMN '$name': it is the table's recorded row key — " +
+          "every keyed consumer (MERGE, upsert, the change feed) " +
+          "depends on it")
+      val f0 = schema.fields(idx)
+      m.copy(
+        schema = Some(StructType(
+          schema.fields.patch(idx, Nil, 1))),
+        statsCols = m.statsCols.filterNot(_.equalsIgnoreCase(name)),
+        clusterBy = m.clusterBy.filterNot(_.equalsIgnoreCase(name)),
+        droppedPhys = (m.droppedPhys :+ physicalName(f0)).distinct)
     }
 
   /** Commit `transform(latest)` as a new version WITHOUT touching any
@@ -1292,8 +1485,7 @@ object SnapshotTable {
     val liveTouched = entries.filter(e => touchedKeys(e._1))
     val merged =
       if (liveTouched.isEmpty) projected
-      else spark.read.option("mergeSchema", "true").parquet(
-          liveTouched.map(e => new Path(root, e._2).toString): _*)
+      else readLiveDirs(spark, root, base, liveTouched.map(_._2))
         .unionByName(projected, allowMissingColumns = true)
     commitRewrite(spark, root, merged, partitionBy, Some(base),
       touchedKeys, replaceAll = false, filesPerPartition,
@@ -1355,8 +1547,9 @@ object SnapshotTable {
               "; updates must carry the full schema")
           if (liveTouched.isEmpty) projected // all-new partitions: insert
           else {
-            val live = spark.read.option("mergeSchema", "true").parquet(
-              liveTouched.map(e => new Path(root, e._2).toString): _*)
+            // liveTouched nonempty => entries nonempty => base defined
+            val live = readLiveDirs(spark, root, base.get,
+              liveTouched.map(_._2))
             live
               .join(projected.select(col(key).as("_graft_k")),
                 col(key) === col("_graft_k"), "left_anti")
@@ -1424,8 +1617,8 @@ object SnapshotTable {
       val merged =
         if (liveTouched.isEmpty) projected
         else {
-          val live = spark.read.option("mergeSchema", "true").parquet(
-            liveTouched.map(e => new Path(root, e._2).toString): _*)
+          val live = readLiveDirs(spark, root, base,
+            liveTouched.map(_._2))
           // ALL change keys leave the live set (a deleted key vanishes, an
           // upserted key is replaced); only upsert rows come back
           live
@@ -1479,8 +1672,8 @@ object SnapshotTable {
           // vintages, and a footer-arbitrary narrow read here would
           // silently drop the evolved column from the rewritten
           // partitions (round-9 advice item 2)
-          val kept = spark.read.option("mergeSchema", "true").parquet(
-              liveTouched.map(e => new Path(root, e._2).toString): _*)
+          val kept = readLiveDirs(spark, root, base,
+              liveTouched.map(_._2))
             .filter(coalesce(!predicate, lit(true)))
           commitRewrite(spark, root, kept, partitionBy, Some(base),
             touchedKeys, replaceAll = false, filesPerPartition,
@@ -1531,8 +1724,7 @@ object SnapshotTable {
       val merged =
         if (keepDirs.isEmpty) projected
         else {
-          val live = spark.read.option("mergeSchema", "true").parquet(
-            keepDirs.map(e => new Path(root, e._2).toString): _*)
+          val live = readLiveDirs(spark, root, base, keepDirs.map(_._2))
           // under the fast path none of keepDirs' rows can match (their
           // partition values did not); the residual filter is only for
           // the data-scan fallback
@@ -1614,13 +1806,24 @@ object SnapshotTable {
       else baseManifest.map(_.clusterBy).getOrElse(declaredCluster)
     val f = fs(spark, root)
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID()}")
+    // column mapping (round 16): data files are written under PHYSICAL
+    // names — rename the (logical) mutation frame once, up front.
+    // Partition columns are never mapped (rename refuses them), so the
+    // staging partitioning keeps using logical == physical names. A
+    // concurrent RENAME racing this commit is benign: physical names
+    // never change, only logical labels do.
+    val colMapping = mappingOf(baseManifest.flatMap(_.schema))
+    val physRows =
+      if (colMapping.isEmpty) newRows
+      else newRows.select(newRows.columns.map(c =>
+        col(c).as(colMapping.getOrElse(c, c))).toSeq: _*)
     val base = Iterator.from(0).map {
       case 0 => "_graft_p"
       case i => s"_graft_p_$i"
     }.find(b => partitionBy.indices
-      .forall(j => !newRows.columns.contains(s"${b}$j"))).get
+      .forall(j => !physRows.columns.contains(s"${b}$j"))).get
     val stagingCols = partitionBy.indices.map(j => s"$base$j")
-    val staged = partitionBy.zip(stagingCols).foldLeft(newRows) {
+    val staged = partitionBy.zip(stagingCols).foldLeft(physRows) {
       case (d, (c, sc)) => d.withColumn(sc, col(c).cast("string"))
     }
     val layout =
@@ -1635,10 +1838,11 @@ object SnapshotTable {
         // which is what makes the per-file stats skip at read time
         val nTuples =
           if (touchedKeys.nonEmpty) touchedKeys.size
-          else touchedCompositeKeys(newRows, partitionBy).size
+          else touchedCompositeKeys(physRows, partitionBy).size
         staged.repartitionByRange(
           (nTuples.max(1) * filesPerPartition.max(1)).min(4096),
-          (partitionBy.map(col) ++ clusterBy.map(col)): _*)
+          (partitionBy.map(col) ++ clusterBy.map(c =>
+            col(colMapping.getOrElse(c, c)))): _*)
       }
     layout
       .write.mode("overwrite").partitionBy(stagingCols: _*)
@@ -1719,7 +1923,10 @@ object SnapshotTable {
       else {
         val df = spark.read.option("mergeSchema", "true").parquet(
           moved.map(m => new Path(root, m._2).toString): _*)
-        val present = statsCols.filter(df.columns.contains)
+        // fresh files carry PHYSICAL names; #f lines key by them too,
+        // so a later rename never invalidates recorded stats
+        val present = statsCols.map(c => colMapping.getOrElse(c, c))
+          .filter(df.columns.contains)
         if (present.isEmpty) Nil
         else {
           val aggs = present.flatMap(c => Seq(
@@ -1799,7 +2006,8 @@ object SnapshotTable {
       val rowKey = declaredKey.map(Seq(_)).getOrElse(
         latestM.map(_.rowKey).getOrElse(Nil))
       val payload = Manifest(moved, Some(schema), statsCols, clusterBy,
-        newStats, newSizes, partitionBy, rowKey, newRowCounts)
+        newStats, newSizes, partitionBy, rowKey, newRowCounts,
+        latestM.map(_.droppedPhys).getOrElse(Nil))
       try {
         commitManifest(spark, root, v, payload,
           if (asDelta) Some(latestV) else None, removed)
@@ -1818,7 +2026,8 @@ object SnapshotTable {
             latestM.map(_.fileSizes).getOrElse(Nil)
               .filter(s => carried(s._1)) ++ newSizes, partitionBy, rowKey,
             latestM.map(_.fileRows).getOrElse(Nil)
-              .filter(s => carried(s._1)) ++ newRowCounts))
+              .filter(s => carried(s._1)) ++ newRowCounts,
+            latestM.map(_.droppedPhys).getOrElse(Nil)))
         }
         return v
       } catch {
@@ -1950,7 +2159,9 @@ object SnapshotTable {
       else {
         val clusterCols = base.clusterBy
         val frames = cands.map { case (_, d, target, _) =>
-          val df = spark.read.parquet(new Path(root, d).toString)
+          // mapping-aware per-dir read (logical frame) so the declared
+          // cluster columns resolve and the rewrite re-physicalizes
+          val df = readLiveDirs(spark, root, base, Seq(d))
           if (clusterCols.nonEmpty &&
               clusterCols.forall(df.columns.contains))
             df.repartitionByRange(target, clusterCols.map(col): _*)

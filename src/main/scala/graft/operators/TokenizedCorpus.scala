@@ -181,12 +181,11 @@ object TokenizedCorpus {
         val changed = (oldMap.keySet ++ newMap.keySet)
           .filter(k => oldMap.get(k) != newMap.get(k))
         if (changed.nonEmpty) {
-          val newDirs = changed.toSeq.sorted.flatMap(newMap.get)
           val changedDocs =
-            if (newDirs.isEmpty)
+            if (changed.forall(k => !newMap.contains(k)))
               SnapshotTable.read(spark, baseRoot, latestB).limit(0)
-            else spark.read.option("mergeSchema", "true").parquet(
-              newDirs.map(d => new Path(baseRoot, d).toString): _*)
+            else SnapshotTable.readPartitionKeys(
+              spark, baseRoot, changed, latestB)
           val tok = tokenizedFrame(changedDocs).cache()
           // the postings frame feeds BOTH the postings overwrite and
           // the df derivation — cache it so the explode+tf aggregate
