@@ -256,7 +256,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         "manifest keys live versions by partition tuple, so declare " +
         "PARTITIONED BY (col, …) (a single low-cardinality column is " +
         "fine)")
-    val recognized = Set("rowkey", "statsfor", "clusterby")
+    val recognized = Set("rowkey", "statsfor", "clusterby", "lookupfor")
     def ignorable(k: String): Boolean = {
       val kl = k.toLowerCase(java.util.Locale.ROOT)
       kl == TableCatalog.PROP_PROVIDER || kl == TableCatalog.PROP_LOCATION ||
@@ -275,6 +275,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         s"${unknown.mkString("'", "', '", "'")} — supported: 'rowkey' " +
         "(MERGE identity column), 'statsfor' (comma-separated skip-read " +
         "stats columns), 'clusterby' (comma-separated range-cluster " +
+        "columns), 'lookupfor' (comma-separated point-lookup sketch " +
         "columns)")
     def listProp(key: String): Seq[String] = props.collectFirst {
       case (k, v) if k.equalsIgnoreCase(key) => v
@@ -291,7 +292,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     }
     SnapshotTable.create(s, root, schema, partCols,
       statsFor = listProp("statsfor"), clusterBy = listProp("clusterby"),
-      rowKey = listProp("rowkey").headOption)
+      rowKey = listProp("rowkey").headOption,
+      lookupFor = listProp("lookupfor"))
     LakeCatalog.register(s, name, root)
     resolve(ident, None)
   }
@@ -759,6 +761,44 @@ final case class LakeTable(
     }.toMap
   }
 
+  /** SQL-plane sketch pruning (round 16): from the pushed catalyst
+    * filters, the (absPath, bytes, rows) file subset the per-file
+    * Bloom sketches admit within the partition-surviving directories —
+    * None when no equality on a declared lookup column is pushed, when
+    * a surviving directory lacks the byte census (we will not LIST
+    * just to sketch-prune), or when nothing would be skipped. */
+  private[lake] def sketchPrunedFiles(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      survivingAbsDirs: Seq[String])
+      : Option[Seq[(String, Long, Option[Long])]] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val m = manifest
+    if (m.lookupCols.isEmpty) return None
+    val admits = filters.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        SnapshotTable.sketchAdmitsLit(m, a.name, l)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        SnapshotTable.sketchAdmitsLit(m, a.name, l)
+      case _ => None
+    }
+    if (admits.isEmpty) return None
+    val surviving = survivingAbsDirs.toSet
+    val rowsByFile = m.fileRows.toMap
+    val candidates = m.fileSizes.flatMap { case (rel, len) =>
+      val relDir = rel.take(rel.lastIndexOf('/'))
+      val absDir = new org.apache.hadoop.fs.Path(root, relDir).toString
+      if (!surviving(absDir)) None
+      else Some((rel, absDir,
+        new org.apache.hadoop.fs.Path(root, rel).toString, len))
+    }
+    // bail unless the census covers every surviving dir: a dir with no
+    // census files would silently vanish from the scan
+    if (candidates.map(_._2).toSet != surviving) return None
+    val kept = candidates.filter(c => admits.forall(f => f(c._1)))
+    if (kept.size == candidates.size) None // nothing skipped: keep dirs
+    else Some(kept.map(c => (c._3, c._4, rowsByFile.get(c._1))))
+  }
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
@@ -780,7 +820,8 @@ final case class LakeTable(
             physSchema,
             classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
           .newScanBuilder(merged)),
-        () => dirCensus)
+        () => dirCensus,
+        sketchPrunedFiles)
   }
 
   private def requireWritable(op: String): Unit =
@@ -842,7 +883,8 @@ final case class LakeTable(
                     val (stats, cluster) =
                       SnapshotTable.declaredColumns(s, root)
                     SnapshotTable.write(s, root, data, pby,
-                      statsFor = stats, clusterBy = cluster)
+                      statsFor = stats, clusterBy = cluster,
+                      lookupFor = SnapshotTable.lookupColumns(s, root))
                   case Some(fs) =>
                     // PARTITION (k=v) spec: delete-matching + insert in
                     // ONE commit; untouched partitions carry forward
@@ -912,7 +954,10 @@ private[lake] class LakePruningScanBuilder(
     partitionCols: Seq[String],
     recordedSchema: Option[StructType],
     mkInner: Seq[String] => ScanBuilder,
-    dirCensus: () => Map[String, (Long, Option[Long])] = () => Map.empty)
+    dirCensus: () => Map[String, (Long, Option[Long])] = () => Map.empty,
+    sketchFiles: (Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      Seq[String]) => Option[Seq[(String, Long, Option[Long])]] =
+      (_, _) => None)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -923,6 +968,10 @@ private[lake] class LakePruningScanBuilder(
   private var inner: ScanBuilder = _
   private var requiredSchema: Option[StructType] = None
   private var selectedPaths: Seq[String] = keyedDirs.map(_._2)
+  // set when an equality on a declared lookup column pruned the scan
+  // down to sketch-admitted FILES (bytes + optional exact rows for the
+  // stats report)
+  private var selectedFiles: Option[Seq[(String, Long, Option[Long])]] = None
 
   private def ensureInner(paths: Seq[String]): ScanBuilder = {
     selectedPaths = paths
@@ -962,7 +1011,11 @@ private[lake] class LakePruningScanBuilder(
           case None => keyedDirs.map(_._2)
         }
       }
-    ensureInner(paths)
+    // sketch pruning (round 16): an equality on a declared lookup
+    // column narrows the scan from the surviving DIRECTORIES to the
+    // sketch-admitted FILES — the SQL spelling of readPoint
+    selectedFiles = sketchFiles(filters, paths)
+    ensureInner(selectedFiles.fold(paths)(_.map(_._1)))
       .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
       .pushFilters(filters)
   }
@@ -989,15 +1042,26 @@ private[lake] class LakePruningScanBuilder(
     * Partial coverage keeps the inner scan's own estimate. */
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val scan = currentInner.build()
-    val census = dirCensus()
-    if (selectedPaths.nonEmpty && selectedPaths.forall(census.contains)) {
-      val picked = selectedPaths.map(census)
-      val bytes = picked.map(_._1).sum
-      val rows =
-        if (picked.forall(_._2.isDefined)) Some(picked.map(_._2.get).sum)
-        else None
-      new LakeStatsScan(scan, bytes, rows)
-    } else scan
+    selectedFiles match {
+      case Some(files) =>
+        // sketch-pruned scan: exact bytes (the census wrote them) and,
+        // when every admitted file carries a #n line, exact rows
+        val rows =
+          if (files.nonEmpty && files.forall(_._3.isDefined))
+            Some(files.map(_._3.get).sum)
+          else None
+        new LakeStatsScan(scan, files.map(_._2).sum, rows)
+      case None =>
+        val census = dirCensus()
+        if (selectedPaths.nonEmpty && selectedPaths.forall(census.contains)) {
+          val picked = selectedPaths.map(census)
+          val bytes = picked.map(_._1).sum
+          val rows =
+            if (picked.forall(_._2.isDefined)) Some(picked.map(_._2.get).sum)
+            else None
+          new LakeStatsScan(scan, bytes, rows)
+        } else scan
+    }
   }
 }
 

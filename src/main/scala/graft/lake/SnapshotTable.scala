@@ -168,7 +168,16 @@ object SnapshotTable {
       // FRESH physical name or old bytes would resurrect as the new
       // column's values. Grows monotonically; every metadata commit
       // restates the full list.
-      droppedPhys: Seq[String] = Nil)
+      droppedPhys: Seq[String] = Nil,
+      // POINT-LOOKUP declarations (round 16): columns whose per-file
+      // membership SKETCH (`#b` lines — a Bloom filter over xxhash64
+      // of the value) every commit records, so an equality probe on a
+      // high-cardinality NON-clustered column opens only the files
+      // whose sketch admits the key ([[readPoint]]) — the classic
+      // needle-in-100TB doc_id lookup that range stats cannot serve.
+      lookupCols: Seq[String] = Nil,
+      // per-file sketches: (relPath, PHYSICAL column, base64 bloom)
+      fileSketch: Seq[(String, String, String)] = Nil)
 
   /** One manifest FILE as written: either a full state (`deltaBase`
     * empty — the initial commit, a replace-all, or a checkpoint) or a
@@ -196,6 +205,16 @@ object SnapshotTable {
   private def decStat(s: String): Option[String] =
     if (s == "-") None
     else Some(java.net.URLDecoder.decode(s.stripPrefix("v"), "UTF-8"))
+
+  /** Lookup-sketch sizing: 64 Kbit (8 KB) per file per declared
+    * column, k tuned for ~4k distinct items (<0.1% false positives
+    * there; degrades gracefully above — a false positive only costs
+    * one extra file open, never a wrong row). At 100 TB the sketches
+    * dominate manifest bytes; the checkpoint/delta chain already
+    * amortizes reads, and moving them to a sidecar file is the
+    * evolution path if manifests outgrow single-read comfort. */
+  private val SketchItems = 4096L
+  private val SketchBits = 65536L
 
   /** Delta commits between checkpoints. Every `CheckpointEvery`-th
     * commit ALSO writes a `.checkpoint` sidecar holding the full folded
@@ -378,10 +397,15 @@ object SnapshotTable {
       val i = line.indexOf('\t')
       (line.substring(0, i), line.substring(i + 1))
     }
+    val fileSketch = lines.filter(_.startsWith("#b\t")).map { l =>
+      val parts = l.split('\t')
+      (parts(1), parts(2), parts(3))
+    }
     RawManifest(deltaBase, removed,
       Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
         fileStats, fileSizes, tabList("#partitionby"), tabList("#rowkey"),
-        fileRows, tabList("#droppedphys")))
+        fileRows, tabList("#droppedphys"), tabList("#lookupcols"),
+        fileSketch))
   }
 
   /** Fold one delta onto a base state. A key present in the delta's
@@ -411,7 +435,9 @@ object SnapshotTable {
       base.fileRows.filter(s => live(s._1)) ++ d.m.fileRows,
       // grows monotonically, restated by every metadata commit — a
       // data commit that omits it inherits the base's list
-      if (d.m.droppedPhys.nonEmpty) d.m.droppedPhys else base.droppedPhys)
+      if (d.m.droppedPhys.nonEmpty) d.m.droppedPhys else base.droppedPhys,
+      d.m.lookupCols,
+      base.fileSketch.filter(s => live(s._1)) ++ d.m.fileSketch)
   }
 
   /** A version's checkpoint sidecar, parsed — None when absent OR
@@ -466,11 +492,14 @@ object SnapshotTable {
         Seq(("#rowkey" +: m.rowKey).mkString("\t")) else Nil) ++
       (if (m.droppedPhys.nonEmpty)
         Seq(("#droppedphys" +: m.droppedPhys).mkString("\t")) else Nil) ++
+      (if (m.lookupCols.nonEmpty)
+        Seq(("#lookupcols" +: m.lookupCols).mkString("\t")) else Nil) ++
       removed.map(k => s"#rm\t$k") ++
       m.fileStats.map(fs =>
         s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}") ++
       m.fileSizes.map { case (r, b) => s"#sz\t$r\t$b" } ++
-      m.fileRows.map { case (r, n) => s"#n\t$r\t$n" }
+      m.fileRows.map { case (r, n) => s"#n\t$r\t$n" } ++
+      m.fileSketch.map { case (r, c, b) => s"#b\t$r\t$c\t$b" }
     (meta ++ m.entries.map { case (k, d) => s"$k\t$d" })
       .mkString("", "\n", "\n")
   }
@@ -746,6 +775,88 @@ object SnapshotTable {
     else readFiles(spark, m, keep).filter(residual)
   }
 
+  /** Sketch-pruned POINT lookup (round-16 verdict item 5): rows where
+    * `column = value`, opening ONLY the files whose per-file Bloom
+    * sketch (`#b` manifest lines, declared via `lookupFor`) admits the
+    * key — the needle-in-100TB shape range stats cannot serve: an
+    * equality probe on a high-cardinality NON-clustered column (a
+    * doc_id lookup inside a date partition) would otherwise open every
+    * file of the partition. Correctness is sketch-independent: the
+    * equality residual always applies, files without a sketch line are
+    * always kept, a false positive costs one extra file open, and an
+    * undeclared column degrades to the plain filtered [[read]]. A
+    * NULL probe returns the empty frame (`= NULL` matches nothing). */
+  def readPoint(
+      spark: SparkSession, root: String, column: String, value: Any,
+      version: Int = -1): DataFrame = {
+    val m = manifestAt(spark, root, version)
+    val residual = col(column) === lit(value)
+    val declared = m.lookupCols.contains(column) &&
+      m.schema.exists(_.fieldNames.contains(column))
+    if (m.entries.isEmpty || !declared)
+      return read(spark, root, version).filter(residual)
+    if (value == null)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema.get)
+    sketchAdmits(m, column, value) match {
+      case None => read(spark, root, version).filter(residual)
+      case Some(admits) =>
+        val keep = censusKeep(spark, root, m)(admits)
+        if (keep.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            m.schema.get)
+        else readFiles(spark, m, keep).filter(residual)
+    }
+  }
+
+  /** The per-file admit test behind [[readPoint]] and the SQL plane's
+    * equality pruning ([[LakePruningScanBuilder]]): Some(rel => keep?)
+    * when `column` is a declared lookup column and `value` hashes
+    * cleanly (xxhash64 seed 42 of the native-typed value — the exact
+    * write-side insert), None when the sketch cannot apply. Files
+    * without a sketch line always admit. */
+  private[lake] def sketchAdmits(
+      m: Manifest, column: String, value: Any): Option[String => Boolean] =
+    (try Some(org.apache.spark.sql.catalyst.expressions.Literal(value))
+     catch { case scala.util.control.NonFatal(_) => None })
+      .flatMap(l => sketchAdmitsLit(m, column, l))
+
+  /** [[sketchAdmits]] over an already-built literal — the SQL plane's
+    * entry, where the probe value arrives as a catalyst [[Literal]]
+    * carrying the internal representation. */
+  private[lake] def sketchAdmitsLit(
+      m: Manifest, column: String,
+      lit0: org.apache.spark.sql.catalyst.expressions.Literal)
+      : Option[String => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val dtOpt = m.schema.flatMap(_.fields.find(_.name == column))
+      .map(_.dataType)
+      .filter(_ => m.lookupCols.contains(column) && lit0.value != null)
+    dtOpt.flatMap { dt =>
+      val casted =
+        try Cast(lit0, dt, Some("UTC")).eval(null)
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (casted == null) None
+      else {
+        val h = new XxHash64(Seq(Literal.create(casted, dt)), 42L)
+          .eval(null).asInstanceOf[Long]
+        val phys = mappingOf(m.schema).getOrElse(column, column)
+        val sketchByFile = m.fileSketch
+          .collect { case (rel, c, b64) if c == phys => rel -> b64 }.toMap
+        Some((rel: String) => sketchByFile.get(rel) match {
+          case Some(b64) =>
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(b64)))
+              .mightContainLong(h)
+          case None => true // no sketch recorded: never skip
+        })
+      }
+    }
+  }
+
   /** The census-driven keep-set — (absolute path, byte size) pairs so
     * [[readFiles]] can plan without re-listing: files of stats-covered
     * directories filter through `fileOk` with no listing and no footer
@@ -754,24 +865,24 @@ object SnapshotTable {
   private def censusKeep(
       spark: SparkSession, root: String, m: Manifest)(
       fileOk: String => Boolean): Seq[(String, Long)] = {
-    val filesByDir = m.fileStats.map(_.relPath).distinct
-      .groupBy(r => r.take(r.lastIndexOf('/')))
-    val sizeByRel = m.fileSizes.toMap
+    // the BYTE census (#sz, written by every data commit) is the file
+    // list — broader coverage than the stats census, so directories of
+    // stats-less vintages still skip the listing; fileOk just never
+    // prunes their files (absent #f/#b lines keep conservatively)
+    val filesByDir = m.fileSizes
+      .groupBy(e => e._1.take(e._1.lastIndexOf('/')))
     val fsys = fs(spark, root)
     m.entries.flatMap { case (_, d) =>
-      if (filesByDir.contains(d))
-        filesByDir(d).filter(fileOk).map { rel =>
-          (new Path(root, rel).toString,
-            // the byte census and the stats census are written by the
-            // same commit; a rel with stats but (somehow) no #sz line
-            // falls back to one getFileStatus rather than failing
-            sizeByRel.getOrElse(rel,
-              fsys.getFileStatus(new Path(root, rel)).getLen))
+      filesByDir.get(d) match {
+        case Some(fs0) => fs0.filter(e => fileOk(e._1)).map {
+          case (rel, len) => (new Path(root, rel).toString, len)
         }
-      else
-        fsys.listStatus(new Path(root, d)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(st => (st.getPath.toString, st.getLen))
+        case None =>
+          fsys.listStatus(new Path(root, d)).toSeq
+            .filter(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(st => (st.getPath.toString, st.getLen))
+      }
     }
   }
 
@@ -1198,11 +1309,13 @@ object SnapshotTable {
   def write(
       spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], filesPerPartition: Int = 1,
-      statsFor: Seq[String] = Nil, clusterBy: Seq[String] = Nil): Int =
+      statsFor: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      lookupFor: Seq[String] = Nil): Int =
     commitRewrite(spark, root, df, partitionBy, baseManifest = None,
       touchedKeys = Set.empty, replaceAll = true,
       filesPerPartition, crashBeforeCommit = false,
-      declaredStats = statsFor, declaredCluster = clusterBy)
+      declaredStats = statsFor, declaredCluster = clusterBy,
+      declaredLookup = lookupFor)
 
   /** The table's recorded partition column NAMES (manifest
     * `#partitionby`, written by every commit since the recording was
@@ -1225,6 +1338,13 @@ object SnapshotTable {
     val m = manifestAt(spark, root, version)
     (m.statsCols, m.clusterBy)
   }
+
+  /** The table's declared point-lookup columns (manifest
+    * `#lookupcols`) — what a full-replace through the SQL plane must
+    * restate alongside [[declaredColumns]]. */
+  def lookupColumns(
+      spark: SparkSession, root: String, version: Int = -1): Seq[String] =
+    manifestAt(spark, root, version).lookupCols
 
   /** The table's recorded ROW KEY column (manifest `#rowkey`) — written
     * by every keyed mutation ([[upsert]]/[[applyChanges]]) and by
@@ -1274,7 +1394,8 @@ object SnapshotTable {
   def create(
       spark: SparkSession, root: String, schema: StructType,
       partitionBy: Seq[String], statsFor: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil, rowKey: Option[String] = None): Int = {
+      clusterBy: Seq[String] = Nil, rowKey: Option[String] = None,
+      lookupFor: Seq[String] = Nil): Int = {
     require(schema.fields.nonEmpty, "CREATE TABLE: schema has no columns")
     require(partitionBy.nonEmpty,
       "CREATE TABLE: a snapshot table is partitioned — declare at " +
@@ -1289,13 +1410,14 @@ object SnapshotTable {
     known("stats", statsFor)
     known("cluster", clusterBy)
     known("row key", rowKey.toSeq)
+    known("lookup", lookupFor)
     require(versions(spark, root).isEmpty,
       s"CREATE TABLE: $root already holds a committed snapshot table — " +
         "re-creating would silently re-contract existing data; bind it " +
         "by name instead (LakeCatalog.register)")
     commitManifest(spark, root, 1,
       Manifest(Nil, Some(schema), statsFor, clusterBy, Nil, Nil,
-        partitionBy, rowKey.toSeq, Nil), None, Nil)
+        partitionBy, rowKey.toSeq, Nil, Nil, lookupFor, Nil), None, Nil)
   }
 
   /** Evolve the recorded schema by APPENDING `fields` — the
@@ -1383,7 +1505,8 @@ object SnapshotTable {
         schema = Some(StructType(schema.fields.updated(idx, renamed))),
         statsCols = relabel(m.statsCols),
         clusterBy = relabel(m.clusterBy),
-        rowKey = relabel(m.rowKey))
+        rowKey = relabel(m.rowKey),
+        lookupCols = relabel(m.lookupCols))
     }
 
   /** `ALTER TABLE … DROP COLUMN name` — a METADATA-ONLY commit removing
@@ -1421,6 +1544,7 @@ object SnapshotTable {
           schema.fields.patch(idx, Nil, 1))),
         statsCols = m.statsCols.filterNot(_.equalsIgnoreCase(name)),
         clusterBy = m.clusterBy.filterNot(_.equalsIgnoreCase(name)),
+        lookupCols = m.lookupCols.filterNot(_.equalsIgnoreCase(name)),
         droppedPhys = (m.droppedPhys :+ physicalName(f0)).distinct)
     }
 
@@ -1445,7 +1569,7 @@ object SnapshotTable {
       try {
         commitManifest(spark, root, v,
           next.copy(entries = Nil, fileStats = Nil, fileSizes = Nil,
-            fileRows = Nil),
+            fileRows = Nil, fileSketch = Nil),
           Some(latestV), Nil)
         if (v % CheckpointEvery == 0) writeCheckpoint(spark, root, v, next)
         return v
@@ -1792,6 +1916,7 @@ object SnapshotTable {
       filesPerPartition: Int, crashBeforeCommit: Boolean,
       declaredStats: Seq[String] = Nil,
       declaredCluster: Seq[String] = Nil,
+      declaredLookup: Seq[String] = Nil,
       layoutDone: Boolean = false,
       schemaOverride: Option[StructType] = None,
       declaredKey: Option[String] = None): Int = {
@@ -1804,6 +1929,9 @@ object SnapshotTable {
     val clusterBy =
       if (replaceAll) declaredCluster
       else baseManifest.map(_.clusterBy).getOrElse(declaredCluster)
+    val lookupCols =
+      if (replaceAll) declaredLookup
+      else baseManifest.map(_.lookupCols).getOrElse(declaredLookup)
     val f = fs(spark, root)
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID()}")
     // column mapping (round 16): data files are written under PHYSICAL
@@ -1918,36 +2046,75 @@ object SnapshotTable {
     // a string-first min would be lexicographic and wrong for numbers.
     // Columns absent from this batch (pre-evolution vintages) simply
     // get no lines and are never skipped.
-    val newStats: Seq[FileStat] =
-      if (statsCols.isEmpty || moved.isEmpty) Nil
+    def relOf(file: String): String = {
+      val p0 = new Path(file)
+      val parent = f.makeQualified(p0.getParent).toString
+      dirByParent.get(parent)
+        .map(d => s"$d/${p0.getName}")
+        .getOrElse(throw new IllegalStateException(
+          s"census file $file is not under any just-written directory"))
+    }
+    val (newStats: Seq[FileStat],
+         newSketches: Seq[(String, String, String)]) =
+      if ((statsCols.isEmpty && lookupCols.isEmpty) || moved.isEmpty)
+        (Nil, Nil)
       else {
         val df = spark.read.option("mergeSchema", "true").parquet(
           moved.map(m => new Path(root, m._2).toString): _*)
-        // fresh files carry PHYSICAL names; #f lines key by them too,
-        // so a later rename never invalidates recorded stats
+        // fresh files carry PHYSICAL names; #f and #b lines key by
+        // them too, so a later rename never invalidates recorded stats
         val present = statsCols.map(c => colMapping.getOrElse(c, c))
           .filter(df.columns.contains)
-        if (present.isEmpty) Nil
+        val lookupPresent = lookupCols.map(c => colMapping.getOrElse(c, c))
+          .filter(df.columns.contains)
+        if (present.isEmpty && lookupPresent.isEmpty) (Nil, Nil)
         else {
-          val aggs = present.flatMap(c => Seq(
+          val statAggs = present.flatMap(c => Seq(
             min(col(c)).cast("string").as(s"_graft_min_$c"),
             max(col(c)).cast("string").as(s"_graft_max_$c")))
-          df.groupBy(input_file_name().as("_graft_file"))
+          // per-file membership sketch: a Bloom filter over xxhash64 of
+          // the value — Spark's own BloomFilterAggregate (the runtime-
+          // filter machinery), so write-side insert and read-side probe
+          // share one hash and one serialization
+          val sketchAggs = lookupPresent.map { c =>
+            org.apache.spark.sql.graft.Bridge.column(
+              new org.apache.spark.sql.catalyst.expressions.aggregate
+                .BloomFilterAggregate(
+                  new org.apache.spark.sql.catalyst.expressions.XxHash64(
+                    Seq(org.apache.spark.sql.graft.Bridge
+                      .expression(col(c))), 42L),
+                  org.apache.spark.sql.catalyst.expressions
+                    .Literal(SketchItems),
+                  org.apache.spark.sql.catalyst.expressions
+                    .Literal(SketchBits))
+                .toAggregateExpression()).as(s"_graft_bloom_$c")
+          }
+          val aggs = statAggs ++ sketchAggs
+          val rows = df.groupBy(input_file_name().as("_graft_file"))
             .agg(aggs.head, aggs.tail: _*)
-            .collect().toSeq.flatMap { r =>
-              val p0 = new Path(r.getString(0))
-              val parent = f.makeQualified(p0.getParent).toString
-              val rel = dirByParent.get(parent)
-                .map(d => s"$d/${p0.getName}")
-                .getOrElse(throw new IllegalStateException(
-                  s"census file ${r.getString(0)} is not under any " +
-                    "just-written directory"))
-              present.indices.flatMap { i =>
-                val mn = Option(r.getString(1 + 2 * i))
-                val mx = Option(r.getString(2 + 2 * i))
-                Some(FileStat(rel, present(i), mn, mx))
-              }
+            .collect().toSeq
+          val stats = rows.flatMap { r =>
+            val rel = relOf(r.getString(0))
+            present.indices.map { i =>
+              FileStat(rel, present(i),
+                Option(r.getString(1 + 2 * i)),
+                Option(r.getString(2 + 2 * i)))
             }
+          }
+          val sketches = rows.flatMap { r =>
+            val rel = relOf(r.getString(0))
+            lookupPresent.indices.flatMap { j =>
+              val idx = 1 + 2 * present.size + j
+              // an all-NULL file aggregates to NULL: it gets no sketch
+              // line and is conservatively kept (an equality can never
+              // match its rows anyway)
+              if (r.isNullAt(idx)) None
+              else Some((rel, lookupPresent(j),
+                java.util.Base64.getEncoder
+                  .encodeToString(r.getAs[Array[Byte]](idx))))
+            }
+          }
+          (stats, sketches)
         }
       }
     onBeforeCommit()
@@ -2007,7 +2174,8 @@ object SnapshotTable {
         latestM.map(_.rowKey).getOrElse(Nil))
       val payload = Manifest(moved, Some(schema), statsCols, clusterBy,
         newStats, newSizes, partitionBy, rowKey, newRowCounts,
-        latestM.map(_.droppedPhys).getOrElse(Nil))
+        latestM.map(_.droppedPhys).getOrElse(Nil), lookupCols,
+        newSketches)
       try {
         commitManifest(spark, root, v, payload,
           if (asDelta) Some(latestV) else None, removed)
@@ -2027,7 +2195,9 @@ object SnapshotTable {
               .filter(s => carried(s._1)) ++ newSizes, partitionBy, rowKey,
             latestM.map(_.fileRows).getOrElse(Nil)
               .filter(s => carried(s._1)) ++ newRowCounts,
-            latestM.map(_.droppedPhys).getOrElse(Nil)))
+            latestM.map(_.droppedPhys).getOrElse(Nil), lookupCols,
+            latestM.map(_.fileSketch).getOrElse(Nil)
+              .filter(s => carried(s._1)) ++ newSketches))
         }
         return v
       } catch {

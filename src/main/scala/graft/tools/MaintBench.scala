@@ -229,6 +229,31 @@ object MaintBench {
         time { AnnIndex.recluster(spark, annRoot) }
       val annImbalAfter = AnnIndex.imbalance(spark, annRoot)
 
+      // --- point lookup vs scan (round 16): equality probe on a
+      // high-cardinality non-clustered column through the per-file
+      // Bloom sketches — the probe should stay decade-flat (it opens
+      // ~1 admitted file) while the scan grows with the data
+      val lkRoot = graft.core.IndexRoot.of(sfDir, "documents.parquet",
+        "graft_maint_lookup_v1")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(lkRoot))
+      SnapshotTable.write(spark, lkRoot, docs, Seq("source"),
+        filesPerPartition = 4, lookupFor = Seq("doc_id"))
+      val probeKey = docs.select(max(col("doc_id"))).first().getLong(0) / 2
+      def pointOnce(): Unit = {
+        SnapshotTable.readPoint(spark, lkRoot, "doc_id", probeKey).count()
+        ()
+      }
+      pointOnce() // warm
+      val pointS = med3 { pointOnce() }
+      def scanOnce(): Unit = {
+        SnapshotTable.read(spark, lkRoot)
+          .filter(col("doc_id") === probeKey).count()
+        ()
+      }
+      scanOnce() // warm
+      val pointScanS = med3 { scanOnce() }
+
       def f(v: Double) =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       println(
@@ -240,6 +265,7 @@ object MaintBench {
         s""""mv_refresh_1p":${f(mvRefresh1p)},""" +
         s""""optimize_plan":${f(optPlanS)},""" +
         s""""meta_agg":${f(metaAggS)},"scan_agg":${f(scanAggS)},""" +
+        s""""point_lookup":${f(pointS)},"point_scan":${f(pointScanS)},""" +
         s""""ann_imbalance_probe":${f(annImbalS)},""" +
         s""""ann_imbalance":${f(annImbal)},""" +
         s""""ann_recluster":${f(annReclusterS)},""" +
