@@ -492,6 +492,11 @@ object LakeCatalog {
       .sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
         "table_changes",
         exprs => tableChanges(SparkSession.active, exprs), "scala_udf")
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        "table_changes_updates",
+        exprs => tableChanges(SparkSession.active, exprs,
+          pairUpdates = true), "scala_udf")
   }
 
   /** SQL surface for the change feed (round-14 verdict item 3): after
@@ -512,10 +517,12 @@ object LakeCatalog {
     * TVF. */
   private def tableChanges(
       spark: SparkSession,
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      pairUpdates: Boolean = false)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val fn = if (pairUpdates) "table_changes_updates" else "table_changes"
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
-      s"table_changes(table, fromVersion[, toVersion]): $msg")
+      s"$fn(table, fromVersion[, toVersion]): $msg")
     if (exprs.length < 2 || exprs.length > 3)
       fail(s"got ${exprs.length} argument(s)")
     exprs.foreach(e =>
@@ -533,8 +540,18 @@ object LakeCatalog {
       fail(s"no lake binding named '$name'"))
     val (root, pinned) = parseBinding(binding)
     val to = if (exprs.length == 3) intArg(2) else pinned.getOrElse(-1)
-    ChangeFeed.between(spark, root, intArg(1), to)
-      .queryExecution.analyzed
+    val feed = ChangeFeed.between(spark, root, intArg(1), to)
+    // the Delta-CDF update_preimage/postimage surface (round-15 missing
+    // item 5): pairing needs the table's identity column, and the
+    // manifest records it (#rowkey) — so the SQL spelling asks for
+    // nothing the statement's author would have to restate
+    val out =
+      if (!pairUpdates) feed
+      else ChangeFeed.withUpdatePairs(feed,
+        SnapshotTable.rowKey(spark, root).getOrElse(fail(
+          s"'$name' records no row key — update pairing is keyed; run " +
+            "any keyed mutation or SnapshotTable.declareKey once")))
+    out.queryExecution.analyzed
   }
 
   /** Bind `name` to a snapshot root. `version = None` tracks latest

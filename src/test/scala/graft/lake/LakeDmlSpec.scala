@@ -382,6 +382,32 @@ class LakeDmlSpec extends SparkSpec {
       unknown.getMessage)
   }
 
+  test("table_changes_updates pairs update faces via the recorded key") {
+    // the Delta-CDF update_preimage/postimage surface as SQL (round 16):
+    // pairing is keyed, and the manifest records the key (#rowkey), so
+    // the statement restates nothing
+    val (name, root) = freshTable()
+    SnapshotTable.declareKey(spark, root, "k")
+    spark.sql(s"UPDATE lake.$name SET v = 999 WHERE k = 5")
+    val latest = SnapshotTable.latest(spark, root).get
+    val rows = spark.sql(
+      s"SELECT * FROM table_changes_updates('$name', ${latest - 1})")
+      .filter(col("k") === 5)
+      .select(col(ChangeFeed.ChangeTypeCol), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(rows == Seq(
+      (ChangeFeed.UpdatePost, 999L),
+      (ChangeFeed.UpdatePre, 5L * 7 % 31)), rows.toString)
+    // a key-less table refuses rather than mislabeling
+    val (name2, _) = freshTable()
+    spark.sql(s"DELETE FROM lake.$name2 WHERE k = 3")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes_updates('$name2', 1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("records no row key"), e.getMessage)
+  }
+
   // ---- round 15: OPTIMIZE / VACUUM as SQL statements ----------------
 
   test("OPTIMIZE lake.t compacts fragmented partitions; rows and " +
