@@ -466,6 +466,38 @@ object InvertedIndex {
             org.apache.spark.sql.types.LongType))))
     }
 
+  /** Per-term df under a visibility predicate, memoized per
+    * (session, root, predicate, term set) as a LocalRelation — the
+    * batched-probe analog of [[corpusTotals]] (round 16): for a fixed
+    * index state, role, and workload, df is a workload-sized CONSTANT,
+    * yet every probe used to re-scan the pruned postings a second time
+    * just to recount it. The first probe pays one aggregate and
+    * collects the tens of rows; repeats of the same workload (the
+    * retrieval-service hot path) plan from the memo with ONE postings
+    * pass total. Keyed under the root prefix, so [[invalidate]] (every
+    * append/build/compaction) drops it with the rest. */
+  private def dfStatsFor(
+      spark: SparkSession, root: String,
+      visible: org.apache.spark.sql.Column,
+      terms: Seq[String], tf: => DataFrame): DataFrame = {
+    val termKey = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(terms.sorted.mkString("\u0001").getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+    readCache.getOrElseUpdate(spark, s"$root#df#$visible#$termKey") {
+      val rows = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .collect().toSeq
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("df",
+            org.apache.spark.sql.types.LongType))))
+    }
+  }
+
   /** BM25 top-k for a term set, served from the index: the `pfx`
     * partition filter prunes the postings scan to |terms| directories,
     * term df comes from the pruned rows themselves, and the shared
@@ -565,8 +597,11 @@ object InvertedIndex {
       .join(broadcast(qterms.select(col("tok"))), "tok")
       .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
     // per-TERM df over the (visible) corpus, BEFORE the query join —
-    // two queries sharing a term see one df, not one per query
-    val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // two queries sharing a term see one df, not one per query — and
+    // memoized per (root, role, workload) so repeats pay one scan
+    val workloadTerms = q.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dfStats = dfStatsFor(spark, root, visible, workloadTerms, tf)
     val corpus = corpusTotals(spark, root, visible)
     if (fast)
       graft.queries.Search.bm25ScoreBatchFast(tf, q, dfStats, corpus, k)
@@ -584,7 +619,7 @@ object InvertedIndex {
       .filter(col("tok").isin(terms: _*))
       .filter(visible)
       .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
-    val dfStats = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfStats = dfStatsFor(spark, root, visible, terms, tf)
     val corpus = corpusTotals(spark, root, visible)
     if (fast) graft.queries.Search.bm25ScoreFast(tf, dfStats, corpus)
     else graft.queries.Search.bm25Score(tf, dfStats, corpus)
