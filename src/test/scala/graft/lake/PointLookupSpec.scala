@@ -103,6 +103,32 @@ class PointLookupSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("OPTIMIZE recomputes sketches for compacted files; the probe " +
+      "keeps pruning") {
+    val (_, root) = fresh()
+    // compact 4 files/partition down to 1: every data file is replaced,
+    // so stale sketch lines would either vanish (probe stops pruning)
+    // or mis-admit — the commit path must re-census the fresh files
+    val v = SnapshotTable.optimize(spark, root, Seq("src"),
+      targetBytes = 1L << 30)
+    assert(v > 1, "optimize should have compacted the fanned partitions")
+    val m = SnapshotTable.versions(spark, root).last
+    val key = 1234L
+    val got = SnapshotTable.readPoint(spark, root, "doc_id", key).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("doc_id") == key)
+    // post-compaction there is 1 file per partition (4 total); the key
+    // lives in one partition, so the sketch must skip the other three
+    val probe = SnapshotTable.readPoint(spark, root, "doc_id", key)
+    val opened = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }).flatten.toSet
+    assert(opened.size < 4,
+      s"sketches not re-censused by OPTIMIZE: opened ${opened.size} of 4")
+    assert(m == SnapshotTable.versions(spark, root).last)
+  }
+
   test("SQL DDL declares lookups; INSERT maintains them; rename " +
       "follows") {
     n += 1
