@@ -257,6 +257,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         "PARTITIONED BY (col, …) (a single low-cardinality column is " +
         "fine)")
     val recognized = Set("rowkey", "statsfor", "clusterby", "lookupfor")
+    // 'check.<name>' = '<boolean expr>' declares a CHECK constraint
+    // (round 17): every INSERT/MERGE/stream drain refuses a violating
+    // batch BEFORE its commit. NOT NULL needs no property — it is the
+    // column's own `NOT NULL` in the CREATE TABLE column list.
+    def isCheck(k: String): Boolean =
+      k.toLowerCase(java.util.Locale.ROOT).startsWith("check.") &&
+        k.length > "check.".length
     def ignorable(k: String): Boolean = {
       val kl = k.toLowerCase(java.util.Locale.ROOT)
       kl == TableCatalog.PROP_PROVIDER || kl == TableCatalog.PROP_LOCATION ||
@@ -268,7 +275,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     }
     val unknown = props.keys
       .filterNot(k => recognized(k.toLowerCase(java.util.Locale.ROOT)) ||
-        ignorable(k))
+        isCheck(k) || ignorable(k))
       .toSeq.sorted
     if (unknown.nonEmpty) throw new UnsupportedOperationException(
       s"CREATE TABLE $display: unknown TBLPROPERTIES " +
@@ -276,7 +283,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         "(MERGE identity column), 'statsfor' (comma-separated skip-read " +
         "stats columns), 'clusterby' (comma-separated range-cluster " +
         "columns), 'lookupfor' (comma-separated point-lookup sketch " +
-        "columns)")
+        "columns), 'check.<name>' (a CHECK constraint's boolean " +
+        "expression)")
+    val checks = props.toSeq
+      .filter { case (k, _) => isCheck(k) }
+      .map { case (k, v) => (k.substring("check.".length), v) }
+      .sortBy(_._1)
     def listProp(key: String): Seq[String] = props.collectFirst {
       case (k, v) if k.equalsIgnoreCase(key) => v
     }.toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
@@ -293,7 +305,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     SnapshotTable.create(s, root, schema, partCols,
       statsFor = listProp("statsfor"), clusterBy = listProp("clusterby"),
       rowKey = listProp("rowkey").headOption,
-      lookupFor = listProp("lookupfor"))
+      lookupFor = listProp("lookupfor"), checks = checks)
     LakeCatalog.register(s, name, root)
     resolve(ident, None)
   }

@@ -177,7 +177,19 @@ object SnapshotTable {
       // needle-in-100TB doc_id lookup that range stats cannot serve.
       lookupCols: Seq[String] = Nil,
       // per-file sketches: (relPath, PHYSICAL column, base64 bloom)
-      fileSketch: Seq[(String, String, String)] = Nil)
+      fileSketch: Seq[(String, String, String)] = Nil,
+      // CHECK constraints (round 17, `#check` lines): (name, boolean
+      // SQL over logical column names). Declared at CREATE, enforced
+      // by every data commit ON THE STAGING WRITE (a violating row
+      // fails the job before any manifest exists — nothing half-lands),
+      // carried forward by every commit like the row key.
+      checks: Seq[(String, String)] = Nil,
+      // NOT NULL constraints (round 17, `#notnull` line): column names
+      // declared at CREATE. Deliberately NOT derived from recorded
+      // schema nullability — a frame of literals types non-nullable,
+      // and treating typing as contract would mint constraints no one
+      // declared on every pre-existing table. Carried like `checks`.
+      notNullCols: Seq[String] = Nil)
 
   /** One manifest FILE as written: either a full state (`deltaBase`
     * empty — the initial commit, a replace-all, or a checkpoint) or a
@@ -401,11 +413,15 @@ object SnapshotTable {
       val parts = l.split('\t')
       (parts(1), parts(2), parts(3))
     }
+    val checks = lines.filter(_.startsWith("#check\t")).map { l =>
+      val parts = l.split('\t')
+      (parts(1), java.net.URLDecoder.decode(parts(2), "UTF-8"))
+    }
     RawManifest(deltaBase, removed,
       Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
         fileStats, fileSizes, tabList("#partitionby"), tabList("#rowkey"),
         fileRows, tabList("#droppedphys"), tabList("#lookupcols"),
-        fileSketch))
+        fileSketch, checks, tabList("#notnull")))
   }
 
   /** Fold one delta onto a base state. A key present in the delta's
@@ -437,7 +453,11 @@ object SnapshotTable {
       // data commit that omits it inherits the base's list
       if (d.m.droppedPhys.nonEmpty) d.m.droppedPhys else base.droppedPhys,
       d.m.lookupCols,
-      base.fileSketch.filter(s => live(s._1)) ++ d.m.fileSketch)
+      base.fileSketch.filter(s => live(s._1)) ++ d.m.fileSketch,
+      // like droppedPhys: restated by every commit that has any; a
+      // delta from a pre-constraint writer inherits the base's list
+      if (d.m.checks.nonEmpty) d.m.checks else base.checks,
+      if (d.m.notNullCols.nonEmpty) d.m.notNullCols else base.notNullCols)
   }
 
   /** A version's checkpoint sidecar, parsed — None when absent OR
@@ -494,6 +514,10 @@ object SnapshotTable {
         Seq(("#droppedphys" +: m.droppedPhys).mkString("\t")) else Nil) ++
       (if (m.lookupCols.nonEmpty)
         Seq(("#lookupcols" +: m.lookupCols).mkString("\t")) else Nil) ++
+      m.checks.map { case (n, e) =>
+        s"#check\t$n\t${java.net.URLEncoder.encode(e, "UTF-8")}" } ++
+      (if (m.notNullCols.nonEmpty)
+        Seq(("#notnull" +: m.notNullCols).mkString("\t")) else Nil) ++
       removed.map(k => s"#rm\t$k") ++
       m.fileStats.map(fs =>
         s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}") ++
@@ -929,7 +953,7 @@ object SnapshotTable {
           // re-label to the logical schema — the whole cost of column
           // mapping on the read path is this zero-copy projection
           val df = org.apache.spark.sql.graft.ManifestScan.parquet(
-            spark, physicalSchema(sc), files)
+            spark, nullableCopy(physicalSchema(sc)), files)
           if (mappingOf(Some(sc)).isEmpty) df
           else df.select(sc.fields.map(f =>
             col(physicalName(f)).as(f.name)).toSeq: _*)
@@ -976,13 +1000,44 @@ object SnapshotTable {
     * footer merge would produce over mixed-vintage files, computed from
     * metadata instead. Column-mapping metadata survives: a data
     * commit's frame is logical-named and carries none, so the OLD
-    * field's physical-name indirection must not vanish under it. */
+    * field's physical-name indirection must not vanish under it.
+    *
+    * PHYSICAL-NAME COLLISION GUARD (round-16 advice item 2): a data
+    * commit racing a RENAME COLUMN physicalizes its rows under the
+    * STALE mapping, so its frame can carry the old logical name —
+    * which, appended here as a "new" field, would alias the renamed
+    * column's physical bytes (two logical columns served by the same
+    * storage). An appended field whose physical name equals an
+    * EXISTING field's physical name is therefore rejected as a
+    * concurrent-write conflict: the outer [[withConflictRetry]]
+    * re-merges against the fresh manifest (fresh mapping), and a
+    * non-racing caller trying to re-add a renamed-away name fails
+    * loudly after [[MaxMergeRetries]] instead of silently aliasing. */
   private def unionSchema(old: StructType, nw: StructType): StructType = {
     val newByName = nw.fields.map(f => f.name -> f).toMap
+    val appended = nw.fields.filterNot(f => old.fieldNames.contains(f.name))
+    val oldPhys = old.fields.iterator
+      .map(f => physicalName(f) -> f.name).toMap
+    appended.foreach { nf =>
+      oldPhys.get(physicalName(nf)).foreach { owner =>
+        throw new ConcurrentWriteException(
+          s"new column '${nf.name}' would alias the physical storage " +
+            s"of existing column '$owner' (physical name " +
+            s"'${physicalName(nf)}') — stale column-mapping merge " +
+            "(concurrent RENAME COLUMN?); re-merge required")
+      }
+    }
     StructType(
       old.fields.map { f =>
         newByName.get(f.name) match {
-          case Some(nf) =>
+          case Some(nf0) =>
+            // recorded nullability is the table's CONTRACT, never an
+            // observation: a data commit can neither drop a NOT NULL
+            // (frames are usually nullable-typed) nor ADD one (a frame
+            // of literals is non-nullable-typed, and adopting that
+            // would silently tighten the contract against every later
+            // batch) — the OLD field's flag always wins
+            val nf = nf0.copy(nullable = f.nullable)
             if (f.metadata.contains(PhysKey) &&
                 !nf.metadata.contains(PhysKey))
               nf.copy(metadata = new org.apache.spark.sql.types
@@ -991,8 +1046,52 @@ object SnapshotTable {
             else nf
           case None => f
         }
-      } ++ nw.fields.filterNot(f => old.fieldNames.contains(f.name)))
+        // appended (schema-evolution) columns are ALWAYS nullable:
+        // rows in pre-evolution directories cannot supply a value —
+        // same rule ADD COLUMN enforces explicitly
+      } ++ appended.map(f =>
+        if (f.nullable) f else f.copy(nullable = true)))
   }
+
+  /** Wrap a mutation frame so the staging write itself refuses
+    * constraint-violating rows: each NOT NULL column is replaced by
+    * `when(isnull, raise_error).otherwise(itself)` and each CHECK is
+    * chained onto the first column the same way (every written column
+    * is evaluated per row, so the guard cannot be pruned). The raise
+    * fires inside the write tasks — cost is fused into the write, no
+    * extra pass — and SQL CHECK semantics hold: a condition evaluating
+    * to NULL passes (only `= FALSE` violates). Unconstrained tables
+    * return the frame untouched. */
+  private def enforceConstraints(
+      root: String, rows: DataFrame, m: Option[Manifest]): DataFrame =
+    m.fold(rows) { man =>
+      val notNull = man.notNullCols
+      if (notNull.isEmpty && man.checks.isEmpty) rows
+      else {
+        notNull.foreach(c => require(rows.columns.contains(c),
+          s"NOT NULL column '$c' is missing from the mutation batch " +
+            s"for $root — it would land as all-NULL; batch refused"))
+        var out = rows
+        notNull.foreach { c =>
+          out = out.withColumn(c,
+            when(col(c).isNull, raise_error(lit(
+              s"NOT NULL constraint violated: column '$c' is NULL in a " +
+                s"row written to $root — batch refused, nothing " +
+                "committed")))
+              .otherwise(col(c)))
+        }
+        val anchor = rows.columns.head
+        man.checks.foreach { case (nm, sql) =>
+          val cond = expr(sql)
+          out = out.withColumn(anchor,
+            when(not(cond) <=> lit(true), raise_error(lit(
+              s"CHECK constraint '$nm' ($sql) violated by a row written " +
+                s"to $root — batch refused, nothing committed")))
+              .otherwise(col(anchor)))
+        }
+        out
+      }
+    }
 
   /** Read known (absolute path, byte size) parquet files under the
     * manifest's RECORDED schema: zero plan-time footer reads
@@ -1009,13 +1108,35 @@ object SnapshotTable {
     * narrower than the live vintages' union — re-commit (any upsert)
     * or rewrite such tables before relying on pinned reads of those
     * historical versions. */
+  /** The schema with every field (recursively) nullable — what reads
+    * request from parquet (see the read-side note at [[readFiles]]);
+    * `StructType.asNullable` is private[sql]. */
+  private def nullableCopy(st: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    def loose(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          f.copy(dataType = loose(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = loose(a.elementType),
+        containsNull = true)
+      case m: MapType => m.copy(valueType = loose(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+    loose(st).asInstanceOf[StructType]
+  }
+
   private def readFiles(
       spark: SparkSession, m: Manifest,
       files: Seq[(String, Long)]): DataFrame =
     m.schema match {
       case Some(sc) =>
+        // read as NULLABLE regardless of the recorded flags: the
+        // recorded non-nullability is a write-side CONTRACT (enforced
+        // on every commit), but the scan must never let codegen elide
+        // null checks on bytes it did not write (round 17)
         val df = org.apache.spark.sql.graft.ManifestScan.parquet(
-          spark, physicalSchema(sc), files)
+          spark, nullableCopy(physicalSchema(sc)), files)
         if (mappingOf(Some(sc)).isEmpty) df
         else df.select(sc.fields.map(f =>
           col(physicalName(f)).as(f.name)).toSeq: _*)
@@ -1039,14 +1160,19 @@ object SnapshotTable {
     *    ISO string order inverts among negative years ("-0044" sorts
     *    below "-0100" lexicographically but is the LATER instant), so
     *    the uniform lexicographic compare below would mis-order them
-    *    (round-15 advice item 1). */
+    *    (round-15 advice item 1);
+    *  - YEAR > 9999 renderings ("+10000-01-01"): Spark's EXCEEDS_PAD
+    *    year formatter prefixes a '+', which sorts below every digit,
+    *    so a max past year 9999 would compare BELOW any four-digit
+    *    lower bound — the same defect class on the other side of the
+    *    range (round-16 advice item 1). */
   private[lake] def nonFinite(dt: DataType, s: String): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case FloatType | DoubleType =>
         s == "NaN" || s == "Infinity" || s == "-Infinity"
       case DateType | TimestampType | TimestampNTZType =>
-        s.startsWith("-")
+        s.startsWith("-") || s.startsWith("+")
       case _ => false
     }
   }
@@ -1346,6 +1472,71 @@ object SnapshotTable {
       spark: SparkSession, root: String, version: Int = -1): Seq[String] =
     manifestAt(spark, root, version).lookupCols
 
+  /** The recorded schema at `version` (latest when < 0) — logical
+    * names, NOT NULL flags, column-mapping metadata. None on a table
+    * whose last commit predates the #schema line. */
+  def schemaOf(
+      spark: SparkSession, root: String,
+      version: Int = -1): Option[StructType] =
+    manifestAt(spark, root, version).schema
+
+  /** One `DESCRIBE DETAIL` row — version, contract, and file/byte/row
+    * census, all from the manifest fold (zero data-file I/O). The
+    * byte/row sums are NULL unless EVERY live file carries its census
+    * line (pre-recording vintages must read as unknown, not as zero). */
+  private[lake] def detailRow(
+      spark: SparkSession, root: String, name: String,
+      pin: Option[Int]): org.apache.spark.sql.Row = {
+    val v = pin.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot-table version committed under $root"))
+    val m = readManifest(spark, root, v)
+    val files = m.fileSizes.map(_._1).toSet
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val liveDirs = m.entries.map(_._2).toSet
+    val liveSizes = m.fileSizes.filter(s => liveDirs(dirOf(s._1)))
+    val liveRows = m.fileRows.filter(s => liveDirs(dirOf(s._1)))
+    // census coverage: every live file is named by #sz (the manifest IS
+    // the file list), so size is always summable; rows only when #n
+    // covers the same set
+    val sizeBytes: Any = java.lang.Long.valueOf(liveSizes.map(_._2).sum)
+    val numRows: Any =
+      if (liveRows.map(_._1).toSet == liveSizes.map(_._1).toSet)
+        java.lang.Long.valueOf(liveRows.map(_._2).sum)
+      else null
+    val notNull = m.notNullCols
+    val mtime = fs(spark, root)
+      .getFileStatus(manifestPath(root, v)).getModificationTime
+    org.apache.spark.sql.Row(
+      name, root, v, pin.orNull, versions(spark, root).size,
+      new java.sql.Timestamp(mtime),
+      m.partitionBy.mkString(","),
+      m.rowKey.headOption.orNull,
+      m.statsCols.mkString(","),
+      m.clusterBy.mkString(","),
+      m.lookupCols.mkString(","),
+      notNull.mkString(","),
+      m.checks.map { case (n2, e) => s"$n2: $e" }.mkString("; "),
+      m.entries.size, liveSizes.size, sizeBytes, numRows)
+  }
+
+  /** The table's CHECK constraints `(name, boolean SQL)` (manifest
+    * `#check` lines) — declared at CREATE, enforced by every data
+    * commit on the staging write. */
+  def checkConstraints(
+      spark: SparkSession, root: String,
+      version: Int = -1): Seq[(String, String)] =
+    manifestAt(spark, root, version).checks
+
+  /** The table's declared NOT NULL columns (manifest `#notnull`) —
+    * minted by [[create]], enforced by every data commit. */
+  def notNullColumns(
+      spark: SparkSession, root: String, version: Int = -1): Seq[String] =
+    manifestAt(spark, root, version).notNullCols
+
   /** The table's recorded ROW KEY column (manifest `#rowkey`) — written
     * by every keyed mutation ([[upsert]]/[[applyChanges]]) and by
     * [[declareKey]]; what lets the SQL mutation plane (`MERGE INTO`
@@ -1395,7 +1586,8 @@ object SnapshotTable {
       spark: SparkSession, root: String, schema: StructType,
       partitionBy: Seq[String], statsFor: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil, rowKey: Option[String] = None,
-      lookupFor: Seq[String] = Nil): Int = {
+      lookupFor: Seq[String] = Nil,
+      checks: Seq[(String, String)] = Nil): Int = {
     require(schema.fields.nonEmpty, "CREATE TABLE: schema has no columns")
     require(partitionBy.nonEmpty,
       "CREATE TABLE: a snapshot table is partitioned — declare at " +
@@ -1411,13 +1603,41 @@ object SnapshotTable {
     known("cluster", clusterBy)
     known("row key", rowKey.toSeq)
     known("lookup", lookupFor)
+    // CHECK constraints validate at declaration, not first violation:
+    // the expr must parse, be boolean-compatible, and reference only
+    // schema columns — a typo'd CHECK refused here cannot silently
+    // admit every row forever
+    checks.foreach { case (nm, sql) =>
+      require(nm.matches("[A-Za-z0-9_]+"),
+        s"CREATE TABLE: CHECK constraint name '$nm' — use [A-Za-z0-9_]+")
+      require(!sql.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+        s"CREATE TABLE: CHECK '$nm' contains tab/newline characters")
+      val parsed =
+        try spark.sessionState.sqlParser.parseExpression(sql)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"CREATE TABLE: CHECK '$nm' does not parse: $sql " +
+              s"(${e.getMessage})")
+        }
+      parsed.references.foreach(a =>
+        require(names(a.name.toLowerCase(java.util.Locale.ROOT)),
+          s"CREATE TABLE: CHECK '$nm' references unknown column " +
+            s"'${a.name}' (columns: ${schema.fieldNames.mkString(", ")})"))
+    }
+    require(checks.map(_._1).distinct.size == checks.size,
+      "CREATE TABLE: duplicate CHECK constraint names")
     require(versions(spark, root).isEmpty,
       s"CREATE TABLE: $root already holds a committed snapshot table — " +
         "re-creating would silently re-contract existing data; bind it " +
         "by name instead (LakeCatalog.register)")
+    // the DDL's NOT NULL column flags become the #notnull declaration
+    // (the one place schema typing IS a contract: the user wrote it)
+    val notNull = schema.fields.filter(!_.nullable).map(_.name).toSeq
     commitManifest(spark, root, 1,
       Manifest(Nil, Some(schema), statsFor, clusterBy, Nil, Nil,
-        partitionBy, rowKey.toSeq, Nil, Nil, lookupFor, Nil), None, Nil)
+        partitionBy, rowKey.toSeq, Nil, Nil, lookupFor, Nil, checks,
+        notNull),
+      None, Nil)
   }
 
   /** Evolve the recorded schema by APPENDING `fields` — the
@@ -1494,6 +1714,11 @@ object SnapshotTable {
         s"RENAME COLUMN '$from': it is a partition column — partition " +
           "values are the manifest keys (the layout's identity); " +
           "re-layout via a full rewrite instead")
+      checkReferencing(spark, m, from).foreach(nm =>
+        throw new UnsupportedOperationException(
+          s"RENAME COLUMN '$from': CHECK constraint '$nm' references " +
+            "it — constraints are spelled over logical names and are " +
+            "not rewritten; drop/recreate the table contract instead"))
       val f0 = schema.fields(idx)
       val renamed = f0.copy(name = to,
         metadata = new org.apache.spark.sql.types.MetadataBuilder()
@@ -1506,7 +1731,8 @@ object SnapshotTable {
         statsCols = relabel(m.statsCols),
         clusterBy = relabel(m.clusterBy),
         rowKey = relabel(m.rowKey),
-        lookupCols = relabel(m.lookupCols))
+        lookupCols = relabel(m.lookupCols),
+        notNullCols = relabel(m.notNullCols))
     }
 
   /** `ALTER TABLE … DROP COLUMN name` — a METADATA-ONLY commit removing
@@ -1538,6 +1764,9 @@ object SnapshotTable {
         s"DROP COLUMN '$name': it is the table's recorded row key — " +
           "every keyed consumer (MERGE, upsert, the change feed) " +
           "depends on it")
+      checkReferencing(spark, m, name).foreach(nm =>
+        throw new UnsupportedOperationException(
+          s"DROP COLUMN '$name': CHECK constraint '$nm' references it"))
       val f0 = schema.fields(idx)
       m.copy(
         schema = Some(StructType(
@@ -1545,7 +1774,19 @@ object SnapshotTable {
         statsCols = m.statsCols.filterNot(_.equalsIgnoreCase(name)),
         clusterBy = m.clusterBy.filterNot(_.equalsIgnoreCase(name)),
         lookupCols = m.lookupCols.filterNot(_.equalsIgnoreCase(name)),
+        notNullCols = m.notNullCols.filterNot(_.equalsIgnoreCase(name)),
         droppedPhys = (m.droppedPhys :+ physicalName(f0)).distinct)
+    }
+
+  /** Name of the first CHECK constraint whose expression references
+    * `column`, if any — the guard RENAME/DROP COLUMN consult (a
+    * constraint is spelled over logical names; silently breaking its
+    * resolution would disable enforcement). */
+  private def checkReferencing(
+      spark: SparkSession, m: Manifest, column: String): Option[String] =
+    m.checks.collectFirst {
+      case (nm, sql) if spark.sessionState.sqlParser.parseExpression(sql)
+        .references.exists(_.name.equalsIgnoreCase(column)) => nm
     }
 
   /** Commit `transform(latest)` as a new version WITHOUT touching any
@@ -1871,11 +2112,17 @@ object SnapshotTable {
     * recomputed the full content of the touched partitions (the shape
     * incremental materializations produce — re-derive changed
     * partitions, leave the rest). One atomic manifest commit. */
+  /** `knownTouched`, when given, must be a superset of the frame's
+    * partition tuples (escaped, `dropKeys` included) — an incremental
+    * maintainer that derived its frame FROM a changed-partition diff
+    * already knows the touched set exactly, and passing it skips one
+    * full evaluation of the frame (the distinct-keys job) per commit. */
   def overwritePartitions(
       spark: SparkSession, root: String, rows: DataFrame,
       partitionBy: Seq[String], dropKeys: Set[String] = Set.empty,
       filesPerPartition: Int = 1,
-      statsFor: Seq[String] = Nil, clusterBy: Seq[String] = Nil): Int =
+      statsFor: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      knownTouched: Option[Set[String]] = None): Int =
     withConflictRetry {
       if (versions(spark, root).isEmpty)
         // bootstrap declares stats/clustering; later overwrites inherit
@@ -1884,7 +2131,8 @@ object SnapshotTable {
           statsFor, clusterBy)
       else {
         val base = manifestAt(spark, root, -1)
-        val touched = touchedCompositeKeys(rows, partitionBy) ++ dropKeys
+        val touched = knownTouched.getOrElse(
+          touchedCompositeKeys(rows, partitionBy) ++ dropKeys)
         commitRewrite(spark, root, rows, partitionBy, Some(base), touched,
           replaceAll = false, filesPerPartition,
           crashBeforeCommit = false)
@@ -1938,12 +2186,44 @@ object SnapshotTable {
     // names — rename the (logical) mutation frame once, up front.
     // Partition columns are never mapped (rename refuses them), so the
     // staging partitioning keeps using logical == physical names. A
-    // concurrent RENAME racing this commit is benign: physical names
-    // never change, only logical labels do.
+    // concurrent RENAME racing this commit is NOT benign (round-16
+    // advice item 2): these bytes physicalize under the base mapping,
+    // so the commit loop fingerprints the mapping and re-merges if it
+    // drifted, and unionSchema rejects physical-name aliasing outright.
+    // table constraints (round 17): NOT NULL rides the recorded
+    // schema's field nullability, CHECK the manifest's #check lines;
+    // both are enforced ON the staging write below — a violating row
+    // raises inside the write job, which fails BEFORE any manifest
+    // rename exists, so a bad batch refuses atomically (nothing
+    // half-lands; the OCC commit point is never reached). A replace-all
+    // (INSERT OVERWRITE / write()) restates contents, not the
+    // contract, so it resolves the constraints from the latest
+    // committed manifest.
+    val constraintM: Option[Manifest] =
+      if (!replaceAll) baseManifest
+      else baseManifest.orElse(
+        latestVersion(spark, root).map(readManifest(spark, root, _)))
+    val checkedRows = enforceConstraints(root, newRows, constraintM)
     val colMapping = mappingOf(baseManifest.flatMap(_.schema))
+    // two logical columns landing on ONE physical name means the frame
+    // mixes a current logical name with a stale (pre-rename) one — the
+    // aliasing the mapping-fingerprint check exists to refuse; caught
+    // here too because the duplicate would otherwise fail analysis
+    // before that check runs (round-16 advice item 2)
+    if (colMapping.nonEmpty) {
+      val phys = newRows.columns.map(c => colMapping.getOrElse(c, c))
+      val dup = phys.diff(phys.distinct).distinct
+      if (dup.nonEmpty)
+        throw new ConcurrentWriteException(
+          s"columns ${newRows.columns.zip(phys)
+            .filter(p => dup.contains(p._2)).map(_._1).mkString(",")} " +
+            s"would alias physical storage ${dup.mkString(",")} under " +
+            s"$root — stale column-mapping merge (concurrent RENAME " +
+            "COLUMN?); re-merge required")
+    }
     val physRows =
-      if (colMapping.isEmpty) newRows
-      else newRows.select(newRows.columns.map(c =>
+      if (colMapping.isEmpty) checkedRows
+      else checkedRows.select(checkedRows.columns.map(c =>
         col(c).as(colMapping.getOrElse(c, c))).toSeq: _*)
     val base = Iterator.from(0).map {
       case 0 => "_graft_p"
@@ -2149,6 +2429,20 @@ object SnapshotTable {
             s"concurrent commit changed touched partition(s) " +
               s"${(nowTouched.map(_._1) ++ baseTouched.map(_._1)).toSeq
                 .sorted.mkString(",")} under $root; re-merge required")
+        // MAPPING FINGERPRINT (round-16 advice item 2): the staged data
+        // files were physicalized under the BASE manifest's column
+        // mapping. A concurrent RENAME/DROP COLUMN between the base
+        // read and this commit changes the logical→physical indirection
+        // out from under those bytes — the touched-entry check cannot
+        // see it (mapping commits touch no data directories), and
+        // committing anyway records logical columns whose physical
+        // storage is aliased or orphaned. Any mapping drift forces the
+        // outer re-merge, which re-physicalizes under the fresh schema.
+        if (mappingOf(latestM.flatMap(_.schema)) !=
+            mappingOf(baseManifest.flatMap(_.schema)))
+          throw new ConcurrentWriteException(
+            s"concurrent commit changed the column mapping under " +
+              s"$root; re-merge required")
       }
       // THE SCALE SHAPE (round-11 verdict item 1): the commit writes a
       // DELTA — its own entries, its own files' stats/census lines, and
@@ -2172,10 +2466,14 @@ object SnapshotTable {
       // vanish because an INSERT OVERWRITE restated its contents
       val rowKey = declaredKey.map(Seq(_)).getOrElse(
         latestM.map(_.rowKey).getOrElse(Nil))
+      // constraints persist like the row key: declared at CREATE,
+      // carried forward by every commit (including full replace)
+      val checks = latestM.map(_.checks).getOrElse(Nil)
+      val notNull = latestM.map(_.notNullCols).getOrElse(Nil)
       val payload = Manifest(moved, Some(schema), statsCols, clusterBy,
         newStats, newSizes, partitionBy, rowKey, newRowCounts,
         latestM.map(_.droppedPhys).getOrElse(Nil), lookupCols,
-        newSketches)
+        newSketches, checks, notNull)
       try {
         commitManifest(spark, root, v, payload,
           if (asDelta) Some(latestV) else None, removed)
@@ -2197,7 +2495,7 @@ object SnapshotTable {
               .filter(s => carried(s._1)) ++ newRowCounts,
             latestM.map(_.droppedPhys).getOrElse(Nil), lookupCols,
             latestM.map(_.fileSketch).getOrElse(Nil)
-              .filter(s => carried(s._1)) ++ newSketches))
+              .filter(s => carried(s._1)) ++ newSketches, checks, notNull))
         }
         return v
       } catch {

@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Tokenize-once retrieval (round-11 verdict item 4): a persisted,
   * incrementally maintained tokenization of a [[graft.lake.SnapshotTable]]
-  * corpus — the postings-build intermediate `(doc_id, dl, tok, tf)`,
-  * a per-partition corpus-stats table, and (round 16) a per-partition
-  * term-df table, all themselves SnapshotTables partitioned BY THE
-  * BASE'S PARTITION COLUMNS.
+  * corpus — the postings-build intermediate `(doc_id, dl, tok, tf)`
+  * PLUS the per-partition corpus stats and per-partition term df,
+  * all encoded in ONE SnapshotTable partitioned BY THE BASE'S
+  * PARTITION COLUMNS.
   *
   * Why: tokenization (`regexp_extract_all` + explode) is the named
   * constant factor of every inline text query — the round-11 bench
@@ -22,27 +22,48 @@ import org.apache.spark.sql.functions._
   * shape (flat postings rows, base-aligned partitions) that ANY
   * downstream aggregation can consume, not just term probes.
   *
+  * ONE TABLE, THREE ROW KINDS (round-17: closes both round-16 verdict
+  * item 1 — the third-commit refresh cost — and round-16 advice
+  * item 3 — the postings/df read skew — structurally):
+  *  - posting row:  `(part…, doc_id,  dl,       tok,     tf)`
+  *  - term-df row:  `(part…, NULL,    NULL,     tok,     df)`
+  *  - stats row:    `(part…, NULL,    total_dl, #corpus, n_docs)`
+  * The discriminator is `doc_id IS NULL`; the stats row's token is
+  * [[StatsTok]], which cannot collide with a real term because the
+  * tokenization alphabet ([[graft.queries.Text.toksExpr]]) is
+  * `[a-z0-9]+` and `#` is outside it. All three kinds commit in ONE
+  * [[graft.lake.SnapshotTable.overwritePartitions]] per refresh, so
+  *  (a) maintenance pays ONE commit cycle (staging write + census +
+  *      manifest), not three — the round-16 layout nearly doubled
+  *      tok_refresh_1p by adding a third table, and
+  *  (b) a concurrent reader can NEVER observe postings newer than
+  *      their df/stats: the triple is atomic by construction. A term
+  *      present in postings always has its df row in the same
+  *      manifest version — the round-16 mid-refresh skew (df INNER
+  *      join silently dropping a fresh term from BM25 ranks) is
+  *      structurally impossible, not just unlikely.
+  *
   * Partition alignment is what makes maintenance trivial AND bounded:
-  * the derived tables inherit the base's partition tuple, so the base's
+  * the table inherits the base's partition tuple, so the base's
   * manifest diff (changed tuples between the last-applied version and
   * latest — metadata-sized, no data comparison) names exactly the
   * derived partitions to re-derive. [[refresh]] re-tokenizes ONLY the
-  * changed partitions' rows and swaps them in with
-  * [[graft.lake.SnapshotTable.overwritePartitions]] — one atomic
-  * commit per table, cost O(changed data), never O(corpus).
+  * changed partitions' rows and swaps them in with one atomic
+  * partition overwrite — cost O(changed data), never O(corpus).
   *
   * Serving shapes, by access pattern:
-  *  - [[postings]] — the full intermediate, for corpus-wide analytics
+  *  - [[postings]] — the posting rows, for corpus-wide analytics
   *    and batched retrieval (hundreds of distinct terms): one scan.
-  *  - [[postingsForTerms]] — few-term probes: postings rows are
-  *    range-clustered on `tok` with per-file stats declared, so each
-  *    term resolves through the manifest's file census
-  *    ([[graft.lake.SnapshotTable.readBetween]]) and opens only the
+  *  - [[postingsForTerms]] — few-term probes: rows are range-clustered
+  *    on `tok` with per-file stats declared, so each term resolves
+  *    through the manifest's file census and opens only the
   *    stat-matching files — the lakehouse skip-read doing inverted-
-  *    index duty, no separate index structure.
+  *    index duty, no separate index structure. The df rows for those
+  *    same terms live in the SAME clustered files, so [[dfForTerms]]
+  *    opens no file this probe would not.
   *  - [[corpusStats]] — N and total_dl come from the per-partition
-  *    stats table (one row per partition tuple), so corpus totals are
-  *    an O(|partitions|) aggregate, never an O(docs) scan.
+  *    stats rows, pruned to the one `#corpus`-covering file per
+  *    partition: an O(|partitions|) read, never an O(docs) scan.
   *
   * Tokenization rule is [[graft.queries.Text.toksExpr]] — the SAME
   * expression the inline queries and the inverted index use, so a
@@ -50,9 +71,14 @@ import org.apache.spark.sql.functions._
   * (pinned in `TokenizedCorpusSpec` and oracle-gated via t46).
   *
   * Crash/replay: `_tok/applied` records the reflected base version and
-  * is written AFTER both table commits; a crash in between replays the
-  * same partition overwrites (same content, idempotent) on the next
-  * refresh. Single-maintainer, like the MV layer. */
+  * is written AFTER the table commit; a crash in between replays the
+  * same partition overwrite (same content, idempotent) on the next
+  * refresh. Single-maintainer, like the MV layer.
+  *
+  * Format: `_tok/format` records the layout version. Pre-v3 roots
+  * (round 16: separate postings/stats/df tables) are rebuilt in full
+  * on their next [[refresh]] and refuse reads until then — loud,
+  * one-time, and only for roots that survived a code upgrade. */
 object TokenizedCorpus {
   import graft.lake.SnapshotTable
 
@@ -60,55 +86,91 @@ object TokenizedCorpus {
     * yields narrow per-file [min,max] windows for the skip-read. */
   val PostingsFiles = 8
 
+  /** Reserved token carried by the per-partition corpus-stats row.
+    * `#` is outside the `[a-z0-9]+` token alphabet, so no document
+    * term can collide with it — and it sorts below every real token
+    * (UTF-8 0x23 < '0'), so stats rows cluster into the first file of
+    * each partition and a stats read opens exactly one file per
+    * partition tuple. */
+  val StatsTok = "#corpus"
+
+  /** Current on-disk layout version (see the format note above). */
+  private val FormatVersion = "3"
+
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def postingsRoot(tokRoot: String): String =
     new Path(tokRoot, "postings").toString
-  def statsRoot(tokRoot: String): String =
+  // pre-v3 derived tables — only referenced to delete them on rebuild
+  private def legacyStatsRoot(tokRoot: String): String =
     new Path(tokRoot, "stats").toString
-  def dfRoot(tokRoot: String): String =
+  private def legacyDfRoot(tokRoot: String): String =
     new Path(tokRoot, "df").toString
 
   private def appliedPath(tokRoot: String) =
     new Path(tokRoot, "_tok/applied")
+  private def formatPath(tokRoot: String) =
+    new Path(tokRoot, "_tok/format")
 
-  /** Base version the tokenized tables reflect (None: never built). */
+  /** Base version the tokenized table reflects (None: never built). */
   def appliedBaseVersion(
-      spark: SparkSession, tokRoot: String): Option[Int] = {
-    val f = fs(spark, tokRoot)
-    val p = appliedPath(tokRoot)
+      spark: SparkSession, tokRoot: String): Option[Int] =
+    readMarker(spark, appliedPath(tokRoot)).map(_.toInt)
+
+  private def readMarker(
+      spark: SparkSession, p: Path): Option[String] = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toInt)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
       finally in.close()
     }
   }
 
-  private def writeApplied(
-      spark: SparkSession, tokRoot: String, v: Int): Unit = {
+  private def writeMarker(
+      spark: SparkSession, tokRoot: String, p: Path, v: String): Unit = {
     val f = fs(spark, tokRoot)
     f.mkdirs(new Path(tokRoot, "_tok"))
     val tmp = new Path(tokRoot,
-      s"_tok/.applied.${java.util.UUID.randomUUID()}.tmp")
+      s"_tok/.${p.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(v.getBytes("UTF-8")) finally out.close()
     // plain rename, not create-exclusive: the marker is single-
     // maintainer AND advisory — a torn/missing marker only means the
     // next refresh replays idempotent partition overwrites
-    f.delete(appliedPath(tokRoot), false)
-    if (!f.rename(tmp, appliedPath(tokRoot)))
+    f.delete(p, false)
+    if (!f.rename(tmp, p))
       throw new java.io.IOException(
         s"tokenized-corpus marker rename failed under $tokRoot")
   }
+
+  /** Roots confirmed at the current layout — format only ever moves
+    * forward, so a positive check is safe to memoize for the life of
+    * the process (keeps the read paths at zero extra metadata I/O). */
+  private val v3Roots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def formatCurrent(spark: SparkSession, tokRoot: String): Boolean =
+    v3Roots.contains(tokRoot) || {
+      val ok = readMarker(spark, formatPath(tokRoot))
+        .contains(FormatVersion)
+      if (ok) v3Roots.add(tokRoot)
+      ok
+    }
+
+  private def requireFormat(spark: SparkSession, tokRoot: String): Unit =
+    require(formatCurrent(spark, tokRoot),
+      s"tokenized corpus under $tokRoot predates layout v$FormatVersion " +
+        "(separate stats/df tables) — run TokenizedCorpus.refresh to " +
+        "migrate before reading")
 
   /** The ONE tokenization pass a refresh pays: documents whose
     * tokenization is empty contribute NOTHING (dl = 0 documents are
     * outside every BM25/statistics denominator, same rule as
     * [[graft.queries.Search.tokenized]]). Callers cache this and
-    * derive BOTH tables from it — tokenizing twice per refresh would
+    * derive the row kinds from it — tokenizing twice per refresh would
     * re-pay the exact constant this module exists to eliminate. */
   private def tokenizedFrame(docs: DataFrame): DataFrame =
     docs.withColumn("toks", expr(graft.queries.Text.toksExpr))
@@ -125,34 +187,44 @@ object TokenizedCorpus {
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** One row per partition tuple: `(partition cols…, n_docs,
-    * total_dl)` off a [[tokenizedFrame]]. */
-  private def statsFrame(
-      tok: DataFrame, partitionBy: Seq[String]): DataFrame =
-    tok.groupBy(partitionBy.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+  /** All three row kinds for the partitions `pf` covers, in the
+    * postings column universe — every branch derives from `pf`, the
+    * ONE cached frame of a refresh (the commit evaluates its input
+    * twice: range-cluster sampling, then the write; a single memory-
+    * resident source keeps both passes cheap without stacking three
+    * caches of the same data, which thrashed at sf10 shape):
+    *  - df rows: a posting row is one (doc, term) pair, so the
+    *    per-partition count IS the df contribution, and a doc lives in
+    *    exactly one partition, so corpus df = the sum across partitions;
+    *  - stats rows: every dl>0 doc has >= 1 posting row, so collapsing
+    *    pf to its distinct (doc, dl) pairs recovers exactly the
+    *    tokenized frame's per-partition (n_docs, total_dl). */
+  private def allRows(
+      pf: DataFrame, partitionBy: Seq[String]): DataFrame = {
+    val part = partitionBy.map(col)
+    val nullL = lit(null).cast("long")
+    val postRows = pf.select(
+      part :+ col("doc_id") :+ col("dl") :+ col("tok") :+ col("tf"): _*)
+    val dfRows = pf
+      .groupBy(part :+ col("tok"): _*)
+      .agg(count(lit(1)).as("tf"))
+      .select(part :+ nullL.as("doc_id") :+ nullL.as("dl") :+
+        col("tok") :+ col("tf"): _*)
+    val statsRows = pf
+      .select(part :+ col("doc_id") :+ col("dl"): _*).distinct()
+      .groupBy(part: _*)
+      .agg(count(lit(1)).as("tf"), sum(col("dl")).as("dl"))
+      .select(part :+ nullL.as("doc_id") :+ col("dl") :+
+        lit(StatsTok).as("tok") :+ col("tf"): _*)
+    postRows.unionByName(dfRows).unionByName(statsRows)
+  }
 
-  /** One row per (partition tuple, term): that partition's document
-    * frequency — a posting row is one (doc, term) pair, so the per-
-    * partition count IS the df contribution, and a doc lives in exactly
-    * one partition, so corpus df = the sum across partitions. Derived
-    * from a [[postingsFrame]], maintained partition-aligned like the
-    * other two tables (round-15 verdict item 2: this removes the
-    * second postings pass — and with it the cache barrier — from every
-    * tokenized-served BM25 query; df becomes a term-pruned read of a
-    * vocabulary-sized table instead of a re-aggregation of the
-    * workload's postings). */
-  private def dfFrame(
-      postings: DataFrame, partitionBy: Seq[String]): DataFrame =
-    postings.groupBy(partitionBy.map(col) :+ col("tok"): _*)
-      .agg(count(lit(1)).as("df"))
-
-  /** Bring the tokenized tables up to the base's LATEST version.
-    * First call builds them in full; later calls re-tokenize ONLY the
+  /** Bring the tokenized table up to the base's LATEST version.
+    * First call builds it in full; later calls re-tokenize ONLY the
     * partitions whose base directories changed (manifest diff) and
     * overwrite those partitions in place — dropped base partitions
-    * drop here too. Returns the applied base version. No-op when
-    * already current. */
+    * drop here too. ONE commit either way. Returns the applied base
+    * version. No-op when already current. */
   def refresh(
       spark: SparkSession, baseRoot: String, tokRoot: String,
       partitionBy: Seq[String]): Int = {
@@ -165,17 +237,11 @@ object TokenizedCorpus {
     val latestB = SnapshotTable.latest(spark, baseRoot).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot-table version committed under $baseRoot"))
+    val fmtOk = formatCurrent(spark, tokRoot)
     appliedBaseVersion(spark, tokRoot) match {
-      case Some(v) if v == latestB =>
-        // migration backfill: a tokRoot built before the df table
-        // existed (round 16) derives it once from the CURRENT postings
-        // table — one postings scan, no tokenization
-        if (SnapshotTable.versions(spark, dfRoot(tokRoot)).isEmpty)
-          SnapshotTable.overwritePartitions(spark, dfRoot(tokRoot),
-            dfFrame(postings(spark, tokRoot), partitionBy), partitionBy,
-            statsFor = Seq("tok"), clusterBy = Seq("tok"))
-        latestB
-      case Some(v) if SnapshotTable.hasVersion(spark, baseRoot, v) =>
+      case Some(v) if fmtOk && v == latestB =>
+        latestB // already current
+      case Some(v) if fmtOk && SnapshotTable.hasVersion(spark, baseRoot, v) =>
         val oldMap = SnapshotTable.entriesFor(spark, baseRoot, v).toMap
         val newMap = SnapshotTable.entriesFor(spark, baseRoot, latestB).toMap
         val changed = (oldMap.keySet ++ newMap.keySet)
@@ -186,84 +252,62 @@ object TokenizedCorpus {
               SnapshotTable.read(spark, baseRoot, latestB).limit(0)
             else SnapshotTable.readPartitionKeys(
               spark, baseRoot, changed, latestB)
-          val tok = tokenizedFrame(changedDocs).cache()
-          // the postings frame feeds BOTH the postings overwrite and
-          // the df derivation — cache it so the explode+tf aggregate
-          // runs once per refresh
-          val pf = postingsFrame(tok, partitionBy).cache()
+          // the ONE cache of a refresh: every allRows branch and both
+          // commit passes re-read this instead of re-tokenizing
+          val pf = postingsFrame(tokenizedFrame(changedDocs), partitionBy)
+            .cache()
           // dropKeys = every changed tuple: present ones are also in
           // the recomputed rows (so they rewrite), vanished or
           // all-empty-tokenization ones tombstone
-          try {
+          try
+            // knownTouched: the frame holds exactly the changed
+            // partitions' rows by construction (manifest diff), so the
+            // commit need not re-discover its keys with a distinct scan
             SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
-              pf, partitionBy,
-              dropKeys = changed, filesPerPartition = PostingsFiles)
-            SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
-              statsFrame(tok, partitionBy), partitionBy,
-              dropKeys = changed)
-            maintainDf(spark, tokRoot, partitionBy, pf, changed)
-          } finally { pf.unpersist(false); tok.unpersist(false) }
-        } else if (SnapshotTable.versions(spark, dfRoot(tokRoot)).isEmpty)
-          // zero changed partitions but df missing: same backfill as
-          // the already-current branch
-          SnapshotTable.overwritePartitions(spark, dfRoot(tokRoot),
-            dfFrame(postings(spark, tokRoot), partitionBy), partitionBy,
-            statsFor = Seq("tok"), clusterBy = Seq("tok"))
-        writeApplied(spark, tokRoot, latestB)
+              allRows(pf, partitionBy), partitionBy,
+              dropKeys = changed, filesPerPartition = PostingsFiles,
+              knownTouched = Some(changed))
+          finally pf.unpersist(false)
+        }
+        writeMarker(spark, tokRoot, appliedPath(tokRoot), latestB.toString)
         latestB
       case _ =>
-        // never built, or the applied version was vacuumed away:
-        // full (re)build against base@latest
-        val tok = tokenizedFrame(
-          SnapshotTable.read(spark, baseRoot, latestB)).cache()
-        val pf = postingsFrame(tok, partitionBy).cache()
+        // never built, pre-v3 layout, or the applied version was
+        // vacuumed away: full (re)build against base@latest
+        val pf = postingsFrame(tokenizedFrame(
+          SnapshotTable.read(spark, baseRoot, latestB)), partitionBy)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def staleKeys(root: String): Set[String] =
           SnapshotTable.latest(spark, root)
             .map(v => SnapshotTable.entriesFor(spark, root, v)
               .map(_._1).toSet).getOrElse(Set.empty)
-        try {
+        try
           SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
-            pf, partitionBy,
+            allRows(pf, partitionBy), partitionBy,
             dropKeys = staleKeys(postingsRoot(tokRoot)),
             filesPerPartition = PostingsFiles,
             statsFor = Seq("tok"), clusterBy = Seq("tok"))
-          SnapshotTable.overwritePartitions(spark, statsRoot(tokRoot),
-            statsFrame(tok, partitionBy), partitionBy,
-            dropKeys = staleKeys(statsRoot(tokRoot)))
-          SnapshotTable.overwritePartitions(spark, dfRoot(tokRoot),
-            dfFrame(pf, partitionBy), partitionBy,
-            dropKeys = staleKeys(dfRoot(tokRoot)),
-            statsFor = Seq("tok"), clusterBy = Seq("tok"))
-        } finally { pf.unpersist(false); tok.unpersist(false) }
-        writeApplied(spark, tokRoot, latestB)
+        finally pf.unpersist(false)
+        // retire pre-v3 derived tables (no reader is allowed at them
+        // once the format marker says v3)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(legacyStatsRoot(tokRoot)))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(legacyDfRoot(tokRoot)))
+        writeMarker(spark, tokRoot, formatPath(tokRoot), FormatVersion)
+        v3Roots.add(tokRoot)
+        writeMarker(spark, tokRoot, appliedPath(tokRoot), latestB.toString)
         latestB
     }
   }
 
-  /** Incremental df maintenance: overwrite the changed partitions'
-    * term-df rows (derived from the refresh's already-cached postings
-    * frame), or — on a tokRoot whose df table predates this feature —
-    * backfill it whole from the NOW-CURRENT postings table. The
-    * backfill must come after the postings overwrite and re-derive
-    * everything: overwriting only the changed partitions into an empty
-    * table would silently miss the untouched ones. */
-  private def maintainDf(
-      spark: SparkSession, tokRoot: String, partitionBy: Seq[String],
-      pf: DataFrame, changed: Set[String]): Unit = {
-    val root = dfRoot(tokRoot)
-    if (SnapshotTable.versions(spark, root).isEmpty)
-      SnapshotTable.overwritePartitions(spark, root,
-        dfFrame(postings(spark, tokRoot), partitionBy), partitionBy,
-        statsFor = Seq("tok"), clusterBy = Seq("tok"))
-    else
-      SnapshotTable.overwritePartitions(spark, root,
-        dfFrame(pf, partitionBy), partitionBy, dropKeys = changed)
-  }
-
-  /** The postings table `(…, doc_id, dl, tok, tf)` at its latest
+  /** The postings rows `(…, doc_id, dl, tok, tf)` at the latest
     * version — the one-scan shape for corpus-wide work. */
-  def postings(spark: SparkSession, tokRoot: String): DataFrame =
+  def postings(spark: SparkSession, tokRoot: String): DataFrame = {
+    requireFormat(spark, tokRoot)
     SnapshotTable.read(spark, postingsRoot(tokRoot))
+      .where(col("doc_id").isNotNull)
+  }
 
   /** Postings rows for a FEW terms, served through the manifest's
     * per-file tok stats in ONE read: the keep-set is the union of each
@@ -271,47 +315,41 @@ object TokenizedCorpus {
     * one scan — the probe shape. */
   def postingsForTerms(
       spark: SparkSession, tokRoot: String,
-      terms: Seq[String]): DataFrame =
+      terms: Seq[String]): DataFrame = {
+    requireFormat(spark, tokRoot)
     SnapshotTable.readIn(
       spark, postingsRoot(tokRoot), "tok", terms.distinct)
+      .where(col("doc_id").isNotNull)
+  }
 
   /** Corpus totals `(n_docs, total_dl)` from the per-partition stats
-    * table — O(|partitions|) rows aggregated, never a document scan. */
-  def corpusStats(spark: SparkSession, tokRoot: String): DataFrame =
-    SnapshotTable.read(spark, statsRoot(tokRoot))
-      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("total_dl")).cast("long").as("total_dl"))
+    * rows — O(|partitions|) rows, pruned to the one [[StatsTok]]-
+    * covering file per partition, never a document scan. */
+  def corpusStats(spark: SparkSession, tokRoot: String): DataFrame = {
+    requireFormat(spark, tokRoot)
+    SnapshotTable.readIn(spark, postingsRoot(tokRoot), "tok", Seq(StatsTok))
+      .agg(sum(col("tf")).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("total_dl"))
+  }
 
-  /** Corpus document frequency `(tok, df)` for a FEW terms: a term-
-    * pruned read of the vocabulary-sized df table, summed across
-    * partitions — so a BM25 query's df stats no longer re-aggregate
-    * the workload's postings, and the postings read itself keeps ONE
-    * consumer (no cache barrier, one codegen pipeline end-to-end). A
-    * pre-df tokRoot (never refreshed since the table landed) falls
-    * back to the old inline aggregation — correct, just the old
-    * two-pass cost. */
+  /** Corpus document frequency `(tok, df)` for a FEW terms: the df
+    * rows live in the SAME tok-clustered files as the terms' postings,
+    * so this opens no file [[postingsForTerms]] would not — and
+    * because all row kinds commit atomically, the df a query joins can
+    * never lag the postings it scores (round-16 advice item 3). */
   def dfForTerms(
-      spark: SparkSession, tokRoot: String, terms: Seq[String]): DataFrame =
-    if (SnapshotTable.versions(spark, dfRoot(tokRoot)).isEmpty)
-      postingsForTerms(spark, tokRoot, terms)
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    else
-      SnapshotTable.readIn(spark, dfRoot(tokRoot), "tok", terms.distinct)
-        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      spark: SparkSession, tokRoot: String, terms: Seq[String]): DataFrame = {
+    requireFormat(spark, tokRoot)
+    SnapshotTable.readIn(spark, postingsRoot(tokRoot), "tok", terms.distinct)
+      .where(col("doc_id").isNull)
+      .groupBy(col("tok")).agg(sum(col("tf")).as("df"))
+  }
 
-  /** Retention for both derived tables: refresh reads only their
-    * latest versions, so history serves time travel alone. The BASE
-    * corpus vacuum is the caller's (protect [[appliedBaseVersion]]
-    * there). */
+  /** Retention: refresh reads only the latest version, so history
+    * serves time travel alone. The BASE corpus vacuum is the caller's
+    * (protect [[appliedBaseVersion]] there). */
   def vacuum(
       spark: SparkSession, tokRoot: String,
-      keepVersions: Int): (Int, Int) = {
-    val (d1, f1) =
-      SnapshotTable.vacuum(spark, postingsRoot(tokRoot), keepVersions)
-    val (d2, f2) =
-      SnapshotTable.vacuum(spark, statsRoot(tokRoot), keepVersions)
-    val (d3, f3) =
-      SnapshotTable.vacuum(spark, dfRoot(tokRoot), keepVersions)
-    (d1 + d2 + d3, f1 + f2 + f3)
-  }
+      keepVersions: Int): (Int, Int) =
+    SnapshotTable.vacuum(spark, postingsRoot(tokRoot), keepVersions)
 }

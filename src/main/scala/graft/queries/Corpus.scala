@@ -973,6 +973,88 @@ object Corpus {
                AS BIGINT) AS n_inserted
       FROM final GROUP BY source ORDER BY source"""))
 
+  /** The table-constraints gate (round-16 verdict item 3): a governed
+    * table that REFUSES bad rows — `CREATE TABLE` declares `NOT NULL`
+    * column flags and a `CHECK` TBLPROPERTY, and every INSERT/MERGE/
+    * stream drain enforces them ON the staging write (a violating
+    * batch fails before its manifest exists; nothing half-lands —
+    * `LakeDdlSpec` proves the refusals destructively). This row gates
+    * the ACCEPT side: a deliberately damaged feed (NULL langs,
+    * negative and NULL char counts) is filtered by the exact SQL CHECK
+    * semantics — a NULL condition PASSES, only FALSE refuses — and the
+    * accepted-row set must hash-match DuckDB evaluating the same
+    * predicate, which pins the three-valued-logic corner an ad-hoc
+    * `WHERE n_chars >= 0` would get wrong (it would also drop the NULL
+    * rows the constraint admits). The reference's analog is the
+    * curated zone's pinned column types (`README.md:162`) and the
+    * loud-fail column-security posture. Deterministic + idempotent
+    * like [[sqlDdlRoot]]. */
+  private[queries] def sqlConstraintsRoot(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.lake.{LakeCatalog, SnapshotTable}
+    val root = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_snaptable_sqlcons_v1")
+    LakeCatalog.install(spark)
+    if (SnapshotTable.versions(spark, root).isEmpty)
+      spark.sql(s"""
+        CREATE TABLE lake.cons_docs (
+          doc_id BIGINT NOT NULL, text STRING, lang STRING NOT NULL,
+          n_chars BIGINT, source STRING)
+        PARTITIONED BY (source) LOCATION '$root'
+        TBLPROPERTIES ('rowkey' = 'doc_id',
+          'check.chars_nonneg' = 'n_chars >= 0')""")
+    else
+      LakeCatalog.register(spark, "cons_docs", root)
+    if (SnapshotTable.versions(spark, root).size < 2) {
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          when(col("doc_id") % 13 === 0, lit(null))
+            .otherwise(col("lang")).as("lang"),
+          when(col("doc_id") % 17 === 0, -col("n_chars"))
+            .when(col("doc_id") % 19 === 0, lit(null))
+            .otherwise(col("n_chars")).cast("long").as("n_chars"),
+          col("source"))
+        .createOrReplaceTempView("t55_feed")
+      spark.sql("""
+        INSERT INTO lake.cons_docs
+        SELECT doc_id, text, lang, n_chars, source FROM t55_feed
+        WHERE lang IS NOT NULL AND NOT ((n_chars >= 0) IS FALSE)""")
+    }
+    root
+  }
+
+  private[queries] def sqlConstraints(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    sqlConstraintsRoot(spark, dir)
+    spark.sql("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(coalesce(n_chars, 0)) AS BIGINT) AS total_chars,
+             SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+               AS n_null_chars
+      FROM lake.cons_docs GROUP BY source ORDER BY source""")
+  }
+
+  val t55_sql_constraints = Q(
+    "t55_sql_constraints",
+    (s, dir) => sqlConstraints(s, dir),
+    Some("""
+      WITH feed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+               CASE WHEN doc_id % 17 = 0 THEN -n_chars
+                    WHEN doc_id % 19 = 0 THEN NULL
+                    ELSE n_chars END AS n_chars,
+               source
+        FROM documents),
+      accepted AS (
+        SELECT * FROM feed
+        WHERE lang IS NOT NULL AND NOT ((n_chars >= 0) IS FALSE))
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(coalesce(n_chars, 0)) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_chars
+      FROM accepted GROUP BY source ORDER BY source"""))
+
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
     * default threshold (0.5), t29's Gopher composite, and a
@@ -1548,5 +1630,6 @@ object Corpus {
       t39_bpe_encode, t40_snapshot_cdc, t41_snapshot_skipread,
       t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize,
       t45_incremental_mv_minmax, t48_lake_sql, t49_mv_distinct,
-      t51_change_feed, t52_sql_merge, t53_meta_agg, t54_sql_ddl)
+      t51_change_feed, t52_sql_merge, t53_meta_agg, t54_sql_ddl,
+      t55_sql_constraints)
 }

@@ -409,9 +409,10 @@ object Search {
     val corpus = TokenizedCorpus.corpusStats(spark, tokRoot)
     val tf = TokenizedCorpus.postingsForTerms(spark, tokRoot, Bm25Terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
-    // df from the materialized per-partition term-df table (round 16):
-    // the pruned postings read keeps ONE consumer — no second scan, no
-    // cache barrier, one codegen pipeline into the scoring join
+    // df from the materialized per-partition df rows (round 17: they
+    // ride IN the postings table, committed atomically): the pruned
+    // postings read keeps ONE consumer — no second scan over posting
+    // rows, no cache barrier, one codegen pipeline into the scoring join
     val dfStats = TokenizedCorpus.dfForTerms(spark, tokRoot, Bm25Terms)
     bm25Score(tf, dfStats, corpus)
   }
@@ -496,10 +497,11 @@ object Search {
     val q = queries.select(col("query_id"), col("tok")).distinct()
     val terms = workloadTerms(queries)
     val corpus = TokenizedCorpus.corpusStats(spark, tokRoot).cache()
-    // round 16: df comes from the materialized per-partition term-df
-    // table (a term-pruned read of vocabulary-sized rows) instead of a
-    // second aggregation over the workload's postings. The postings
-    // cache stays — not as a two-consumer barrier (df no longer reads
+    // round 16/17: df comes from the materialized per-partition df
+    // rows (term-pruned, riding in the same tok-clustered files as the
+    // postings, committed atomically with them) instead of a second
+    // aggregation over the workload's postings. The postings cache
+    // stays — not as a two-consumer barrier (df no longer reads
     // it) but as the hot-set serving shape: a retrieval service ranks
     // MANY workloads against one postings read, and repeated rankings
     // must pay memory-scan cost, not 160 parquet file opens per call.

@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   DESCRIBE HISTORY <table>              → [[graft.lake.SnapshotTable.history]]
   *   RESTORE TABLE <table> TO VERSION AS OF <n>
   *                                         → [[graft.lake.SnapshotTable.restore]]
+  *   DESCRIBE DETAIL <table>               → [[graft.lake.DescribeDetailCommand]]
+  *   SHOW CREATE TABLE <table>             → [[graft.lake.ShowCreateLakeTableCommand]]
   *
   * Only statements matching these exact shapes are intercepted (one
   * anchored, case-insensitive match on the raw text); EVERYTHING else
@@ -36,6 +38,10 @@ class GraftSqlParser(
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  private val ShowCreate =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
 
   /** `DESCRIBE HISTORY t` is the ONE intercepted shape that collides
     * with real Spark grammar: `DESCRIBE history <column>` describes a
@@ -87,6 +93,14 @@ class GraftSqlParser(
       graft.lake.DescribeHistoryCommand(t)
     case Restore(t, v) if isOurMaintenance(t) =>
       graft.lake.RestoreLakeTableCommand(t, v.toInt)
+    // like DESCRIBE HISTORY, these two collide with real Spark grammar
+    // (`DESCRIBE detail <col>`; SHOW CREATE TABLE on any catalog), so
+    // they intercept ONLY when the name resolves as a lake binding —
+    // every other table keeps Spark's own statements
+    case Detail(t) if isLakeBinding(t) =>
+      graft.lake.DescribeDetailCommand(t)
+    case ShowCreate(t) if isLakeBinding(t) =>
+      graft.lake.ShowCreateLakeTableCommand(t)
     case _ => delegate.parsePlan(sqlText)
   }
 

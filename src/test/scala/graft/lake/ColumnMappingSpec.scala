@@ -180,4 +180,60 @@ class ColumnMappingSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root)
       .filter($"doc_key" === 500L).count() == 1L)
   }
+
+  test("a data commit racing RENAME COLUMN cannot alias physical bytes " +
+      "(round-16 advice item 2)") {
+    val (_, root) = fresh()
+    // inject a competing RENAME v->score between the upsert's staging
+    // (which physicalized rows under the STALE mapping) and its commit
+    var fired = false
+    SnapshotTable.onBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        SnapshotTable.renameColumn(spark, root, "v", "score")
+      }
+    }
+    val before = SnapshotTable.read(spark, root)
+      .agg(sum($"v")).collect()(0).getLong(0)
+    try {
+      // the upsert's frame still says "v" — committing it after the
+      // rename (with mergeSchema, the evolving-batch mode) would append
+      // a NEW logical column 'v' whose physical name IS the renamed
+      // column's physical, i.e. two logical columns served by the same
+      // bytes. The mapping fingerprint forces a re-merge; the re-merge
+      // hits the unionSchema alias guard; the retries exhaust loudly.
+      val e = intercept[SnapshotTable.ConcurrentWriteException] {
+        SnapshotTable.upsert(spark, root,
+          Seq(("0", 500L, 9L, "x")).toDF("src", "k", "v", "note"),
+          "k", Seq("src"), mergeSchema = true)
+      }
+      assert(e.getMessage.contains("alias") ||
+        e.getMessage.contains("column mapping"), e.getMessage)
+      // default (projecting) mode: the re-merge sees the renamed table
+      // and refuses the stale batch as schema-incomplete — also loud
+      val e2 = intercept[IllegalArgumentException] {
+        SnapshotTable.upsert(spark, root,
+          Seq(("0", 501L, 9L, "x")).toDF("src", "k", "v", "note"),
+          "k", Seq("src"))
+      }
+      assert(e2.getMessage.contains("missing table columns"),
+        e2.getMessage)
+    } finally SnapshotTable.onBeforeCommit = () => ()
+    // no aliasing: exactly one logical column maps to physical 'v',
+    // the refused row never half-landed, and the data still reads
+    val after = SnapshotTable.read(spark, root)
+    assert(after.columns.count(c => c == "v" || c == "score") == 1,
+      s"aliased columns in ${after.columns.mkString(",")}")
+    assert(after.columns.contains("score"))
+    assert(after.filter($"k" === 500L).count() == 0,
+      "refused upsert row must not land")
+    assert(after.agg(sum($"score")).collect()(0).getLong(0) == before)
+    // a retried upsert spelled by the CURRENT name lands cleanly
+    SnapshotTable.upsert(spark, root,
+      Seq(("0", 500L, 9L, "x")).toDF("src", "k", "score", "note"),
+      "k", Seq("src"))
+    assert(SnapshotTable.read(spark, root)
+      .filter($"k" === 500L).select($"score")
+      .collect()(0).getLong(0) == 9L)
+  }
 }

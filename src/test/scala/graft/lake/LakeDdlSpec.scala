@@ -184,4 +184,251 @@ class LakeDdlSpec extends SparkSpec {
       s"ALTER TABLE lake.${name}_renamed RENAME TO lake.$other") }
     assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
   }
+
+  // ---- NOT NULL / CHECK constraints (round-16 verdict item 3) --------
+
+  private def freshConstrained(): (String, String) = {
+    val (name, root) = fresh()
+    spark.sql(s"""
+      CREATE TABLE lake.$name (
+        k BIGINT NOT NULL, v BIGINT, lang STRING NOT NULL, src STRING)
+      PARTITIONED BY (src) LOCATION '$root'
+      TBLPROPERTIES ('rowkey' = 'k', 'check.v_nonneg' = 'v >= 0')""")
+    spark.sql(s"INSERT INTO lake.$name VALUES " +
+      "(1, 10, 'en', 's0'), (2, NULL, 'de', 's0'), (3, 0, 'en', 's1')")
+    (name, root)
+  }
+
+  test("constraints: a violating INSERT refuses loudly, nothing commits") {
+    val (name, root) = freshConstrained()
+    val v0 = SnapshotTable.versions(spark, root)
+    // CHECK semantics pinned by the seed insert above: v = NULL PASSED
+    // (a NULL condition is not FALSE); now each violation class refuses
+    val e1 = intercept[Exception] { spark.sql(
+      s"INSERT INTO lake.$name VALUES (4, -5, 'en', 's0')") }
+    assert(e1.getMessage.contains("CHECK constraint 'v_nonneg'") ||
+      Option(e1.getCause).exists(
+        _.getMessage.contains("CHECK constraint 'v_nonneg'")),
+      s"wrong error: ${e1.getMessage}")
+    // the SQL plane may refuse via Spark's own nullability assert
+    // (the DSv2 schema carries the DDL's flags) or via the commit
+    // guard — either way: loud, specific, pre-commit
+    def notNullRefusal(e: Throwable): Boolean = {
+      val m = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      m.contains("NOT NULL constraint") || m.contains("NOT_NULL")
+    }
+    val e2 = intercept[Exception] { spark.sql(
+      s"INSERT INTO lake.$name VALUES (5, 1, NULL, 's0')") }
+    assert(notNullRefusal(e2), e2.getMessage)
+    val e3 = intercept[Exception] { spark.sql(
+      s"INSERT INTO lake.$name VALUES (NULL, 1, 'en', 's0')") }
+    assert(notNullRefusal(e3), e3.getMessage)
+    // NOTHING half-landed: same versions, same rows
+    assert(SnapshotTable.versions(spark, root) == v0,
+      "a refused batch minted a version")
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name")
+      .collect()(0).getLong(0) == 3L)
+    // the accepted-NULL row is really there (SQL CHECK three-valued)
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name WHERE v IS NULL")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("constraints: MERGE refuses a violating batch atomically") {
+    val (name, root) = freshConstrained()
+    val v0 = SnapshotTable.versions(spark, root)
+    // one fine update + one violating insert: the WHOLE batch refuses
+    Seq((1L, 99L, "en", "s0"), (7L, -1L, "en", "s1"))
+      .toDF("k", "v", "lang", "src").createOrReplaceTempView("cons_changes")
+    val e = intercept[Exception] { spark.sql(s"""
+      MERGE INTO lake.$name t USING cons_changes s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN
+        INSERT (k, v, lang, src) VALUES (s.k, s.v, s.lang, s.src)""") }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage)
+      .getOrElse("")).contains("CHECK constraint"), e.getMessage)
+    assert(SnapshotTable.versions(spark, root) == v0)
+    // the fine update did NOT land either — atomicity of the refusal
+    assert(spark.sql(s"SELECT v FROM lake.$name WHERE k = 1")
+      .collect()(0).getLong(0) == 10L)
+    // an UPDATE that breaks the contract refuses too
+    val e2 = intercept[Exception] { spark.sql(
+      s"UPDATE lake.$name SET v = -3 WHERE k = 3") }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage)
+      .getOrElse("")).contains("CHECK constraint"), e2.getMessage)
+    assert(SnapshotTable.versions(spark, root) == v0)
+  }
+
+  test("constraints: a stream drain surfaces the refusal, batch undrained") {
+    val (name, root) = freshConstrained()
+    val v0 = SnapshotTable.versions(spark, root)
+    val in = tmpDir("cons-stream-in")
+    Seq((8L, -4L, "en", "s0"))
+      .toDF("k", "v", "lang", "src")
+      .coalesce(1).write.parquet(s"$in/wave=0")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", in).parquet(s"$in/wave=*").drop("wave")
+    val q = graft.streaming.CdcStream.maintainUpsertsAtomic(
+      stream, root, "k", Seq("src"))
+    val e = intercept[Exception] {
+      try q.awaitTermination() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("CHECK constraint")),
+      s"refusal not surfaced: ${chain(e).mkString(" | ")}")
+    // the violating batch did not drain: no new version, no row 8
+    assert(SnapshotTable.versions(spark, root) == v0,
+      "a refused stream batch minted a version")
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name WHERE k = 8")
+      .collect()(0).getLong(0) == 0L)
+  }
+
+  test("constraints: declaration-time refusals and ALTER guards") {
+    val (name, root) = fresh()
+    // a CHECK that does not parse refuses at CREATE, not first insert
+    val e1 = intercept[Exception] { spark.sql(s"""
+      CREATE TABLE lake.$name (k BIGINT, src STRING)
+      PARTITIONED BY (src) LOCATION '$root'
+      TBLPROPERTIES ('check.bad' = 'v >=')""") }
+    assert(e1.getMessage.contains("does not parse"), e1.getMessage)
+    // a CHECK over an unknown column refuses at CREATE
+    val e2 = intercept[Exception] { spark.sql(s"""
+      CREATE TABLE lake.$name (k BIGINT, src STRING)
+      PARTITIONED BY (src) LOCATION '$root'
+      TBLPROPERTIES ('check.bad' = 'nope > 0')""") }
+    assert(e2.getMessage.contains("unknown column"), e2.getMessage)
+    // RENAME/DROP of a CHECK-referenced column refuse (the constraint
+    // is spelled over logical names)
+    val (n2, r2) = freshConstrained()
+    val e3 = intercept[Exception] { spark.sql(
+      s"ALTER TABLE lake.$n2 RENAME COLUMN v TO score") }
+    assert(e3.getMessage.contains("CHECK constraint 'v_nonneg'"),
+      e3.getMessage)
+    val e4 = intercept[Exception] { spark.sql(
+      s"ALTER TABLE lake.$n2 DROP COLUMN v") }
+    assert(e4.getMessage.contains("CHECK constraint 'v_nonneg'"),
+      e4.getMessage)
+    // the contract survives RESTORE and is visible API-side
+    assert(SnapshotTable.checkConstraints(spark, r2) ==
+      Seq(("v_nonneg", "v >= 0")))
+    assert(SnapshotTable.notNullColumns(spark, r2) == Seq("k", "lang"))
+    SnapshotTable.restore(spark, r2, 1)
+    assert(SnapshotTable.checkConstraints(spark, r2) ==
+      Seq(("v_nonneg", "v >= 0")))
+    val e5 = intercept[Exception] { spark.sql(
+      s"INSERT INTO lake.$n2 VALUES (4, -5, 'en', 's0')") }
+    assert((e5.getMessage + Option(e5.getCause).map(_.getMessage)
+      .getOrElse("")).contains("CHECK constraint"), e5.getMessage)
+  }
+
+  // ---- SHOW CREATE TABLE / DESCRIBE DETAIL (round-16 verdict item 4) --
+
+  test("SHOW CREATE TABLE round-trips the full contract") {
+    val (name, root) = fresh()
+    spark.sql(s"""
+      CREATE TABLE lake.$name (
+        k BIGINT NOT NULL, v BIGINT, lang STRING NOT NULL, src STRING)
+      PARTITIONED BY (src) LOCATION '$root'
+      TBLPROPERTIES ('rowkey' = 'k', 'statsfor' = 'v,k',
+        'clusterby' = 'v', 'lookupfor' = 'k',
+        'check.v_nonneg' = 'v >= 0')""")
+    spark.sql(s"INSERT INTO lake.$name VALUES (1, 10, 'en', 's0')")
+    // rename folds column-mapping state into the contract: the
+    // statement must carry the CURRENT logical name
+    spark.sql(s"ALTER TABLE lake.$name RENAME COLUMN lang TO language")
+    val stmt = spark.sql(s"SHOW CREATE TABLE lake.$name")
+      .collect()(0).getString(0)
+    assert(stmt.contains("NOT NULL"), stmt)
+    assert(stmt.contains("language"), stmt)
+    assert(!stmt.contains("lang STRING"), stmt)
+    assert(stmt.contains("'check.v_nonneg' = 'v >= 0'"), stmt)
+    // re-execute against a FRESH location: the minted table's recorded
+    // contract equals the original's
+    val root2 = tmpDir(s"lakeddl-rt") + "/t2"
+    // the recorded location may carry a scheme prefix — swap by clause
+    val stmt2 = stmt
+      .replaceAll("LOCATION '[^']+'", s"LOCATION '$root2'")
+      .replace(s"lake.$name", s"lake.${name}_rt")
+    spark.sql(stmt2)
+    assert(SnapshotTable.schemaOf(spark, root2).map(_.fields.toSeq.map(f =>
+        (f.name, f.dataType, f.nullable))) ==
+      SnapshotTable.schemaOf(spark, root).map(_.fields.toSeq.map(f =>
+        (f.name, f.dataType, f.nullable))),
+      "round-tripped schema diverged")
+    assert(SnapshotTable.partitionColumns(spark, root2) ==
+      SnapshotTable.partitionColumns(spark, root))
+    assert(SnapshotTable.rowKey(spark, root2) ==
+      SnapshotTable.rowKey(spark, root))
+    assert(SnapshotTable.declaredColumns(spark, root2) ==
+      SnapshotTable.declaredColumns(spark, root))
+    assert(SnapshotTable.lookupColumns(spark, root2) ==
+      SnapshotTable.lookupColumns(spark, root))
+    assert(SnapshotTable.checkConstraints(spark, root2) ==
+      SnapshotTable.checkConstraints(spark, root))
+    // the clone enforces like the original
+    val e = intercept[Exception] { spark.sql(
+      s"INSERT INTO lake.${name}_rt VALUES (1, -1, 'en', 's0')") }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage)
+      .getOrElse("")).contains("CHECK constraint"), e.getMessage)
+    // a NON-lake SHOW CREATE TABLE still reaches Spark's own statement
+    spark.sql("CREATE OR REPLACE TEMP VIEW sct_probe AS SELECT 1 AS x")
+    intercept[Exception] {
+      // Spark's own statement refuses temp views its own way — the
+      // point is only that OUR interceptor did not swallow it
+      spark.sql("SHOW CREATE TABLE sct_probe").collect()
+    }
+  }
+
+  test("DESCRIBE DETAIL reports contract + census, manifest-only") {
+    val (name, root) = fresh()
+    spark.sql(s"""
+      CREATE TABLE lake.$name (
+        k BIGINT NOT NULL, v BIGINT, src STRING)
+      PARTITIONED BY (src) LOCATION '$root'
+      TBLPROPERTIES ('rowkey' = 'k', 'statsfor' = 'v',
+        'check.v_nonneg' = 'v >= 0')""")
+    spark.sql(s"INSERT INTO lake.$name VALUES " +
+      "(1, 10, 's0'), (2, 20, 's0'), (3, 30, 's1')")
+    val d = spark.sql(s"DESCRIBE DETAIL lake.$name").collect()(0)
+    val byName = d.schema.fieldNames.zipWithIndex.toMap
+    assert(d.getString(byName("location")).endsWith(root))
+    assert(d.getInt(byName("version")) == 2)
+    assert(d.isNullAt(byName("pinned_version")))
+    assert(d.getInt(byName("retained_versions")) == 2)
+    assert(d.getString(byName("partition_columns")) == "src")
+    assert(d.getString(byName("row_key")) == "k")
+    assert(d.getString(byName("stats_columns")) == "v")
+    assert(d.getString(byName("not_null_columns")) == "k")
+    assert(d.getString(byName("check_constraints")) == "v_nonneg: v >= 0")
+    assert(d.getInt(byName("num_partitions")) == 2)
+    assert(d.getInt(byName("num_files")) == 2)
+    assert(d.getLong(byName("size_bytes")) > 0L)
+    assert(d.getLong(byName("num_rows")) == 3L)
+    // manifest-only: garbage every data file's bytes — DESCRIBE DETAIL
+    // must still answer identically (it may open no data file)
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    SnapshotTable.entriesFor(spark, root, 2).foreach { case (_, dir) =>
+      val st = f.listStatus(new org.apache.hadoop.fs.Path(root, dir))
+      st.filter(_.getPath.getName.endsWith(".parquet")).foreach { p =>
+        val out = f.create(p.getPath, true)
+        try out.write("garbage".getBytes("UTF-8")) finally out.close()
+      }
+    }
+    val d2 = spark.sql(s"DESCRIBE DETAIL lake.$name").collect()(0)
+    assert(d2.getLong(byName("num_rows")) == 3L,
+      "DESCRIBE DETAIL touched a data file")
+    assert(d2.getInt(byName("num_files")) == 2)
+  }
 }

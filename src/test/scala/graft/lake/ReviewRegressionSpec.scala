@@ -255,6 +255,27 @@ class ReviewRegressionSpec extends SparkSpec {
       java.time.LocalDate.of(-1, 12, 31)).collect()
     assert(got.length == 1, "negative-year bound wrongly pruned the file")
   }
+
+  // ---- round-16 advice pins (fixed in round 17) ----------------------
+
+  test("year-10000 date bounds never prune ('+' EXCEEDS_PAD rendering)") {
+    val root = tmpDir("rr-year-10000")
+    // Spark renders year 10000 as "+10000-01-01" (EXCEEDS_PAD); '+'
+    // sorts below every digit, so this file's max would compare BELOW
+    // any four-digit lower bound and an unguarded compare skipped the
+    // file — the negative-year defect on the other side of the range
+    val rows = Seq((1L, java.time.LocalDate.of(10000, 1, 1), "s1"))
+      .toDF("id", "d", "src")
+    SnapshotTable.write(spark, root, rows, Seq("src"), statsFor = Seq("d"))
+    val got = SnapshotTable.readBetween(spark, root, "d",
+      java.time.LocalDate.of(9999, 1, 1),
+      java.time.LocalDate.of(10001, 12, 31)).collect()
+    assert(got.length == 1, "year-10000 bound wrongly pruned the file")
+    // the equality probe path shares the guard
+    val eq = SnapshotTable.readIn(spark, root, "d",
+      Seq(java.time.LocalDate.of(10000, 1, 1))).collect()
+    assert(eq.length == 1, "year-10000 equality probe pruned the file")
+  }
 }
 
 /** Local filesystem that refuses every mutation of `_latest.hint` —

@@ -53,9 +53,19 @@ class TokenizedCorpusSpec extends SparkSpec {
     val stats = TokenizedCorpus.corpusStats(spark, tokRoot).collect()(0)
     assert((stats.getLong(0), stats.getLong(1)) == (5L, 17L),
       s"corpus stats off: $stats")
-    // per-partition stats rows, one per source
-    assert(graft.lake.SnapshotTable.read(spark,
-      TokenizedCorpus.statsRoot(tokRoot)).count() == 3)
+    // ONE table, three row kinds: per-partition stats rows (one per
+    // source) and per-(partition, term) df rows ride in the postings
+    // table itself, committed atomically with the posting rows
+    val raw = graft.lake.SnapshotTable.read(spark,
+      TokenizedCorpus.postingsRoot(tokRoot))
+    assert(raw.where($"tok" === TokenizedCorpus.StatsTok).count() == 3)
+    // df rows equal a from-scratch per-term document count
+    val dfGot = TokenizedCorpus.dfForTerms(spark, tokRoot,
+      Seq("spark", "filter", "window", "plain"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(dfGot == Map(
+      "spark" -> 3L, "filter" -> 3L, "window" -> 3L, "plain" -> 1L),
+      s"df rows off: $dfGot")
     // no-op refresh mints no versions
     val pv = SnapshotTable.versions(spark,
       TokenizedCorpus.postingsRoot(tokRoot))
@@ -77,6 +87,38 @@ class TokenizedCorpusSpec extends SparkSpec {
       Seq("source"), opCol = "op")
     TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
     assert(postingsSet(tokRoot) == oracle(baseRoot))
+    // a term that entered the corpus in this batch serves IMMEDIATELY
+    // with its df row — postings/df/stats commit atomically, so the
+    // round-16 mid-refresh skew (fresh term with postings but no df,
+    // silently dropped from BM25 by the INNER join) cannot exist
+    val dfGot = TokenizedCorpus.dfForTerms(spark, tokRoot,
+      Seq("rewritten")).collect()
+    assert(dfGot.length == 1 && dfGot(0).getLong(1) == 1L,
+      "new term's df row must land in the same commit as its postings")
+  }
+
+  test("pre-v3 roots refuse reads loudly and migrate on refresh") {
+    val baseRoot = tmpDir("tok-base"); val tokRoot = tmpDir("tok-idx")
+    mkBase(baseRoot, seed)
+    TokenizedCorpus.refresh(spark, baseRoot, tokRoot, Seq("source"))
+    // simulate a root written by the previous layout: no format marker
+    // (a genuine pre-v3 root also has stats/df tables; their absence
+    // only makes this stricter). Use a FRESH logical root path so the
+    // in-process format memo cannot mask the missing marker.
+    val legacy = tmpDir("tok-idx-legacy")
+    val hfs = new org.apache.hadoop.fs.Path(tokRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(tokRoot, "postings"),
+      new org.apache.hadoop.fs.Path(legacy, "postings")))
+    val e = intercept[IllegalArgumentException] {
+      TokenizedCorpus.corpusStats(spark, legacy).collect()
+    }
+    assert(e.getMessage.contains("predates layout"), e.getMessage)
+    // refresh migrates: full rebuild + format marker; reads serve again
+    TokenizedCorpus.refresh(spark, baseRoot, legacy, Seq("source"))
+    val stats = TokenizedCorpus.corpusStats(spark, legacy).collect()(0)
+    assert((stats.getLong(0), stats.getLong(1)) == (5L, 17L))
+    assert(postingsSet(legacy) == oracle(baseRoot))
   }
 
   test("refresh re-tokenizes ONLY changed partitions (destructive)") {
