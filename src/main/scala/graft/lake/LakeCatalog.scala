@@ -426,6 +426,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       s"DROP TABLE $catalogName.${ident.name()} PURGE: binding(s) " +
         s"${aliases.mkString(", ")} also serve root $root — purging " +
         "would delete their data; drop those bindings first")
+    // a LIVE shallow clone references this root's bytes (round 17):
+    // purging would break a healthy table somewhere else — refuse,
+    // same posture as the vacuum refcount
+    val clones = SnapshotTable.liveClones(s, root)
+    if (clones.nonEmpty) throw new UnsupportedOperationException(
+      s"DROP TABLE $catalogName.${ident.name()} PURGE: live shallow " +
+        s"clone(s) reference this root's data " +
+        s"(${clones.mkString(", ")}) — purge or rewrite the clones " +
+        "first")
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)

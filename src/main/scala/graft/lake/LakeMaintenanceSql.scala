@@ -220,3 +220,44 @@ final case class DescribeDetailCommand(table: String)
     Seq(SnapshotTable.detailRow(spark, root, table, pin))
   }
 }
+
+/** `CREATE TABLE t2 SHALLOW CLONE lake.t [VERSION AS OF n]
+  * [LOCATION 'path']` — zero-copy table branching
+  * ([[SnapshotTable.shallowClone]]): ONE metadata commit whose v1
+  * references the source version's immutable data directories by
+  * absolute URI. "Branch prod for a backtest" costs a manifest write,
+  * diverging writes never cross (the clone's commits mint its own
+  * directories; the source never sees them), and retention is safe in
+  * both directions — the clone's vacuum touches only its own storage,
+  * the source's vacuum and PURGE honor the clone registry. Without
+  * LOCATION the catalog warehouse supplies `<warehouse>/<name>`. */
+final case class ShallowCloneCommand(
+    target: String, source: String, version: Option[Int],
+    location: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("cloned_version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (srcRoot, pin) = LakeCatalog.resolveBinding(spark, source)
+    val v = version.orElse(pin).getOrElse(-1)
+    val tname = target.split('.').last
+    val root = location.getOrElse {
+      val cat = source.split('.').dropRight(1).headOption.getOrElse("lake")
+      val wh = spark.conf
+        .getOption(s"spark.sql.catalog.$cat.warehouse")
+        .getOrElse(throw new UnsupportedOperationException(
+          s"SHALLOW CLONE $target: no LOCATION given and no " +
+            s"spark.sql.catalog.$cat.warehouse configured"))
+      new org.apache.hadoop.fs.Path(wh, tname).toString
+    }
+    if (spark.conf.getOption(LakeCatalog.BindingPrefix + tname).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq("lake", tname))
+    val cloned = SnapshotTable.shallowClone(spark, srcRoot, root, v)
+    LakeCatalog.register(spark, tname, root)
+    Seq(Row(root, cloned))
+  }
+}

@@ -2532,6 +2532,132 @@ object SnapshotTable {
     * loop as every commit — a racer's interleaved commit just moves
     * the version the restore lands at (the restored STATE is pinned at
     * read time, so the result is still exactly v_n's rows). */
+  // ---- shallow clone (round 17) --------------------------------------
+  //
+  // A SHALLOW CLONE is one metadata commit: the target's v1 manifest
+  // restates the source version's folded state with every data
+  // reference rewritten to an ABSOLUTE URI, so the clone reads the
+  // SOURCE's immutable directories without copying a byte (Delta's
+  // SHALLOW CLONE / an Iceberg snapshot ref). Divergence is free in
+  // both directions — the clone's own commits mint ordinary relative
+  // directories under ITS root, and the source never learns about them
+  // — because directories are immutable and liveness is
+  // manifest-referenced on both sides.
+  //
+  // The hard part is retention. The clone's vacuum is structurally
+  // safe (it only deletes under its own data/, and absolute source
+  // references never match). The SOURCE's vacuum is made clone-aware
+  // by REFCOUNT: a clone registers itself in every referenced root's
+  // `_clones/` at creation, and that root's vacuum keeps any local
+  // directory referenced by any RETAINED manifest of any registered
+  // live clone (a time-traveling clone reader has the same rights as a
+  // local one). A clone whose root vanished unregisters lazily. PURGE
+  // of a root with live clones refuses (LakeCatalog).
+
+  private def clonesDir(root: String) = new Path(root, "_clones")
+
+  /** Mint `targetRoot` as a shallow clone of `sourceRoot`@`version`
+    * (latest when < 0) — pure metadata, zero data I/O. Returns the
+    * clone's version (always 1). */
+  def shallowClone(
+      spark: SparkSession, sourceRoot: String, targetRoot: String,
+      version: Int = -1): Int = {
+    require(isTableRoot(spark, sourceRoot),
+      s"SHALLOW CLONE: $sourceRoot is not a snapshot-table root")
+    require(versions(spark, targetRoot).isEmpty,
+      s"SHALLOW CLONE: $targetRoot already holds a committed snapshot " +
+        "table")
+    val m = manifestAt(spark, sourceRoot, version)
+    val fSrc = fs(spark, sourceRoot)
+    // a clone-of-a-clone's entries are already absolute and keep
+    // pointing at the ORIGINAL owner's bytes
+    def absDir(d: String): String =
+      if (new Path(d).isAbsolute) d
+      else fSrc.makeQualified(new Path(sourceRoot, d)).toString
+    def absFile(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      absDir(rel.take(i)) + rel.substring(i)
+    }
+    val m2 = m.copy(
+      entries = m.entries.map { case (k, d) => (k, absDir(d)) },
+      fileStats = m.fileStats.map(s0 => s0.copy(relPath = absFile(s0.relPath))),
+      fileSizes = m.fileSizes.map { case (r, b) => (absFile(r), b) },
+      fileRows = m.fileRows.map { case (r, n) => (absFile(r), n) },
+      fileSketch = m.fileSketch.map { case (r, c, b) => (absFile(r), c, b) })
+    val v = commitManifest(spark, targetRoot, 1, m2, None, Nil)
+    val tgtAbs = fs(spark, targetRoot)
+      .makeQualified(new Path(targetRoot)).toString
+    m2.entries.map(_._2).flatMap(ownerRootOf).distinct
+      .foreach(o => registerClone(spark, o, tgtAbs))
+    v
+  }
+
+  /** The root that owns an absolute `<root>/data/<dir>` reference. */
+  private def ownerRootOf(absDir: String): Option[String] = {
+    val p = new Path(absDir)
+    Option(p.getParent).filter(_.getName == "data")
+      .flatMap(pp => Option(pp.getParent)).map(_.toString)
+  }
+
+  private def registerClone(
+      spark: SparkSession, ownerRoot: String, cloneRoot: String): Unit = {
+    val f = fs(spark, ownerRoot)
+    f.mkdirs(clonesDir(ownerRoot))
+    val id = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(cloneRoot.getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+    val tmp = new Path(clonesDir(ownerRoot),
+      s".$id.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(cloneRoot.getBytes("UTF-8")) finally out.close()
+    f.delete(new Path(clonesDir(ownerRoot), id), false)
+    if (!f.rename(tmp, new Path(clonesDir(ownerRoot), id)))
+      throw new java.io.IOException(
+        s"SHALLOW CLONE: could not register clone under $ownerRoot")
+  }
+
+  /** Registered clones of `root` that still exist (vanished ones are
+    * unregistered lazily). Public so PURGE can refuse loudly. */
+  def liveClones(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    if (!f.exists(clonesDir(root))) Nil
+    else f.listStatus(clonesDir(root)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val cloneRoot =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val alive =
+          scala.util.Try(versions(spark, cloneRoot).nonEmpty)
+            .getOrElse(false)
+        if (alive) Some(cloneRoot)
+        else { f.delete(st.getPath, false); None }
+      }
+  }
+
+  /** Local `data/<dir>` names any live clone's RETAINED manifests still
+    * reference — the refcount [[vacuum]] honors. Cost is one manifest
+    * fold per retained clone version, bounded by the clones' own
+    * retention horizons. */
+  private def cloneReferencedDirs(
+      spark: SparkSession, root: String): Set[String] = {
+    val clones = liveClones(spark, root)
+    if (clones.isEmpty) return Set.empty
+    val f = fs(spark, root)
+    val dataPrefix =
+      f.makeQualified(new Path(root, "data")).toString + "/"
+    clones.flatMap { c =>
+      scala.util.Try(versions(spark, c)).getOrElse(Nil).flatMap(v =>
+        scala.util.Try(readManifest(spark, c, v).entries).getOrElse(Nil)
+          .map(_._2)
+          .filter(_.startsWith(dataPrefix))
+          .map(d => "data/" + d.stripPrefix(dataPrefix)))
+    }.toSet
+  }
+
   def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
     require(fs(spark, root).exists(manifestPath(root, toVersion)),
       s"RESTORE: version v$toVersion of $root is unknown or vacuumed — " +
@@ -2674,9 +2800,12 @@ object SnapshotTable {
     val drop = vs.dropRight(keepVersions).filterNot(keepSet)
     val keep = vs.filterNot(drop.contains)
     val dropSet = drop.toSet
-    // liveness first, while every chain file is still intact
+    // liveness first, while every chain file is still intact — plus
+    // the clone refcount (round 17): a shallow clone's retained
+    // manifests reference this root's directories by absolute URI;
+    // garbage-collecting them would break a LIVE table elsewhere
     val live = keep.flatMap(readManifest(spark, root, _).entries)
-      .map(_._2).toSet
+      .map(_._2).toSet ++ cloneReferencedDirs(spark, root)
     // self-containment: a kept version whose delta chain passes through
     // a to-be-dropped file gets its own full checkpoint BEFORE anything
     // is deleted (ascending order, so a checkpoint written for an older

@@ -584,23 +584,26 @@ object InvertedIndex {
       fast: Boolean = false): DataFrame = {
     val width = pfxWidth(spark, root)
     val q = queries.select(col("query_id"), col("tok")).distinct()
-    val qterms = q.select(col("tok")).distinct()
-      .withColumn("pfx", pfxCol(width))
-      .cache() // tiny; feeds the pfx collect AND two joins below
-    // the ONLY collect: distinct pfx values, ≤ 16^width by construction
-    // (and ≤ |distinct terms|, which is workload-bounded)
-    val prefixes = qterms.select(col("pfx")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // the workload's term set folds out of the optimized plan with NO
+    // Spark job in the common LocalRelation case (round 17 — the old
+    // qterms-distinct collect plus a second workload-terms collect were
+    // two scheduled jobs of pure overhead per batched probe, ~0.1 s of
+    // t36's residual); prefixes derive from it driver-side, bounded by
+    // the 16^width pfx domain
+    val workloadTerms = graft.queries.Search.workloadTerms(queries)
+    val prefixes = workloadTerms.map(pfxOf(_, width)).distinct
+    val qterms = {
+      import spark.implicits._
+      workloadTerms.toDF("tok")
+    }
     val tf = postingsDf(spark, root)
       .filter(col("pfx").isin(prefixes: _*)) // directory pruning
       .filter(visible)
-      .join(broadcast(qterms.select(col("tok"))), "tok")
+      .join(broadcast(qterms), "tok")
       .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
     // per-TERM df over the (visible) corpus, BEFORE the query join —
     // two queries sharing a term see one df, not one per query — and
     // memoized per (root, role, workload) so repeats pay one scan
-    val workloadTerms = q.select(col("tok")).distinct()
-      .collect().map(_.getString(0)).toSeq
     val dfStats = dfStatsFor(spark, root, visible, workloadTerms, tf)
     val corpus = corpusTotals(spark, root, visible)
     if (fast)

@@ -605,7 +605,7 @@ object Search {
     * with no Spark job (a per-call `distinct().collect()` job was
     * ~0.1 s of pure scheduling in every batched-BM25 call). Anything
     * non-local falls back to the collect. */
-  private def workloadTerms(queries: DataFrame): Seq[String] = {
+  private[graft] def workloadTerms(queries: DataFrame): Seq[String] = {
     val toks = queries.select(col("tok"))
     toks.queryExecution.optimizedPlan match {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>

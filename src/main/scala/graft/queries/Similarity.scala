@@ -994,30 +994,81 @@ object Similarity {
   val s12_embed_covariance = Q(
     "s12_embed_covariance",
     (s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
+      // ROUND-17 shape (profiled, S12Prof at sf0.1: scan 0.22s, the
+      // old nested-transform explode 0.61s, decimal-vs-long agg delta
+      // 0.04s — the cost was EXPLODE ROW VOLUME, not decimal sums or a
+      // codegen fallback): the Gram pass is a partition-local kernel
+      // accumulating all 2080 upper-triangle cells, the 64 per-dim
+      // sums, and n in ONE tight loop over the vectors — the BLAS
+      // shape — in EXACT unscaled micro-units. Each cell contribution
+      // is BigDecimal(product).setScale(6, HALF_UP), bit-identical to
+      // the old `CAST(x_i*x_j AS DECIMAL(18,6))`, so the sums equal
+      // the decimal ladder's exactly; within a partition they
+      // accumulate in a long (Math.addExact — a partition would need
+      // ~3.6e10 rows to overflow, far past what one task can hold, and
+      // the guard is loud, never wrong); across partitions they merge
+      // as DECIMAL(38,0), exact at any corpus size. One scan, no
+      // cache, ~2144 rows per TASK into the only exchange; output is
+      // 2080 cells at any scale. The 2080x multiply-add per row is the
+      // intrinsic FLOP count of a Gram matrix — the kernel just stops
+      // paying row-materialization for it.
+      import s.implicits._
+      import org.apache.spark.sql.types._
       val emb = Tables(s, dir, "embeddings").transform(Tables.fanOut)
-        .cache() // feeds the cell stream AND the per-dim sums
-      val cells = emb.select(
-        expr("""explode(flatten(transform(sequence(0, 63), i ->
-                  transform(sequence(i, 63), j ->
-                    struct(i AS i, j AS j,
-                      CAST(CAST(embedding[i] AS DOUBLE) *
-                           CAST(embedding[j] AS DOUBLE)
-                        AS DECIMAL(18,6)) AS prod)))))""").as("c"))
-        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.prod"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("prod")).as("sm"))
-      val dims = emb.select(
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("pos"))
-        .agg(sum(col("v").cast("double").cast(DecimalType(18, 6))).as("sd"))
-      val n = emb.agg(count(lit(1)).as("n"))
-      cells
-        .join(broadcast(dims.select(col("pos").as("i"), col("sd").as("si"))),
-          "i")
-        .join(broadcast(dims.select(col("pos").as("j"), col("sd").as("sj"))),
-          "j")
-        .crossJoin(broadcast(n))
+      val D = 64; val cellsN = D * (D + 1) / 2
+      val partials = emb.select(col("embedding")).as[Array[Float]]
+        .mapPartitions { it =>
+          val acc = new Array[Long](cellsN + D)
+          var n = 0L
+          it.foreach { v =>
+            n += 1
+            var i = 0; var k = 0
+            while (i < D) {
+              val vi = v(i).toDouble
+              var j = i
+              while (j < D) {
+                acc(k) = Math.addExact(acc(k),
+                  java.math.BigDecimal.valueOf(vi * v(j).toDouble)
+                    .setScale(6, java.math.RoundingMode.HALF_UP)
+                    .unscaledValue().longValueExact())
+                k += 1; j += 1
+              }
+              acc(cellsN + i) = Math.addExact(acc(cellsN + i),
+                java.math.BigDecimal.valueOf(vi)
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                  .unscaledValue().longValueExact())
+              i += 1
+            }
+          }
+          acc.iterator.zipWithIndex.map { case (u, k) => (k, u) } ++
+            Iterator.single((cellsN + D, n))
+        }
+        .toDF("k", "u")
+        .groupBy(col("k"))
+        .agg(sum(col("u").cast(DecimalType(38, 0))).as("su"))
+        .collect() // 2145 rows — dimension-sized, never corpus-sized
+      val byK = partials.map(r =>
+        r.getInt(0) -> r.getDecimal(1).toBigInteger).toMap
+      def micros(k: Int) = new java.math.BigDecimal(
+        byK.getOrElse(k, java.math.BigInteger.ZERO), 6)
+      val n = byK.getOrElse(cellsN + D, java.math.BigInteger.ZERO)
+        .longValueExact()
+      // rebuild the exact decimal sums as a local frame and keep the
+      // ORIGINAL final projection — the double cast, rounding, and
+      // negative-zero collapse are byte-identical to the oracle's
+      val rows = (for (i <- 0 until D; j <- i until D) yield {
+        val k = (2 * D - i + 1) * i / 2 + (j - i)
+        org.apache.spark.sql.Row(i, j, micros(k), micros(cellsN + i),
+          micros(cellsN + j), n)
+      }).toSeq
+      val schema = StructType(Seq(
+        StructField("i", IntegerType), StructField("j", IntegerType),
+        StructField("sm", DecimalType(38, 6)),
+        StructField("si", DecimalType(38, 6)),
+        StructField("sj", DecimalType(38, 6)),
+        StructField("n", LongType)))
+      s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), schema)
         // `+ 0.0` collapses IEEE negative zero (round(-1e-9, 6) is -0.0
         // in DuckDB, 0.0 here; -0.0 + 0.0 = +0.0 on every engine), so
         // the hash compare can't split on zero's sign bit

@@ -42,6 +42,24 @@ class GraftSqlParser(
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   private val ShowCreate =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+  private val Clone =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+""" +
+      """([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  // RBAC permission plane (round 17) — Spark SQL has no GRANT grammar,
+  // so these shapes are unclaimed; anything not matching falls through
+  // to the delegate's own (loud) parse error.
+  private val Grant =
+    ("""(?is)\s*GRANT\s+SELECT\s*(?:\(([^)]*)\))?\s+ON\s+([\w.]+)\s+""" +
+      """TO\s+ROLE\s+(\w+)(?:\s+MASK\s*\(([^)]*)\))?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  private val Revoke =
+    """(?is)\s*REVOKE\s+ALL\s+ON\s+([\w.]+)\s+FROM\s+ROLE\s+(\w+)\s*;?\s*""".r
+  private val ShowGrants =
+    """(?is)\s*SHOW\s+GRANTS\s+ON\s+([\w.]+)\s*;?\s*""".r
+
+  private def csv(s: String): Seq[String] =
+    Option(s).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
 
   /** `DESCRIBE HISTORY t` is the ONE intercepted shape that collides
     * with real Spark grammar: `DESCRIBE history <column>` describes a
@@ -101,6 +119,17 @@ class GraftSqlParser(
       graft.lake.DescribeDetailCommand(t)
     case ShowCreate(t) if isLakeBinding(t) =>
       graft.lake.ShowCreateLakeTableCommand(t)
+    case Clone(target, src, v, loc) if isOurMaintenance(src) =>
+      graft.lake.ShallowCloneCommand(target, src,
+        Option(v).map(_.toInt), Option(loc))
+    case Grant(cols, t, role, mask, filter) =>
+      graft.security.GrantRoleCommand(t, role,
+        Option(cols).map(csv).filter(_.nonEmpty),
+        csv(mask), Option(filter).map(_.trim).filter(_.nonEmpty))
+    case Revoke(t, role) =>
+      graft.security.RevokeRoleCommand(t, role)
+    case ShowGrants(t) =>
+      graft.security.ShowGrantsCommand(t)
     case _ => delegate.parsePlan(sqlText)
   }
 

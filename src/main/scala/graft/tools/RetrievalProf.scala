@@ -122,6 +122,58 @@ object RetrievalProf {
       s""""postings_read_cum":${f(readS)},"exact_full":${f(t47ExactS)},""" +
       s""""fast_full":${f(t47FastS)},"n_terms":$nTerms,""" +
       s""""n_pruned_postings":$nPruned}""")
+
+    // ---- t36: index-served batched probe, job-level anatomy --------
+    // (round-16 verdict item "what's wrong" 3: name the residual job
+    // structure behind t36's ~0.7 s.) A JobListener records every
+    // scheduled job of one memo-warm probeBatch call — the per-job
+    // floors ARE the residual, so the honest fix target is job COUNT,
+    // not any single stage.
+    import graft.operators.InvertedIndex
+    val idxRoot = InvertedIndex.defaultRoot(sfDir)
+    InvertedIndex.buildIfMissing(spark, sfDir, idxRoot)
+    InvertedIndex.probeBatch(spark, idxRoot, queries,
+      Search.Bm25BatchK).count() // warm memo + JIT
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val starts =
+        new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(s.jobId, (System.nanoTime(),
+          Option(s.properties)
+            .map(_.getProperty("spark.job.description", "")).getOrElse("")))
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val st = starts.remove(e.jobId)
+        if (st != null)
+          jobs.add((e.jobId, System.nanoTime() - st._1, st._2))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    InvertedIndex.probeBatch(spark, idxRoot, queries,
+      Search.Bm25BatchK).count()
+    val wallS = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300) // let the listener bus drain the last JobEnd
+    spark.sparkContext.removeSparkListener(listener)
+    val (t36S, _) = med3(spark) {
+      InvertedIndex.probeBatch(spark, idxRoot, queries,
+        Search.Bm25BatchK).count()
+    }
+    val (t36FastS, _) = med3(spark) {
+      InvertedIndex.probeBatchFast(spark, idxRoot, queries,
+        Search.Bm25BatchK).count()
+    }
+    import scala.jdk.CollectionConverters._
+    val jobList = jobs.asScala.toSeq.sortBy(_._1)
+      .map { case (id, ns, _) => s""""job$id":${f(ns / 1e9)}""" }
+    println(
+      s"""{"metric":"t36_jobs","sf":"${new java.io.File(sfDir).getName}",""" +
+      s""""wall":${f(wallS)},"n_jobs":${jobList.size},""" +
+      s""""exact_med3":${f(t36S)},"fast_med3":${f(t36FastS)},""" +
+      jobList.mkString(",") + "}")
     spark.stop()
   }
 }

@@ -488,4 +488,83 @@ class RbacRewriteSpec extends SparkSpec {
       e.getMessage.contains("protected"),
       s"smuggled lake view must be denied: ${e.getMessage}")
   }
+
+  // ---- SQL GRANT / REVOKE front door (round-16 verdict item 6) -------
+
+  test("GRANT/REVOKE/SHOW GRANTS drive the rbac scenario purely from SQL") {
+    val t = table
+    // a row filter + column set declared as a statement (the
+    // setup_rbac_permissions.sh grant, spelled in SQL)
+    spark.sql(s"GRANT SELECT (endpoint, date, page) ON $t " +
+      "TO ROLE sqlcore WHERE endpoint = 'api-a'")
+    spark.sql(s"GRANT SELECT ON $t TO ROLE sqlmask MASK (fetched_at)")
+    // identical query, different results by role — the
+    // comprehensive_rbac_demo contract with zero API calls
+    val all = spark.sql(s"SELECT COUNT(*) AS n FROM $t")
+      .collect()(0).getLong(0)
+    val core2 = Rbac.Grants.roleFor(spark, t, "sqlcore").get
+    val coreN = Rbac.runAs(spark, core2, t,
+      s"SELECT COUNT(*) AS n FROM $t").collect()(0).getLong(0)
+    assert(all == 40 && coreN == 10, s"all=$all core=$coreN")
+    // denied column fails loudly at analysis, like the reference demo
+    intercept[Exception] {
+      Rbac.runAs(spark, core2, t,
+        s"SELECT fetched_at FROM $t").collect()
+    }
+    // the masking grant returns digests, not cleartext
+    val m = Rbac.Grants.roleFor(spark, t, "sqlmask").get
+    val masked = Rbac.runAs(spark, m, t,
+      s"SELECT fetched_at FROM $t LIMIT 1").collect()(0).getString(0)
+    assert(masked.matches("[0-9a-f]{32}"), s"not masked: $masked")
+    // SHOW GRANTS lists the durable permission plane
+    val rows = spark.sql(s"SHOW GRANTS ON $t").collect()
+    val sc = rows.find(_.getString(0) == "sqlcore").get
+    assert(sc.getString(1) == "endpoint,date,page")
+    assert(sc.getString(3) == "endpoint = 'api-a'")
+    assert(rows.find(_.getString(0) == "sqlmask").get
+      .getString(2) == "fetched_at")
+    // REVOKE restores: grant gone, secured view gone
+    spark.sql(s"REVOKE ALL ON $t FROM ROLE sqlcore")
+    assert(Rbac.Grants.roleFor(spark, t, "sqlcore").isEmpty)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM ${t}_sqlcore").collect()
+    }
+    assert(!spark.sql(s"SHOW GRANTS ON $t").collect()
+      .exists(_.getString(0) == "sqlcore"))
+  }
+
+  test("GRANT validates at declaration and is refused under runAs") {
+    val t = table
+    // unknown granted column
+    val e1 = intercept[Exception] { spark.sql(
+      s"GRANT SELECT (nope) ON $t TO ROLE g1") }
+    assert(e1.getMessage.contains("not in the table"), e1.getMessage)
+    // unparseable filter
+    val e2 = intercept[Exception] { spark.sql(
+      s"GRANT SELECT ON $t TO ROLE g2 WHERE endpoint === ") }
+    assert(e2.getMessage.contains("does not parse"), e2.getMessage)
+    // filter over an unknown column
+    val e3 = intercept[Exception] { spark.sql(
+      s"GRANT SELECT ON $t TO ROLE g3 WHERE nope = 1") }
+    assert(e3.getMessage.contains("unknown column"), e3.getMessage)
+    // a mask outside the granted column list is dead — refused
+    val e4 = intercept[Exception] { spark.sql(
+      s"GRANT SELECT (endpoint) ON $t TO ROLE g4 MASK (fetched_at)") }
+    assert(e4.getMessage.contains("granted column list"), e4.getMessage)
+    // the permission plane cannot be rewritten FROM INSIDE a role:
+    // GRANT/REVOKE are statements, and runAs allows only queries
+    spark.sql(s"GRANT SELECT ON $t TO ROLE g5")
+    val g5 = Rbac.Grants.roleFor(spark, t, "g5").get
+    val e5 = intercept[Exception] {
+      Rbac.runAs(spark, g5, t,
+        s"GRANT SELECT ON $t TO ROLE evil").collect()
+    }
+    assert(e5.getMessage.contains("only queries"), e5.getMessage)
+    val e6 = intercept[Exception] {
+      Rbac.runAs(spark, g5, t,
+        s"REVOKE ALL ON $t FROM ROLE g5").collect()
+    }
+    assert(e6.getMessage.contains("only queries"), e6.getMessage)
+    spark.sql(s"REVOKE ALL ON $t FROM ROLE g5")
+  }
 }
