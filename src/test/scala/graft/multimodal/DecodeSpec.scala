@@ -68,4 +68,21 @@ class DecodeSpec extends SparkSpec {
     assert(frames.head == "abcd")
     assert(frames.forall(_.length <= 4))
   }
+
+  test("JdkImageCodec: real PNG round-trip, header-only sniff, resize") {
+    import Decode.JdkImageCodec
+    val png = JdkImageCodec.encodePng(33, 21, 0x123456)
+    // a real PNG signature, not a fake
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte)
+    assert(JdkImageCodec.sniff(png) == ("png", 33, 21))
+    // lossless pixel recovery of the fill color
+    assert(JdkImageCodec.pixel0(png) == (0x12, 0x34, 0x56))
+    // resize re-encodes to the requested geometry
+    val small = JdkImageCodec.resizePng(png, 8, 5)
+    assert(JdkImageCodec.sniff(small) == ("png", 8, 5))
+    // non-image bytes sniff fail-open, never throw
+    assert(JdkImageCodec.sniff("not an image".getBytes("UTF-8")) ==
+      ("bin", 0, 0))
+    assert(JdkImageCodec.sniff(Array.empty[Byte]) == ("bin", 0, 0))
+  }
 }
