@@ -506,7 +506,7 @@ object Bench {
       "t43_incremental_mv", "t44_snapshot_optimize",
       "t45_incremental_mv_minmax", "t48_lake_sql", "t49_mv_distinct",
       "t51_change_feed", "t52_sql_merge", "t53_meta_agg", "t54_sql_ddl",
-      "t55_sql_constraints")
+      "t55_sql_constraints", "t56_lane_read")
     val baselinePath = sys.env.getOrElse(
       "SPARK_GRAFT_DUCKDB_BASELINE", "tools/duckdb_baseline.tsv")
     // (ratio, overlap count, same host?) — a baseline produced on a

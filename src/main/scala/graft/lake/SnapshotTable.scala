@@ -2658,6 +2658,63 @@ object SnapshotTable {
     }.toSet
   }
 
+  // ---- lane registry (round 17, see graft.lake.Lane) -----------------
+  //
+  // Same refcount shape as the clone registry: a lane that pins this
+  // table's versions registers under `_lanes/`, and vacuum protects
+  // any version a RETAINED manifest of a live lane pins. A lane whose
+  // root vanished unregisters lazily.
+
+  private def lanesDir(root: String) = new Path(root, "_lanes")
+
+  private[lake] def registerLane(
+      spark: SparkSession, root: String, laneRoot: String): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(lanesDir(root))
+    val id = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(laneRoot.getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+    val fin = new Path(lanesDir(root), id)
+    if (f.exists(fin)) return // idempotent per (root, lane)
+    val tmp = new Path(lanesDir(root),
+      s".$id.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(laneRoot.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, fin)) f.delete(tmp, false) // racer registered it
+  }
+
+  /** Member versions pinned by any RETAINED manifest of any registered
+    * LIVE lane — added to vacuum's protect set. Cost: one small file
+    * per retained lane version, bounded by the lanes' own retention. */
+  private def lanePinnedVersions(
+      spark: SparkSession, root: String): Set[Int] = {
+    val f = fs(spark, root)
+    if (!f.exists(lanesDir(root))) return Set.empty
+    val rootQ = f.makeQualified(new Path(root)).toString
+    f.listStatus(lanesDir(root)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val laneRoot =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val vs = scala.util.Try(Lane.versions(spark, laneRoot))
+          .getOrElse(Nil)
+        if (vs.isEmpty) { f.delete(st.getPath, false); Nil }
+        else vs.flatMap(v =>
+          scala.util.Try(Lane.at(spark, laneRoot, v)).getOrElse(Nil)
+            .filter { p =>
+              val pq = scala.util.Try(
+                fs(spark, p.root).makeQualified(new Path(p.root)).toString)
+                .getOrElse(p.root)
+              pq == rootQ
+            }
+            .map(_.version))
+      }.toSet
+  }
+
   def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
     require(fs(spark, root).exists(manifestPath(root, toVersion)),
       s"RESTORE: version v$toVersion of $root is unknown or vacuumed — " +
@@ -2795,8 +2852,11 @@ object SnapshotTable {
     val vs = versions(spark, root)
     // session-bound versions survive like explicitly protected ones —
     // the same binding contract as Snapshots.vacuum, since a
-    // spark.graft.snapshot binding can point at either layer
-    val keepSet = protect ++ Snapshots.boundVersions(spark, root)
+    // spark.graft.snapshot binding can point at either layer — and so
+    // do versions pinned by a registered live lane (round 17): a lane
+    // cut must stay readable as long as the lane retains it
+    val keepSet = protect ++ Snapshots.boundVersions(spark, root) ++
+      lanePinnedVersions(spark, root)
     val drop = vs.dropRight(keepVersions).filterNot(keepSet)
     val keep = vs.filterNot(drop.contains)
     val dropSet = drop.toSet

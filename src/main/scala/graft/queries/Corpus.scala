@@ -1055,6 +1055,100 @@ object Corpus {
                AS BIGINT) AS n_null_chars
       FROM accepted GROUP BY source ORDER BY source"""))
 
+  /** The lane-versions gate (round 17, DESIGN_CROSS_TABLE_TXN.md
+    * acceptance criterion 4): a LANE names consistent cuts across a
+    * base table and a derived aggregate ([[graft.lake.Lane]]). The
+    * scenario: base + derived commit and publish lane v1; a CDC batch
+    * mutates the base, the maintainer refreshes the derived table, and
+    * lane v2 publishes the completed cut; then the base mutates AGAIN
+    * (a third batch "mid-drain" — derived NOT refreshed, lane NOT
+    * published). The gated read resolves BOTH members through the
+    * lane's latest pin and reports the derived aggregate NEXT TO the
+    * same aggregate recomputed from the pinned base — the DuckDB
+    * oracle reconstructs the after-batch-2 state and expects the two
+    * to AGREE, which is exactly the consistency a direct latest-read
+    * would violate (the base has already moved on). Deterministic +
+    * idempotent like [[sqlDdlRoot]]: version-guarded steps, content
+    * from `documents` arithmetic alone. */
+  private[queries] def laneReadRoots(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import graft.lake.{Lane, SnapshotTable}
+    val base = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_lane_base_v1")
+    val derived = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_lane_drv_v1")
+    val lane = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_lane_log_v1")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    def refreshDerived(): Unit =
+      SnapshotTable.write(spark, derived,
+        SnapshotTable.read(spark, base)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars")),
+        Seq("source"))
+    if (SnapshotTable.versions(spark, base).isEmpty)
+      SnapshotTable.write(spark, base, docs, Seq("source"))
+    if (SnapshotTable.versions(spark, derived).isEmpty) refreshDerived()
+    if (Lane.versions(spark, lane).isEmpty)
+      Lane.publish(spark, lane, Seq("base" -> base, "derived" -> derived))
+    if (SnapshotTable.versions(spark, base).size < 2) {
+      val changes = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("op", lit("d"))
+        .unionByName(docs
+          .filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+          .withColumn("n_chars", col("n_chars") + 7L)
+          .withColumn("op", lit("u")))
+      SnapshotTable.applyChanges(spark, base, changes, "doc_id",
+        Seq("source"), opCol = "op")
+    }
+    if (SnapshotTable.versions(spark, derived).size < 2) refreshDerived()
+    if (Lane.versions(spark, lane).size < 2)
+      Lane.publish(spark, lane, Seq("base" -> base, "derived" -> derived))
+    // the mid-drain batch: base moves on, derived and lane do NOT
+    if (SnapshotTable.versions(spark, base).size < 3)
+      SnapshotTable.deleteWhere(spark, base,
+        col("doc_id") % 101 === 0, Seq("source"))
+    lane
+  }
+
+  private[queries] def laneRead(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.lake.{Lane, SnapshotTable}
+    val lane = laneReadRoots(spark, dir)
+    val (bRoot, bV) = Lane.member(spark, lane, "base")
+    val (dRoot, dV) = Lane.member(spark, lane, "derived")
+    val fromBase = SnapshotTable.read(spark, bRoot, bV)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_base"),
+        sum(col("n_chars")).cast("long").as("total_chars_base"))
+    SnapshotTable.read(spark, dRoot, dV)
+      .join(fromBase, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_docs_base"),
+        col("total_chars"), col("total_chars_base"))
+      .orderBy(col("source"))
+  }
+
+  val t56_lane_read = Q(
+    "t56_lane_read",
+    (s, dir) => laneRead(s, dir),
+    Some("""
+      WITH cut AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 0 THEN n_chars + 7
+                    ELSE n_chars END AS n_chars,
+               source
+        FROM documents
+        WHERE doc_id % 97 <> 0)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_base,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars_base
+      FROM cut GROUP BY source ORDER BY source"""))
+
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
     * default threshold (0.5), t29's Gopher composite, and a
@@ -1631,5 +1725,5 @@ object Corpus {
       t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize,
       t45_incremental_mv_minmax, t48_lake_sql, t49_mv_distinct,
       t51_change_feed, t52_sql_merge, t53_meta_agg, t54_sql_ddl,
-      t55_sql_constraints)
+      t55_sql_constraints, t56_lane_read)
 }

@@ -1,0 +1,124 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Lane versions (round 17, DESIGN_CROSS_TABLE_TXN.md acceptance
+  * criteria 1-3): a lane names consistent cuts across a base table and
+  * its derived tables — a half-drained batch is never observable
+  * through a lane pin, and member vacuums cannot garbage a pinned cut
+  * (destructively proven). */
+class LaneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  /** base (40 rows, 4 partitions) + derived per-source counts,
+    * both committed, lane published at the v1 cut. */
+  private def freshLane(): (String, String, String) = {
+    n += 1
+    val base = tmpDir(s"lane-base-$n")
+    val derived = tmpDir(s"lane-derived-$n")
+    val lane = tmpDir(s"lane-log-$n")
+    val rows = spark.range(40L).select(
+      (col("id") % 4).cast("string").as("src"),
+      col("id").as("k"), (col("id") * 3 % 17).as("v"))
+    SnapshotTable.write(spark, base, rows, Seq("src"))
+    refreshDerived(base, derived)
+    Lane.publish(spark, lane, Seq("base" -> base, "derived" -> derived))
+    (base, derived, lane)
+  }
+
+  /** The maintainer: derived = per-source (n_rows, sum_v) of base@latest. */
+  private def refreshDerived(base: String, derived: String): Unit =
+    SnapshotTable.write(spark, derived,
+      SnapshotTable.read(spark, base)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v")),
+      Seq("src"))
+
+  private def laneRead(lane: String, v: Int = -1): Map[String, Long] = {
+    val (bRoot, bV) = Lane.member(spark, lane, "base", v)
+    val (dRoot, dV) = Lane.member(spark, lane, "derived", v)
+    Map(
+      "base_n" -> SnapshotTable.read(spark, bRoot, bV).count(),
+      "derived_n" -> SnapshotTable.read(spark, dRoot, dV)
+        .agg(sum(col("n_rows"))).collect()(0).getLong(0))
+  }
+
+  test("a half-drained batch is invisible through the lane " +
+      "(criterion 1 + 2)") {
+    val (base, derived, lane) = freshLane()
+    assert(laneRead(lane) == Map("base_n" -> 40L, "derived_n" -> 40L))
+    // drain step 1 of 2 lands (base mutates), then the maintainer
+    // "crashes" before the derived fold and before publish
+    SnapshotTable.upsert(spark, base,
+      Seq(("0", 100L, 1L), ("0", 101L, 2L)).toDF("src", "k", "v"),
+      "k", Seq("src"))
+    // direct-root readers see the new base; the LANE still names the
+    // completed cut — base and derived AGREE through it
+    assert(SnapshotTable.read(spark, base).count() == 42)
+    assert(laneRead(lane) == Map("base_n" -> 40L, "derived_n" -> 40L),
+      "lane exposed a half-drained batch")
+    // the replayed drain completes and publishes exactly one new cut
+    refreshDerived(base, derived)
+    val v2 = Lane.publish(spark, lane,
+      Seq("base" -> base, "derived" -> derived))
+    assert(v2 == 2)
+    assert(laneRead(lane) == Map("base_n" -> 42L, "derived_n" -> 42L))
+    // the old cut stays resolvable (time travel across the lane)
+    assert(laneRead(lane, 1) == Map("base_n" -> 40L, "derived_n" -> 40L))
+  }
+
+  test("member vacuum cannot drop a lane-pinned version (criterion 3, " +
+      "destructive)") {
+    val (base, derived, lane) = freshLane()
+    // advance the base several versions past the pinned cut
+    (1 to 3).foreach { i =>
+      SnapshotTable.upsert(spark, base,
+        Seq(("0", 200L + i, 1L)).toDF("src", "k", "v"), "k", Seq("src"))
+    }
+    refreshDerived(base, derived)
+    Lane.publish(spark, lane, Seq("base" -> base, "derived" -> derived))
+    // vacuum the base to keep-1: WITHOUT the lane registry both pinned
+    // versions (v1 for lane v1, v4 for lane v2) would drop; with it
+    // they survive and both cuts still read
+    SnapshotTable.vacuum(spark, base, keepVersions = 1)
+    SnapshotTable.vacuum(spark, derived, keepVersions = 1)
+    assert(laneRead(lane, 1) == Map("base_n" -> 40L, "derived_n" -> 40L),
+      "member vacuum garbaged the lane-v1 cut")
+    assert(laneRead(lane, 2) == Map("base_n" -> 43L, "derived_n" -> 43L))
+    // bound the protection via the LANE's own retention: drop lane v1,
+    // vacuum members again — now the old cut's versions are garbage
+    assert(Lane.vacuum(spark, lane, keepVersions = 1) == 1)
+    SnapshotTable.vacuum(spark, base, keepVersions = 1)
+    intercept[Exception] { laneRead(lane, 1) } // the manifest is gone
+    assert(laneRead(lane, 2) == Map("base_n" -> 43L, "derived_n" -> 43L),
+      "the retained cut must survive the lane vacuum")
+  }
+
+  test("publish pins are re-read per attempt and members validate") {
+    val (base, derived, lane) = freshLane()
+    // unknown member root fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Lane.publish(spark, lane,
+        Seq("base" -> base, "ghost" -> tmpDir("lane-ghost")))
+    }
+    assert(e.getMessage.contains("ghost"), e.getMessage)
+    // duplicate member names refuse
+    intercept[IllegalArgumentException] {
+      Lane.publish(spark, lane, Seq("a" -> base, "a" -> derived))
+    }
+    // a vanished lane unregisters lazily: delete the lane log, then a
+    // member vacuum reclaims what it pinned
+    val baseV1 = SnapshotTable.read(spark, base, 1).count()
+    assert(baseV1 == 40)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(lane))
+    SnapshotTable.upsert(spark, base,
+      Seq(("0", 300L, 1L)).toDF("src", "k", "v"), "k", Seq("src"))
+    SnapshotTable.vacuum(spark, base, keepVersions = 1)
+    intercept[Exception] {
+      SnapshotTable.read(spark, base, 1).count()
+    }
+  }
+}
