@@ -58,7 +58,14 @@ object CdcStream {
       optimizeEveryBatches: Int = 0,
       optimizeTargetBytes: Long = 128L << 20,
       vacuumEveryBatches: Int = 0,
-      vacuumKeepVersions: Int = 8) {
+      vacuumKeepVersions: Int = 8,
+      // publish a LANE VERSION after every completed batch (round 17,
+      // graft.lake.Lane): the lane pins base + every view + every
+      // tokenized postings table at the post-drain cut, so a reader
+      // resolving through it can never observe a half-drained batch —
+      // and because the publish lands BEFORE the vacuum leg, the
+      // pinned cuts are protected by the lane registry automatically.
+      laneRoot: Option[String] = None) {
     require(optimizeEveryBatches >= 0, "cadence must be >= 0")
     require(vacuumEveryBatches >= 0, "cadence must be >= 0")
     require(vacuumKeepVersions >= 1, "must keep at least one version")
@@ -82,8 +89,22 @@ object CdcStream {
       tokenizedRoots.foreach { t =>
         TokenizedCorpus.refresh(spark, root, t, partitionBy)
       }
+      laneRoot.foreach { lr =>
+        graft.lake.Lane.publish(spark, lr,
+          ("base" -> root) +:
+            (views.map(b => s"mv:${b.mvRoot}" -> b.mvRoot) ++
+              tokenizedRoots.map(t =>
+                s"tok:$t" -> TokenizedCorpus.postingsRoot(t))))
+      }
       if (vacuumEveryBatches > 0 &&
           batchId % vacuumEveryBatches == vacuumEveryBatches - 1) {
+        // the LANE vacuums first on the same cadence: member vacuums
+        // protect whatever the lane still retains, so bounding the
+        // lane's history is what re-bounds every member's (the design's
+        // "the lane's own vacuum bounds how much member history must
+        // stay reachable")
+        laneRoot.foreach(lr =>
+          graft.lake.Lane.vacuum(spark, lr, vacuumKeepVersions))
         // retention AFTER the refreshes: every maintainer is current,
         // so the protected set is just each one's applied anchor
         val protect = (views.flatMap(b =>

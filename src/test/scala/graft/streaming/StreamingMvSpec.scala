@@ -108,10 +108,12 @@ class StreamingMvSpec extends SparkSpec {
     wave(Seq((4L, 7L, "window words", "c", "u")), "w1")
     wave(Seq((3L, 0L, "", "b", "d")), "w2")
 
+    val laneRoot = tmpDir("smv-lane")
     val maint = CdcStream.TableMaintenance(
       views = Seq(CdcStream.MvBinding(mvRoot, mvSpec, nBuckets = 4)),
       tokenizedRoots = Seq(tokRoot),
-      vacuumEveryBatches = 1, vacuumKeepVersions = 1)
+      vacuumEveryBatches = 1, vacuumKeepVersions = 1,
+      laneRoot = Some(laneRoot))
     val q = CdcStream.maintainChangesAtomic(
       spark.readStream.schema(txtSchema)
         .option("maxFilesPerTrigger", "1").parquet(s"$in/w*"),
@@ -138,6 +140,24 @@ class StreamingMvSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark,
       graft.operators.TokenizedCorpus.postingsRoot(tokRoot)).size <= 1)
     assert(SnapshotTable.versions(spark, mvRoot).size <= 1)
+    // a lane version published per completed batch (round 17): the
+    // latest cut pins base + mv + tokenized postings at the SAME drain,
+    // and reading every member through it is self-consistent even
+    // though the per-batch vacuum kept only ONE version per table —
+    // the lane pins are what that vacuum protected
+    assert(graft.lake.Lane.latest(spark, laneRoot).exists(_ >= 3),
+      "one lane version per drained batch expected")
+    // the lane vacuumed on the same cadence as the members — bounding
+    // ITS retention is what re-bounds theirs
+    assert(graft.lake.Lane.versions(spark, laneRoot).size == 1)
+    val (bR, bV) = graft.lake.Lane.member(spark, laneRoot, "base")
+    val (mR, mV) = graft.lake.Lane.member(spark, laneRoot, s"mv:$mvRoot")
+    assert(SnapshotTable.latest(spark, bR).contains(bV),
+      "latest lane cut must pin the post-drain base version")
+    assert(MaterializedAgg.read(spark, mR, mV)
+      .selectExpr("CAST(sum(n_rows) AS BIGINT)").collect()(0).getLong(0) ==
+      SnapshotTable.read(spark, bR, bV).count(),
+      "lane-pinned view disagrees with the lane-pinned base")
     // and the NEXT incremental refresh still works after its history
     // was vacuumed (anchor protected)
     SnapshotTable.upsert(spark, root,
