@@ -103,6 +103,25 @@ object Lane {
     require(members.nonEmpty, "lane publish: no members")
     require(members.map(_._1).distinct.size == members.size,
       "lane publish: duplicate member names")
+    // names are written raw into the tab-separated #member line (only
+    // the root is URL-encoded, for old-manifest compatibility) — a tab
+    // or newline would corrupt the line, so refuse it at the door
+    members.foreach { case (name, _) =>
+      require(!name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"lane member name '$name' contains a tab/newline — refused " +
+          "(names are stored raw in the tab-separated lane manifest)")
+    }
+    // register the lane in every member's _lanes/ registry BEFORE the
+    // manifest publishes: registration is idempotent and lane-scoped
+    // (not per-version), and doing it first means vacuum protection
+    // exists the instant a pin does — a crash between publish and a
+    // later registration could otherwise let a member vacuum drop a
+    // version the just-committed lane pins
+    val laneAbs = fs(spark, laneRoot)
+      .makeQualified(new Path(laneRoot)).toString
+    members.foreach { case (_, root) =>
+      SnapshotTable.registerLane(spark, root, laneAbs)
+    }
     var attempts = 0
     while (true) {
       val pins = members.map { case (name, root) =>
@@ -123,9 +142,6 @@ object Lane {
       val out = f.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       if (Snapshots.publishExclusive(f, tmp, manifestPath(laneRoot, v))) {
-        val laneAbs = f.makeQualified(new Path(laneRoot)).toString
-        pins.foreach(p =>
-          SnapshotTable.registerLane(spark, p.root, laneAbs))
         return v
       }
       f.delete(tmp, false)

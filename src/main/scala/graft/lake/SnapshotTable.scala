@@ -1068,17 +1068,24 @@ object SnapshotTable {
       val notNull = man.notNullCols
       if (notNull.isEmpty && man.checks.isEmpty) rows
       else {
-        notNull.foreach(c => require(rows.columns.contains(c),
-          s"NOT NULL column '$c' is missing from the mutation batch " +
-            s"for $root — it would land as all-NULL; batch refused"))
+        // resolve the declared name against the frame's actual column
+        // case-insensitively, like every other column path in this
+        // file — Spark itself would resolve `Id` for a declared `id`,
+        // so the guard must wrap the resolved name, not refuse it
+        val resolved = notNull.map { c =>
+          c -> rows.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"NOT NULL column '$c' is missing from the mutation batch " +
+                s"for $root — it would land as all-NULL; batch refused"))
+        }
         var out = rows
-        notNull.foreach { c =>
-          out = out.withColumn(c,
-            when(col(c).isNull, raise_error(lit(
+        resolved.foreach { case (c, actual) =>
+          out = out.withColumn(actual,
+            when(col(actual).isNull, raise_error(lit(
               s"NOT NULL constraint violated: column '$c' is NULL in a " +
                 s"row written to $root — batch refused, nothing " +
                 "committed")))
-              .otherwise(col(c)))
+              .otherwise(col(actual)))
         }
         val anchor = rows.columns.head
         man.checks.foreach { case (nm, sql) =>

@@ -100,6 +100,9 @@ object TokenizedCorpus {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   def postingsRoot(tokRoot: String): String =
     new Path(tokRoot, "postings").toString
   // pre-v3 derived tables — only referenced to delete them on rebuild
@@ -289,11 +292,19 @@ object TokenizedCorpus {
             statsFor = Seq("tok"), clusterBy = Seq("tok"))
         finally pf.unpersist(false)
         // retire pre-v3 derived tables (no reader is allowed at them
-        // once the format marker says v3)
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(legacyStatsRoot(tokRoot)))
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(legacyDfRoot(tokRoot)))
+        // once the format marker says v3). Hadoop FS, not java.io —
+        // a scheme-qualified tokRoot (hdfs://, s3a://) is not a local
+        // File, and a silent no-op here would leak the retired tables
+        // forever. Failure to delete is a storage leak, not
+        // corruption (the format marker gates reads), so log and go.
+        val f = fs(spark, tokRoot)
+        Seq(legacyStatsRoot(tokRoot), legacyDfRoot(tokRoot)).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          try { if (f.exists(p) && !f.delete(p, true))
+            log.warn(s"could not retire pre-v3 table at $r (leak, not corruption)")
+          } catch { case e: java.io.IOException =>
+            log.warn(s"could not retire pre-v3 table at $r: ${e.getMessage}") }
+        }
         writeMarker(spark, tokRoot, formatPath(tokRoot), FormatVersion)
         v3Roots.add(tokRoot)
         writeMarker(spark, tokRoot, appliedPath(tokRoot), latestB.toString)

@@ -1021,6 +1021,13 @@ object Similarity {
           val acc = new Array[Long](cellsN + D)
           var n = 0L
           it.foreach { v =>
+            // the old expression ladder was null-safe (NULL products);
+            // the kernel indexes raw, so fail loudly and diagnosably
+            // on a malformed row instead of an opaque task NPE/AIOOBE
+            require(v != null && v.length >= D,
+              s"s12 Gram kernel: embedding row is ${
+                if (v == null) "NULL" else s"${v.length}-dim"
+              }, need >= $D dims — malformed embeddings table")
             n += 1
             var i = 0; var k = 0
             while (i < D) {
