@@ -107,13 +107,28 @@ object ChangeFeed {
         s"but ${gone.map("v" + _).mkString(", ")} " +
         "have been vacuumed — resync the consumer from a full read")
 
+    // one manifest read per version boundary (each serves as "new" for
+    // step v and "old" for step v+1)
+    val manifests = scala.collection.mutable.Map.empty[Int,
+      SnapshotTable.Manifest]
+    def manifestOf(v: Int): SnapshotTable.Manifest =
+      manifests.getOrElseUpdate(v, SnapshotTable.manifestAt(spark, root, v))
     val steps = ((fromVersion + 1) to toV).map { v =>
+      val oldM = if (v == 1) None else Some(manifestOf(v - 1))
+      val newM = manifestOf(v)
       val oldE: Map[String, String] =
-        if (v == 1) Map.empty
-        else SnapshotTable.entriesFor(spark, root, v - 1).toMap
-      val newE = SnapshotTable.entriesFor(spark, root, v).toMap
+        oldM.map(_.entries.toMap).getOrElse(Map.empty)
+      val newE = newM.entries.toMap
+      // a deletion-vector commit moves rows without moving a directory:
+      // partitions whose dir is UNCHANGED but whose dv lines differ are
+      // changed too (the dv-aware reads at the two versions then yield
+      // the newly-deleted rows as ordinary deletes)
+      val oldDv = oldM.map(dvStateByDir).getOrElse(Map.empty)
+      val newDv = dvStateByDir(newM)
       val changed = (oldE.keySet ++ newE.keySet)
-        .filter(k => oldE.get(k) != newE.get(k))
+        .filter(k => oldE.get(k) != newE.get(k) ||
+          (newE.get(k).exists(d =>
+            oldDv.getOrElse(d, Map.empty) != newDv.getOrElse(d, Map.empty))))
       val old =
         if (v == 1 || changed.forall(!oldE.contains(_))) None
         else Some(SnapshotTable.selectDirs(spark, root, v - 1,
@@ -198,12 +213,21 @@ object ChangeFeed {
       require(SnapshotTable.hasVersion(spark, root, toV),
         s"version v$toV of $root has been vacuumed or never " +
           "committed — resync the consumer from a full read")
+    val oldM =
+      if (fromVersion == 0) None
+      else Some(SnapshotTable.manifestAt(spark, root, fromVersion))
+    val newM = SnapshotTable.manifestAt(spark, root, toV)
     val oldE: Map[String, String] =
-      if (fromVersion == 0) Map.empty
-      else SnapshotTable.entriesFor(spark, root, fromVersion).toMap
-    val newE = SnapshotTable.entriesFor(spark, root, toV).toMap
+      oldM.map(_.entries.toMap).getOrElse(Map.empty)
+    val newE = newM.entries.toMap
+    // same dv-awareness as between(): an unchanged directory whose
+    // deletion vectors moved across the range is a changed partition
+    val oldDv = oldM.map(dvStateByDir).getOrElse(Map.empty)
+    val newDv = dvStateByDir(newM)
     val changed = (oldE.keySet ++ newE.keySet)
-      .filter(k => oldE.get(k) != newE.get(k))
+      .filter(k => oldE.get(k) != newE.get(k) ||
+        (newE.get(k).exists(d =>
+          oldDv.getOrElse(d, Map.empty) != newDv.getOrElse(d, Map.empty))))
 
     val latestSchema = feedBaseSchema(spark, root, toV)
     val old =
@@ -261,6 +285,14 @@ object ChangeFeed {
   private def feedBaseSchema(
       spark: SparkSession, root: String, version: Int): StructType =
     SnapshotTable.read(spark, root, version).schema
+
+  /** Per-directory deletion-vector state (file -> encoded dv) — two
+    * versions of a directory are row-identical iff the dir (immutable)
+    * AND this map are equal. */
+  private def dvStateByDir(m: SnapshotTable.Manifest)
+      : Map[String, Map[String, String]] =
+    m.fileDvs.groupBy(d => d._1.take(d._1.lastIndexOf('/')))
+      .map { case (d, dvs) => d -> dvs.map(x => x._1 -> x._3).toMap }
 
   private def containsMap(dt: DataType): Boolean = dt match {
     case _: MapType => true

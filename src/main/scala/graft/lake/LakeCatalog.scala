@@ -156,8 +156,23 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val (root, pinned) = parseBinding(binding)
     val display = s"$catalogName.${ident.name()}"
     if (SnapshotTable.isTableRoot(s, root)) {
-      val version = versionOverride.orElse(pinned).getOrElse(
-        SnapshotTable.latest(s, root).getOrElse(
+      // lane bindings (round 18): when a `spark.graft.lane.<name>`
+      // binding's lane pins this root, the table resolves at the
+      // lane-pinned version — every member of the lane then reads ONE
+      // consistent cut in the same SQL statement. Mixing an explicit
+      // pin (VERSION AS OF, or an @vN binding) with a lane pin is
+      // ambiguous and refuses loudly rather than silently preferring
+      // either.
+      val lanePin = LakeCatalog.lanePinFor(s, root)
+      if (lanePin.isDefined && (versionOverride.isDefined || pinned.isDefined))
+        throw new IllegalArgumentException(
+          s"$display resolves through a spark.graft.lane.* binding " +
+            s"(pinned at v${lanePin.get}) AND an explicit version pin " +
+            s"(${versionOverride.map(v => s"VERSION AS OF $v")
+              .getOrElse(s"binding @v${pinned.get}")}) — mixing the " +
+            "two is ambiguous; unset one")
+      val version = versionOverride.orElse(pinned).orElse(lanePin)
+        .getOrElse(SnapshotTable.latest(s, root).getOrElse(
           throw new NoSuchTableException(ident)))
       if (!SnapshotTable.hasVersion(s, root, version))
         throw new IllegalArgumentException(
@@ -491,6 +506,58 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object LakeCatalog {
+  /** Lane bindings (round 18): `spark.graft.lane.<name> =
+    * <laneRoot>[@vN]` makes EVERY lake binding whose root the lane
+    * pins resolve at the lane-pinned version — the SQL plane's
+    * spelling of [[Lane.at]], so `SELECT … FROM lake.base JOIN
+    * lake.derived` inside a lane session reads one consistent cut
+    * without per-table `VERSION AS OF` bookkeeping. */
+  val LanePrefix = "spark.graft.lane."
+
+  /** The lane-pinned version of `root` under the session's lane
+    * bindings: None without a matching binding, loud on an unreadable
+    * lane or on two lanes pinning the same root at different versions
+    * (a silent preference would read a wrong cut). Cost per table
+    * resolution: zero extra I/O without lane bindings; one lane
+    * manifest read per bound lane otherwise — planning-time pennies
+    * against the consistency it buys. */
+  private[lake] def lanePinFor(
+      spark: SparkSession, root: String): Option[Int] = {
+    val lanes = spark.conf.getAll.toSeq.collect {
+      case (k, v) if k.startsWith(LanePrefix) =>
+        (k.stripPrefix(LanePrefix), v)
+    }
+    if (lanes.isEmpty) return None
+    def qualify(r: String): String = {
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
+    val rootQ = qualify(root)
+    val hits = lanes.flatMap { case (name, binding) =>
+      val (laneRoot, v) = parseBinding(binding)
+      val pins =
+        try Lane.at(spark, laneRoot, v.getOrElse(-1))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"lane binding $LanePrefix$name = '$binding' cannot " +
+                s"resolve: ${e.getMessage}", e)
+        }
+      pins.filter(p => qualify(p.root) == rootQ)
+        .map(p => (name, p.version))
+    }
+    hits.map(_._2).distinct match {
+      case Seq() => None
+      case Seq(v) => Some(v)
+      case _ => throw new IllegalArgumentException(
+        s"root $root is pinned by multiple lane bindings at different " +
+          s"versions (${hits.map { case (n2, v) => s"$n2@v$v" }
+            .mkString(", ")}) — unset the conflicting " +
+          s"$LanePrefix* bindings")
+    }
+  }
+
   /** Shared with [[graft.core.Tables]]: one binding namespace serves
     * both the DataFrame lane (Tables routing) and the SQL catalog. */
   val BindingPrefix = "spark.graft.snapshot."
@@ -786,12 +853,15 @@ final case class LakeTable(
     def dirOf(rel: String): String = rel.take(rel.lastIndexOf('/'))
     val byDir = m.fileSizes.groupBy(e => dirOf(e._1))
     val rowsByFile = m.fileRows.toMap
+    // planner stats see LIVE rows: deletion-vector positions subtract
+    val dvByFile = m.fileDvs.map(d => d._1 -> d._2).toMap
     m.entries.flatMap { case (_, rel) =>
       byDir.get(rel).map { fs =>
         val files = fs.map(_._1)
         val rows =
           if (files.forall(rowsByFile.contains))
-            Some(files.map(rowsByFile).sum)
+            Some(files.map(f =>
+              rowsByFile(f) - dvByFile.getOrElse(f, 0L)).sum)
           else None
         new org.apache.hadoop.fs.Path(root, rel).toString ->
           (fs.map(_._2).sum, rows)
@@ -944,7 +1014,12 @@ final case class LakeTable(
 
   /** `DELETE FROM … WHERE p` — row-level delete through
     * [[SnapshotTable.deleteWhere]]: touched partitions rewritten
-    * without the matching rows, one OCC commit, old versions intact. */
+    * without the matching rows, one OCC commit, old versions intact.
+    * With `spark.graft.delete.mode=merge-on-read`, a DATA-column
+    * predicate routes through [[SnapshotTable.deleteRowsWhere]]
+    * instead — a deletion-vector commit writing O(deleted rows) bytes
+    * (partition-column predicates keep the manifest-only wholesale
+    * drop either way; it is strictly better than a dv). */
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     requireWritable("DELETE")
     val s = SparkSession.active
@@ -955,7 +1030,11 @@ final case class LakeTable(
     val pred = LakeFilters.translate(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"untranslatable DELETE predicate: ${filters.mkString(", ")}"))
-    SnapshotTable.deleteWhere(s, root, pred, pby)
+    if (s.conf.get("spark.graft.delete.mode", "copy-on-write") ==
+        "merge-on-read")
+      SnapshotTable.deleteRowsWhere(s, root, pred)
+    else
+      SnapshotTable.deleteWhere(s, root, pred, pby)
   }
 }
 

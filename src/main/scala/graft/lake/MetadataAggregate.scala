@@ -189,6 +189,12 @@ object MetadataAggregate extends Rule[LogicalPlan] {
     val rowsByFile = m.fileRows.toMap
     val statByFileCol = m.fileStats
       .map(fs => (fs.relPath, fs.column) -> fs).toMap
+    // deletion vectors (round 18): COUNTs subtract the per-file
+    // deleted-position count (exact by construction); MIN/MAX over a
+    // dv-carrying file DECLINES to the scan — the deleted row may BE
+    // the recorded bound, and the manifest cannot know
+    val dvByFile: Map[String, Long] =
+      m.fileDvs.map(d => d._1 -> d._2).toMap
     val statCols = (minCols ++ maxCols).toSeq.map(_.name)
     // #f lines key by PHYSICAL column name (stable across renames);
     // the aggregate references logical attributes
@@ -207,10 +213,12 @@ object MetadataAggregate extends Rule[LogicalPlan] {
         if (files.isEmpty) throw new Unanswerable
         var rows = 0L
         files.foreach(f =>
-          rows += rowsByFile.getOrElse(f, throw new Unanswerable))
+          rows += rowsByFile.getOrElse(f, throw new Unanswerable) -
+            dvByFile.getOrElse(f, 0L))
         def fold(c: String, wantMin: Boolean): Option[String] = {
           val dt = (minCols ++ maxCols).find(_.name == c).get.dataType
           val bounds = files.flatMap { f =>
+            if (dvByFile.contains(f)) throw new Unanswerable
             statByFileCol.get((f, physOf(c))) match {
               case Some(SnapshotTable.FileStat(_, _, None, None)) => None
               case Some(SnapshotTable.FileStat(_, _, Some(mn), Some(mx))) =>

@@ -189,7 +189,23 @@ object SnapshotTable {
       // schema nullability — a frame of literals types non-nullable,
       // and treating typing as contract would mint constraints no one
       // declared on every pre-existing table. Carried like `checks`.
-      notNullCols: Seq[String] = Nil)
+      notNullCols: Seq[String] = Nil,
+      // DELETION VECTORS (round 18, `#dv` lines): per-file sets of
+      // DELETED ROW POSITIONS — (relPath, deletedCount, base64 of
+      // delta-varint-coded sorted positions). The merge-on-read half
+      // of row-level deletes (Delta's DVs / Iceberg positional
+      // deletes): [[deleteRowsWhere]] commits ONLY these lines — a
+      // one-row delete writes O(deleted rows) manifest bytes, never a
+      // partition rewrite — and every row-materializing read filters
+      // the positions back out ([[applyDv]], keyed on the parquet
+      // `_metadata` file identity + row_index). A file's dv line in a
+      // delta REPLACES its previous line (the writer merges positions
+      // first); lines die with their directory in the fold, which is
+      // exactly how a rewrite ([[optimize]], upsert, overwrite) folds
+      // deletions into real bytes. deletedCount is the decoded
+      // position count, recorded so metadata-only counts subtract
+      // without decoding.
+      fileDvs: Seq[(String, Long, String)] = Nil)
 
   /** One manifest FILE as written: either a full state (`deltaBase`
     * empty — the initial commit, a replace-all, or a checkpoint) or a
@@ -417,11 +433,15 @@ object SnapshotTable {
       val parts = l.split('\t')
       (parts(1), java.net.URLDecoder.decode(parts(2), "UTF-8"))
     }
+    val fileDvs = lines.filter(_.startsWith("#dv\t")).map { l =>
+      val parts = l.split('\t')
+      (parts(1), parts(2).toLong, parts(3))
+    }
     RawManifest(deltaBase, removed,
       Manifest(entries, schema, tabList("#statscols"), tabList("#clusterby"),
         fileStats, fileSizes, tabList("#partitionby"), tabList("#rowkey"),
         fileRows, tabList("#droppedphys"), tabList("#lookupcols"),
-        fileSketch, checks, tabList("#notnull")))
+        fileSketch, checks, tabList("#notnull"), fileDvs))
   }
 
   /** Fold one delta onto a base state. A key present in the delta's
@@ -457,7 +477,16 @@ object SnapshotTable {
       // like droppedPhys: restated by every commit that has any; a
       // delta from a pre-constraint writer inherits the base's list
       if (d.m.checks.nonEmpty) d.m.checks else base.checks,
-      if (d.m.notNullCols.nonEmpty) d.m.notNullCols else base.notNullCols)
+      if (d.m.notNullCols.nonEmpty) d.m.notNullCols else base.notNullCols,
+      // deletion vectors: a delta's dv line REPLACES the base's for the
+      // same file (the writer merged positions before committing);
+      // lines of retired directories die with them — a rewrite IS the
+      // fold of its partitions' deletions into real bytes
+      {
+        val replaced = d.m.fileDvs.map(_._1).toSet
+        base.fileDvs.filter(x => live(x._1) && !replaced(x._1)) ++
+          d.m.fileDvs
+      })
   }
 
   /** A version's checkpoint sidecar, parsed — None when absent OR
@@ -523,7 +552,8 @@ object SnapshotTable {
         s"#f\t${fs.relPath}\t${fs.column}\t${encStat(fs.min)}\t${encStat(fs.max)}") ++
       m.fileSizes.map { case (r, b) => s"#sz\t$r\t$b" } ++
       m.fileRows.map { case (r, n) => s"#n\t$r\t$n" } ++
-      m.fileSketch.map { case (r, c, b) => s"#b\t$r\t$c\t$b" }
+      m.fileSketch.map { case (r, c, b) => s"#b\t$r\t$c\t$b" } ++
+      m.fileDvs.map { case (r, n, b) => s"#dv\t$r\t$n\t$b" }
     (meta ++ m.entries.map { case (k, d) => s"$k\t$d" })
       .mkString("", "\n", "\n")
   }
@@ -881,6 +911,340 @@ object SnapshotTable {
     }
   }
 
+  // ---- deletion vectors (round 18) -----------------------------------
+  //
+  // A `#dv` manifest line is a per-file set of deleted ROW POSITIONS
+  // (parquet `_metadata.row_index` — the position of the row as the
+  // file was written, stable across reads and splits). The write side
+  // ([[deleteRowsWhere]]) commits O(deleted rows) bytes of manifest and
+  // touches no data file; the read side filters the positions back out
+  // with one broadcast anti-join keyed on (file identity, position).
+  // File identity is the file's LAST TWO path segments
+  // (`p<nanos>-<i>-<uuid>/<part file>`): the directory name is minted
+  // unique by every commit ([[commitRewrite]]'s move loop), so the key
+  // is collision-free across roots, clones, and URI renderings —
+  // which is what lets the read side match `_metadata.file_path`
+  // (a URI) against manifest relPaths (root-relative, or absolute on
+  // clones) without normalizing either.
+
+  /** The collision-free file identity both sides of the dv anti-join
+    * key on: last two path segments. */
+  private[lake] def dvKey(rel: String): String = {
+    val p = new Path(rel)
+    s"${p.getParent.getName}/${p.getName}"
+  }
+
+  /** Sorted row positions -> base64(delta-varint): strictly O(deleted
+    * rows) bytes — ~1-3 bytes per position for clustered deletes —
+    * which is the whole point of the merge-on-read commit. */
+  private[lake] def encodeDvPositions(sorted: Array[Long]): String = {
+    val bos = new java.io.ByteArrayOutputStream(sorted.length * 2 + 8)
+    var prev = -1L
+    sorted.foreach { p =>
+      require(p > prev, s"dv positions must be strictly ascending " +
+        s"non-negative, got $p after $prev")
+      var d = p - prev // >= 1
+      prev = p
+      while ((d & ~0x7fL) != 0) {
+        bos.write(((d & 0x7f) | 0x80).toInt); d >>>= 7
+      }
+      bos.write(d.toInt)
+    }
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  private[lake] def decodeDvPositions(b64: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val out = Array.newBuilder[Long]
+    var i = 0
+    var prev = -1L
+    while (i < bytes.length) {
+      var d = 0L; var shift = 0
+      var more = true
+      while (more) {
+        val b = bytes(i); i += 1
+        d |= (b & 0x7fL) << shift; shift += 7
+        more = (b & 0x80) != 0
+      }
+      prev += d
+      out += prev
+    }
+    out.result()
+  }
+
+  /** The dv lines under any of `relDirs` (matched on the line's parent
+    * directory — same derivation every per-file census uses). */
+  private def dvsUnder(
+      m: Manifest, relDirs: Seq[String]): Seq[(String, Long, String)] = {
+    if (m.fileDvs.isEmpty) return Nil
+    val dirs = relDirs.toSet
+    m.fileDvs.filter { case (rel, _, _) =>
+      val i = rel.lastIndexOf('/')
+      i > 0 && dirs.contains(rel.substring(0, i))
+    }
+  }
+
+  /** Filter the deleted positions back out of a frame read over files
+    * that include dv-carrying ones. `df` must still be the raw file
+    * scan (the parquet `_metadata` column resolvable — apply BEFORE
+    * any projection). ONE broadcast left-anti hash join sized
+    * O(deleted rows in scope), applied to the whole scan: clean files
+    * stream through the codegen'd join probe; there is no per-file
+    * plan fan-out, so a delete spread over 10k files costs one build
+    * side, not 10k union branches. */
+  private def applyDv(
+      spark: SparkSession, dvs: Seq[(String, Long, String)],
+      df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = Iterator.from(0).map {
+      case 0 => "__graft_dv"
+      case i => s"__graft_dv_$i"
+    }.find(b => !df.columns.exists(_.startsWith(b))).get
+    val kCol = s"${base}_key"; val pCol = s"${base}_pos"
+    val posRows = dvs.flatMap { case (rel, _, b64) =>
+      val k = dvKey(rel)
+      decodeDvPositions(b64).map(p =>
+        org.apache.spark.sql.Row(k, java.lang.Long.valueOf(p)))
+    }
+    val posDf = spark.createDataFrame(posRows.asJava, StructType(Seq(
+      StructField(kCol, org.apache.spark.sql.types.StringType,
+        nullable = false),
+      StructField(pCol, org.apache.spark.sql.types.LongType,
+        nullable = false))))
+    df.withColumn(kCol,
+        expr("substring_index(_metadata.file_path, '/', -2)"))
+      .withColumn(pCol, col("_metadata.row_index"))
+      .join(broadcast(posDf), Seq(kCol, pCol), "left_anti")
+      .drop(kCol, pCol)
+  }
+
+  /** Candidate files for [[deleteRowsWhere]]'s position scan: equality
+    * CONJUNCTS of the predicate prune through the per-file Bloom
+    * sketches (`#b`) and min/max stats (`#f`) — the one-row GDPR
+    * delete (`doc_id = k` on a declared lookup column) opens O(admitted
+    * files), not O(table). Purely conservative: a pruned file provably
+    * holds no matching row (sketches have no false negatives, stats
+    * only skip files whose range excludes the value); anything the
+    * machinery cannot parse keeps the file. */
+  private def dvCandidateFiles(
+      spark: SparkSession, m: Manifest, predicate: Column,
+      liveFiles: Seq[(String, Long)]): Seq[(String, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Cast, EqualTo, Expression, Literal => CLit}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // a Column is a ColumnNode wrapper on Spark 4 — the catalyst shape
+    // only exists after ANALYSIS, so resolve against an empty frame of
+    // the recorded schema (driver-side, no job) and read the Filter
+    // condition back out
+    val cond: Option[Expression] = m.schema.flatMap { sc =>
+      try spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          nullableCopy(sc))
+        .filter(predicate).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val eqs: Seq[(String, CLit)] = cond.toSeq.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, r) if r.foldable =>
+        (try Some(CLit.create(r.eval(null), r.dataType))
+         catch { case scala.util.control.NonFatal(_) => None })
+          .map(a.name -> _)
+      case EqualTo(r, a: AttributeReference) if r.foldable =>
+        (try Some(CLit.create(r.eval(null), r.dataType))
+         catch { case scala.util.control.NonFatal(_) => None })
+          .map(a.name -> _)
+      case _ => None
+    }
+    if (eqs.isEmpty) return liveFiles
+    val admits: Seq[String => Boolean] = eqs.flatMap { case (c, l) =>
+      sketchAdmitsLit(m, c, l)
+    }
+    val colMap = mappingOf(m.schema)
+    val byFileCol = m.fileStats
+      .map(s => (s.relPath, s.column) -> s).toMap
+    val statKeeps: Seq[String => Boolean] = eqs.flatMap { case (c, l) =>
+      m.schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+        .filter(_ => m.statsCols.contains(c) && l.value != null)
+        .flatMap { dt =>
+          val rendered =
+            try Option(Cast(l, org.apache.spark.sql.types.StringType,
+              Some("UTC")).eval(null)).map(_.toString)
+            catch { case scala.util.control.NonFatal(_) => None }
+          rendered.filterNot(nonFinite(dt, _)).map { v =>
+            val phys = colMap.getOrElse(c, c)
+            (rel: String) => byFileCol.get((rel, phys)) match {
+              case Some(FileStat(_, _, Some(mn), Some(mx))) =>
+                if (nonFinite(dt, mn) || nonFinite(dt, mx)) true
+                else cmp(dt, mx, v) >= 0 && cmp(dt, mn, v) <= 0
+              case Some(FileStat(_, _, None, None)) => false // all-NULL
+              case _ => true // partial/absent stats: never skip
+            }
+          }
+        }
+    }
+    val keeps = admits ++ statKeeps
+    if (keeps.isEmpty) liveFiles
+    else liveFiles.filter { case (rel, _) => keeps.forall(_(rel)) }
+  }
+
+  /** Merge-on-read row-level DELETE (round 18): mark the rows matching
+    * `predicate` deleted via per-file deletion vectors — the commit
+    * writes O(deleted rows) manifest bytes and NO data file, where
+    * [[deleteWhere]] rewrites every touched partition copy-on-write (a
+    * one-row GDPR delete in a 1 GB partition rewrote the gigabyte).
+    * Every row-materializing read path applies the vectors; metadata
+    * COUNTs subtract them; a rewrite of the partition (upsert,
+    * [[optimize]], overwrite) folds them into real bytes and retires
+    * the lines. Time travel to a pre-delete version still serves the
+    * rows — the dv is versioned state like everything else.
+    *
+    * Cost shape: ONE column-pruned scan of the live files to find
+    * matching positions (predicate pushdown applies; only the
+    * predicate's columns are read), then a pure-metadata OCC commit.
+    * A partition-column-only predicate delegates to [[deleteWhere]]'s
+    * manifest-only whole-partition drop — strictly better than a dv.
+    * SQL three-valued logic: a NULL predicate row is kept.
+    *
+    * Guards: refuses above `maxDeletedRows` matched positions (the
+    * position set is driver-held; a delete of half the table should be
+    * a copy-on-write [[deleteWhere]], which also writes the smaller
+    * artifact at that selectivity). Requires the recorded schema and
+    * full `#sz` census coverage (any modern commit provides both).
+    * Concurrency: a racer rewriting a dv'd file's partition between
+    * scan and commit invalidates the positions — detected (the file
+    * vanishes from the latest census) and retried from scratch via the
+    * standard conflict loop; racing dv commits on the SAME files merge
+    * position sets. Returns the new version (current version when
+    * nothing matched). */
+  def deleteRowsWhere(
+      spark: SparkSession, root: String, predicate: Column,
+      maxDeletedRows: Long = 10000000L): Int = withConflictRetry {
+    val base = manifestAt(spark, root, -1)
+    if (base.entries.isEmpty) return versions(spark, root).last
+    // partition-only predicate: the manifest-only wholesale drop is
+    // pure metadata AND removes the bytes — never spend a dv on it
+    if (partitionKeysMatching(spark, base, predicate).isDefined &&
+        base.partitionBy.nonEmpty)
+      return deleteWhere(spark, root, predicate, base.partitionBy)
+    val sc = base.schema.getOrElse(throw new IllegalArgumentException(
+      s"deleteRowsWhere on $root needs a recorded schema (manifest " +
+        "predates schema recording) — run any mutation first"))
+    val liveDirs = base.entries.map(_._2).toSet
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val liveFiles = base.fileSizes.filter(s => liveDirs(dirOf(s._1)))
+    require(liveDirs.forall(d => liveFiles.exists(s => dirOf(s._1) == d)),
+      s"deleteRowsWhere on $root needs full byte-census coverage " +
+        "(#sz) of the live directories; compact pre-census vintages " +
+        "with optimize() first")
+    val relByKey: Map[String, String] =
+      liveFiles.map(s => dvKey(s._1) -> s._1).toMap
+    // find matching (file, position): one column-pruned, pushdown-
+    // eligible scan — over ONLY the files the predicate's equality
+    // conjuncts admit through sketches/stats (the one-row GDPR delete
+    // opens a handful of files at any table size). Rows already
+    // dv-deleted are filtered out first so re-matching them cannot
+    // inflate the collected set.
+    val candidates = dvCandidateFiles(spark, base, predicate, liveFiles)
+    if (candidates.isEmpty) return versions(spark, root).last
+    val files = candidates.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val scan0 = org.apache.spark.sql.graft.ManifestScan.parquet(
+      spark, nullableCopy(physicalSchema(sc)), files)
+    val kBase = Iterator.from(0).map {
+      case 0 => "__graft_dv"
+      case i => s"__graft_dv_$i"
+    }.find(b => !scan0.columns.exists(_.startsWith(b))).get
+    val kCol = s"${kBase}_key"; val pCol = s"${kBase}_pos"
+    val withPos = scan0
+      .withColumn(kCol,
+        expr("substring_index(_metadata.file_path, '/', -2)"))
+      .withColumn(pCol, col("_metadata.row_index"))
+    val existingByRel: Map[String, Array[Long]] =
+      base.fileDvs.map(d => d._1 -> decodeDvPositions(d._3)).toMap
+    val alreadyDeleted = dvsUnder(base, liveDirs.toSeq)
+    val visible =
+      if (alreadyDeleted.isEmpty) withPos
+      else applyDv(spark, alreadyDeleted, withPos)
+    val logical = visible.select((sc.fields.map(f =>
+      col(physicalName(f)).as(f.name)) ++ Seq(col(kCol), col(pCol)))
+      .toSeq: _*)
+    val matched = logical
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(kCol), col(pCol))
+      .limit((maxDeletedRows + 1).min(Int.MaxValue).toInt)
+      .collect()
+    require(matched.length <= maxDeletedRows,
+      s"deleteRowsWhere matched more than $maxDeletedRows rows under " +
+        s"$root — at this selectivity a copy-on-write deleteWhere " +
+        "writes the smaller artifact; use it (or raise maxDeletedRows)")
+    if (matched.isEmpty) return versions(spark, root).last
+    val newByRel: Map[String, Array[Long]] = matched
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        relByKey.getOrElse(k, throw new IllegalStateException(
+          s"matched file $k is not in the live census of $root")) ->
+          rows.map(_.getLong(1)).sorted
+      }
+    // positions are computed against IMMUTABLE files, so merging with
+    // any later dv state of the same files stays valid; the only
+    // conflict is the file's partition being rewritten under us
+    var raceRetries = 0
+    while (true) {
+      val latestV = versions(spark, root).last
+      val latest = readManifest(spark, root, latestV)
+      val latestLiveDirs = latest.entries.map(_._2).toSet
+      val latestLive = latest.fileSizes
+        .filter(s => latestLiveDirs(dirOf(s._1))).map(_._1).toSet
+      if (!newByRel.keys.forall(latestLive))
+        throw new ConcurrentWriteException(
+          s"concurrent commit rewrote a partition holding rows this " +
+            s"delete matched under $root; re-scan required")
+      val latestDvByRel = latest.fileDvs.map(d => d._1 -> d).toMap
+      val changed: Seq[(String, Long, String)] = newByRel.toSeq
+        .sortBy(_._1).flatMap { case (rel, pos) =>
+          val prior = latestDvByRel.get(rel)
+            .map(d => decodeDvPositions(d._3)).getOrElse(Array.empty[Long])
+          val merged = (prior ++ pos).distinct.sorted
+          if (merged.length == prior.length) None
+          else Some((rel, merged.length.toLong, encodeDvPositions(merged)))
+        }
+      if (changed.isEmpty) return latestV
+      val v = latestV + 1
+      val payload = latest.copy(entries = Nil, fileStats = Nil,
+        fileSizes = Nil, fileRows = Nil, fileSketch = Nil,
+        fileDvs = changed)
+      try {
+        commitManifest(spark, root, v, payload, Some(latestV), Nil)
+        if (v % CheckpointEvery == 0) {
+          val changedRels = changed.map(_._1).toSet
+          writeCheckpoint(spark, root, v, latest.copy(fileDvs =
+            latest.fileDvs.filterNot(d => changedRels(d._1)) ++ changed))
+        }
+        return v
+      } catch {
+        case e: CommitRaceException =>
+          raceRetries += 1
+          if (raceRetries > 8) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The live deleted-row count of a version — what metadata COUNTs
+    * subtract and DESCRIBE DETAIL reports. */
+  def deletedRowCount(
+      spark: SparkSession, root: String, version: Int = -1): Long = {
+    val m = manifestAt(spark, root, version)
+    dvsUnder(m, m.entries.map(_._2)).map(_._2).sum
+  }
+
   /** The census-driven keep-set — (absolute path, byte size) pairs so
     * [[readFiles]] can plan without re-listing: files of stats-covered
     * directories filter through `fileOk` with no listing and no footer
@@ -941,7 +1305,8 @@ object SnapshotTable {
     * object stores each is a billable round-trip). */
   private def readDirs(
       spark: SparkSession, root: String, m: Manifest,
-      relDirs: Seq[String]): DataFrame =
+      relDirs: Seq[String]): DataFrame = {
+    val dvs = dvsUnder(m, relDirs)
     m.schema match {
       case Some(sc) =>
         val files = dirFiles(spark, root, m, relDirs)
@@ -951,17 +1316,22 @@ object SnapshotTable {
         else {
           // read under PHYSICAL names (what the files carry), then
           // re-label to the logical schema — the whole cost of column
-          // mapping on the read path is this zero-copy projection
-          val df = org.apache.spark.sql.graft.ManifestScan.parquet(
+          // mapping on the read path is this zero-copy projection.
+          // Deletion vectors apply on the RAW scan (the `_metadata`
+          // identity is only resolvable there), before the re-label.
+          val df0 = org.apache.spark.sql.graft.ManifestScan.parquet(
             spark, nullableCopy(physicalSchema(sc)), files)
+          val df = if (dvs.isEmpty) df0 else applyDv(spark, dvs, df0)
           if (mappingOf(Some(sc)).isEmpty) df
           else df.select(sc.fields.map(f =>
             col(physicalName(f)).as(f.name)).toSeq: _*)
         }
       case None =>
-        spark.read.option("mergeSchema", "true").parquet(
+        val df0 = spark.read.option("mergeSchema", "true").parquet(
           relDirs.map(d => new Path(root, d).toString): _*)
+        if (dvs.isEmpty) df0 else applyDv(spark, dvs, df0)
     }
+  }
 
   // ---- column mapping (round 16: RENAME / DROP COLUMN) ---------------
   //
@@ -1135,22 +1505,33 @@ object SnapshotTable {
 
   private def readFiles(
       spark: SparkSession, m: Manifest,
-      files: Seq[(String, Long)]): DataFrame =
+      files: Seq[(String, Long)]): DataFrame = {
+    // dv lines for the KEPT files only (stats pruning may have skipped
+    // dv-carrying siblings): match on the collision-free file identity
+    val dvs =
+      if (m.fileDvs.isEmpty) Nil
+      else {
+        val keptKeys = files.map(f => dvKey(f._1)).toSet
+        m.fileDvs.filter(d => keptKeys(dvKey(d._1)))
+      }
     m.schema match {
       case Some(sc) =>
         // read as NULLABLE regardless of the recorded flags: the
         // recorded non-nullability is a write-side CONTRACT (enforced
         // on every commit), but the scan must never let codegen elide
         // null checks on bytes it did not write (round 17)
-        val df = org.apache.spark.sql.graft.ManifestScan.parquet(
+        val df0 = org.apache.spark.sql.graft.ManifestScan.parquet(
           spark, nullableCopy(physicalSchema(sc)), files)
+        val df = if (dvs.isEmpty) df0 else applyDv(spark, dvs, df0)
         if (mappingOf(Some(sc)).isEmpty) df
         else df.select(sc.fields.map(f =>
           col(physicalName(f)).as(f.name)).toSeq: _*)
       case None =>
-        spark.read.option("mergeSchema", "true").parquet(
+        val df0 = spark.read.option("mergeSchema", "true").parquet(
           files.map(_._1): _*)
+        if (dvs.isEmpty) df0 else applyDv(spark, dvs, df0)
     }
+  }
 
   /** Type-aware order over the cast-to-string stat renderings.
     * Numerics parse back (BigDecimal handles both "42" and "1.0E10");
@@ -1401,8 +1782,14 @@ object SnapshotTable {
       spark: SparkSession, root: String, m: Manifest,
       relDirs: Seq[String]): DataFrame =
     if (mappingOf(m.schema).nonEmpty) readDirs(spark, root, m, relDirs)
-    else spark.read.option("mergeSchema", "true").parquet(
-      relDirs.map(d => new Path(root, d).toString): _*)
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(
+        relDirs.map(d => new Path(root, d).toString): _*)
+      // a rewrite that read dv-deleted rows back in would RESURRECT
+      // them in the rewritten partition — the vectors apply here too
+      val dvs = dvsUnder(m, relDirs)
+      if (dvs.isEmpty) df else applyDv(spark, dvs, df)
+    }
 
   /** Retry a whole read-merge-stage-commit attempt when a CONCURRENT
     * commit invalidated its merge (overlapping touched partitions):
@@ -1510,9 +1897,12 @@ object SnapshotTable {
     // the file list), so size is always summable; rows only when #n
     // covers the same set
     val sizeBytes: Any = java.lang.Long.valueOf(liveSizes.map(_._2).sum)
+    // live rows = physical footer counts minus dv-deleted positions
+    val liveDvs = m.fileDvs.filter(d => liveDirs(dirOf(d._1)))
     val numRows: Any =
       if (liveRows.map(_._1).toSet == liveSizes.map(_._1).toSet)
-        java.lang.Long.valueOf(liveRows.map(_._2).sum)
+        java.lang.Long.valueOf(
+          liveRows.map(_._2).sum - liveDvs.map(_._2).sum)
       else null
     val notNull = m.notNullCols
     val mtime = fs(spark, root)
@@ -1543,6 +1933,91 @@ object SnapshotTable {
   def notNullColumns(
       spark: SparkSession, root: String, version: Int = -1): Seq[String] =
     manifestAt(spark, root, version).notNullCols
+
+  // ---- constraint adoption on existing tables (round 18, verdict
+  // item 3) — the Delta semantics: validate EXISTING data with ONE
+  // scan at declaration (refuse with the violating count if dirty),
+  // then a metadata-only commit; DROP is pure metadata. Constraints
+  // are versioned manifest state, so time travel to pre-adoption
+  // versions is untouched, and every later data commit enforces the
+  // adopted contract inside its staging write like a CREATE-declared
+  // one. Concurrency: the validation scan and the metadata commit are
+  // not one atomic unit — a batch racing the adoption was admitted
+  // under the OLD contract (the posture Delta shares); the next
+  // violating batch refuses.
+
+  /** Adopt a CHECK constraint on an existing table. One full scan
+    * counts rows where the condition `IS FALSE` (SQL three-valued
+    * semantics — NULL passes, matching the write-side enforcement);
+    * any violation refuses with the count and commits NOTHING. */
+  def addCheckConstraint(
+      spark: SparkSession, root: String, name: String,
+      conditionSql: String): Int = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier")
+    val parsed = spark.sessionState.sqlParser.parseExpression(conditionSql)
+    val cols = tableColumns(spark, root,
+      manifestAt(spark, root, -1).entries,
+      manifestAt(spark, root, -1).schema)
+    parsed.references.foreach(a => require(
+      cols.exists(_.equalsIgnoreCase(a.name)),
+      s"CHECK constraint '$name' references unknown column '${a.name}' " +
+        s"of $root (columns: ${cols.mkString(", ")})"))
+    val violating = read(spark, root)
+      .filter(not(expr(conditionSql)) <=> lit(true)).count()
+    require(violating == 0L,
+      s"cannot adopt CHECK constraint '$name' ($conditionSql) on " +
+        s"$root: $violating existing row(s) violate it — nothing " +
+        "committed; clean the data first")
+    commitMetadata(spark, root) { m =>
+      require(!m.checks.exists(_._1.equalsIgnoreCase(name)),
+        s"table $root already has a constraint named '$name'")
+      m.copy(checks = m.checks :+ (name, conditionSql))
+    }
+  }
+
+  /** Drop a CHECK constraint — pure metadata, loud on unknown names. */
+  def dropCheckConstraint(
+      spark: SparkSession, root: String, name: String): Int =
+    commitMetadata(spark, root) { m =>
+      require(m.checks.exists(_._1.equalsIgnoreCase(name)),
+        s"table $root has no constraint named '$name' " +
+          s"(constraints: ${m.checks.map(_._1).mkString(", ") match {
+            case "" => "none"; case s => s }})")
+      m.copy(checks = m.checks.filterNot(_._1.equalsIgnoreCase(name)))
+    }
+
+  /** Adopt NOT NULL on an existing column: one scan counts NULLs,
+    * any hit refuses with the count and commits nothing. */
+  def setNotNull(
+      spark: SparkSession, root: String, column: String): Int = {
+    val m0 = manifestAt(spark, root, -1)
+    val cols = tableColumns(spark, root, m0.entries, m0.schema)
+    val actual = cols.find(_.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot adopt NOT NULL: table $root has no column '$column' " +
+          s"(columns: ${cols.mkString(", ")})"))
+    val nulls = read(spark, root).filter(col(actual).isNull).count()
+    require(nulls == 0L,
+      s"cannot adopt NOT NULL on $root.$actual: $nulls existing " +
+        "NULL row(s) — nothing committed; clean the data first")
+    commitMetadata(spark, root) { m =>
+      if (m.notNullCols.exists(_.equalsIgnoreCase(actual))) m
+      else m.copy(notNullCols = m.notNullCols :+ actual)
+    }
+  }
+
+  /** Drop a NOT NULL declaration — pure metadata, loud when absent. */
+  def dropNotNull(
+      spark: SparkSession, root: String, column: String): Int =
+    commitMetadata(spark, root) { m =>
+      require(m.notNullCols.exists(_.equalsIgnoreCase(column)),
+        s"table $root has no NOT NULL declaration on '$column' " +
+          s"(declared: ${m.notNullCols.mkString(", ") match {
+            case "" => "none"; case s => s }})")
+      m.copy(notNullCols =
+        m.notNullCols.filterNot(_.equalsIgnoreCase(column)))
+    }
 
   /** The table's recorded ROW KEY column (manifest `#rowkey`) — written
     * by every keyed mutation ([[upsert]]/[[applyChanges]]) and by
@@ -1817,7 +2292,7 @@ object SnapshotTable {
       try {
         commitManifest(spark, root, v,
           next.copy(entries = Nil, fileStats = Nil, fileSizes = Nil,
-            fileRows = Nil, fileSketch = Nil),
+            fileRows = Nil, fileSketch = Nil, fileDvs = Nil),
           Some(latestV), Nil)
         if (v % CheckpointEvery == 0) writeCheckpoint(spark, root, v, next)
         return v
@@ -2502,7 +2977,11 @@ object SnapshotTable {
               .filter(s => carried(s._1)) ++ newRowCounts,
             latestM.map(_.droppedPhys).getOrElse(Nil), lookupCols,
             latestM.map(_.fileSketch).getOrElse(Nil)
-              .filter(s => carried(s._1)) ++ newSketches, checks, notNull))
+              .filter(s => carried(s._1)) ++ newSketches, checks, notNull,
+            // dv lines of untouched directories carry; touched dirs'
+            // deletions just got folded into the rewritten bytes
+            latestM.map(_.fileDvs).getOrElse(Nil)
+              .filter(s => carried(s._1))))
         }
         return v
       } catch {
@@ -2590,7 +3069,8 @@ object SnapshotTable {
       fileStats = m.fileStats.map(s0 => s0.copy(relPath = absFile(s0.relPath))),
       fileSizes = m.fileSizes.map { case (r, b) => (absFile(r), b) },
       fileRows = m.fileRows.map { case (r, n) => (absFile(r), n) },
-      fileSketch = m.fileSketch.map { case (r, c, b) => (absFile(r), c, b) })
+      fileSketch = m.fileSketch.map { case (r, c, b) => (absFile(r), c, b) },
+      fileDvs = m.fileDvs.map { case (r, n, b) => (absFile(r), n, b) })
     val v = commitManifest(spark, targetRoot, 1, m2, None, Nil)
     val tgtAbs = fs(spark, targetRoot)
       .makeQualified(new Path(targetRoot)).toString
@@ -2797,6 +3277,12 @@ object SnapshotTable {
       val sizesByDir: Map[String, Seq[Long]] = base.fileSizes
         .groupBy(s => s._1.take(s._1.lastIndexOf('/')))
         .map { case (d, ss) => d -> ss.map(_._2) }
+      // dv-carrying directories are ALWAYS candidates: compaction is
+      // what folds their deletion vectors into real bytes and retires
+      // the `#dv` lines (the read-side anti-join stops paying rent)
+      val dvDirs: Map[String, Long] = base.fileDvs
+        .groupBy(d => d._1.take(d._1.lastIndexOf('/')))
+        .map { case (d, dvs) => d -> dvs.map(_._2).sum }
       val cands = base.entries.flatMap { case (k, d) =>
         val sizes: Seq[Long] = sizesByDir.getOrElse(d,
           f.listStatus(new Path(root, d)).toSeq
@@ -2808,11 +3294,15 @@ object SnapshotTable {
           val bytes = sizes.sum
           val target =
             math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-          if (sizes.size > target) Some((k, d, target, sizes.size))
+          if (sizes.size > target || dvDirs.contains(d))
+            Some((k, d, target, sizes.size))
           else None
         }
-      }.sortBy { case (_, _, target, n) => -(n - target) }
-        .take(maxPartitions)
+      }.sortBy { case (_, d, target, n) =>
+        // most over-fragmented first; dv-carrying dirs outrank pure
+        // fragmentation at equal excess (they also carry read-side cost)
+        (-(n - target), -dvDirs.getOrElse(d, 0L))
+      }.take(maxPartitions)
       if (cands.isEmpty) versions(spark, root).last
       else {
         val clusterCols = base.clusterBy

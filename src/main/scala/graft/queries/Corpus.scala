@@ -1149,6 +1149,82 @@ object Corpus {
              CAST(SUM(n_chars) AS BIGINT) AS total_chars_base
       FROM cut GROUP BY source ORDER BY source"""))
 
+  /** The deletion-vector gate (round-18 verdict item 1): merge-on-read
+    * row-level deletes ([[graft.lake.SnapshotTable.deleteRowsWhere]] —
+    * `#dv` manifest lines, O(deleted rows) commit bytes, no partition
+    * rewrite; `DvSpec` pins the cost claims destructively). This row
+    * gates the READ side arithmetic against DuckDB: two data-predicate
+    * deletes land as deletion vectors, and the oracle reconstructs the
+    * surviving row set with plain SQL `WHERE NOT p1 AND NOT p2`. The
+    * result frame deliberately crosses THREE dv-aware read paths that
+    * must agree: a metadata-only `COUNT(*) GROUP BY partition` (the
+    * manifest answers, dv counts subtracted — [[graft.lake
+    * .MetadataAggregate]]), a data-column-filtered SQL scan (the DSv2
+    * relation rewritten by [[graft.lake.DvApply]]'s anti-join), and a
+    * `VERSION AS OF 1` time-travel count proving the pre-delete rows
+    * still serve. Deterministic + idempotent: the initial write is
+    * version-guarded and re-running a delete whose rows are already
+    * deleted commits nothing. */
+  private[queries] def dvDeleteRoot(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.lake.{LakeCatalog, SnapshotTable}
+    val root = graft.core.IndexRoot.of(dir, "documents.parquet",
+      "graft_dv_docs_v1")
+    LakeCatalog.install(spark)
+    if (SnapshotTable.versions(spark, root).isEmpty)
+      SnapshotTable.write(spark, root,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("source")),
+        Seq("source"), statsFor = Seq("n_chars"),
+        lookupFor = Seq("doc_id"))
+    LakeCatalog.register(spark, "dv_docs", root)
+    SnapshotTable.deleteRowsWhere(spark, root,
+      col("doc_id") % 23 === 0 && col("lang") === "en")
+    SnapshotTable.deleteRowsWhere(spark, root, col("n_chars") % 31 === 0)
+    root
+  }
+
+  private[queries] def dvDelete(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val root = dvDeleteRoot(spark, dir)
+    // metadata-only count: no data-column reference, the manifest
+    // answers with the dv counts subtracted
+    val meta = spark.sql("""
+      SELECT source, count(*) AS n_docs
+      FROM lake.dv_docs GROUP BY source""")
+    // data-column filter forces the scan path (DvApply's anti-join)
+    val scan = spark.sql("""
+      SELECT source, count(*) AS n_docs_scan,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM lake.dv_docs WHERE doc_id IS NOT NULL GROUP BY source""")
+    val v1 = graft.lake.SnapshotTable.read(spark, root, 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_v1"))
+    meta.join(scan, Seq("source")).join(v1, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_docs_scan"),
+        col("total_chars"), col("n_docs_v1"))
+      .orderBy(col("source"))
+  }
+
+  val t57_dv_delete = Q(
+    "t57_dv_delete",
+    (s, dir) => dvDelete(s, dir),
+    Some("""
+      WITH live AS (
+        SELECT doc_id, lang, n_chars, source FROM documents
+        WHERE NOT (doc_id % 23 = 0 AND lang = 'en')
+          AND NOT (n_chars % 31 = 0)),
+      base AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_v1
+        FROM documents GROUP BY source)
+      SELECT l.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_scan,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             ANY_VALUE(n_docs_v1) AS n_docs_v1
+      FROM live l JOIN base b ON l.source = b.source
+      GROUP BY l.source ORDER BY l.source"""))
+
   /** Pairwise agreement matrix of the three document-quality filters
     * the funnel could gate on: t02's continuous score at the Curate
     * default threshold (0.5), t29's Gopher composite, and a
@@ -1725,5 +1801,5 @@ object Corpus {
       t42_bpe_encode_ranks, t43_incremental_mv, t44_snapshot_optimize,
       t45_incremental_mv_minmax, t48_lake_sql, t49_mv_distinct,
       t51_change_feed, t52_sql_merge, t53_meta_agg, t54_sql_ddl,
-      t55_sql_constraints, t56_lane_read)
+      t55_sql_constraints, t56_lane_read, t57_dv_delete)
 }

@@ -28,6 +28,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => graft.lake.LakeDml)
     e.injectOptimizerRule(_ => graft.lake.MetadataAggregate)
+    // AFTER MetadataAggregate: a metadata-answerable COUNT over a
+    // dv-carrying table should still answer from the manifest (dv
+    // counts subtracted there) before DvApply materializes a scan
+    e.injectOptimizerRule(_ => graft.lake.DvApply)
     e.injectParser((session, delegate) =>
       new GraftSqlParser(session, delegate))
     new graft.functions.GraftFunctions.Installer()(e)

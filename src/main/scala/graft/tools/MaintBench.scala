@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   *                         required manifest-only) vs executed as a
   *                         data scan — the manifest row should stay
   *                         decade-flat while the scan grows
+  *  - `dv_delete_1row`/`cow_delete_1row` (round 18) one-row delete by
+  *                         doc_id equality: merge-on-read deletion
+  *                         vector (sketch-pruned position scan +
+  *                         O(deleted rows) commit; should stay
+  *                         decade-flat) vs the copy-on-write rewrite
+  *                         of the touched partition (grows with it)
   *
   * Usage: graft.tools.MaintBench <sfDir> [<sfDir> ...]
   */
@@ -254,6 +260,23 @@ object MaintBench {
       scanOnce() // warm
       val pointScanS = med3 { scanOnce() }
 
+      // --- merge-on-read vs copy-on-write one-row delete (round 18) --
+      // the GDPR shape: delete one row by doc_id equality. The dv
+      // delete's position scan opens only sketch-admitted files and
+      // its commit writes O(deleted rows) manifest bytes, so the row
+      // should stay decade-flat; the copy-on-write twin re-reads and
+      // rewrites the whole touched partition and grows with it.
+      // Distinct existing keys per iteration so every run really
+      // deletes (a no-match delete commits nothing).
+      val dvDelS = (1 to 3).map { i =>
+        time { SnapshotTable.deleteRowsWhere(spark, lkRoot,
+          col("doc_id") === (probeKey - i)) }._1
+      }.sorted.apply(1)
+      val cowDelS = (1 to 3).map { i =>
+        time { SnapshotTable.deleteWhere(spark, lkRoot,
+          col("doc_id") === (probeKey + i), Seq("source")) }._1
+      }.sorted.apply(1)
+
       def f(v: Double) =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       println(
@@ -266,6 +289,8 @@ object MaintBench {
         s""""optimize_plan":${f(optPlanS)},""" +
         s""""meta_agg":${f(metaAggS)},"scan_agg":${f(scanAggS)},""" +
         s""""point_lookup":${f(pointS)},"point_scan":${f(pointScanS)},""" +
+        s""""dv_delete_1row":${f(dvDelS)},""" +
+        s""""cow_delete_1row":${f(cowDelS)},""" +
         s""""ann_imbalance_probe":${f(annImbalS)},""" +
         s""""ann_imbalance":${f(annImbal)},""" +
         s""""ann_recluster":${f(annReclusterS)},""" +
