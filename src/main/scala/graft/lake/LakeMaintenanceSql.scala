@@ -221,6 +221,54 @@ final case class DescribeDetailCommand(table: String)
   }
 }
 
+/** `ALTER TABLE lake.t ADD CONSTRAINT name CHECK (expr)` /
+  * `ALTER TABLE lake.t DROP CONSTRAINT name` /
+  * `ALTER TABLE lake.t ALTER COLUMN c SET NOT NULL` /
+  * `ALTER TABLE lake.t ALTER COLUMN c DROP NOT NULL` — constraint
+  * adoption on EXISTING tables (round 18; constraints were previously
+  * declarable only at CREATE). The Delta semantics: ADD validates
+  * existing data with ONE scan and refuses with the violating count if
+  * dirty; DROP is pure metadata; both land as metadata-only OCC
+  * commits ([[SnapshotTable.addCheckConstraint]] and friends). A
+  * `@vN`-pinned binding refuses — historical states are immutable. */
+final case class AlterConstraintCommand(
+    table: String, action: AlterConstraintCommand.Action)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import AlterConstraintCommand._
+    val (root, pin) = LakeCatalog.resolveBinding(spark, table)
+    if (pin.nonEmpty) throw new UnsupportedOperationException(
+      s"ALTER TABLE $table: the binding pins @v${pin.get} — " +
+        "historical states are immutable; rebind to latest to alter")
+    if (!SnapshotTable.isTableRoot(spark, root))
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE $table: the binding is a flat snapshot layer " +
+          "(no table contract to alter)")
+    val v = action match {
+      case AddCheck(name, sql) =>
+        SnapshotTable.addCheckConstraint(spark, root, name, sql)
+      case DropCheck(name) =>
+        SnapshotTable.dropCheckConstraint(spark, root, name)
+      case SetNotNull(c) => SnapshotTable.setNotNull(spark, root, c)
+      case DropNotNull(c) => SnapshotTable.dropNotNull(spark, root, c)
+    }
+    Seq(Row(v))
+  }
+}
+
+object AlterConstraintCommand {
+  sealed trait Action
+  final case class AddCheck(name: String, conditionSql: String)
+    extends Action
+  final case class DropCheck(name: String) extends Action
+  final case class SetNotNull(column: String) extends Action
+  final case class DropNotNull(column: String) extends Action
+}
+
 /** `CREATE TABLE t2 SHALLOW CLONE lake.t [VERSION AS OF n]
   * [LOCATION 'path']` — zero-copy table branching
   * ([[SnapshotTable.shallowClone]]): ONE metadata commit whose v1

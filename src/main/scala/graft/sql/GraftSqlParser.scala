@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *                                         → [[graft.lake.SnapshotTable.restore]]
   *   DESCRIBE DETAIL <table>               → [[graft.lake.DescribeDetailCommand]]
   *   SHOW CREATE TABLE <table>             → [[graft.lake.ShowCreateLakeTableCommand]]
+  *   ALTER TABLE <t> ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
+  *   ALTER TABLE <t> ALTER COLUMN c SET / DROP NOT NULL
+  *                                         → [[graft.lake.AlterConstraintCommand]]
   *
   * Only statements matching these exact shapes are intercepted (one
   * anchored, case-insensitive match on the raw text); EVERYTHING else
@@ -57,6 +60,20 @@ class GraftSqlParser(
     """(?is)\s*REVOKE\s+ALL\s+ON\s+([\w.]+)\s+FROM\s+ROLE\s+(\w+)\s*;?\s*""".r
   private val ShowGrants =
     """(?is)\s*SHOW\s+GRANTS\s+ON\s+([\w.]+)\s*;?\s*""".r
+  // constraint adoption on existing tables (round 18) — these collide
+  // with real Spark ALTER TABLE grammar, so they intercept only when
+  // the name resolves as a lake binding (isLakeBinding guard below)
+  private val AddConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)""" +
+      """\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val SetNotNull =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)""" +
+      """\s+SET\s+NOT\s+NULL\s*;?\s*""").r
+  private val DropNotNull =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)""" +
+      """\s+DROP\s+NOT\s+NULL\s*;?\s*""").r
 
   private def csv(s: String): Seq[String] =
     Option(s).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
@@ -122,6 +139,18 @@ class GraftSqlParser(
     case Clone(target, src, v, loc) if isOurMaintenance(src) =>
       graft.lake.ShallowCloneCommand(target, src,
         Option(v).map(_.toInt), Option(loc))
+    case AddConstraint(t, nm, cond) if isLakeBinding(t) =>
+      graft.lake.AlterConstraintCommand(t,
+        graft.lake.AlterConstraintCommand.AddCheck(nm, cond.trim))
+    case DropConstraint(t, nm) if isLakeBinding(t) =>
+      graft.lake.AlterConstraintCommand(t,
+        graft.lake.AlterConstraintCommand.DropCheck(nm))
+    case SetNotNull(t, c) if isLakeBinding(t) =>
+      graft.lake.AlterConstraintCommand(t,
+        graft.lake.AlterConstraintCommand.SetNotNull(c))
+    case DropNotNull(t, c) if isLakeBinding(t) =>
+      graft.lake.AlterConstraintCommand(t,
+        graft.lake.AlterConstraintCommand.DropNotNull(c))
     case Grant(cols, t, role, mask, filter) =>
       graft.security.GrantRoleCommand(t, role,
         Option(cols).map(csv).filter(_.nonEmpty),

@@ -334,6 +334,72 @@ class LakeDdlSpec extends SparkSpec {
 
   // ---- SHOW CREATE TABLE / DESCRIBE DETAIL (round-16 verdict item 4) --
 
+  test("ALTER TABLE adopts constraints on existing tables (round 18)") {
+    val (name, root) = fresh()
+    spark.sql(s"""
+      CREATE TABLE lake.$name (k BIGINT, v BIGINT, src STRING)
+      PARTITIONED BY (src) LOCATION '$root'""")
+    spark.sql(s"INSERT INTO lake.$name VALUES " +
+      "(1, 10, 's0'), (2, NULL, 's0'), (3, -7, 's1')")
+    val vSeeded = SnapshotTable.latest(spark, root).get
+
+    // adopting NOT NULL on a column WITH a NULL refuses with the count
+    // and commits NOTHING
+    val e1 = intercept[Exception] { spark.sql(
+      s"ALTER TABLE lake.$name ALTER COLUMN v SET NOT NULL") }
+    assert(e1.getMessage.contains("1 existing NULL row"),
+      s"wrong refusal: ${e1.getMessage}")
+    assert(SnapshotTable.latest(spark, root).contains(vSeeded),
+      "refused adoption committed a version")
+    // same for a CHECK the data violates
+    val e2 = intercept[Exception] { spark.sql(
+      s"ALTER TABLE lake.$name ADD CONSTRAINT v_nonneg CHECK (v >= 0)") }
+    assert(e2.getMessage.contains("1 existing row(s) violate"),
+      s"wrong refusal: ${e2.getMessage}")
+    assert(SnapshotTable.latest(spark, root).contains(vSeeded))
+    // unknown column refuses at declaration
+    val e3 = intercept[Exception] { spark.sql(
+      s"ALTER TABLE lake.$name ADD CONSTRAINT bad CHECK (nope > 0)") }
+    assert(e3.getMessage.contains("unknown column 'nope'"))
+
+    // after cleanup both adopt (metadata-only commits)
+    spark.sql(s"DELETE FROM lake.$name WHERE v IS NULL OR v < 0")
+    spark.sql(s"ALTER TABLE lake.$name ALTER COLUMN v SET NOT NULL")
+    spark.sql(s"ALTER TABLE lake.$name ADD CONSTRAINT v_nonneg " +
+      "CHECK (v >= 0)")
+    assert(SnapshotTable.notNullColumns(spark, root) == Seq("v"))
+    assert(SnapshotTable.checkConstraints(spark, root) ==
+      Seq(("v_nonneg", "v >= 0")))
+
+    // a subsequent violating INSERT refuses; a clean one lands
+    intercept[Exception] { spark.sql(
+      s"INSERT INTO lake.$name VALUES (9, NULL, 's0')") }
+    intercept[Exception] { spark.sql(
+      s"INSERT INTO lake.$name VALUES (9, -1, 's0')") }
+    spark.sql(s"INSERT INTO lake.$name VALUES (9, 1, 's0')")
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name")
+      .collect()(0).getLong(0) == 2L)
+
+    // time travel to pre-adoption versions is unaffected: the seeded
+    // snapshot still serves its NULL and negative rows
+    val old = spark.sql(
+      s"SELECT v FROM lake.$name VERSION AS OF $vSeeded ORDER BY k")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(old.toSeq == Seq(10L, null, -7L))
+
+    // duplicate adoption refuses; DROP is pure metadata and loud on
+    // unknown names; after DROP the violating INSERT lands
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE lake.$name ADD CONSTRAINT v_nonneg CHECK (v > 5)") }
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE lake.$name DROP CONSTRAINT no_such") }
+    spark.sql(s"ALTER TABLE lake.$name DROP CONSTRAINT v_nonneg")
+    spark.sql(s"ALTER TABLE lake.$name ALTER COLUMN v DROP NOT NULL")
+    spark.sql(s"INSERT INTO lake.$name VALUES (10, NULL, 's0')")
+    assert(spark.sql(s"SELECT count(*) FROM lake.$name")
+      .collect()(0).getLong(0) == 3L)
+  }
+
   test("SHOW CREATE TABLE round-trips the full contract") {
     val (name, root) = fresh()
     spark.sql(s"""

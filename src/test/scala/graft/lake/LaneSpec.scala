@@ -96,6 +96,60 @@ class LaneSpec extends SparkSpec {
       "the retained cut must survive the lane vacuum")
   }
 
+  test("lane SQL bindings: one consistent cut across lake.* reads " +
+      "(round 18)") {
+    val (base, derived, lane) = freshLane()
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "lane_base", base)
+    LakeCatalog.register(spark, "lane_drv", derived)
+    // base moves on (a mid-drain commit); derived and lane do NOT
+    SnapshotTable.upsert(spark, base,
+      Seq(("0", 500L, 9L)).toDF("src", "k", "v"), "k", Seq("src"))
+    def agreement(): (Long, Long) = {
+      val r = spark.sql("""
+        SELECT sum(d.n_rows) AS drv_n, count(*) AS base_n FROM (
+          SELECT src, count(*) AS c FROM lake.lane_base GROUP BY src) b
+        JOIN lake.lane_drv d ON b.src = d.src""").collect()(0)
+      (r.getLong(0), spark.sql("SELECT count(*) FROM lake.lane_base")
+        .collect()(0).getLong(0))
+    }
+    // WITHOUT the lane binding: latest reads disagree with the derived
+    // table (exactly the skew lanes exist to remove)
+    val (drvN0, baseN0) = agreement()
+    assert(drvN0 == 40L && baseN0 == 41L,
+      s"fixture must start skewed, got derived=$drvN0 base=$baseN0")
+    // WITH the binding: every member resolves through the lane pin —
+    // one consistent cut inside one SQL statement
+    spark.conf.set("spark.graft.lane.t", lane)
+    try {
+      val (drvN, baseN) = agreement()
+      assert(drvN == 40L && baseN == 40L,
+        s"lane-bound reads skewed: derived=$drvN base=$baseN")
+      // mixing the lane binding with an explicit VERSION AS OF is
+      // ambiguous and refuses loudly
+      val latest = SnapshotTable.latest(spark, base).get
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM lake.lane_base " +
+          s"VERSION AS OF $latest").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("ambiguous")),
+        s"wrong refusal: ${e.getMessage}")
+      // an @vN-pinned binding mixes the same way
+      LakeCatalog.register(spark, "lane_base_pin", base,
+        version = Some(1))
+      intercept[Exception] {
+        spark.sql("SELECT count(*) FROM lake.lane_base_pin").collect()
+      }
+    } finally {
+      spark.conf.unset("spark.graft.lane.t")
+      spark.conf.unset(LakeCatalog.BindingPrefix + "lane_base_pin")
+    }
+    // binding gone: latest semantics are back
+    assert(agreement() == ((40L, 41L)))
+  }
+
   test("publish pins are re-read per attempt and members validate") {
     val (base, derived, lane) = freshLane()
     // unknown member root fails loudly
