@@ -125,6 +125,79 @@ object Decode {
     }
   }
 
+  /** REAL audio codec over the JDK's OWN `javax.sound.sampled` —
+    * WAV/AU/AIFF readers ship with every JRE, so the audio half of the
+    * round-17 mm09 argument holds too: the container never lacked an
+    * audio codec, only a non-JDK one (MP3/AAC genuinely stay outside).
+    *
+    *  - [[encodeWav]] mints a deterministic 16-bit mono PCM WAV — the
+    *    generator the mm10 oracle gate predicts arithmetically;
+    *  - [[sniffWav]] reads container/rate/channels/frame-count from
+    *    the HEADER without decoding a sample
+    *    (`AudioSystem.getAudioFileFormat` on a byte stream) —
+    *    O(header bytes), the 100 TB metadata-sweep shape;
+    *  - [[samples]] fully decodes the PCM frames back to shorts —
+    *    PCM is lossless, so recovery is exact and an arithmetic
+    *    oracle can predict every sample.
+    *
+    * Non-audio bytes sniff as ("bin", 0, 0, 0) — fail-open metadata,
+    * the same posture as [[JdkImageCodec.sniff]]. */
+  object JdkAudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, 1,
+        /* signed = */ true, /* bigEndian = */ false)
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xFF).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      finally ais.close()
+      out.toByteArray
+    }
+
+    /** (container, sampleRate, channels, frames) from the header. */
+    def sniffWav(bytes: Array[Byte]): (String, Int, Int, Long) =
+      try {
+        val ff = AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        (ff.getType.getExtension.toLowerCase(java.util.Locale.ROOT),
+          ff.getFormat.getSampleRate.toInt,
+          ff.getFormat.getChannels,
+          ff.getFrameLength.toLong)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => ("bin", 0, 0, 0L)
+      }
+
+    /** Full decode back to 16-bit samples (mono little-endian PCM). */
+    def samples(bytes: Array[Byte]): Array[Short] = {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian,
+          s"JdkAudioCodec.samples expects 16-bit mono LE PCM, got $fmt")
+        val raw = ais.readAllBytes()
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        out
+      } finally ais.close()
+    }
+  }
+
   /** Attach decoded metadata + features to a DataFrame with a binary
     * column. Partition-wise (mapPartitions): the decode amortizes any
     * per-batch setup (a real codec's native context) across the rows of a

@@ -16,8 +16,12 @@ import org.apache.spark.sql.types.StringType
   *   REVOKE ALL ON <table> FROM ROLE <name>
   *   SHOW GRANTS ON <table>
   *
-  * A grant persists in the protected table's catalog metadata (durable
-  * across sessions) and (re)creates the role's secured view, so the
+  * A grant persists in the protected table's catalog metadata — or,
+  * for a lake-catalog binding, in the storage root's `_grants/`
+  * registry, since the V1 catalog has no entry for a DSv2 binding
+  * (durable across sessions either way; a fresh session re-registers
+  * its binding and [[Rbac.Grants.restoreViews]] rebuilds enforcement)
+  * — and (re)creates the role's secured view, so the
   * comprehensive-rbac scenario — identical query, different results by
   * role — runs from statements alone. Validation is at DECLARATION:
   * unknown columns and unparseable filters refuse here, not at some

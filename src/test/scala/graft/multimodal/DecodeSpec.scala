@@ -85,4 +85,22 @@ class DecodeSpec extends SparkSpec {
       ("bin", 0, 0))
     assert(JdkImageCodec.sniff(Array.empty[Byte]) == ("bin", 0, 0))
   }
+
+  test("JdkAudioCodec: real WAV round-trip, header-only sniff (round 18)") {
+    import Decode.JdkAudioCodec
+    val minted = Array.tabulate(37)(i =>
+      ((i * 173) % 2001 - 1000).toShort)
+    val wav = JdkAudioCodec.encodeWav(minted, 8000f)
+    // a real RIFF/WAVE container, not a fake
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // header-only sniff reports container, rate, channels, frames
+    assert(JdkAudioCodec.sniffWav(wav) == ("wav", 8000, 1, 37L))
+    // PCM is lossless: exact sample recovery, negatives included
+    assert(JdkAudioCodec.samples(wav).sameElements(minted))
+    // non-audio bytes sniff fail-open, never throw
+    assert(JdkAudioCodec.sniffWav("not audio".getBytes("UTF-8")) ==
+      ("bin", 0, 0, 0L))
+    assert(JdkAudioCodec.sniffWav(Array.empty[Byte]) == ("bin", 0, 0, 0L))
+  }
 }

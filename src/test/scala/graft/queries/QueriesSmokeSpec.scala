@@ -368,7 +368,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // rosters so any disappearance is a named failure. Update the count
     // deliberately when adding queries — never let it float.
     val names = graft.SparkEntry.queries.keySet
-    assert(names.size == 159, s"query pack shrank/grew: ${names.size}")
+    assert(names.size == 160, s"query pack shrank/grew: ${names.size}")
     val corpusLane = Set("t26_seq_pack", "t27_pii_scan", "t28_pack_segments",
       "t29_gopher_filter", "t30_temperature_mix", "d18_span_dedup",
       "q60_kmv_distinct", "t33_bpe_pairs", "t34_filter_agreement",

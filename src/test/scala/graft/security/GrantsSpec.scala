@@ -52,4 +52,49 @@ class GrantsSpec extends SparkSpec {
       .collect()
     assert(e.map(_.getString(0)).toSeq == Seq("api-a"))
   }
+
+  test("a grant on lake.t survives a FRESH session (round 18)") {
+    import org.apache.spark.sql.functions._
+    // a real lake-catalog table — the V1 catalog has no entry for it,
+    // so durability must come from the root's _grants/ registry
+    val root = tmpDir("grants-lake") + "/t"
+    graft.lake.SnapshotTable.write(spark, root,
+      spark.range(40L).select(
+        (col("id") % 2).cast("string").as("endpoint"),
+        col("id").as("k")),
+      Seq("endpoint"))
+    graft.lake.LakeCatalog.install(spark)
+    graft.lake.LakeCatalog.register(spark, "grants_t", root)
+    spark.sql("GRANT SELECT (endpoint, k) ON lake.grants_t TO ROLE lrole " +
+      "WHERE endpoint = '0'")
+    assert(spark.sql("SHOW GRANTS ON lake.grants_t").collect()
+      .map(_.getString(0)).toSeq == Seq("lrole"))
+    // enforcement in THIS session
+    val role = Rbac.Grants.roleFor(spark, "lake.grants_t", "lrole").get
+    assert(Rbac.runAs(spark, role, "lake.grants_t",
+      "SELECT count(*) AS n FROM lake.grants_t").collect()(0)
+      .getLong(0) == 20L)
+
+    // a FRESH session: no temp views, no session conf — only the root
+    // is durable. Re-register the binding, restore from the registry.
+    val s2 = spark.newSession()
+    graft.lake.LakeCatalog.install(s2)
+    graft.lake.LakeCatalog.register(s2, "grants_t", root)
+    assert(s2.catalog.tableExists("lake.grants_t") ||
+      s2.sql("SELECT count(*) FROM lake.grants_t").collect()(0)
+        .getLong(0) == 40L)
+    val restored = Rbac.Grants.restoreViews(s2, "lake.grants_t")
+    assert(restored.map(_.name) == Seq("lrole"))
+    assert(restored.head == role, "grant did not round-trip byte-equal")
+    assert(Rbac.runAs(s2, restored.head, "lake.grants_t",
+      "SELECT count(*) AS n FROM lake.grants_t").collect()(0)
+      .getLong(0) == 20L,
+      "fresh-session enforcement differs from the granting session")
+    // revoke is durable too: a third session sees nothing
+    Rbac.Grants.revoke(s2, "lake.grants_t", "lrole")
+    val s3 = spark.newSession()
+    graft.lake.LakeCatalog.install(s3)
+    graft.lake.LakeCatalog.register(s3, "grants_t", root)
+    assert(Rbac.Grants.list(s3, "lake.grants_t").isEmpty)
+  }
 }
