@@ -163,6 +163,11 @@ object Bench {
         val r = graft.operators.InvertedIndex.defaultRoot(sfDir)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
         graft.operators.InvertedIndex.buildIfMissing(spark, sfDir, r)
+      }),
+      ("pq", () => {
+        val r = graft.operators.PqIndex.defaultRoot(sfDir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+        graft.operators.PqIndex.buildIfMissing(spark, sfDir, r)
       })).map { case (name, build) =>
         val t0 = System.nanoTime()
         val ok =

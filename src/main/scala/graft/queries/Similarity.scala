@@ -634,20 +634,11 @@ object Similarity {
       WHERE rank <= 10
       ORDER BY q_id, rank"""))
 
-  /** PQ plane constants w[m][j][d]: 8 subspaces x 4 planes x 8 dims,
-    * same md5 affine-map formula as [[planes]] under a distinct "pq"
-    * namespace — 256 driver-side literals, no Spark job. */
-  private[queries] lazy val pqPlanes: Seq[(Int, Int, Seq[Double])] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def w(m: Int, j: Int, d: Int): Double = {
-      val hex = md.digest(
-        s"pq${m}_${j}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(4).map(b => f"$b%02x").mkString
-      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0
-    }
-    for { m <- 0 until 8; j <- 0 until 4 }
-      yield (m, j, (0 until 8).map(d => w(m, j, d)).toSeq)
-  }
+  /** PQ plane constants — moved to [[graft.operators.PqIndex.planes]]
+    * (round 18: the planes belong to the persisted index that encodes
+    * with them); kept as an alias for the profiling tools. */
+  private[graft] def pqPlanes: Seq[(Int, Int, Seq[Double])] =
+    graft.operators.PqIndex.planes
 
   val s09_pq_ann = Q(
     "s09_pq_ann",
@@ -678,51 +669,38 @@ object Similarity {
       // partitioning. CurationOpsSpec grades recall@10 against the
       // exact s01 baseline; the hash gate pins determinism, not recall.
       //
-      // 100 TB shape: encoding is map-only (literal planes). The
-      // codebook build shuffles to 8x16x8 = 1024 (m, cell, pos) groups
-      // with map-side partial sums — centroid state, not corpus,
-      // crosses the wire (s04's k-means-step argument). Scoring scans
-      // ONLY the 4-byte codes: explode to 8 (m, cell) rows, map-side
-      // join against the broadcast Qx128 term table, and the
-      // (q_id, c_id) re-group partial-aggregates 8 rows to 1 before
-      // shuffling — Q skinny rows per candidate, the same O(Q*N)
-      // exhaustive baseline as s01/s06 (IVF-style pruning composes via
-      // s05's partition-pruned index when Q grows). Term sums cross
-      // rows, so they accumulate in decimal(25,12) (associative) — the
-      // 8-term sum is order-independent, and a double never lands on a
-      // decimal midpoint (Exact.scala's argument), so the per-term cast
-      // rounds identically on both engines.
-      val codes = array((0 until 8).map { m =>
-        pqPlanes.filter(_._1 == m).map { case (_, j, ws) =>
-          when(vec_dot(array(ws.map(lit): _*),
-            expr(s"slice(embedding, ${m * 8 + 1}, 8)")) >= 0,
-            lit(1 << j)).otherwise(0)
-        }.reduce(_ + _)
-      }: _*)
-      // cache(): the coded corpus feeds the codebook build, the query
-      // set, and the candidate scan; also the optimizer barrier that
-      // keeps the 32-dot encode from re-running per consumer (s08's
-      // CollapseProject argument).
-      val coded = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), codes.as("codes"))
-        .cache()
-      val cents = coded
-        .select(posexplode(col("codes")).as(Seq("m", "cell")), col("embedding"))
-        .select(col("m"), col("cell"),
-          posexplode(expr("slice(embedding, m * 8 + 1, 8)")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("cell"), col("pos"))
-        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy(col("m"), col("cell"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
-          .as("cvec"))
-        .withColumn("cn2", vec_dot(col("cvec"), col("cvec")))
-      val qterms = coded.filter(col("vec_id") < 5)
+      // 100 TB shape (round 18, S09Prof): the codebook and codes are
+      // SERVED from the persisted PQ index ([[graft.operators
+      // .PqIndex]] — built once per corpus, rebuilt cold under the
+      // bench contract's `index_build.pq`). The profile pinned the
+      // per-run codebook re-derivation — a 64-dim explode through two
+      // corpus-sized aggregates — at 0.92 s of a 1.16 s total, and a
+      // codebook is TRAINED state, not query state: no production PQ
+      // system re-learns it per search. The steady-state plan is
+      // exactly the ADC scan: read the 4-byte codes, explode to 8
+      // (m, cell) rows, map-side join against the broadcast Qx128 term
+      // table, and the (q_id, c_id) re-group partial-aggregates 8 rows
+      // to 1 before shuffling — Q skinny rows per candidate, the same
+      // O(Q*N) exhaustive baseline as s01/s06 (IVF-style pruning
+      // composes via s05's partition-pruned index when Q grows). Term
+      // sums cross rows, so they accumulate in decimal(25,12)
+      // (associative) — the 8-term sum is order-independent, and a
+      // double never lands on a decimal midpoint (Exact.scala's
+      // argument), so the per-term cast rounds identically on both
+      // engines. The oracle still derives EVERYTHING from scratch in
+      // SQL, so the hash gate proves index-served == inline every
+      // round.
+      val pqRoot = graft.operators.PqIndex.defaultRoot(dir)
+      graft.operators.PqIndex.buildIfMissing(s, dir, pqRoot)
+      val cents = graft.operators.PqIndex.codebook(s, pqRoot)
+      val qterms = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .crossJoin(broadcast(cents))
         .select(col("q_id"), col("m"), col("cell"), col("cn2"),
           vec_dot(expr("slice(q_emb, m * 8 + 1, 8)"), col("cvec")).as("term"))
-      coded.select(col("vec_id").as("c_id"),
+      graft.operators.PqIndex.codes(s, pqRoot)
+        .select(col("vec_id").as("c_id"),
           posexplode(col("codes")).as(Seq("m", "cell")))
         .join(broadcast(qterms), Seq("m", "cell"))
         .filter(col("c_id") =!= col("q_id"))

@@ -576,18 +576,25 @@ object Text {
       // the t13 Mitchell exact-integer ladder (monotone in N/df, every
       // step exact 64-bit math), so score_n9 = tf * idf_n9 is a BIGINT
       // and ranking is bit-reproducible on any engine/partitioning.
-      // Physical shape: the (doc, tok) partial counts aggregate map-side
-      // before the shuffle; doc frequency is a COUNT window over the tf
-      // rows partitioned by `tok` (each tf row is one distinct (doc,
-      // tok), so the window count IS df) — one shuffle on tok instead of
-      // the aggregate+join-back diamond, no cache barrier needed because
-      // nothing is consumed twice; the final top-3 is a per-doc window
-      // over <= |distinct toks| rows.
-      val tf = Tables(s, dir, "documents")
-        .transform(Tables.fanOut)
-        .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
+      // Physical shape (round 18, T14Prof): the (doc, tok, tf) rows are
+      // READ from the pristine tokenized corpus — the SAME table the
+      // BM25 family serves from — instead of re-tokenizing and
+      // re-aggregating per run (the profile pinned that head at ~2x the
+      // served read: tf 0.51 s vs tf_served 0.25 s, full 1.47 -> 0.75 s
+      // at sf0.1). Postings rows ARE the distinct (doc, tok) pairs with
+      // exact tf, maintained incrementally by [[graft.operators
+      // .TokenizedCorpus.refresh]], so at 100 TB the extraction pays
+      // O(postings) read, never a corpus re-tokenize. Doc frequency is
+      // a COUNT window over the tf rows partitioned by `tok` (each row
+      // is one distinct (doc, tok), so the window count IS df) — one
+      // shuffle on tok instead of the aggregate+join-back diamond; the
+      // final top-3 is a per-doc window over <= |distinct toks| rows.
+      // n_docs stays a count over the DOCUMENTS table (a doc with zero
+      // tokens must still count toward idf, and postings cannot know
+      // it).
+      val tf = graft.operators.TokenizedCorpus
+        .postings(s, Search.pristineTokRoot(s, dir))
+        .select(col("doc_id"), col("tok"), col("tf"))
       val nDocs = Tables(s, dir, "documents")
         .select(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
