@@ -472,11 +472,15 @@ object MaterializedAgg {
     // zero-delta multiset rule and the rollup overwrite below
     val trackAux = spec.auxNames.nonEmpty
 
-    // 1. changed partition tuples, straight off the two manifests
+    // 1. changed partition tuples, straight off the two manifests —
+    // via the dv-aware diff (round 18): a deletion-vector commit
+    // changes rows without changing a directory, and the signed delta
+    // below is already correct for it (the old-version read serves the
+    // old dv state, the new-version read the new)
     val oldMap = SnapshotTable.entriesFor(spark, baseRoot, applied).toMap
     val newMap = SnapshotTable.entriesFor(spark, baseRoot, latestB).toMap
-    val changed = (oldMap.keySet ++ newMap.keySet)
-      .filter(k => oldMap.get(k) != newMap.get(k))
+    val changed =
+      SnapshotTable.changedKeysBetween(spark, baseRoot, applied, latestB)
     if (changed.isEmpty) {
       // base advanced with identical data mapping (e.g. an empty
       // upsert minting a version): re-anchor the marker, no commit

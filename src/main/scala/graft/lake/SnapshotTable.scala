@@ -1245,6 +1245,32 @@ object SnapshotTable {
     dvsUnder(m, m.entries.map(_._2)).map(_._2).sum
   }
 
+  /** Partition keys whose CONTENT differs between two versions: the
+    * entry mapping differs (rewrite / drop / add) OR the SAME
+    * directory's deletion-vector lines differ — a dv commit moves rows
+    * without moving a directory, so an entries-only diff would report
+    * "nothing changed" while the rows changed (round 18). This is THE
+    * diff every incremental maintainer must use ([[graft.operators
+    * .TokenizedCorpus.refresh]], [[MaterializedAgg.refresh]],
+    * [[ChangeFeed]]); an entries-only comparison after a dv delete
+    * leaves derived tables silently stale. */
+  def changedKeysBetween(
+      spark: SparkSession, root: String, v0: Int, v1: Int): Set[String] = {
+    val m0 = readManifest(spark, root, v0)
+    val m1 = readManifest(spark, root, v1)
+    val oldMap = m0.entries.toMap
+    val newMap = m1.entries.toMap
+    def dvByDir(m: Manifest): Map[String, Map[String, String]] =
+      m.fileDvs.groupBy(d => d._1.take(d._1.lastIndexOf('/')))
+        .map { case (d, dvs) => d -> dvs.map(x => x._1 -> x._3).toMap }
+    val dv0 = dvByDir(m0)
+    val dv1 = dvByDir(m1)
+    (oldMap.keySet ++ newMap.keySet).filter(k =>
+      oldMap.get(k) != newMap.get(k) ||
+        (newMap.get(k).exists(d =>
+          dv0.getOrElse(d, Map.empty) != dv1.getOrElse(d, Map.empty))))
+  }
+
   /** The census-driven keep-set — (absolute path, byte size) pairs so
     * [[readFiles]] can plan without re-listing: files of stats-covered
     * directories filter through `fileOk` with no listing and no footer

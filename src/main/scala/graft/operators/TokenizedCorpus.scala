@@ -245,10 +245,12 @@ object TokenizedCorpus {
       case Some(v) if fmtOk && v == latestB =>
         latestB // already current
       case Some(v) if fmtOk && SnapshotTable.hasVersion(spark, baseRoot, v) =>
-        val oldMap = SnapshotTable.entriesFor(spark, baseRoot, v).toMap
         val newMap = SnapshotTable.entriesFor(spark, baseRoot, latestB).toMap
-        val changed = (oldMap.keySet ++ newMap.keySet)
-          .filter(k => oldMap.get(k) != newMap.get(k))
+        // dv-aware diff (round 18): a deletion-vector commit changes
+        // rows without changing a directory — an entries-only compare
+        // would skip the refresh and serve stale postings
+        val changed =
+          SnapshotTable.changedKeysBetween(spark, baseRoot, v, latestB)
         if (changed.nonEmpty) {
           val changedDocs =
             if (changed.forall(k => !newMap.contains(k)))

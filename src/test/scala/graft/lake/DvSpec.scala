@@ -243,6 +243,44 @@ class DvSpec extends SparkSpec {
     assert(liveDvs(root).map(_._2).sum == 1L)
   }
 
+  test("incremental maintainers see dv deletes (dv-aware diff)") {
+    // a dv commit changes rows without changing a directory — an
+    // entries-only manifest diff would skip the refresh and serve
+    // stale derived state (the class of bug changedKeysBetween exists
+    // to kill)
+    val base = tmpDir("dv-maint-base")
+    SnapshotTable.write(spark, base,
+      spark.range(60L).select(
+        (col("id") % 3).cast("string").as("source"),
+        col("id").as("doc_id"),
+        concat(lit("alpha beta doc"), col("id").cast("string")).as("text"),
+        (col("id") % 7).as("n_chars")),
+      Seq("source"))
+    // tokenized corpus: refresh, dv-delete one doc, refresh again
+    val tok = tmpDir("dv-maint-tok")
+    graft.operators.TokenizedCorpus.refresh(spark, base, tok, Seq("source"))
+    assert(graft.operators.TokenizedCorpus.postings(spark, tok)
+      .filter($"doc_id" === 30L).count() > 0)
+    SnapshotTable.deleteRowsWhere(spark, base, $"doc_id" === 30L)
+    graft.operators.TokenizedCorpus.refresh(spark, base, tok, Seq("source"))
+    assert(graft.operators.TokenizedCorpus.postings(spark, tok)
+      .filter($"doc_id" === 30L).count() == 0,
+      "tokenized corpus served a dv-deleted doc after refresh")
+    // materialized aggregate: counts must drop by exactly the delete
+    val mv = tmpDir("dv-maint-mv")
+    val spec = MaterializedAgg.MvSpec(Seq("source"),
+      sums = Seq("total_chars" -> "n_chars"), countName = "n_docs")
+    MaterializedAgg.init(spark, base, mv, spec, nBuckets = 4)
+    val before = SnapshotTable.read(spark, mv)
+      .agg(sum($"n_docs")).collect()(0).getLong(0)
+    assert(before == 59L) // 60 minus the doc_id=30 dv delete
+    SnapshotTable.deleteRowsWhere(spark, base, $"doc_id" === 31L)
+    MaterializedAgg.refresh(spark, base, mv, spec, 4)
+    assert(SnapshotTable.read(spark, mv)
+      .agg(sum($"n_docs")).collect()(0).getLong(0) == 58L,
+      "materialized aggregate went stale across a dv delete")
+  }
+
   test("dv position codec round-trips, encodes O(deleted rows)") {
     val pos = Array(0L, 1L, 5L, 1000L, 1000000L, 123456789012L)
     assert(SnapshotTable.decodeDvPositions(
