@@ -79,12 +79,16 @@ object DvApply extends Rule[LogicalPlan] {
       }
       aliased.map(Project(_, child))
     } catch {
-      // any failure here must degrade to the unrewritten relation —
-      // a read would then serve un-filtered rows, so log loudly
+      // deliberately NOT a degrade: an unrewritten relation would
+      // serve the raw files and silently RESURRECT deleted rows, the
+      // one failure mode this feature must never have (the scan
+      // builder's own fail-safe backs this up). Fail the query loudly
+      // instead, with the table named.
       case scala.util.control.NonFatal(e) =>
-        logWarning(
+        logError(
           s"DvApply could not rewrite the scan of ${lt.name()}; " +
-            s"deletion vectors would NOT apply to this read: $e")
+            "failing the query rather than serving rows with the " +
+            s"deletion vectors unapplied: $e")
         throw e
     }
 }

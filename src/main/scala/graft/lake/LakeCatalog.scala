@@ -184,10 +184,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         case (k, rel) =>
           k -> new org.apache.hadoop.fs.Path(root, rel).toString
       }
-      // DML only against the live table: a VERSION AS OF load or an
-      // @vN-pinned binding names an immutable historical state
+      // DML only against the live table: a VERSION AS OF load, an
+      // @vN-pinned binding, or a LANE pin all name an immutable
+      // historical state — a lane session reading a consistent cut
+      // must not mutate a latest it is not even reading
       LakeTable(s"$display@v$version", root, version, dirs, schema,
-        writable = versionOverride.isEmpty && pinned.isEmpty,
+        writable = versionOverride.isEmpty && pinned.isEmpty &&
+          lanePin.isEmpty,
         partitionCols = SnapshotTable.partitionColumns(s, root, version),
         keyedDirs = keyed)
     } else {
@@ -909,6 +912,31 @@ final case class LakeTable(
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
+    // FAIL-SAFE for deletion vectors (round 18): with
+    // GraftSqlExtensions installed, [[DvApply]] replaces every
+    // dv-carrying relation BEFORE scan planning, so this builder never
+    // sees one. Reaching here with live dv lines therefore means the
+    // session has no rule that will filter the deleted positions —
+    // serving the raw files would silently RESURRECT deleted rows (a
+    // GDPR delete un-happening is the one failure mode this feature
+    // must never have). Refuse loudly with the fix.
+    if (keyedDirs.nonEmpty) {
+      val m = manifest
+      if (m.fileDvs.nonEmpty) {
+        val live = m.entries.map(_._2).toSet
+        def dirOf(r: String) = {
+          val i = r.lastIndexOf('/'); if (i < 0) "" else r.substring(0, i)
+        }
+        if (m.fileDvs.exists(d => live(dirOf(d._1))))
+          throw new UnsupportedOperationException(
+            s"$tableName carries live deletion vectors, but this " +
+              "session has no DvApply rule to filter the deleted rows " +
+              "(a raw scan would resurrect them). Install " +
+              "spark.sql.extensions=graft.sql.GraftSqlExtensions, read " +
+              "through SnapshotTable.read, or fold the vectors with " +
+              "OPTIMIZE first")
+      }
+    }
     val merged = new CaseInsensitiveStringMap(
       (baseOptions.asScala ++ options.asScala).asJava)
     val mapped: ScanBuilder => ScanBuilder =

@@ -116,9 +116,13 @@ object Lane {
     // (not per-version), and doing it first means vacuum protection
     // exists the instant a pin does — a crash between publish and a
     // later registration could otherwise let a member vacuum drop a
-    // version the just-committed lane pins
-    val laneAbs = fs(spark, laneRoot)
-      .makeQualified(new Path(laneRoot)).toString
+    // version the just-committed lane pins. The lane ROOT must exist
+    // first: member vacuums lazily unregister lanes whose root is
+    // GONE, and a registration pointing at a not-yet-created root
+    // would be reaped inside this very window.
+    val laneFs = fs(spark, laneRoot)
+    laneFs.mkdirs(manifestDir(laneRoot))
+    val laneAbs = laneFs.makeQualified(new Path(laneRoot)).toString
     members.foreach { case (_, root) =>
       SnapshotTable.registerLane(spark, root, laneAbs)
     }

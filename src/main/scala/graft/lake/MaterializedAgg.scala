@@ -476,11 +476,13 @@ object MaterializedAgg {
     // via the dv-aware diff (round 18): a deletion-vector commit
     // changes rows without changing a directory, and the signed delta
     // below is already correct for it (the old-version read serves the
-    // old dv state, the new-version read the new)
-    val oldMap = SnapshotTable.entriesFor(spark, baseRoot, applied).toMap
-    val newMap = SnapshotTable.entriesFor(spark, baseRoot, latestB).toMap
-    val changed =
-      SnapshotTable.changedKeysBetween(spark, baseRoot, applied, latestB)
+    // old dv state, the new-version read the new). Each manifest folds
+    // ONCE and serves both the entry maps and the diff.
+    val mOld = SnapshotTable.manifestAt(spark, baseRoot, applied)
+    val mNew = SnapshotTable.manifestAt(spark, baseRoot, latestB)
+    val oldMap = mOld.entries.toMap
+    val newMap = mNew.entries.toMap
+    val changed = SnapshotTable.changedKeysOf(mOld, mNew)
     if (changed.isEmpty) {
       // base advanced with identical data mapping (e.g. an empty
       // upsert minting a version): re-anchor the marker, no commit

@@ -1166,8 +1166,6 @@ object SnapshotTable {
       .withColumn(kCol,
         expr("substring_index(_metadata.file_path, '/', -2)"))
       .withColumn(pCol, col("_metadata.row_index"))
-    val existingByRel: Map[String, Array[Long]] =
-      base.fileDvs.map(d => d._1 -> decodeDvPositions(d._3)).toMap
     val alreadyDeleted = dvsUnder(base, liveDirs.toSeq)
     val visible =
       if (alreadyDeleted.isEmpty) withPos
@@ -1175,10 +1173,14 @@ object SnapshotTable {
     val logical = visible.select((sc.fields.map(f =>
       col(physicalName(f)).as(f.name)) ++ Seq(col(kCol), col(pCol)))
       .toSeq: _*)
+    // clamp BEFORE adding one: maxDeletedRows = Long.MaxValue (the
+    // natural "no guard" spelling) must not overflow into a
+    // non-positive limit
+    val fetch = (maxDeletedRows.min(Int.MaxValue - 1L) + 1L).toInt
     val matched = logical
       .filter(coalesce(predicate, lit(false)))
       .select(col(kCol), col(pCol))
-      .limit((maxDeletedRows + 1).min(Int.MaxValue).toInt)
+      .limit(fetch)
       .collect()
     require(matched.length <= maxDeletedRows,
       s"deleteRowsWhere matched more than $maxDeletedRows rows under " +
@@ -1255,9 +1257,14 @@ object SnapshotTable {
     * [[ChangeFeed]]); an entries-only comparison after a dv delete
     * leaves derived tables silently stale. */
   def changedKeysBetween(
-      spark: SparkSession, root: String, v0: Int, v1: Int): Set[String] = {
-    val m0 = readManifest(spark, root, v0)
-    val m1 = readManifest(spark, root, v1)
+      spark: SparkSession, root: String, v0: Int, v1: Int): Set[String] =
+    changedKeysOf(readManifest(spark, root, v0),
+      readManifest(spark, root, v1))
+
+  /** [[changedKeysBetween]] over already-folded manifests — same-
+    * package maintainers that hold both states avoid re-folding the
+    * delta chains a second time. */
+  private[lake] def changedKeysOf(m0: Manifest, m1: Manifest): Set[String] = {
     val oldMap = m0.entries.toMap
     val newMap = m1.entries.toMap
     def dvByDir(m: Manifest): Map[String, Map[String, String]] =
@@ -3213,9 +3220,17 @@ object SnapshotTable {
         val laneRoot =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
+        // unregister ONLY when the lane root itself is gone — a
+        // registered lane with no committed version yet is the
+        // legitimate window of Lane.publish (registration lands BEFORE
+        // the first manifest, so protection exists the instant a pin
+        // does); deleting it here would re-open exactly that race
+        val rootGone = scala.util.Try {
+          !fs(spark, laneRoot).exists(new Path(laneRoot))
+        }.getOrElse(false)
         val vs = scala.util.Try(Lane.versions(spark, laneRoot))
           .getOrElse(Nil)
-        if (vs.isEmpty) { f.delete(st.getPath, false); Nil }
+        if (rootGone) { f.delete(st.getPath, false); Nil }
         else vs.flatMap(v =>
           scala.util.Try(Lane.at(spark, laneRoot, v)).getOrElse(Nil)
             .filter { p =>

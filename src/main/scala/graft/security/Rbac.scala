@@ -197,10 +197,14 @@ object Rbac {
     private def lakeRoot(
         spark: SparkSession, table: String): Option[String] = {
       val parts = table.split('.')
-      val isLake = parts.length <= 2 &&
-        (parts.length == 1 || spark.conf
-          .getOption(s"spark.sql.catalog.${parts.head}")
-          .contains(classOf[graft.lake.LakeCatalog].getName)) &&
+      // ONLY catalog-qualified lake names take the root registry: a
+      // bare name with a same-named snapshot binding could ALSO be a
+      // session-catalog table, and splitting grant storage from what
+      // the secured view actually resolves over would make SHOW
+      // GRANTS / revoke read the wrong store
+      val isLake = parts.length == 2 &&
+        spark.conf.getOption(s"spark.sql.catalog.${parts.head}")
+          .contains(classOf[graft.lake.LakeCatalog].getName) &&
         spark.conf.getOption(
           graft.lake.LakeCatalog.BindingPrefix + parts.last).isDefined
       if (!isLake) None
@@ -238,6 +242,11 @@ object Rbac {
     }
 
     def revoke(spark: SparkSession, table: String, roleName: String): Unit = {
+      // same identifier rule as grant: the name becomes a file name in
+      // the lake registry, and an unvalidated "../…" would delete an
+      // arbitrary file reachable from the root
+      require(roleName.matches("[A-Za-z0-9_]+"),
+        s"revoke: role name '$roleName' — use [A-Za-z0-9_]+")
       lakeRoot(spark, table) match {
         case Some(root) =>
           fsOf(spark, root).delete(

@@ -243,6 +243,37 @@ class DvSpec extends SparkSpec {
     assert(liveDvs(root).map(_._2).sum == 1L)
   }
 
+  test("a session without DvApply cannot raw-scan a dv table " +
+      "(fail-safe, review round 18)") {
+    val root = freshTable(100L)
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "dv_failsafe", root)
+    SnapshotTable.deleteRowsWhere(spark, root, $"k" === 9L)
+    // with GraftSqlExtensions installed the DvApply rule replaces the
+    // relation before scan planning, so SQL works...
+    assert(spark.sql("SELECT count(*) FROM lake.dv_failsafe " +
+      "WHERE k >= 0").collect()(0).getLong(0) == 99L)
+    // ...but the raw DSv2 scan builder — what an extension-less
+    // session would reach — refuses rather than resurrect deleted rows
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val lt = cat.loadTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array.empty, "dv_failsafe"))
+    val e = intercept[UnsupportedOperationException] {
+      lt.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new org.apache.spark.sql.util
+          .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    // after OPTIMIZE folds the vectors the raw scan is legal again
+    SnapshotTable.optimize(spark, root, Seq("src"))
+    cat.loadTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array.empty, "dv_failsafe"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+  }
+
   test("incremental maintainers see dv deletes (dv-aware diff)") {
     // a dv commit changes rows without changing a directory — an
     // entries-only manifest diff would skip the refresh and serve

@@ -150,6 +150,45 @@ class LaneSpec extends SparkSpec {
     assert(agreement() == ((40L, 41L)))
   }
 
+  test("lane-pinned bindings are read-only; registration survives " +
+      "the first-publish window (review round 18)") {
+    val (base, derived, lane) = freshLane()
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "lane_ro", base)
+    spark.conf.set("spark.graft.lane.ro", lane)
+    try {
+      // a lane session reads a pinned cut — mutating latest through
+      // the same name must refuse like VERSION AS OF does
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM lake.lane_ro WHERE k = 1")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      // the lane pin makes the table non-writable: Spark's own
+      // capability check refuses ("Cannot delete from table …@vN")
+      // before our requireWritable would even run
+      assert(msgs(e).exists(m =>
+        m.contains("immutable") || m.contains("Cannot delete")),
+        s"wrong refusal: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.lane.ro")
+    // first-publish race: a lane registered in a member's _lanes/ with
+    // its root created but NO version committed yet must survive a
+    // member vacuum (the window Lane.publish deliberately opens);
+    // only a VANISHED root unregisters
+    val newLane = tmpDir("lane-unpublished")
+    val f = new java.io.File(newLane, "_versions"); f.mkdirs()
+    SnapshotTable.registerLane(spark, base,
+      new java.io.File(newLane).getAbsolutePath)
+    val registry = new java.io.File(base, "_lanes")
+    val nBefore = registry.listFiles().length
+    SnapshotTable.upsert(spark, base,
+      Seq(("0", 900L, 1L)).toDF("src", "k", "v"), "k", Seq("src"))
+    SnapshotTable.vacuum(spark, base, keepVersions = 1)
+    assert(registry.listFiles().length == nBefore,
+      "vacuum reaped a registered lane inside the first-publish window")
+  }
+
   test("publish pins are re-read per attempt and members validate") {
     val (base, derived, lane) = freshLane()
     // unknown member root fails loudly

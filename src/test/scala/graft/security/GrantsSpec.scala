@@ -90,6 +90,11 @@ class GrantsSpec extends SparkSpec {
       "SELECT count(*) AS n FROM lake.grants_t").collect()(0)
       .getLong(0) == 20L,
       "fresh-session enforcement differs from the granting session")
+    // a traversal-shaped role name must never reach the filesystem
+    // (review round 18: revoke deletes `_grants/<name>` by path)
+    intercept[IllegalArgumentException] {
+      Rbac.Grants.revoke(s2, "lake.grants_t", "../v00000001.manifest")
+    }
     // revoke is durable too: a third session sees nothing
     Rbac.Grants.revoke(s2, "lake.grants_t", "lrole")
     val s3 = spark.newSession()
