@@ -1222,6 +1222,7 @@ object SnapshotTable {
       val payload = latest.copy(entries = Nil, fileStats = Nil,
         fileSizes = Nil, fileRows = Nil, fileSketch = Nil,
         fileDvs = changed)
+      onBeforeCommit() // test seam, same window as commitRewrite's
       try {
         commitManifest(spark, root, v, payload, Some(latestV), Nil)
         if (v % CheckpointEvery == 0) {

@@ -312,6 +312,58 @@ class DvSpec extends SparkSpec {
       "materialized aggregate went stale across a dv delete")
   }
 
+  test("OCC: a partition rewrite racing a dv delete forces a rescan") {
+    // positions are computed against immutable files; if a racer
+    // rewrites the touched partition between the scan and the commit,
+    // the old positions reference dead files and MUST NOT land — the
+    // commit loop detects the files gone from the latest census,
+    // throws, and the conflict retry rescans against the new state
+    val root = freshTable(100L)
+    @volatile var fired = false
+    SnapshotTable.onBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        // rewrite the partition holding k=51 (src=1) under the delete
+        SnapshotTable.upsert(spark, root,
+          Seq(("1", 5000L, 1L)).toDF("src", "k", "v"), "k", Seq("src"))
+      }
+    }
+    try {
+      val v = SnapshotTable.deleteRowsWhere(spark, root, $"k" === 51L)
+      assert(v == 3, s"delete must land AFTER the racer's v2, got v$v")
+    } finally SnapshotTable.onBeforeCommit = () => ()
+    val after = SnapshotTable.read(spark, root)
+    assert(after.filter($"k" === 51L).count() == 0,
+      "the rescanned delete lost the race's rows")
+    assert(after.filter($"k" === 5000L).count() == 1,
+      "the racer's upsert was lost")
+    assert(after.count() == 100) // 100 - 1 deleted + 1 upserted
+  }
+
+  test("constraint adoption composes with deletion vectors") {
+    // adopting NOT NULL / CHECK validates over the VISIBLE rows — a
+    // violating row that was dv-deleted must not block adoption
+    val root = tmpDir("dv-cons")
+    SnapshotTable.write(spark, root,
+      spark.range(20L).select(
+        (col("id") % 2).cast("string").as("src"), col("id").as("k"),
+        when(col("id") === 7L, lit(null).cast("long"))
+          .otherwise(col("id")).as("v")),
+      Seq("src"))
+    // with the NULL row visible, adoption refuses
+    intercept[Exception] { SnapshotTable.setNotNull(spark, root, "v") }
+    // dv-delete the violating row: adoption now sees clean data
+    SnapshotTable.deleteRowsWhere(spark, root, $"v".isNull)
+    SnapshotTable.setNotNull(spark, root, "v")
+    assert(SnapshotTable.notNullColumns(spark, root) == Seq("v"))
+    // and the contract enforces on the next batch
+    intercept[Exception] {
+      SnapshotTable.append(spark, root,
+        spark.range(1).select(lit("0").as("src"), lit(999L).as("k"),
+          lit(null).cast("long").as("v")))
+    }
+  }
+
   test("dv position codec round-trips, encodes O(deleted rows)") {
     val pos = Array(0L, 1L, 5L, 1000L, 1000000L, 123456789012L)
     assert(SnapshotTable.decodeDvPositions(
