@@ -502,14 +502,32 @@ object Bench {
               (maxDoc / 2 - i))
           (System.nanoTime() - t0) / 1e9
         }.sorted.apply(1)
+        // dv_scan_part (round 19): a partition-filtered SQL scan of
+        // the dv-carrying table the deletes above just left behind —
+        // with DvApply's pruning-preserving split this row tracks the
+        // FILTERED SLICE's cost (one directory plus the dv dirs), not
+        // the whole table's; a regression back to the round-18
+        // whole-table splice shows up here as a table-sized number
+        val dvScanPart = {
+          graft.lake.LakeCatalog.install(spark)
+          graft.lake.LakeCatalog.register(spark, "dv_bench_scan", mvBase)
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            spark.sql("SELECT sum(n_chars) FROM lake.dv_bench_scan " +
+              s"WHERE source = '$src0'").collect()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted.apply(1)
+        }
         Seq("tok_refresh_1p" -> refresh1p, "cdc_feed_step" -> feedStep,
-          "mv_refresh_1p" -> mvRefresh1p, "dv_delete_1row" -> dvDel1)
+          "mv_refresh_1p" -> mvRefresh1p, "dv_delete_1row" -> dvDel1,
+          "dv_scan_part" -> dvScanPart)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[bench] WARNING: maintenance rows failed: ${e.getMessage}")
           Seq("tok_refresh_1p" -> -1.0, "cdc_feed_step" -> -1.0,
-            "mv_refresh_1p" -> -1.0, "dv_delete_1row" -> -1.0)
+            "mv_refresh_1p" -> -1.0, "dv_delete_1row" -> -1.0,
+            "dv_scan_part" -> -1.0)
       }
 
     val loadEnd = loadAvg()

@@ -923,11 +923,21 @@ final case class LakeTable(
     if (keyedDirs.nonEmpty) {
       val m = manifest
       if (m.fileDvs.nonEmpty) {
-        val live = m.entries.map(_._2).toSet
-        def dirOf(r: String) = {
-          val i = r.lastIndexOf('/'); if (i < 0) "" else r.substring(0, i)
+        // liveness is judged against the directories THIS instance
+        // serves (`paths`), not the whole manifest: the clean half of
+        // DvApply's round-19 split is a LakeTable restricted to the
+        // dv-free directories, and it must scan without tripping this
+        // guard — while a table still serving a dv-carrying directory
+        // refuses exactly as before (for an unsplit table the two sets
+        // are identical). Rendering matches how `resolve` built paths.
+        val served = paths.toSet
+        def absDirOf(r: String): String = {
+          val i = r.lastIndexOf('/')
+          if (i < 0) ""
+          else new org.apache.hadoop.fs.Path(
+            root, r.substring(0, i)).toString
         }
-        if (m.fileDvs.exists(d => live(dirOf(d._1))))
+        if (m.fileDvs.exists(d => served(absDirOf(d._1))))
           throw new UnsupportedOperationException(
             s"$tableName carries live deletion vectors, but this " +
               "session has no DvApply rule to filter the deleted rows " +

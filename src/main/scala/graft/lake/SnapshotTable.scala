@@ -1330,6 +1330,19 @@ object SnapshotTable {
     }
   }
 
+  /** The dv-DIRTY half of [[DvApply]]'s pruning-preserving split
+    * (round 19): read ONLY the given manifest-relative directories of
+    * `version`, deletion vectors applied — the directories that carry
+    * live `#dv` lines, which the SQL plane serves through this
+    * anti-joined read while every dv-FREE directory keeps the full
+    * DSv2 pruned path. */
+  private[lake] def readDvDirs(
+      spark: SparkSession, root: String, version: Int,
+      relDirs: Seq[String]): DataFrame = {
+    val m = manifestAt(spark, root, version)
+    readDirs(spark, root, m, relDirs)
+  }
+
   /** Read a version's directories under the manifest contract: the
     * recorded schema pinned and — new in round 16 — the file list
     * served from the manifest's byte census through

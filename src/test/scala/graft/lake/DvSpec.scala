@@ -364,6 +364,71 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("a live dv keeps partition pruning for clean dirs — destructive " +
+      "(round 19)") {
+    // round-18 shape: ANY live `#dv` line replaced the WHOLE relation
+    // with an unpruned ManifestScan splice, so one deleted row
+    // suspended partition pruning for the entire table until OPTIMIZE.
+    // Round 19 splits by directory: dv-free directories keep the DSv2
+    // pruned path, only dv-carrying ones ride the anti-joined read.
+    // Proven destructively: garbage every file of the partitions a
+    // filtered query does NOT touch — an unpruned scan would open them
+    // and die.
+    val root = tmpDir("dv-prune-split")
+    val df = spark.range(4000L).select(
+      (col("id") % 4).cast("string").as("src"),
+      col("id").as("k"), (col("id") * 7 % 101).as("v"))
+    SnapshotTable.write(spark, root, df, Seq("src"), lookupFor = Seq("k"))
+    LakeCatalog.install(spark)
+    LakeCatalog.register(spark, "dv_prune", root)
+    // dv-delete one row in partition src=0 (k=400 -> 400%4=0)
+    SnapshotTable.deleteRowsWhere(spark, root, $"k" === 400L)
+    assert(liveDvs(root).size == 1)
+    // the DSv2 pruned path SURVIVES the splice: the optimized plan of
+    // a dv-carrying table's DATA scan still holds a DSv2 relation
+    // (round 18 replaced it wholesale — zero DSv2 relations left; a
+    // partition-filtered COUNT would be manifest-answered by
+    // MetadataAggregate and never scan, hence the SUM)
+    val q1 = spark.sql("SELECT sum(v) s FROM lake.dv_prune WHERE src = '1'")
+    assert(q1.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation => r
+    }.nonEmpty, "the split lost the DSv2 pruned path")
+    // garbage EVERY file of partitions 2 and 3 (dv-free, and excluded
+    // by the filters below): a scan that still opens them dies
+    val m = SnapshotTable.manifestAt(spark, root, -1)
+    val byKey = m.entries.toMap
+    Seq("2", "3").foreach { p =>
+      val dir = byKey(p)
+      new java.io.File(root, dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.write(f.toPath,
+            "not parquet at all".getBytes("UTF-8"))
+        }
+    }
+    // filtered to a CLEAN partition: served by the pruned DSv2 path
+    // (plus the small dv-dir side whose rows the filter discards)
+    val expected = (0L until 4000L).filter(_ % 4 == 1)
+      .map(id => id * 7 % 101).sum
+    assert(q1.collect()(0).getLong(0) == expected)
+    // filtered to the DV-CARRYING partition: the clean side prunes to
+    // zero directories, the dirty side applies the vector
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.dv_prune WHERE src = '0' AND k >= 0")
+      .collect()(0).getLong(0) == 999L)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.dv_prune WHERE src = '0' AND k = 400")
+      .collect()(0).getLong(0) == 0L)
+    // poison control: an UNFILTERED scan must still die on the garbage
+    // (proves the files above really are poisonous, i.e. the filtered
+    // queries genuinely pruned rather than silently skipped)
+    intercept[Exception] {
+      spark.sql("SELECT sum(v) FROM lake.dv_prune WHERE k >= 0").collect()
+    }
+  }
+
   test("dv position codec round-trips, encodes O(deleted rows)") {
     val pos = Array(0L, 1L, 5L, 1000L, 1000000L, 123456789012L)
     assert(SnapshotTable.decodeDvPositions(
