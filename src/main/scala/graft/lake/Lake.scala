@@ -50,7 +50,15 @@ object Lake {
       numPartitions: Int): DataFrame = {
     val keyCols = partitionBy.map(col)
     if (filesPerPartition <= 1)
-      df.repartition(numPartitions, keyCols: _*)
+      // no explicit partition count: every row of one partition key
+      // lands in a single task either way (hash on the key), so the
+      // file-per-directory contract is unchanged, but AQE coalesces
+      // the task count to the batch's actual size — a 300-row
+      // maintenance commit stops scheduling 31 empty reducers, and a
+      // 100 TB write splits by advisory size instead of a constant
+      // tuned for either local mode or one cluster (round 19,
+      // optimization guide §2.2/§6)
+      df.repartition(keyCols: _*)
     else {
       // The salt column must not collide with a real column: withColumn
       // would silently overwrite it and the drop below would corrupt the

@@ -1790,6 +1790,47 @@ object SnapshotTable {
     * exact strings [[commitRewrite]] reads off the staged directory
     * names, so key matching is byte-exact for every type Spark can
     * partition by. Driver-side size is the batch's partition spread. */
+  /** Batch-contract validation AND the touched-partition probe in ONE
+    * aggregate pass (round-19: they were two separate actions — two
+    * full executions of the change batch's plan per commit before the
+    * batch cache landed, two cached scans after; an incremental-MV
+    * refresh pays this per commit × two commits). `collect_set` over
+    * the cast-to-string partition tuple reproduces
+    * [[touchedCompositeKeys]]'s rendering exactly (struct fields keep
+    * per-column NULLs; the set is touched-partition-sized, the same
+    * driver cardinality the old probe collected). Validation messages
+    * are byte-identical to [[Lake.validateUpdateBatch]] plus the
+    * non-NULL-op contract. */
+  private def validateAndProbe(
+      changes: DataFrame, key: String, opCol: Option[String],
+      partitionBy: Seq[String]): Set[String] = {
+    val aggs = (Seq(count(lit(1)), count(col(key)),
+      countDistinct(col(key))) ++
+      opCol.map(c => count(col(c))).toSeq) :+
+      collect_set(struct(
+        partitionBy.map(c => col(c).cast("string")): _*))
+    val r = changes.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val (nRows, nNonNullKeys, nKeys) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(nRows == nNonNullKeys,
+      s"upsert batch carries ${nRows - nNonNullKeys} NULL-key rows; " +
+        "a null key cannot be matched for replacement")
+    require(nNonNullKeys == nKeys,
+      s"upsert batch carries ${nNonNullKeys - nKeys} duplicate-key " +
+        "rows; reduce to one change per key first")
+    opCol.foreach { c =>
+      val nOps = r.getLong(3)
+      require(nRows == nOps,
+        s"change batch carries ${nRows - nOps} NULL '$c' rows; every " +
+          "change must declare its operation ('d' = delete, else upsert)")
+    }
+    r.getSeq[org.apache.spark.sql.Row](if (opCol.isDefined) 4 else 3)
+      .map(row => partitionBy.indices
+        .map(i => escapeKey(if (row.isNullAt(i)) null else row.getString(i)))
+        .mkString("/"))
+      .toSet
+  }
+
   private def touchedCompositeKeys(
       df: DataFrame, partitionBy: Seq[String]): Set[String] =
     df.select(partitionBy.map(c => col(c).cast("string")): _*)
@@ -2408,11 +2449,18 @@ object SnapshotTable {
     * manifest rename — readers must still see the previous version
     * exactly. */
   def upsert(
-      spark: SparkSession, root: String, updates: DataFrame, key: String,
+      spark: SparkSession, root: String, updates0: DataFrame, key: String,
       partitionBy: Seq[String], filesPerPartition: Int = 1,
       crashBeforeCommit: Boolean = false,
       mergeSchema: Boolean = false): Int = {
-    Lake.validateUpdateBatch(updates, key)
+    // cache for the call's duration: the batch plan executes three
+    // times (key validation, touched-partition probe, staging write) —
+    // same round-19 rationale as [[applyChanges]]
+    val precached =
+      updates0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val updates = if (precached) updates0 else updates0.cache()
+    try {
+    val touchedKeys = validateAndProbe(updates, key, None, partitionBy)
     withConflictRetry {
       // bootstrap: an upsert into a never-written table is the initial
       // commit (the CDC-stream shape — the first drained batch creates v1)
@@ -2424,7 +2472,6 @@ object SnapshotTable {
           "would split the table's identity — one key per table"))
       val entries = base.map(_.entries).getOrElse(Nil)
       val schema = base.flatMap(_.schema)
-      val touchedKeys = touchedCompositeKeys(updates, partitionBy)
       val liveTouched = entries.filter(e => touchedKeys(e._1))
       val merged =
         if (entries.isEmpty && schema.isEmpty) updates // bootstrap
@@ -2454,6 +2501,7 @@ object SnapshotTable {
         replaceAll = false, filesPerPartition, crashBeforeCommit,
         declaredKey = Some(key))
     }
+    } finally if (!precached) updates.unpersist(false)
   }
 
   /** Apply a MIXED change batch — upserts AND delete tombstones — in
@@ -2478,16 +2526,25 @@ object SnapshotTable {
     * item 3). Non-key columns of a tombstone are ignored. Returns the
     * new version. */
   def applyChanges(
-      spark: SparkSession, root: String, changes: DataFrame, key: String,
+      spark: SparkSession, root: String, changes0: DataFrame, key: String,
       partitionBy: Seq[String], opCol: String,
       filesPerPartition: Int = 1, mergeSchema: Boolean = false): Int = {
-    Lake.validateUpdateBatch(changes, key)
-    val nNullOps = changes
-      .agg((count(lit(1)) - count(col(opCol))).as("n"))
-      .collect()(0).getLong(0)
-    require(nNullOps == 0,
-      s"change batch carries $nNullOps NULL '$opCol' rows; every change " +
-        "must declare its operation ('d' = delete, else upsert)")
+    // The batch plan used to execute FOUR times per commit (key
+    // validation, null-op validation, touched-partition probe, the
+    // staging write) — for an incremental-MV refresh, whose batch is a
+    // multi-join over bucket reads and the partials sidecar, those
+    // re-executions were the dominant cost of the whole refresh
+    // (MvProf: the two applyChanges commits were 2.6 s of a 3.5 s
+    // refresh). Cache the batch for the duration of the call — one
+    // compute, three cached scans — unless the caller already holds it
+    // cached (then lifecycle stays the caller's). Validation is one
+    // combined aggregate (round-19; messages unchanged).
+    val precached =
+      changes0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val changes = if (precached) changes0 else changes0.cache()
+    try {
+    val touchedKeys = profT("validate_probe") {
+      validateAndProbe(changes, key, Some(opCol), partitionBy) }
     withConflictRetry {
       val base = manifestAt(spark, root, -1)
       base.rowKey.headOption.foreach(k0 => require(k0 == key,
@@ -2495,7 +2552,6 @@ object SnapshotTable {
           s"'$key' would split the table's identity — one key per table"))
       val entries = base.entries
       val schema = base.schema
-      val touchedKeys = touchedCompositeKeys(changes, partitionBy)
       val liveTouched = entries.filter(e => touchedKeys(e._1))
       val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
       val tableCols = tableColumns(spark, root, entries, schema)
@@ -2524,6 +2580,7 @@ object SnapshotTable {
         touchedKeys, replaceAll = false, filesPerPartition,
         crashBeforeCommit = false, declaredKey = Some(key))
     }
+    } finally if (!precached) changes.unpersist(false)
   }
 
   /** Delete rows matching `predicate`; NULL-predicate rows are kept
@@ -2686,6 +2743,17 @@ object SnapshotTable {
     * `untouched` from V's entries (so a disjoint concurrent commit's
     * changes are CARRIED FORWARD, not clobbered), and attempts to
     * commit exactly V+1. A lost rename race just loops. */
+  /** Stage timer for commit-path diagnostics: prints to stderr when
+    * GRAFT_COMMIT_PROF is set, else zero-cost pass-through. */
+  @inline private def profT[T](name: String)(body: => T): T =
+    if (sys.env.contains("GRAFT_COMMIT_PROF")) {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[commitprof] $name=${(System.nanoTime() - t0) / 1e9}%.3f")
+      r
+    } else body
+
   private def commitRewrite(
       spark: SparkSession, root: String, newRows: DataFrame,
       partitionBy: Seq[String], baseManifest: Option[Manifest],
@@ -2781,9 +2849,9 @@ object SnapshotTable {
           (partitionBy.map(col) ++ clusterBy.map(c =>
             col(colMapping.getOrElse(c, c)))): _*)
       }
-    layout
+    profT("staging_write") { layout
       .write.mode("overwrite").partitionBy(stagingCols: _*)
-      .parquet(staging.toString)
+      .parquet(staging.toString) }
     f.mkdirs(new Path(root, "data"))
     // walk the nested staging layout: level j's directories are
     // `_graft_pJ=<escaped>`; a LEAF (deepest level) holds one tuple's
@@ -2799,14 +2867,14 @@ object SnapshotTable {
             .map { case (k, d) => (s"$frag/$k", d) }
         }
     }
-    val moved = leaves(staging, 0).zipWithIndex.map { case ((k, src), i) =>
+    val moved = profT("moves") { leaves(staging, 0).zipWithIndex.map { case ((k, src), i) =>
       val dir = s"data/p${System.nanoTime()}-$i-" +
         java.util.UUID.randomUUID()
       if (!f.rename(src, new Path(root, dir)))
         throw new java.io.IOException(
           s"cannot move staged partition $src into $dir")
       (k, dir)
-    }
+    } }
     f.delete(staging, true)
     if (crashBeforeCommit)
       throw new java.io.IOException(
@@ -2816,11 +2884,11 @@ object SnapshotTable {
     // the move loop above) — this is what lets [[optimize]] plan
     // candidates from the manifest alone at 100 TB instead of listing
     // every partition per call (round-11 verdict item 8).
-    val newSizes: Seq[(String, Long)] = moved.flatMap { case (_, dir) =>
+    val newSizes: Seq[(String, Long)] = profT("census") { moved.flatMap { case (_, dir) =>
       f.listStatus(new Path(root, dir)).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(st => (s"$dir/${st.getPath.getName}", st.getLen))
-    }
+    } }
     // Per-file ROW COUNTS of the just-written files (round 15, `#n`
     // manifest lines): driver-side FOOTER reads of only the fresh
     // files — one seek each, no data pages, same cost class as the
@@ -2830,7 +2898,7 @@ object SnapshotTable {
     // query time. A file whose footer read fails gets no line (the
     // metadata-aggregate path requires full coverage and falls back to
     // the data scan), never a wrong count.
-    val newRowCounts: Seq[(String, Long)] = {
+    val newRowCounts: Seq[(String, Long)] = profT("footers") {
       val conf = spark.sessionState.newHadoopConf()
       newSizes.flatMap { case (rel, _) =>
         try {
@@ -2864,7 +2932,7 @@ object SnapshotTable {
           s"census file $file is not under any just-written directory"))
     }
     val (newStats: Seq[FileStat],
-         newSketches: Seq[(String, String, String)]) =
+         newSketches: Seq[(String, String, String)]) = profT("stats") {
       if ((statsCols.isEmpty && lookupCols.isEmpty) || moved.isEmpty)
         (Nil, Nil)
       else {
@@ -2926,15 +2994,17 @@ object SnapshotTable {
           (stats, sketches)
         }
       }
+    }
     onBeforeCommit()
     val newSchema = schemaOverride.getOrElse(newRows.schema)
     val baseTouched = baseManifest.map(_.entries).getOrElse(Nil)
       .filter(e => touchedKeys(e._1)).toSet
     var raceRetries = 0
     while (true) {
-      val latestV = versions(spark, root).lastOption.getOrElse(0)
-      val latestM =
-        if (latestV == 0) None else Some(readManifest(spark, root, latestV))
+      val latestV = profT("versions_list") {
+        versions(spark, root).lastOption.getOrElse(0) }
+      val latestM = profT("manifest_read") {
+        if (latestV == 0) None else Some(readManifest(spark, root, latestV)) }
       val latest = latestM.map(_.entries).getOrElse(Nil)
       // A partial commit RECORDS THE UNION of the table's schema and
       // the rewrite's: untouched directories may carry a wider vintage
@@ -3004,8 +3074,8 @@ object SnapshotTable {
         latestM.map(_.droppedPhys).getOrElse(Nil), lookupCols,
         newSketches, checks, notNull)
       try {
-        commitManifest(spark, root, v, payload,
-          if (asDelta) Some(latestV) else None, removed)
+        profT("manifest_commit") { commitManifest(spark, root, v, payload,
+          if (asDelta) Some(latestV) else None, removed) }
         if (asDelta && v % CheckpointEvery == 0) {
           // fold in-memory from state already in hand — no re-read
           val untouched = latest.filterNot(e => touchedKeys(e._1))
