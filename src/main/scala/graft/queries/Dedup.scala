@@ -680,7 +680,21 @@ object Dedup {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
-    var labels = nodes.select(col("id"), col("id").as("label")).cache()
+    // Round 19 (optimization guide §2.3, shuffle fewer bytes): the
+    // propagation loop runs over GRAPH-INCIDENT nodes only. A node with
+    // no edges appears in no join row, so it can never receive a
+    // neighbor's label — its label is itself at every round — yet the
+    // old loop carried the whole corpus through every round's
+    // union+groupBy, shuffling |corpus| rows per round where only
+    // |incident nodes| can change. At 100 TB the near-dup graph is a
+    // small fraction of the corpus; per-round frames are now
+    // graph-sized, and non-incident nodes re-attach in ONE final
+    // left join (label = id), which AQE serves as a broadcast of the
+    // graph-sized label table. Round count is unchanged (propagation
+    // among incident nodes is untouched), so the one-action-per-round
+    // pin in CurationOpsSpec holds as before.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
     // Monotone fixpoint check (round-10 advice): per-node labels only
     // ever DECREASE (each round takes a min over self + neighbors), so
     // the total label sum strictly decreases until the fixpoint — a
@@ -708,7 +722,11 @@ object Dedup {
       labels.unpersist(false)
       labels = next
     }
-    val out = labels.localCheckpoint(true)
+    val out = nodes.select(col("id"))
+      .join(labels.withColumnRenamed("id", "_cc_gid"),
+        col("id") === col("_cc_gid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .localCheckpoint(true)
     labels.unpersist(false)
     sym.unpersist(false)
     out
@@ -915,31 +933,53 @@ object Dedup {
     val pairs = d04_lsh_pairs.run(s, dir)
       .filter(col("est_sim") >= 0.5)
       .select(col("a_id"), col("b_id"))
-    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // Round 19 (optimization guide §2.3/§2.4): two restructurings, both
+    // value-identical —
+    //  1. outdeg attaches to the EDGE SET once, up front. The old loop
+    //     joined `deg` (an aggregation over sym) back per iteration:
+    //     five extra aggregate+join passes for a value that never
+    //     changes between iterations.
+    //  2. the rank vector iterates over GRAPH-INCIDENT nodes only
+    //     (sym is symmetrized, so src set = dst set = incident set). A
+    //     doc outside the dup graph receives no contribution and
+    //     contributes none, so from iteration 1 on its rank is exactly
+    //     the damped constant 0.15e9 — attach it once in the final
+    //     corpus join (graph-sized broadcast) instead of carrying
+    //     |corpus| rows through two joins per iteration.
+    val sym0 = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = sym0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val sym = sym0.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = Tables(s, dir, "documents").select(col("doc_id"))
+    val gnodes = sym.select(col("src").as("doc_id")).distinct()
       .localCheckpoint(true)
-    var r = nodes.select(col("doc_id"), lit(1000000000L).as("r"))
+    var r = gnodes.select(col("doc_id"), lit(1000000000L).as("r"))
     for (_ <- 1 to iters) {
       val contrib = sym
         .join(r.withColumnRenamed("doc_id", "u"), col("src") === col("u"))
-        .join(deg, "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .as("in_sum"))
-      r = nodes
-        .join(contrib, nodes("doc_id") === contrib("dst"), "left")
-        .select(col("doc_id"),
+      r = gnodes
+        .join(contrib, gnodes("doc_id") === contrib("dst"), "left")
+        .select(gnodes("doc_id"),
           expr("""CAST(150000000 + (CAST(85 AS DECIMAL(38,0)) *
                     coalesce(in_sum, CAST(0 AS DECIMAL(38,0)))) div 100
                   AS BIGINT)""").as("r"))
         .localCheckpoint(true)
     }
-    r.select(col("doc_id"),
-        round(col("r").cast("double") / 1e9, 6).as("pagerank"))
+    // a non-incident doc's rank after k >= 1 damped iterations is the
+    // constant 0.15e9 (zero in-sum every round); with zero iterations
+    // it is still the initial mass
+    val restRank = if (iters >= 1) 150000000L else 1000000000L
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(r.withColumnRenamed("doc_id", "_pr_gid"),
+        col("doc_id") === col("_pr_gid"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("r"), lit(restRank)).cast("double") / 1e9, 6)
+          .as("pagerank"))
       .orderBy(col("doc_id"))
   }
 
