@@ -429,6 +429,48 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("readPoint on a dv-carrying table stays sketch-PRUNED while " +
+      "applying the vector — destructive (r18 verdict item 5)") {
+    // DvSpec:82 pins that every pruned read path APPLIES the vectors;
+    // this is the complementary pin — that the Bloom point-lookup path
+    // stays PRUNED while doing so. A dv application that spliced a
+    // whole-table read (the round-18 shape) would open every file;
+    // here every file the sketch does not admit for either probe key
+    // is garbage on disk, so an unpruned plan dies instead of passing.
+    val root = tmpDir("dv-point-pruned")
+    val df = spark.range(4000L).select(
+      (col("id") % 4).cast("string").as("src"),
+      col("id").as("k"), (col("id") * 7 % 101).as("v"))
+    SnapshotTable.write(spark, root, df, Seq("src"),
+      filesPerPartition = 4, lookupFor = Seq("k"))
+    // merge-on-read delete FIRST (it scans admitted files for
+    // positions), then garbage the rest of the table
+    SnapshotTable.deleteRowsWhere(spark, root, $"k" === 1234L)
+    assert(liveDvs(root).map(_._2).sum == 1L)
+    val m = SnapshotTable.manifestAt(spark, root, -1)
+    val admitDel = SnapshotTable.sketchAdmits(m, "k", 1234L).get
+    val admitLive = SnapshotTable.sketchAdmits(m, "k", 1235L).get
+    val all = m.fileSizes.map(_._1)
+    val garbaged = all.filterNot(r => admitDel(r) || admitLive(r))
+    assert(garbaged.nonEmpty && garbaged.size < all.size,
+      "fixture needs both admitted and skipped files")
+    garbaged.foreach { rel =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, rel),
+        "not parquet at all".getBytes("UTF-8"))
+    }
+    // the dv'd key: pruned lookup opens only admitted files AND the
+    // vector filters the row out
+    assert(SnapshotTable.readPoint(spark, root, "k", 1234L).count() == 0)
+    // a live neighbor in the same admit class still lands exactly
+    assert(SnapshotTable.readPoint(spark, root, "k", 1235L)
+      .collect().map(_.getAs[Long]("k")).toSeq == Seq(1235L))
+    // the garbage is genuinely poisonous: an unpruned read dies
+    intercept[Exception] {
+      SnapshotTable.read(spark, root).filter($"k" === 1235L).collect()
+    }
+  }
+
   test("dv position codec round-trips, encodes O(deleted rows)") {
     val pos = Array(0L, 1L, 5L, 1000L, 1000000L, 123456789012L)
     assert(SnapshotTable.decodeDvPositions(
