@@ -35,6 +35,11 @@ def spark_bench():
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
     detail = next(json.loads(l) for l in lines if '"total_detail"' in l)
     detail["queries"] = {k: v["med"] for k, v in detail["queries"].items()}
+    # maint rows live on the CONTRACT line; carry them for the
+    # maint:-prefixed suspect-guard references
+    contract = next((json.loads(l) for l in lines
+                     if '"metric":"total"' in l), {})
+    detail["maint"] = contract.get("maint", {})
     return detail
 
 def duckdb_bench(oracle):
@@ -88,20 +93,27 @@ def write_baseline(db):
               "DuckDB oracle per-query seconds (median of 3, warm), "
               "same machine/parquet as the Spark bench.", db)
 
-def write_spark_meds(sb):
+def write_spark_meds(sb, maint=None):
     """Persist the Spark per-query medians from THIS clean window as
     the suspect-guard reference: graft.Bench flags any run whose med
-    exceeds 2x these numbers on the same sf + host."""
+    exceeds 2x these numbers on the same sf + host. Maintenance rows
+    (from the contract line's `maint` map) are carried as
+    `maint:<name>` rows — graft.Bench's round-19 maint contamination
+    guard compares against them at 3x."""
+    meds = dict(sb)
+    for name, v in (maint or {}).items():
+        if isinstance(v, (int, float)) and v >= 0:
+            meds[f"maint:{name}"] = float(v)
     write_tsv("spark_meds.tsv",
               "graft.Bench per-query seconds (median of 3, warm) from a "
-              "clean window - the suspect-guard reference.", sb)
+              "clean window - the suspect-guard reference.", meds)
 
 def main():
     oracle = json.load(open("/tmp/graft_verify/oracle_sql.json"))
     sb = spark_bench()
     db = duckdb_bench(oracle)
     write_baseline(db)
-    write_spark_meds(sb["queries"])
+    write_spark_meds(sb["queries"], sb.get("maint"))
     print(f"# Bench notes — graft vs DuckDB oracle at {SF}")
     print()
     print("Both warm (steady state), same machine, same parquet inputs.")
