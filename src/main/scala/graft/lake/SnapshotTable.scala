@@ -1860,24 +1860,20 @@ object SnapshotTable {
       "table has an empty manifest and no recorded schema")
   }
 
-  /** Live rows of selected directories for a MUTATION's merge: under a
-    * column-mapped schema the raw footer names are PHYSICAL, so the
-    * read pins the physical schema and re-labels to logical before the
-    * merge logic (which speaks logical names); unmapped tables keep
-    * the original mergeSchema read byte-for-byte (its vintage-union
-    * behavior is load-bearing for legacy pre-recording tables). */
+  /** Live rows of selected directories for a MUTATION's merge —
+    * [[readDirs]] under the manifest contract: schema-recorded tables
+    * (mapped or not) read through the pinned-schema ManifestScan with
+    * deletion vectors applied and logical re-labeling, which skips the
+    * per-mutation footer-merge job AND the directory listing the old
+    * `mergeSchema` read paid (round 19; the recorded schema IS the
+    * union schema commitRewrite maintains across evolutions, so the
+    * vintage-union rows are identical); only legacy pre-recording
+    * manifests (no schema line) still take readDirs' mergeSchema
+    * fallback, whose footer-union behavior is load-bearing there. */
   private def readLiveDirs(
       spark: SparkSession, root: String, m: Manifest,
       relDirs: Seq[String]): DataFrame =
-    if (mappingOf(m.schema).nonEmpty) readDirs(spark, root, m, relDirs)
-    else {
-      val df = spark.read.option("mergeSchema", "true").parquet(
-        relDirs.map(d => new Path(root, d).toString): _*)
-      // a rewrite that read dv-deleted rows back in would RESURRECT
-      // them in the rewritten partition — the vectors apply here too
-      val dvs = dvsUnder(m, relDirs)
-      if (dvs.isEmpty) df else applyDv(spark, dvs, df)
-    }
+    readDirs(spark, root, m, relDirs)
 
   /** Retry a whole read-merge-stage-commit attempt when a CONCURRENT
     * commit invalidated its merge (overlapping touched partitions):
