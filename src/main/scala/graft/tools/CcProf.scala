@@ -90,6 +90,23 @@ object CcProf {
       val r = ccLoop(spark, nodes, edges, graphSized = true)._2
       println(f"rep $i: corpus-labels=$tOld%.2fs graph-labels=$tNew%.2fs rounds=$r")
     }
+    // decade sweep: the SAME fixed edge set against synthetic corpora
+    // 10x apart — the asymptotic claim in numbers. The label loop only
+    // consumes node ids, so spark.range stands in for the corpus; ids
+    // beyond the real docs are edge-free, exactly the restructure's
+    // target population (at 100 TB the near-dup graph is a sliver of
+    // the corpus). Median of 3 per cell, interleaved.
+    Seq(5000L, 50000L, 500000L, 5000000L).foreach { n =>
+      val syn = spark.range(n).select(col("id"))
+      def med(gs: Boolean): Double = {
+        ccLoop(spark, syn, edges, graphSized = gs)._1.count() // warm
+        (1 to 3).map(_ =>
+          time { ccLoop(spark, syn, edges, graphSized = gs)._1.count() })
+          .sorted.apply(1)
+      }
+      val o = med(false); val g = med(true)
+      println(f"decade n=$n%-8d corpus-labels=$o%.2fs graph-labels=$g%.2fs")
+    }
     spark.stop()
   }
 }
