@@ -711,8 +711,17 @@ object Bench {
         s""""minhash_family":${arr(minhashFamily)},""" +
         s""""platform_floor":${arr(platformFloor)}}"""
     }
+    // maint rows at FULL precision on the detail line: the contract
+    // line rounds through fmt() (2 dp), and the committed maint:
+    // guard references must not inherit that rounding (round-19
+    // review finding — a sub-0.005 s row would store ref 0.0 and
+    // collapse the 3x guard to its absolute floor)
+    val maintDetail =
+      if (maintRows.isEmpty) ""
+      else maintRows.map { case (n, v) => "\"" + n + "\":" + v }
+        .mkString(""""maint":{""", ",", "},")
     val detailLine =
-      s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"shuffle_bytes":$totalShuf,"index_build":$ib,$exclusions,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"shuffle_bytes":$totalShuf,"index_build":$ib,$maintDetail$exclusions,"queries":$detail,"sf":"$sfDir"}"""
     println(detailLine)
     // Contract line: bounded by construction — 10 slowest medians only
     // (the plausible-regression set), never the full pack.
@@ -728,7 +737,12 @@ object Bench {
       val over = if (suspects.size > 10)
         s""","+${suspects.size - 10} more"""" else ""
       s""""suspect":${names.mkString("[", ",", "")}$over],""" +
-        s""""suspect_ref_n":${committedMeds.size},""" +
+        // reference COVERAGE of the per-query guard only: the maint:
+        // rows feed the maint guard, not suspectsOf — counting them
+        // here would let a meds file that lost query rows still read
+        // as fully covered (round-19 review finding)
+        s""""suspect_ref_n":${
+          committedMeds.count(m => !m._1.startsWith("maint:"))},""" +
         s""""remeasured":${packSuspects.size},"""
     }
     // `failed` is an AGGREGATE marker: a consumer reading only the

@@ -301,6 +301,62 @@ object MaterializedAgg {
     }
   }
 
+  /** The view-merge change batch of one refresh: the bucket-pruned
+    * current view full-outer-joined with the signed delta (ring columns
+    * added groupwise, group columns picked from whichever side has the
+    * key), sidecar-maintained columns overwritten from the rollup for
+    * affected groups, and the `_mv_op` tombstone derivation. ONE copy —
+    * [[refresh]] commits it and [[MvProf]] replays it stage-timed, so
+    * the profile can never drift from the real plan. */
+  private[lake] def mergedViewChanges(
+      current: DataFrame, delta: DataFrame, roll: Option[DataFrame],
+      spec: MvSpec, types: Seq[DataType]): DataFrame = {
+    val c = current.as("c")
+    val d = delta.as("d")
+    def pick(name: String): Column =
+      when(col(s"c.$KeyCol").isNull, col(s"d.$name"))
+        .otherwise(col(s"c.$name")).as(name)
+    val zero = lit(0)
+    val ringCols =
+      spec.effSums.zip(types).map { case ((n, _), t) =>
+        (coalesce(col(s"c.$n"), zero.cast(t)) +
+          coalesce(col(s"d.$n"), zero.cast(t))).cast(t).as(n)
+      } ++
+      spec.effSums.map { case (n, _) =>
+        (coalesce(col(s"c.${nnName(n)}"), lit(0L)) +
+          coalesce(col(s"d.${nnName(n)}"), lit(0L))).as(nnName(n))
+      } :+
+      (coalesce(col(s"c.${spec.countName}"), lit(0L)) +
+        coalesce(col(s"d.${spec.countName}"), lit(0L)))
+        .as(spec.countName)
+    val mergedCols =
+      Seq(coalesce(col(s"c.$KeyCol"), col(s"d.$KeyCol")).as(KeyCol),
+        coalesce(col(s"c.$BucketCol"), col(s"d.$BucketCol"))
+          .as(BucketCol)) ++
+      spec.groupBy.map(pick) ++ ringCols ++
+      // sidecar-column placeholders (min/max + kmv): current values
+      // carry, affected groups overwritten from the rollup below
+      spec.auxNames.map(n => col(s"c.$n").as(n))
+    val merged = c.join(d, col(s"c.$KeyCol") === col(s"d.$KeyCol"),
+        "full_outer")
+      .select(mergedCols: _*)
+    val withMM = roll match {
+      case None => merged
+      case Some(rl) =>
+        val r = rl.withColumn("_mv_hit", lit(1)).as("r")
+        val mAlias = merged.as("m")
+        val keep = merged.columns.filterNot(spec.auxNames.contains)
+          .map(n => col(s"m.$n").as(n)).toSeq
+        val mm = spec.auxNames.map(n =>
+          when(col("r._mv_hit").isNotNull, col(s"r.$n"))
+            .otherwise(col(s"m.$n")).as(n))
+        mAlias.join(r, col(s"m.$KeyCol") === col(s"r.$KeyCol"), "left")
+          .select(keep ++ mm: _*)
+    }
+    withMM.withColumn("_mv_op",
+      when(col(spec.countName) === 0L, lit("d")).otherwise(lit("u")))
+  }
+
   // ---- spec + applied-version sidecar ------------------------------
 
   private[lake] def writeSideFile(
@@ -596,56 +652,22 @@ object MaterializedAgg {
         SnapshotTable.read(spark, mvRoot, m).limit(0)
       else SnapshotTable.readPartitions(
         spark, mvRoot, buckets.map(Seq(_)), m)
-    val c = current.as("c")
-    val d = delta.as("d")
-    def pick(name: String): Column =
-      when(col(s"c.$KeyCol").isNull, col(s"d.$name"))
-        .otherwise(col(s"c.$name")).as(name)
-    val zero = lit(0)
-    val ringCols =
-      spec.effSums.zip(types).map { case ((n, _), t) =>
-        (coalesce(col(s"c.$n"), zero.cast(t)) +
-          coalesce(col(s"d.$n"), zero.cast(t))).cast(t).as(n)
-      } ++
-      spec.effSums.map { case (n, _) =>
-        (coalesce(col(s"c.${nnName(n)}"), lit(0L)) +
-          coalesce(col(s"d.${nnName(n)}"), lit(0L))).as(nnName(n))
-      } :+
-      (coalesce(col(s"c.${spec.countName}"), lit(0L)) +
-        coalesce(col(s"d.${spec.countName}"), lit(0L)))
-        .as(spec.countName)
-    val mergedCols =
-      Seq(coalesce(col(s"c.$KeyCol"), col(s"d.$KeyCol")).as(KeyCol),
-        coalesce(col(s"c.$BucketCol"), col(s"d.$BucketCol"))
-          .as(BucketCol)) ++
-      spec.groupBy.map(pick) ++ ringCols ++
-      // sidecar-column placeholders (min/max + kmv): current values
-      // carry, affected groups overwritten from the rollup below
-      spec.auxNames.map(n => col(s"c.$n").as(n))
-    val merged = c.join(d, col(s"c.$KeyCol") === col(s"d.$KeyCol"),
-        "full_outer")
-      .select(mergedCols: _*)
-    val withMM = mmByKey match {
-      case None => merged
-      case Some(roll) =>
-        val r = roll.withColumn("_mv_hit", lit(1)).as("r")
-        val mAlias = merged.as("m")
-        val keep = merged.columns.filterNot(spec.auxNames.contains)
-          .map(n => col(s"m.$n").as(n)).toSeq
-        val mm = spec.auxNames.map(n =>
-          when(col("r._mv_hit").isNotNull, col(s"r.$n"))
-            .otherwise(col(s"m.$n")).as(n))
-        mAlias.join(r, col(s"m.$KeyCol") === col(s"r.$KeyCol"), "left")
-          .select(keep ++ mm: _*)
-    }
-    val viewChanges = withMM.withColumn("_mv_op",
-      when(col(spec.countName) === 0L, lit("d")).otherwise(lit("u")))
-
+    // cached for the duration (round 19): the view commit executes the
+    // batch twice (one-pass validation probe + staging write), and the
+    // batch is a multi-join over the bucket reads, the cached delta and
+    // the sidecar rollup. Bounded by construction — affected view
+    // buckets × groups plus the rollup's group rows, dimension-sized —
+    // so holding it is safe where a generic applyChanges batch is not
+    // (which is why the caching lives HERE, not inside applyChanges).
+    val viewChanges = mergedViewChanges(current, delta, mmByKey, spec,
+      types).cache()
+    try {
     // 5. marker BEFORE commit (see crash protocol in the scaladoc)
     writeSideFile(spark, mvRoot, f"applied-v${m + 1}%08d",
       latestB.toString, overwrite = false)
     SnapshotTable.applyChanges(spark, mvRoot, viewChanges,
       key = KeyCol, partitionBy = Seq(BucketCol), opCol = "_mv_op")
+    } finally viewChanges.unpersist(false)
     // the try covers steps 3-5: a failure ANYWHERE after the cache
     // (sidecar commit, rollup, marker, view commit) must still release
     // the cached delta — a long-lived CDC maintainer would otherwise

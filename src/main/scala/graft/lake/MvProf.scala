@@ -145,7 +145,9 @@ object MvProf {
         val fresh = changedRows(newKeys, latestB)
           .map(partialsFrame(_, spec, mmTypes, 8)
             .withColumn("_mv_op", lit("u")))
-        val a = (fresh.toSeq :+ tombs).reduce(_.unionByName(_))
+        // cached exactly as refresh caches it: the isEmpty probe
+        // fills the cache, the commit's probe + write read it
+        val a = (fresh.toSeq :+ tombs).reduce(_.unionByName(_)).cache()
         a.isEmpty // one full execution, as in refresh
         a
       }
@@ -153,6 +155,7 @@ object MvProf {
         SnapshotTable.applyChanges(spark, aRoot, auxChanges,
           key = AKeyCol, partitionBy = Seq(ABucketCol), opCol = "_mv_op")
       }
+      auxChanges.unpersist(false)
       val (tRollup, roll) = time {
         val r = rollup(SnapshotTable.read(spark, aRoot), spec,
           deltaAll.select(col(KeyCol)))
@@ -169,47 +172,11 @@ object MvProf {
             spark, mvRoot, buckets.map(Seq(_)), m)
         c.count(); c
       }
-      // merged view-changes plan, exactly as refresh builds it
-      val viewChanges = {
-        val c = current.as("c")
-        val d = deltaAll.as("d")
-        def pick(name: String) =
-          when(col(s"c.$KeyCol").isNull, col(s"d.$name"))
-            .otherwise(col(s"c.$name")).as(name)
-        val zero = lit(0)
-        val ringCols =
-          spec.effSums.zip(types).map { case ((n, _), t) =>
-            (coalesce(col(s"c.$n"), zero.cast(t)) +
-              coalesce(col(s"d.$n"), zero.cast(t))).cast(t).as(n)
-          } ++
-          spec.effSums.map { case (n, _) =>
-            (coalesce(col(s"c.${nnName(n)}"), lit(0L)) +
-              coalesce(col(s"d.${nnName(n)}"), lit(0L))).as(nnName(n))
-          } :+
-          (coalesce(col(s"c.${spec.countName}"), lit(0L)) +
-            coalesce(col(s"d.${spec.countName}"), lit(0L)))
-            .as(spec.countName)
-        val mergedCols =
-          Seq(coalesce(col(s"c.$KeyCol"), col(s"d.$KeyCol")).as(KeyCol),
-            coalesce(col(s"c.$BucketCol"), col(s"d.$BucketCol"))
-              .as(BucketCol)) ++
-          spec.groupBy.map(pick) ++ ringCols ++
-          spec.auxNames.map(n => col(s"c.$n").as(n))
-        val merged = c.join(d, col(s"c.$KeyCol") === col(s"d.$KeyCol"),
-            "full_outer")
-          .select(mergedCols: _*)
-        val r = roll.withColumn("_mv_hit", lit(1)).as("r")
-        val mAlias = merged.as("m")
-        val keep = merged.columns.filterNot(spec.auxNames.contains)
-          .map(n => col(s"m.$n").as(n)).toSeq
-        val mm = spec.auxNames.map(n =>
-          when(col("r._mv_hit").isNotNull, col(s"r.$n"))
-            .otherwise(col(s"m.$n")).as(n))
-        mAlias.join(r, col(s"m.$KeyCol") === col(s"r.$KeyCol"), "left")
-          .select(keep ++ mm: _*)
-          .withColumn("_mv_op",
-            when(col(spec.countName) === 0L, lit("d")).otherwise(lit("u")))
-      }
+      // merged view-changes plan: THE SAME builder refresh commits
+      // (MaterializedAgg.mergedViewChanges), so this profile cannot
+      // drift from the real plan
+      val viewChanges = mergedViewChanges(
+        current, deltaAll, Some(roll), spec, types).cache()
       val (tMergeExec, _) = time { viewChanges.count() }
       val (tMarker, _) = time {
         writeSideFile(spark, mvRoot, f"applied-v${m + 1}%08d",
@@ -219,6 +186,7 @@ object MvProf {
         SnapshotTable.applyChanges(spark, mvRoot, viewChanges,
           key = KeyCol, partitionBy = Seq(BucketCol), opCol = "_mv_op")
       }
+      viewChanges.unpersist(false)
       deltaAll.unpersist(false)
       println(f"$sf mv refresh stages: diff=$tDiff%.3f schema=$tSchema%.3f " +
         f"delta=$tDelta%.3f auxplan=$tAuxPlan%.3f auxcommit=$tAuxCommit%.3f " +

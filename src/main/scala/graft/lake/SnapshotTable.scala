@@ -2449,13 +2449,10 @@ object SnapshotTable {
       partitionBy: Seq[String], filesPerPartition: Int = 1,
       crashBeforeCommit: Boolean = false,
       mergeSchema: Boolean = false): Int = {
-    // cache for the call's duration: the batch plan executes three
-    // times (key validation, touched-partition probe, staging write) —
-    // same round-19 rationale as [[applyChanges]]
-    val precached =
-      updates0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val updates = if (precached) updates0 else updates0.cache()
-    try {
+    // one-pass validation + touched probe (round 19): two executions
+    // of the batch plan total (probe + staging write), down from
+    // three; no caching imposed — see [[applyChanges]]
+    val updates = updates0
     val touchedKeys = validateAndProbe(updates, key, None, partitionBy)
     withConflictRetry {
       // bootstrap: an upsert into a never-written table is the initial
@@ -2497,7 +2494,6 @@ object SnapshotTable {
         replaceAll = false, filesPerPartition, crashBeforeCommit,
         declaredKey = Some(key))
     }
-    } finally if (!precached) updates.unpersist(false)
   }
 
   /** Apply a MIXED change batch — upserts AND delete tombstones — in
@@ -2527,18 +2523,16 @@ object SnapshotTable {
       filesPerPartition: Int = 1, mergeSchema: Boolean = false): Int = {
     // The batch plan used to execute FOUR times per commit (key
     // validation, null-op validation, touched-partition probe, the
-    // staging write) — for an incremental-MV refresh, whose batch is a
-    // multi-join over bucket reads and the partials sidecar, those
-    // re-executions were the dominant cost of the whole refresh
-    // (MvProf: the two applyChanges commits were 2.6 s of a 3.5 s
-    // refresh). Cache the batch for the duration of the call — one
-    // compute, three cached scans — unless the caller already holds it
-    // cached (then lifecycle stays the caller's). Validation is one
-    // combined aggregate (round-19; messages unchanged).
-    val precached =
-      changes0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val changes = if (precached) changes0 else changes0.cache()
-    try {
+    // staging write). Round 19 fuses the first three into ONE
+    // aggregate (validateAndProbe; messages unchanged) — two
+    // executions total, with NO caching imposed here: a bulk CDC batch
+    // can be arbitrarily large, and materializing it to executor
+    // storage on top of the staging write is a disk-pressure failure
+    // mode streaming re-execution cannot produce. A caller whose batch
+    // is a multi-join worth holding (the incremental-MV refresh — its
+    // batches are view-slice- and sidecar-sized by construction)
+    // caches BEFORE calling and keeps the lifecycle.
+    val changes = changes0
     val touchedKeys = profT("validate_probe") {
       validateAndProbe(changes, key, Some(opCol), partitionBy) }
     withConflictRetry {
@@ -2576,7 +2570,6 @@ object SnapshotTable {
         touchedKeys, replaceAll = false, filesPerPartition,
         crashBeforeCommit = false, declaredKey = Some(key))
     }
-    } finally if (!precached) changes.unpersist(false)
   }
 
   /** Delete rows matching `predicate`; NULL-predicate rows are kept

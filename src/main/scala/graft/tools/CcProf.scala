@@ -68,17 +68,14 @@ object CcProf {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nodes = graft.core.Tables(spark, dir, "documents")
       .select(col("doc_id").as("id"))
-    // edge build timed once, shared shape with d12 (not under test)
-    val tEdges = time {
-      graft.queries.Dedup.d04_lsh_pairs.run(spark, dir)
-        .filter(col("est_sim") >= 0.5)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-        .localCheckpoint(true)
-    }
+    // edge build timed once, shared shape with d12 (not under test);
+    // the timed checkpoint IS the edge set the loops consume
+    val t0 = System.nanoTime()
     val edges = graft.queries.Dedup.d04_lsh_pairs.run(spark, dir)
       .filter(col("est_sim") >= 0.5)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .localCheckpoint(true)
+    val tEdges = (System.nanoTime() - t0) / 1e9
     println(f"edge build: $tEdges%.2fs, edges=${edges.count()}, " +
       s"nodes=${nodes.count()}")
     // warm both variants once, then 3 timed reps each, interleaved
@@ -86,8 +83,11 @@ object CcProf {
     ccLoop(spark, nodes, edges, graphSized = true)._1.count()
     (1 to 3).foreach { i =>
       val tOld = time { ccLoop(spark, nodes, edges, graphSized = false)._1.count() }
-      val tNew = time { ccLoop(spark, nodes, edges, graphSized = true)._1.count() }
-      val r = ccLoop(spark, nodes, edges, graphSized = true)._2
+      var r = 0
+      val tNew = time {
+        val (out, rounds) = ccLoop(spark, nodes, edges, graphSized = true)
+        out.count(); r = rounds
+      }
       println(f"rep $i: corpus-labels=$tOld%.2fs graph-labels=$tNew%.2fs rounds=$r")
     }
     // decade sweep: the SAME fixed edge set against synthetic corpora

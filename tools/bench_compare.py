@@ -35,11 +35,13 @@ def spark_bench():
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
     detail = next(json.loads(l) for l in lines if '"total_detail"' in l)
     detail["queries"] = {k: v["med"] for k, v in detail["queries"].items()}
-    # maint rows live on the CONTRACT line; carry them for the
-    # maint:-prefixed suspect-guard references
-    contract = next((json.loads(l) for l in lines
-                     if '"metric":"total"' in l), {})
-    detail["maint"] = contract.get("maint", {})
+    # maint rows ride the DETAIL line at full precision (the contract
+    # line rounds to 2 dp); prefer them there, fall back to the
+    # contract for older artifacts
+    if "maint" not in detail:
+        contract = next((json.loads(l) for l in lines
+                         if '"metric":"total"' in l), {})
+        detail["maint"] = contract.get("maint", {})
     return detail
 
 def duckdb_bench(oracle):
