@@ -166,15 +166,7 @@ object ChangeFeed {
         latestSchema))
 
     val parts = steps.flatMap { case (v, o, n) =>
-      val oldA = o.map(align).getOrElse(empty)
-      val newA = n.map(align).getOrElse(empty)
-      Seq(
-        newA.exceptAll(oldA)
-          .withColumn(ChangeTypeCol, lit(Insert))
-          .withColumn(VersionCol, lit(v.toLong)),
-        oldA.exceptAll(newA)
-          .withColumn(ChangeTypeCol, lit(Delete))
-          .withColumn(VersionCol, lit(v.toLong)))
+      stepDiff(o.map(align), n.map(align), v.toLong)
     }
     parts.reduceOption(_.union(_)).getOrElse(
       empty
@@ -258,15 +250,68 @@ object ChangeFeed {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         latestSchema))
-    val oldA = old.map(align).getOrElse(empty)
-    val newA = nw.map(align).getOrElse(empty)
-    newA.exceptAll(oldA)
-      .withColumn(ChangeTypeCol, lit(Insert))
-      .withColumn(VersionCol, lit(toV.toLong))
-      .union(
-        oldA.exceptAll(newA)
-          .withColumn(ChangeTypeCol, lit(Delete))
-          .withColumn(VersionCol, lit(toV.toLong)))
+    // same one-pass diff as [[between]]'s steps
+    stepDiff(old.map(align), nw.map(align), toV.toLong)
+      .reduceOption(_.union(_))
+      .getOrElse(empty
+        .withColumn(ChangeTypeCol, lit(Insert))
+        .withColumn(VersionCol, lit(toV.toLong))
+        .limit(0))
+  }
+
+  /** One version step's row-level diff as insert/delete frames — the
+    * round-20 single-pass shape (guide §2.3):
+    *
+    *  - a statically-EMPTY side short-circuits entirely: `A EXCEPT ALL
+    *    ∅ = A` and `∅ EXCEPT ALL A = ∅` by multiset algebra, but Spark
+    *    plans the full rewrite regardless (union ±1 → groupBy over
+    *    EVERY column → replicate) — a corpus-width full-row shuffle
+    *    for a no-op. The bootstrap step (v1, no old side) is exactly
+    *    the whole-table case: replaying a feed from v0 paid that
+    *    shuffle to diff against nothing;
+    *  - when BOTH sides exist, the delete and insert directions are
+    *    ONE signed-count pass — tag new +1 / old −1, group by every
+    *    column, sum: a positive net count is that many inserts, a
+    *    negative one that many deletes. Identical multiset semantics
+    *    to the old `(new EXCEPT ALL old) ∪ (old EXCEPT ALL new)` pair
+    *    (which read each side twice and shuffled twice), null-safe
+    *    grouping equality matching set-op equality. No hashes are
+    *    involved — rows compare by value, so no collision risk.
+    */
+  private def stepDiff(
+      oldA: Option[DataFrame], newA: Option[DataFrame],
+      v: Long): Seq[DataFrame] = {
+    def mark(df: DataFrame, tpe: String): DataFrame = df
+      .withColumn(ChangeTypeCol, lit(tpe))
+      .withColumn(VersionCol, lit(v))
+    (oldA, newA) match {
+      case (None, None) => Nil
+      case (None, Some(nw)) => Seq(mark(nw, Insert))
+      case (Some(od), None) => Seq(mark(od, Delete))
+      case (Some(od), Some(nw)) =>
+        val dataCols = nw.columns.toSeq
+        // internal column names that cannot collide with table columns
+        val base = Iterator.from(0).map {
+          case 0 => "_graft_cf"
+          case i => s"_graft_cf_$i"
+        }.find(b => !dataCols.contains(s"${b}_sgn") &&
+          !dataCols.contains(s"${b}_n") && !dataCols.contains(s"${b}_r"))
+          .get
+        val sgn = s"${base}_sgn"; val net = s"${base}_n"; val rep = s"${base}_r"
+        val counted = nw.withColumn(sgn, lit(1L))
+          .unionByName(od.withColumn(sgn, lit(-1L)))
+          .groupBy(dataCols.map(col): _*)
+          .agg(sum(col(sgn)).as(net))
+          .filter(col(net) =!= 0L)
+        val replicated = counted
+          .withColumn(ChangeTypeCol,
+            when(col(net) > 0, lit(Insert)).otherwise(lit(Delete)))
+          .withColumn(rep, explode(expr(
+            s"array_repeat(1, CAST(abs($net) AS INT))")))
+          .select((dataCols.map(col) :+ col(ChangeTypeCol)): _*)
+          .withColumn(VersionCol, lit(v))
+        Seq(replicated)
+    }
   }
 
   /** The feed's output schema at `version` (default latest): table
