@@ -613,6 +613,21 @@ object MaterializedAgg {
     // later diff — diff-only tombstoning would let a deleted extremum
     // resurface forever. The sidecar scan this needs is already paid
     // by the rollup below.
+    // Round 20 (guide §2.6 — overlap independent jobs): the sidecar
+    // commit and the view-side preparation are independent Spark work —
+    // the rollup needs the sidecar's POST-commit content, which is a
+    // pure function of frames already in hand (aux0 minus ALL change
+    // keys, plus the upsert rows — exactly the merge applyChanges
+    // commits), not of the commit having LANDED. So the sidecar commit
+    // runs on a background thread while the main thread derives the
+    // rollup and builds + materializes the view-merge batch; the view
+    // COMMIT still waits for the sidecar commit (await before the
+    // marker), so the crash protocol is unchanged: a failure anywhere
+    // leaves "sidecar committed, view not" at worst — the documented
+    // idempotent-replay window. Warm refresh = max(sidecar commit,
+    // view prep) + view commit instead of their sum.
+    var auxTask: Option[java.util.concurrent.FutureTask[Int]] = None
+    var auxChangesHeld: Option[DataFrame] = None
     val v = try {
     val mmByKey: Option[DataFrame] = if (!trackAux) None else {
       import org.apache.spark.sql.Row
@@ -629,19 +644,39 @@ object MaterializedAgg {
       val fresh = changedRows(newKeys, latestB)
         .map(partialsFrame(_, spec, mmTypes, nBuckets)
           .withColumn("_mv_op", lit("u")))
-      // cached for the duration: the isEmpty probe and the sidecar
-      // commit would otherwise each re-execute the tombstone anti-join
-      // + fresh-partials build (round-19; applyChanges sees the cache
-      // and skips its own)
+      // cached for the duration: the isEmpty probe, the sidecar
+      // commit and the rollup's logical post-commit view would
+      // otherwise each re-execute the tombstone anti-join +
+      // fresh-partials build (round-19; applyChanges sees the cache
+      // and skips its own). Released after the commit await below.
       val auxChanges = (fresh.toSeq :+ tombs).reduce(_.unionByName(_))
         .cache()
-      try {
-        if (!auxChanges.isEmpty)
-          SnapshotTable.applyChanges(spark, aRoot, auxChanges,
-            key = AKeyCol, partitionBy = Seq(ABucketCol), opCol = "_mv_op")
-      } finally auxChanges.unpersist(false)
-      Some(rollup(SnapshotTable.read(spark, aRoot), spec,
-        deltaAll.select(col(KeyCol))))
+      auxChangesHeld = Some(auxChanges)
+      // the emptiness probe rides the background thread too: the main
+      // thread never needs its answer, and running it here would be
+      // one more serial action before any overlap starts
+      val task = new java.util.concurrent.FutureTask[Int](() =>
+        if (auxChanges.isEmpty) SnapshotTable.versions(spark, aRoot).last
+        else SnapshotTable.applyChanges(spark, aRoot, auxChanges,
+          key = AKeyCol, partitionBy = Seq(ABucketCol),
+          opCol = "_mv_op"))
+      val th = new Thread(task, "graft-mv-aux-commit")
+      th.setDaemon(true)
+      th.start()
+      auxTask = Some(task)
+      // LOGICAL post-commit sidecar for the rollup — value-identical
+      // to re-reading the committed table (applyChanges' merge is:
+      // every change key leaves the live set, upsert rows come back;
+      // aux0's file list is pinned at plan time, and directories are
+      // immutable, so the concurrent commit cannot disturb this read)
+      val upserts = auxChanges.filter(col("_mv_op") =!= "d")
+        .drop("_mv_op")
+        .select(aux0.columns.map(col).toSeq: _*)
+      val auxAfter = aux0.join(
+          auxChanges.select(col(AKeyCol).as("_mv_gk")),
+          col(AKeyCol) === col("_mv_gk"), "left_anti")
+        .unionByName(upserts)
+      Some(rollup(auxAfter, spec, deltaAll.select(col(KeyCol))))
     }
 
     // 4. merge into the view: only buckets holding affected keys
@@ -662,17 +697,38 @@ object MaterializedAgg {
     val viewChanges = mergedViewChanges(current, delta, mmByKey, spec,
       types).cache()
     try {
-    // 5. marker BEFORE commit (see crash protocol in the scaladoc)
-    writeSideFile(spark, mvRoot, f"applied-v${m + 1}%08d",
-      latestB.toString, overwrite = false)
+    // 5. the view commit's Spark work (validation probe + staging
+    // write) runs NOW, overlapping the background sidecar commit; the
+    // publish gate below holds only the manifest RENAME until the
+    // sidecar has landed and the applied marker exists — the same
+    // ordering as before (aux commit → marker → view publication),
+    // with the expensive stages concurrent instead of serial. The
+    // marker write is once-only so a conflict-retried attempt (which
+    // re-runs the gate) stays create-exclusive-clean.
+    val markerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     SnapshotTable.applyChanges(spark, mvRoot, viewChanges,
-      key = KeyCol, partitionBy = Seq(BucketCol), opCol = "_mv_op")
+      key = KeyCol, partitionBy = Seq(BucketCol), opCol = "_mv_op",
+      publishGate = () => {
+        auxTask.foreach(_.get()) // surfaces a sidecar failure pre-marker
+        if (markerDone.compareAndSet(false, true))
+          writeSideFile(spark, mvRoot, f"applied-v${m + 1}%08d",
+            latestB.toString, overwrite = false)
+      })
     } finally viewChanges.unpersist(false)
     // the try covers steps 3-5: a failure ANYWHERE after the cache
     // (sidecar commit, rollup, marker, view commit) must still release
     // the cached delta — a long-lived CDC maintainer would otherwise
     // pin one dataset per failed refresh
-    } finally deltaAll.unpersist(false)
+    } finally {
+      // single-maintainer hygiene: never return (or rethrow) with the
+      // background commit still in flight — a caller's retry would
+      // otherwise race it. Its own failure is surfaced by the get()
+      // above on the success path; here it only needs to be DONE.
+      auxTask.foreach(t =>
+        try { t.get(); () } catch { case _: Throwable => () })
+      auxChangesHeld.foreach(_.unpersist(false))
+      deltaAll.unpersist(false)
+    }
     require(v == m + 1, s"view commit landed at v$v, marker at " +
       s"v${m + 1} — concurrent maintainer violates the single-" +
       "maintainer contract")

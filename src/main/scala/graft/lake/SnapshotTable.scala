@@ -2517,10 +2517,19 @@ object SnapshotTable {
     * — a malformed feed must fail loudly instead, round-9 advice
     * item 3). Non-key columns of a tombstone are ignored. Returns the
     * new version. */
+  /** `publishGate` (round 20) runs AFTER the staging write/census/stats
+    * of an attempt and immediately BEFORE its manifest commit — the
+    * seam that lets a caller overlap this commit's Spark work with
+    * other work while still ordering the PUBLICATION after an external
+    * event (the incremental-MV refresh stages its view commit while
+    * the sidecar commit runs, and the gate awaits the sidecar + writes
+    * the applied marker). Must be idempotent: a conflict retry re-runs
+    * the whole attempt, gate included. */
   def applyChanges(
       spark: SparkSession, root: String, changes0: DataFrame, key: String,
       partitionBy: Seq[String], opCol: String,
-      filesPerPartition: Int = 1, mergeSchema: Boolean = false): Int = {
+      filesPerPartition: Int = 1, mergeSchema: Boolean = false,
+      publishGate: () => Unit = () => ()): Int = {
     // The batch plan used to execute FOUR times per commit (key
     // validation, null-op validation, touched-partition probe, the
     // staging write). Round 19 fuses the first three into ONE
@@ -2568,7 +2577,8 @@ object SnapshotTable {
         }
       commitRewrite(spark, root, merged, partitionBy, Some(base),
         touchedKeys, replaceAll = false, filesPerPartition,
-        crashBeforeCommit = false, declaredKey = Some(key))
+        crashBeforeCommit = false, declaredKey = Some(key),
+        publishGate = publishGate)
     }
   }
 
@@ -2753,7 +2763,8 @@ object SnapshotTable {
       declaredLookup: Seq[String] = Nil,
       layoutDone: Boolean = false,
       schemaOverride: Option[StructType] = None,
-      declaredKey: Option[String] = None): Int = {
+      declaredKey: Option[String] = None,
+      publishGate: () => Unit = () => ()): Int = {
     require(partitionBy.nonEmpty, "partitionBy must name at least one column")
     // write() (re)declares; every other mutation inherits the table's
     // persisted declarations, so stats maintenance is automatic
@@ -2984,6 +2995,9 @@ object SnapshotTable {
         }
       }
     }
+    // caller's publication gate (see [[applyChanges]]): every Spark
+    // job of this attempt is done; only the manifest rename follows
+    publishGate()
     onBeforeCommit()
     val newSchema = schemaOverride.getOrElse(newRows.schema)
     val baseTouched = baseManifest.map(_.entries).getOrElse(Nil)
