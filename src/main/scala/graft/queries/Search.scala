@@ -509,8 +509,20 @@ object Search {
     // Bench/Verify drain via catalog.clearCache(); a long-lived
     // service should unpersist or clear between corpora.
     val dfStats = TokenizedCorpus.dfForTerms(spark, tokRoot, terms).cache()
+    // repartition by doc_id INSIDE the cache fill (round 20, guide
+    // §2.3/§2.4): hash(doc_id) satisfies the score aggregate's
+    // (query_id, doc_id) clustered distribution, so every ranking off
+    // this cache runs its grouped-sum WITHOUT an exchange — the
+    // workload-fanout score shuffle (≈10 MB of DECIMAL partials at
+    // sf0.1) is gone, replaced by one postings-sized exchange paid
+    // once at cache fill. The cache pins the partitioning (cached
+    // plans keep their output partitioning), which also keeps the
+    // post-exchange scoring parallel — see Bm25BatchProf: the same
+    // repartition UNCACHED lets AQE coalesce the small exchange to one
+    // partition and serialize the decimal ladders (the t36 finding).
     val postings = TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+      .repartition(col("doc_id"))
       .cache()
     bm25ScoreBatch(postings, q, dfStats, corpus, k)
   }
@@ -527,6 +539,7 @@ object Search {
     val dfStats = TokenizedCorpus.dfForTerms(spark, tokRoot, terms).cache()
     val postings = TokenizedCorpus.postingsForTerms(spark, tokRoot, terms)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+      .repartition(col("doc_id")) // exchange-free scoring, see exact twin
       .cache() // hot-set serving shape, see bm25BatchFromTokenized
     bm25ScoreBatchFast(postings, q, dfStats, corpus, k)
   }
@@ -644,9 +657,19 @@ object Search {
       .cache() // same barrier as bm25: stats + postings share the tokenize
     val corpus = base.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    // ONE exchange for the whole batch pipeline (round 20, §2.3/§2.4):
+    // repartitioning the matched occurrences by doc_id up front makes
+    // hash(doc_id) the partitioning of everything downstream, which
+    // satisfies BOTH the postings aggregate's (doc_id, dl, tok)
+    // clustering AND the score aggregate's (query_id, doc_id) — the
+    // postings-agg exchange and the fanout-sized DECIMAL-partials
+    // score exchange are both gone (Bm25BatchProf: t35 15.0 MB → 3.2
+    // MB shuffled, 1.34 s → 0.91 s; the tokenize stays in the
+    // pre-exchange scan stage, so parallelism is unchanged).
     val postings = base
       .select(col("doc_id"), col("dl"),
         explode(filter(col("toks"), _.isin(terms: _*))).as("tok"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .cache() // two consumers: df stats + the query join (see bm25)
@@ -671,6 +694,7 @@ object Search {
     val postings = base
       .select(col("doc_id"), col("dl"),
         explode(filter(col("toks"), _.isin(terms: _*))).as("tok"))
+      .repartition(col("doc_id")) // one-exchange pipeline, see exact twin
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .cache() // two consumers: df stats + the query join (see bm25)
