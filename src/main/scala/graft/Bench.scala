@@ -818,8 +818,28 @@ object Bench {
       s""""$field":${fmt(ratio)},"${field}_n":$n,$exMark$exAdjMark$medMark"""
     }
     val genMark = baselineGen.fold("")(g => s""""baseline_gen":"$g",""")
+    // FLAT per-query medians on the contract line (round 20, r19
+    // verdict item 7): the driver's scaling contract reads a
+    // `"queries":{name: seconds}` map off the one total line — the
+    // nested detail-line spread never matched that shape, so the
+    // driver's PERF scaling block came up empty every round
+    // (`per_query: {}` in PERF_r19). ADDITIONS-ONLY measurement fix:
+    // no timed region changed, every existing field (including the
+    // detail line's rich per-query objects and the bounded `slowest`)
+    // stays; the contract line grows to ~5 KB, which the per-run
+    // bench_file and full-stdout parsing carry even where a bounded
+    // log tail would clip the head. 3-dp medians: enough for any
+    // cross-core-count ratio, half the bytes of full precision.
+    def fmt3(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+        .stripSuffix(".")
+      else s
+    }
+    val flatQueries = results.map(r => "\"" + r.name + "\":" + fmt3(r.med))
+      .mkString("{", ",", "}")
     val contract =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failedMark$subsetMark$suspectMark"total_ex_graph":${fmt(totalExGraph)},$lflMark$genMark"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},$benchFileMark$maintMark"index_build":$ibShort,"slowest":$slowest,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,$failedMark$subsetMark$suspectMark"total_ex_graph":${fmt(totalExGraph)},$lflMark$genMark"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},$benchFileMark$maintMark"index_build":$ibShort,"slowest":$slowest,"queries":$flatQueries,"sf":"$sf"}"""
     // The file carries BOTH lines (full spread + contract) — it is the
     // complete artifact; stdout's bounded tail only needs the contract.
     benchFile.foreach { out =>

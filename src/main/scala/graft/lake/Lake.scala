@@ -48,16 +48,25 @@ object Lake {
       partitionBy: Seq[String],
       filesPerPartition: Int,
       numPartitions: Int): DataFrame = {
+    // guard (round-20, r19 advice item 1): repartition() with ZERO hash
+    // expressions is a round-robin-less single-partition shuffle — an
+    // empty partitionBy would silently send every row to one task. No
+    // caller passes one today; fail loudly rather than degrade.
+    require(partitionBy.nonEmpty,
+      "repartitionForLayout needs at least one partition column")
     val keyCols = partitionBy.map(col)
     if (filesPerPartition <= 1)
       // no explicit partition count: every row of one partition key
       // lands in a single task either way (hash on the key), so the
-      // file-per-directory contract is unchanged, but AQE coalesces
+      // file-per-directory contract is unchanged, but AQE COALESCES
       // the task count to the batch's actual size — a 300-row
-      // maintenance commit stops scheduling 31 empty reducers, and a
-      // 100 TB write splits by advisory size instead of a constant
-      // tuned for either local mode or one cluster (round 19,
-      // optimization guide §2.2/§6)
+      // maintenance commit stops scheduling 31 empty reducers. Note
+      // AQE only ever coalesces small hash partitions; it cannot SPLIT
+      // an oversized one (which is exactly what keeps one partition
+      // key = one task = one file per directory safe) — a partition
+      // key carrying more rows than one task should write must use
+      // filesPerPartition > 1, whose salt branch below does the
+      // splitting explicitly (round 19/20, optimization guide §2.2/§6)
       df.repartition(keyCols: _*)
     else {
       // The salt column must not collide with a real column: withColumn

@@ -263,16 +263,25 @@ object TokenizedCorpus {
             .cache()
           // dropKeys = every changed tuple: present ones are also in
           // the recomputed rows (so they rewrite), vanished or
-          // all-empty-tokenization ones tombstone
+          // all-empty-tokenization ones tombstone.
+          // The union of the three row kinds is cached TOO (round 20,
+          // guide §1.2): the commit executes its input twice — the
+          // tok-range clustering's sampling pass, then the write — and
+          // each execution of the UNCACHED union re-ran its two
+          // aggregates and three pf scans (MaintProf: staging_write
+          // 1.3 s of the 2.7 s commit). The sampling pass now doubles
+          // as the cache fill and the write reads memory. Bounded:
+          // changed-partitions-sized, same class as pf itself.
+          val rows = allRows(pf, partitionBy).cache()
           try
             // knownTouched: the frame holds exactly the changed
             // partitions' rows by construction (manifest diff), so the
             // commit need not re-discover its keys with a distinct scan
             SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
-              allRows(pf, partitionBy), partitionBy,
+              rows, partitionBy,
               dropKeys = changed, filesPerPartition = PostingsFiles,
               knownTouched = Some(changed))
-          finally pf.unpersist(false)
+          finally { rows.unpersist(false); pf.unpersist(false) }
         }
         writeMarker(spark, tokRoot, appliedPath(tokRoot), latestB.toString)
         latestB
@@ -286,13 +295,18 @@ object TokenizedCorpus {
           SnapshotTable.latest(spark, root)
             .map(v => SnapshotTable.entriesFor(spark, root, v)
               .map(_._1).toSet).getOrElse(Set.empty)
+        // same union cache as the incremental branch: the sampling
+        // pass fills it, the write reads memory (disk-spillable here —
+        // the full build's union is corpus-sized)
+        val rows = allRows(pf, partitionBy)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try
           SnapshotTable.overwritePartitions(spark, postingsRoot(tokRoot),
-            allRows(pf, partitionBy), partitionBy,
+            rows, partitionBy,
             dropKeys = staleKeys(postingsRoot(tokRoot)),
             filesPerPartition = PostingsFiles,
             statsFor = Seq("tok"), clusterBy = Seq("tok"))
-        finally pf.unpersist(false)
+        finally { rows.unpersist(false); pf.unpersist(false) }
         // retire pre-v3 derived tables (no reader is allowed at them
         // once the format marker says v3). Hadoop FS, not java.io —
         // a scheme-qualified tokRoot (hdfs://, s3a://) is not a local

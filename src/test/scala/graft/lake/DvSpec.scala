@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   * into real bytes. The destructive pins here are the cost claims:
   * the commit mints no data directory, and its manifest bytes do not
   * grow with the partition it "touches". */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class DvSpec extends SparkSpec {
   import spark.implicits._
 

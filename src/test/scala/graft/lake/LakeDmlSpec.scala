@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
   * INSERT OVERWRITE / DELETE FROM route through the SAME OCC manifest
   * commits as the API mutators — versioned, touched-partition-bounded,
   * time-travel-preserving — and immutable resolutions stay read-only. */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class LakeDmlSpec extends SparkSpec {
   import spark.implicits._
 

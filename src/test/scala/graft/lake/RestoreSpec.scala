@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
   * metadata-only OCC commit whose live state equals v_n's — history
   * preserved, change feed coherent, declarations carried, refusals
   * loud. */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class RestoreSpec extends SparkSpec {
   import spark.implicits._
 

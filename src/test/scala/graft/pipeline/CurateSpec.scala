@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** The curation funnel must be monotone, internally consistent,
   * deterministic, and actually enforce each drop rule on the output. */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class CurateSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 

@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 /** Invariants of the round-5 curation operators (s06, t14–t16, mm05,
   * d10) that the hash-match oracle can't express: recall against the
   * exact baseline, monotonicity, exact-rate sampling properties. */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class CurationOpsSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 

@@ -13,6 +13,9 @@ import org.apache.spark.sql.AnalysisException
   * The lane queries are run completely unchanged: `Rbac.asRole` binds a
   * role's grants to the table loads for the duration of the block, so
   * divergence is purely a property of who is asking. */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class LlmRbacSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 

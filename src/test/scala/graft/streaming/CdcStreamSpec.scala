@@ -9,6 +9,9 @@ import org.apache.spark.sql.types._
 /** Streaming CDC apply must converge to the batch-applied dataset
   * across micro-batches, rewrite only touched partitions, and survive
   * foreachBatch's at-least-once replay. */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class CdcStreamSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 

@@ -11,6 +11,9 @@ import org.apache.spark.sql.streaming.OutputMode
   * pairs, with cross-shard pairs appearing the moment the second shard
   * arrives — the property that lets near-dup detection gate ingestion
   * instead of running as a nightly batch. */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class DedupStreamSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 

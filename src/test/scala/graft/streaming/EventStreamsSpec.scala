@@ -8,6 +8,9 @@ import org.apache.spark.sql.streaming.OutputMode
 /** Streaming results must equal their batch twins on the same input —
   * the invariant that makes AvailableNow micro-batching a drop-in for
   * the reference's cron ingestion. */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class EventStreamsSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 

@@ -10,6 +10,9 @@ import org.apache.spark.sql.streaming.OutputMode
   * events streamed through uneven time shards must aggregate to exactly
   * the batch transition matrix, including same-second ties and
   * transitions that span a shard boundary (stitched via carried state). */
+// excluded from the default `sbt test` (CI budget) — run with
+// GRAFT_TEST_ALL=1 or `testOnly`; see build.sbt
+@org.scalatest.tags.Slow
 class TransitionStreamSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
