@@ -522,6 +522,17 @@ object Text {
       // size; the explicit hint also keeps AQE from promoting the
       // bench-scale plan back to a broadcast that would lie about the
       // 100-TB shape.
+      // Round-20 adjudication: a hash(tok) repartition inside the cache
+      // fill (the t35/t47 shape) was implemented and MEASURED here —
+      // and reverted. Spark 4 plans cached relations with AQE inside
+      // the InMemoryRelation (`AdaptiveSparkPlan isFinalPlan=false`),
+      // so the cache's output partitioning is unknown at planning time
+      // and EnsureRequirements re-adds the downstream exchanges anyway
+      // (plan pinned in the r20 session: exchange(9)/(14) over the
+      // InMemoryTableScans, ENSURE_REQUIREMENTS; cold shuffle bytes
+      // ROSE 2.05→2.58 MB, med neutral). The uncached t35 variant of
+      // the trick works because EnsureRequirements sees the bare
+      // repartition's HashPartitioning; a cache in between hides it.
       val toks = Tables(s, dir, "documents")
         .transform(Tables.fanOut)
         .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
@@ -927,6 +938,23 @@ object Text {
       // that would lie about the cluster shape. Docs with < 2 tokens
       // have no bigrams and drop out (inner join), mirrored by the
       // oracle's empty unnest.
+      //
+      // Round-20 adjudication (guide §2.3, both measured and REVERTED):
+      // two "ideal" restructures lost to planner gotchas here. (a) A
+      // hash(big) repartition inside the cache fill (the t35/t47
+      // shape): Spark 4 plans cached relations with AQE inside the
+      // InMemoryRelation, so the cache's partitioning is invisible to
+      // EnsureRequirements and every downstream exchange stays — cold
+      // shuffle bytes ROSE 4.93→5.13 MB, med neutral. (b) Deriving ctx
+      // from the bigram counts (c1 = Σ c12 over the w1 prefix —
+      // value-identical algebra reading vocabulary-sized input):
+      // without a second cache the counts subtree feeds two consumers
+      // and Spark has no cross-subtree CSE — the executed plan
+      // DUPLICATED the corpus-sized bigram aggregate (two
+      // hashpartitioning(big) exchanges whose pushed filters differ,
+      // so not even ReusedExchange fires), strictly more work than the
+      // one ctx pass it saved. The occurrence-stream ctx below is the
+      // cheapest planner-real shape.
       val bigs = Tables(s, dir, "documents")
         .transform(Tables.fanOut)
         .withColumn("toks", expr(toksExpr))
